@@ -1,0 +1,43 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+All JVM-side higher-order functions — no Python in the hot path, no
+explode (an exploded 64-dim column is a 64x row blowup before the
+shuffle). Folds are sequential left-folds so any engine that folds
+lists left-to-right (e.g. DuckDB ``list_reduce``) reproduces the exact
+IEEE-754 result, making similarity scores oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    """Cast array<float> to array<double> before any arithmetic.
+
+    Mixing float32 elements into double accumulation is engine-
+    dependent; casting per-element first pins the semantics.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum: ((0 + x1) + x2) + ..."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (sequential fold)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm of an array<double> column."""
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

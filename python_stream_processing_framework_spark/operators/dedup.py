@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference capability (SURVEY §2.7): exact, MinHash+LSH, SimHash,
+and n-gram-Jaccard near-dup detection, each designed so the candidate
+generation is a bucketed equi-join (shuffle on a band key) rather than
+an O(n^2) comparison — the only shape that survives 100 TB.
+
+Everything is built from deterministic md5-based hashing evaluated
+JVM-side via higher-order functions (no Python UDFs, no explode of the
+token stream except where a shuffle key is genuinely needed), so
+results are engine-portable and oracle-checkable.
+
+Scale notes (local[32] tests at sf<=0.1; design target 1000 executors):
+- signatures: narrow map-only stage, whole-stage codegen.
+- LSH banding: |bands| rows per doc into one shuffle; buckets are
+  md5-uniform so no planned skew. AQE skew-join handles pathological
+  buckets (e.g. empty-text clusters).
+- verification joins fetch shingle sets only for candidate pairs —
+  candidates are O(near-dups), not O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Whitespace tokens of lower-cased trimmed text (engine-portable)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), " ")
+
+
+def shingles_expr(toks_col: str, k: int) -> Column:
+    """Distinct k-word shingles: concat_ws(' ', slice(toks, i, k))."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size({toks_col}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks_col}, i, {k}))))"
+    )
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Exact dedup: canonical row id per duplicate-key group.
+
+    Returns the input plus `canonical_<order_col>` (min order_col per
+    key group) and `is_dup`. Hash-groupBy shape: one shuffle on `keys`,
+    map-side partial min.
+    """
+    w = Window.partitionBy(*keys)
+    return df.withColumn(f"canonical_{order_col}", F.min(order_col).over(w)).withColumn(
+        "is_dup", F.col(order_col) != F.col(f"canonical_{order_col}")
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Add `_shingles` and a `_sig` MinHash signature column.
+
+    MinHash per Broder (1997): per hash i, sig[i] = min over shingles
+    of h_i(shingle), with h_i = md5(shingle || '#' || i). Min over the
+    md5 hex strings is a valid uniform min-hash (lexicographic order on
+    uniformly distributed hex). Map-only, codegen'd.
+    """
+    sig = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}),"
+        f" s -> array_min(transform(_shingles, x -> md5(concat(x, '#', cast(s as string))))))"
+    )
+    return (
+        df.filter(F.size(tokens_expr(text_col)) >= shingle_k)
+        .withColumn("_toks", tokens_expr(text_col))
+        .withColumn("_shingles", shingles_expr("_toks", shingle_k))
+        .withColumn("_sig", sig)
+        .drop("_toks")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    1. signatures (map-only);
+    2. banding: `bands` band-keys per doc, equi-self-join on
+       (band_idx, band_val) — the one shuffle;
+    3. verify candidates with exact Jaccard over distinct shingle sets.
+
+    Output: (doc_a, doc_b, n_common, n_union, jaccard) with
+    jaccard >= threshold; doc_a < doc_b.
+    """
+    rows = num_hashes // bands
+    sigs = with_minhash(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_vals = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> concat_ws('', slice(_sig, b * {rows} + 1, {rows})))"
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sigs.select(F.col(id_col), F.col("_shingles"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_shingles", "_sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_shingles", "_sh_b"), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint"))
+        .withColumn(
+            "n_union",
+            (F.size("_sh_a") + F.size("_sh_b")).cast("bigint") - F.col("n_common"),
+        )
+        .withColumn("jaccard", F.col("n_common").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash fingerprint per document (Charikar 2002).
+
+    Per bit b: sum over distinct tokens of +1/-1 depending on bit b of
+    the token's 60-bit md5-derived hash; bit set iff sum >= 0. Integer
+    sums are order-free, so the fingerprint is engine-exact. Map-only,
+    no shuffle. 60 bits (15 md5 hex chars) keeps every intermediate in
+    a signed int64.
+    """
+    hs = F.expr(
+        "transform(array_distinct(_toks), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    fp = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, b) -> acc + "
+        f"IF(aggregate(_hs, 0, (s, h) -> s + IF(((h >> b) & 1) = 1, 1, -1)) >= 0,"
+        f" shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+    )
+    return (
+        df.withColumn("_toks", tokens_expr(text_col))
+        .filter(F.size("_toks") >= 1)
+        .withColumn("_hs", hs)
+        .withColumn("fingerprint", fp)
+        .drop("_toks", "_hs")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation by banding the fingerprint into `bands`
+    equal bit-slices: any pair within Hamming distance `bands - 1`
+    shares at least one exact band (pigeonhole), so with bands=4 and
+    max_hamming=3 recall is 100% while the join stays an equi-join on
+    (band_idx, band_slice) — no O(n^2) scan.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("banding guarantees recall only for max_hamming <= bands-1")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits).select(
+        id_col, "fingerprint"
+    )
+    slices = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> (fingerprint >> (b * {band_bits})) & {mask})"
+    )
+    banded = fps.select(
+        F.col(id_col),
+        F.col("fingerprint"),
+        F.posexplode(slices).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("bit_count(a.fingerprint ^ b.fingerprint)").cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 2,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted-index self-join.
+
+    The shuffle key is the shingle itself (inverted index), so common
+    work is proportional to sum over shingles of df^2 — with
+    `max_doc_freq` set, ultra-frequent (non-discriminative) shingles
+    are dropped before pairing, which is the standard way to keep hot
+    keys bounded at corpus scale. Left unset, results are the exact
+    Jaccard (used by the oracle harness at small SF).
+    """
+    docs = (
+        df.withColumn("_toks", tokens_expr(text_col))
+        .filter(F.size("_toks") >= shingle_k)
+        .withColumn("_sh", shingles_expr("_toks", shingle_k))
+    )
+    inv = docs.select(F.col(id_col), F.explode("_sh").alias("sh"))
+    if max_doc_freq is not None:
+        freq = inv.groupBy("sh").agg(F.count("*").alias("_df"))
+        inv = inv.join(freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh")
+    sizes = docs.select(F.col(id_col), F.size("_sh").cast("bigint").alias("n_sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .withColumn("jaccard", F.col("n_common").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+    )

@@ -1,0 +1,129 @@
+"""Join operators beyond plain equi-joins.
+
+- `windowed_join`: the reference's co-partitioned windowed stream-stream
+  join (pspf/topology.py:49-102 buffers both sides per (key, window) in
+  a state store and merges). Spark-first: an equi-join on
+  (key, window-bucket) — one shuffle on the composite key, state
+  handled by the engine in streaming mode.
+- `as_of_join`: not in the reference (SURVEY §2.4 notes its absence);
+  standard capability for event/dimension alignment. Implemented as a
+  union + window fill, not a per-row UDF: scales as one shuffle +
+  sort within key partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    window_size: str,
+    how: str = "inner",
+    prefixes: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Equi-join two event sets that share `key` within the same
+    tumbling window of `window_size`.
+
+    Output carries the join key, the window bucket (`win_start_s`,
+    epoch seconds) and both sides' payload columns prefixed.
+    """
+    lp, rp = prefixes
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        win = F.window(F.col(ts_col), window_size)
+        out = df.select(
+            F.col(key),
+            F.unix_timestamp(win["start"]).alias("win_start_s"),
+            *[
+                F.col(c).alias(f"{prefix}{c}")
+                for c in df.columns
+                if c not in (key,)
+            ],
+        )
+        return out
+
+    lb = bucketed(left, lp)
+    rb = bucketed(right, rp)
+    return lb.join(rb, on=[key, "win_start_s"], how=how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row
+    with `right_ts <= left_ts` for the same key.
+
+    Strategy: tag and union both sides, sort within key partitions by
+    time, and carry the last seen right-row forward with
+    `last(..., ignorenulls=True)` — one shuffle on `key`, no
+    O(n*m) range join, no driver-side loop. With `tolerance`
+    (e.g. ``'15 minutes'``), matches older than the tolerance are
+    nulled out.
+    """
+    from python_stream_processing_framework_spark.operators.windows import _duration_us
+
+    l_cols = [c for c in left.columns if c != key]
+    r_cols = [c for c in right.columns if c != key]
+
+    l_tagged = left.select(
+        F.col(key),
+        F.unix_micros(F.col(left_ts)).alias("_t_us"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in l_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in r_cols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.unix_micros(F.col(right_ts)).alias("_t_us"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in r_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows sort before left rows at the same timestamp so a tie
+    # (right_ts == left_ts) is a valid match.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t_us"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        F.col(key),
+        F.col("_t_us"),
+        F.col("_is_left"),
+        *[F.col(c) for c in l_cols],
+        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}") for c in r_cols],
+        F.last(
+            F.when(F.col("_is_left") == 0, F.col("_t_us")), ignorenulls=True
+        ).over(w).alias("_r_t_us"),
+    ).filter(F.col("_is_left") == 1)
+
+    if tolerance is not None:
+        tol_us = _duration_us(tolerance)
+        stale = F.col("_r_t_us").isNull() | (
+            F.col("_t_us") - F.col("_r_t_us") > F.lit(tol_us)
+        )
+        filled = filled.select(
+            F.col(key),
+            F.col("_t_us"),
+            *[F.col(c) for c in l_cols],
+            *[F.when(~stale, F.col(f"_r_{c}")).alias(f"_r_{c}") for c in r_cols],
+        )
+
+    keep = [key, *l_cols] + [f"_r_{c}" for c in r_cols]
+    renames = {f"_r_{c}": f"r_{c}" for c in r_cols}
+    out = filled.select(*[F.col(c) for c in keep])
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out

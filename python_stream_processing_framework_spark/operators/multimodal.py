@@ -1,0 +1,162 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond-reference capability (SURVEY §2.7). The pattern for image/
+audio/video at 100 TB: the payload is an opaque ``binary`` column
+(or a URI into object storage) plus typed metadata columns; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes move
+driver-free, batch-at-a-time, with full column pruning upstream.
+
+The actual codec step is STUBBED (image/audio libs are not in this
+container): ``decode_stub='fake'`` produces deterministic pseudo
+features derived from the payload's md5 so the full Spark plumbing —
+schema, partitioning, UDF signature, Arrow batch shape — is real and
+testable; ``decode_stub='raise'`` marks where a real decoder
+(PIL/ffmpeg/torchaudio) plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Literal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the (stub) image decoder — what a real decoder
+#: would emit: intrinsic dims + channel count + a content digest.
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def binarize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize a binary payload column (UTF-8 bytes of the text).
+
+    Stand-in for reading real media bytes; gives every downstream
+    operator a true BinaryType column to exercise.
+    """
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def binary_meta(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """Cheap metadata that never needs a decoder: byte length, digest,
+    storage chunk count (1000-byte chunks). Pure JVM expressions."""
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
+        F.md5(F.col(payload_col)).alias("content_md5"),
+        F.expr(f"(octet_length({payload_col}) + 999) DIV 1000").alias("n_chunks"),
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    decode_stub: Literal["fake", "raise"] = "fake",
+) -> DataFrame:
+    """Decode binary payloads to typed image metadata via mapInPandas.
+
+    Arrow-batched: each partition streams in as pandas DataFrames; the
+    decoder touches bytes column-wise, never the driver. The fake
+    decoder derives (width, height, channels) deterministically from
+    the payload md5 — replace `_decode_one` with a real codec call to
+    productionize; nothing else changes.
+    """
+
+    def _decode_one(payload: bytes) -> tuple[int, int, int, str]:
+        if decode_stub == "raise":
+            raise NotImplementedError(
+                "real image codec not available in this environment; "
+                "plug PIL/cv2 here"
+            )
+        digest = hashlib.md5(payload).hexdigest()
+        width = 64 + int(digest[:4], 16) % 1920
+        height = 64 + int(digest[4:8], 16) % 1080
+        channels = 1 + int(digest[8], 16) % 4
+        return width, height, channels, digest
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int64"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int64"),
+                    "channels": pd.Series([d[2] for d in decoded], dtype="int64"),
+                    "content_md5": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    frame_size: int = 1000,
+    stride: int = 2,
+) -> DataFrame:
+    """Frame-sample a binary payload (video stand-in): split into
+    fixed-size chunks, keep every `stride`-th. One-to-many mapInPandas —
+    the output partitioning stays aligned with the input (no shuffle);
+    a real ffmpeg-based sampler drops in at the chunking step.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                chunks = [
+                    payload[i : i + frame_size]
+                    for i in range(0, len(payload), frame_size)
+                ]
+                for j, chunk in enumerate(chunks[::stride]):
+                    ids.append(int(doc_id))
+                    idxs.append(j)
+                    frames.append(bytes(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)

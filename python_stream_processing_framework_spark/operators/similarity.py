@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference capability (SURVEY §2.7). Three tiers:
+
+- `cosine_topk`: brute-force scored top-k against one query vector —
+  the exactness baseline. Map-only over the corpus (query broadcast),
+  then a k-row ordered take: at 100 TB this is a full scan but no
+  shuffle beyond the final top-k, which Spark runs as per-partition
+  top-k + driver merge (TakeOrderedAndProject).
+- `cosine_pairs`: all-pairs above a threshold — quadratic; only for
+  small corpora / oracle checks.
+- `ivf_topk`: the scale path. Coarse-quantize vectors to the nearest
+  centroid (inverted file), search only the `n_probe` closest cells.
+  Probed cells are a broadcast-join filter, so the scan prunes to
+  ~n_probe/n_cells of the corpus.
+
+All vector math is JVM-side higher-order functions (functions/vectors);
+no Python UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    dot,
+    l2_norm,
+)
+
+
+def _prep(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("_v", as_double_array(vec_col))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the vector with `query_id`.
+
+    Output: (vec_id, cos_sim) — cos_sim rounded to 6dp so ordering and
+    values are stable across engines; ties broken by id.
+    """
+    e = _prep(embeddings, vec_col)
+    q = e.filter(F.col(id_col) == query_id).select(F.col("_v").alias("_q"))
+    scored = (
+        e.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= threshold.
+
+    Brute-force O(n^2): correct baseline for the oracle harness. At
+    corpus scale use `minhash`-style LSH banding on sign-random
+    projections or `ivf_topk` per query instead.
+    """
+    e = _prep(embeddings, vec_col).select(
+        F.col(id_col), F.col("_v"), l2_norm(F.col("_v")).alias("_n")
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Approximate top-k via inverted-file (IVF) coarse quantization.
+
+    Uses `cell_col` as the coarse partition (here: the precomputed
+    cluster label; in production the assignment step is a kmeans fit or
+    any partitioner). Centroids are per-cell mean vectors; only the
+    `n_probe` cells whose centroids are closest to the query are
+    scanned. Centroid build is one narrow agg; probing is a broadcast
+    semi-join — the corpus scan prunes to the probed cells, which at
+    1000 cells / 8 probes is ~1% of the data.
+    """
+    e = _prep(embeddings, vec_col)
+    dim = len(e.select(vec_col).first()[0])
+    centroids = e.groupBy(cell_col).agg(
+        F.array(
+            *[F.avg(F.col("_v")[i]) for i in range(dim)]
+        ).alias("_c")
+    )
+    q = e.filter(F.col(id_col) == query_id).select(F.col("_v").alias("_q"))
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(cell_col, cosine(F.col("_c"), F.col("_q")).alias("_csim"))
+        .orderBy(F.col("_csim").desc())
+        .limit(n_probe)
+        .select(cell_col)
+    )
+    scored = (
+        e.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(probed), cell_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -1,0 +1,176 @@
+"""Deduplication queries with exact DuckDB oracles.
+
+The Spark implementations live in operators/dedup.py; the oracles
+mirror the same deterministic md5-based algorithms in DuckDB SQL
+(lambdas + list functions), so even MinHash/SimHash results compare
+exactly — no tolerance, no rows-only fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.catalog import load
+from python_stream_processing_framework_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from python_stream_processing_framework_spark.queries.base import query
+
+# Shared DuckDB fragments mirroring operators/dedup.py expressions.
+_TOKS = "string_split(trim(lower(text)), ' ')"
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+_SHINGLES2 = (
+    "list_distinct(list_transform(range(1, len(toks)),"
+    " i -> toks[i] || ' ' || toks[i+1]))"
+)
+_SIMHASH_FP = """
+  CAST(list_sum(list_transform(range(0, 60), b ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+    AS BIGINT)
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT event_id, user_id, event_type, value, canonical_event_id FROM (
+      SELECT event_id, user_id, event_type, value,
+             min(event_id) OVER (PARTITION BY user_id, event_type, value)
+               AS canonical_event_id
+      FROM events) t
+    WHERE event_id != canonical_event_id
+    """,
+    doc="Exact dedup: canonical-id per duplicate key group (hash-groupBy "
+    "shape; reference dedups by event_id token, pspf/connectors/base.py:32-78).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    deduped = exact_dedup(events, ["user_id", "event_type", "value"], "event_id")
+    return deduped.filter(F.col("is_dup")).select(
+        "event_id", "user_id", "event_type", "value", "canonical_event_id"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SHINGLES3} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+      WHERE len(toks) >= 3),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), s ->
+               list_min(list_transform(sh, x ->
+                 md5(x || '#' || CAST(s AS VARCHAR))))) AS sig
+      FROM d),
+    banded AS (
+      SELECT doc_id, j,
+             array_to_string(sig[j*4+1 : j*4+4], '') AS band_val
+      FROM sigs, range(0, 4) t(j)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.j = y.j AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+    verified AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS BIGINT) AS n_union
+      FROM cand JOIN sigs a ON a.doc_id = doc_a
+                JOIN sigs b ON b.doc_id = doc_b)
+    SELECT doc_a, doc_b, n_common, n_union,
+           CAST(n_common AS DOUBLE)/n_union AS jaccard
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE)/n_union >= 0.5
+    """,
+    doc="MinHash (16 hashes) + LSH (4 bands x 4 rows) + exact-Jaccard "
+    "verify at threshold 0.5 over 3-word shingles.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        documents, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    f"""
+    SELECT doc_id, {_SIMHASH_FP} AS fingerprint
+    FROM (SELECT doc_id,
+                 list_transform(list_distinct({_TOKS}), t ->
+                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+          FROM documents
+          WHERE len({_TOKS}) >= 1) t
+    """,
+    doc="60-bit SimHash fingerprint per document (Charikar-style, "
+    "md5-derived token hashes, integer majority vote per bit).",
+)
+def simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return simhash_fingerprints(documents, "doc_id", "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "simhash_pairs",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SIMHASH_FP} AS fingerprint
+      FROM (SELECT doc_id,
+                   list_transform(list_distinct({_TOKS}), t ->
+                     CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+            FROM documents
+            WHERE len({_TOKS}) >= 1) t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+             AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+    """,
+    doc="SimHash near-dup pairs, Hamming <= 3. Spark side generates "
+    "candidates by 4-band bit-slicing (pigeonhole-complete for d<=3); "
+    "oracle verifies with the quadratic reference computation.",
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return simhash_pairs(documents, "doc_id", "text", bands=4, max_hamming=3)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SHINGLES2} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+      WHERE len(toks) >= 2),
+    inv AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+    sz AS (SELECT doc_id, len(sh) AS n FROM d),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(x.n + y.n - n_common AS BIGINT) AS n_union,
+           CAST(n_common AS DOUBLE)/(x.n + y.n - n_common) AS jaccard
+    FROM common JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)/(x.n + y.n - n_common) >= 0.8
+    """,
+    doc="Exact word-bigram Jaccard >= 0.8 via inverted-index self-join.",
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(documents, "doc_id", "text", shingle_k=2, threshold=0.8)

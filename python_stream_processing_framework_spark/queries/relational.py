@@ -1,0 +1,448 @@
+"""Relational core queries (TPC-H-style) with exact DuckDB oracles.
+
+The reference has no SQL/relational surface at all (SURVEY §2.3 "No
+grouping sets ... no sort / limit / top-k, no set operations"); this
+engine exposes the full Spark SQL surface. These queries pin the
+behaviors: scan+filter pushdown, multi-way joins (broadcast + shuffle),
+aggregation (plain/distinct/rollup), analytic window functions,
+semi/anti joins, set ops, order+limit, JSON extraction.
+
+Determinism contract (see functions/exact.py): double aggregates go
+through integer cents; every output column is aliased identically in
+the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.catalog import load
+from python_stream_processing_framework_spark.functions.exact import cents, cents_sum, money
+from python_stream_processing_framework_spark.queries.base import query
+
+# Shared exact-cents SQL fragments (DuckDB side of functions/exact.py).
+_C = "CAST(round({x}*100) AS BIGINT)"
+_MONEY_SUM = f"CAST(sum({_C}) AS DOUBLE)/100.0"
+
+
+@query(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      {_MONEY_SUM.format(x='l_extendedprice')} AS sum_base_price,
+      {_MONEY_SUM.format(x='(l_extendedprice*(1-l_discount))')} AS sum_disc_price,
+      {_MONEY_SUM.format(x='((l_extendedprice*(1-l_discount))*(1+l_tax))')} AS sum_charge,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty,
+      {_MONEY_SUM.format(x='l_extendedprice')}/count(*) AS avg_price,
+      CAST(sum(CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE)/10000.0/count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan + filter pushdown + 8-agg groupBy.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    qty = F.col("l_quantity").cast("bigint")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            money(cents_sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(cents(disc_price))).alias("sum_disc_price"),
+            money(F.sum(cents(charge))).alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (money(cents_sum("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (
+                F.sum(F.round(F.col("l_discount") * F.lit(10000)).cast("bigint")).cast("double")
+                / F.lit(10000.0)
+                / F.count("*")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_parts",
+    """
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+    doc="Top-k: order by + limit (TakeOrderedAndProject, no full sort).",
+)
+def top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(10)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+@query(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey,
+      {_MONEY_SUM.format(x='(l_extendedprice*(1-l_discount))')} AS revenue,
+      CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+      o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + grouped revenue + ordered top-k.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = load(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    j = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cut), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cut), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(cents(disc_price))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4;
+            # session tz is pinned UTC so this cast is value-preserving.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "order_priority_semi",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS as a left-semi join.",
+)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "region_revenue",
+    f"""
+    SELECT n_name,
+      {_MONEY_SUM.format(x='(l_extendedprice*(1-l_discount))')} AS revenue,
+      count(*) AS n_items
+    FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join; tiny dims broadcast explicitly.",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, orders, lineitem, supplier = load(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    j = (
+        F.broadcast(region.filter(F.col("r_name") == "ASIA"))
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return j.groupBy("n_name").agg(
+        money(F.sum(cents(disc_price))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "forecast_revenue",
+    f"""
+    SELECT {_MONEY_SUM.format(x='(l_extendedprice*l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter pushdown + scalar aggregate.",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="Analytic window function: per-group top-k via row_number.",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "distinct_suppliers",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregates (expand + two-phase agg under the hood).",
+)
+def distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "rollup_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="Grouping sets: ROLLUP with coalesced subtotal labels.",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "nation_set_ops",
+    """
+    SELECT 'both' AS tag, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier) a
+    UNION ALL
+    SELECT 'customer_only' AS tag, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier) b
+    UNION ALL
+    SELECT 'supplier_only' AS tag, nationkey FROM (
+      SELECT s_nationkey AS nationkey FROM supplier
+      EXCEPT SELECT c_nationkey FROM customer) c
+    """,
+    doc="Set operations: INTERSECT / EXCEPT / UNION ALL.",
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = load(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.intersect(s).select(F.lit("both").alias("tag"), "nationkey")
+        .unionAll(c.subtract(s).select(F.lit("customer_only").alias("tag"), "nationkey"))
+        .unionAll(s.subtract(c).select(F.lit("supplier_only").alias("tag"), "nationkey"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Anti join (NOT EXISTS).",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "events_json_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured payloads: JSON path extraction then aggregate "
+    "(reference stores payloads as JSON on the wire, SURVEY §1.2).",
+)
+def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "running_total",
+    """
+    SELECT event_id, user_id,
+      CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+      AS running_value
+    FROM events
+    """,
+    doc="Per-key running aggregate — the batch shape of the reference's "
+    "running per-key state (pspf/context.py, stateful wordcount example).",
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        money(F.sum(cents("value")).over(w)).alias("running_value"),
+    )
+
+
+@query(
+    "events_pivot",
+    """
+    SELECT user_id,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot: per-key counts fanned out to typed columns.",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = events.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    )
+
+
+@query(
+    "orders_enriched",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+    FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE' AND o_orderstatus = 'O' AND o_totalprice > 50000
+    """,
+    doc="Star-join enrichment: broadcast dims, filter + column pruning "
+    "pushed to the fact scan.",
+)
+def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation, region = load(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    return (
+        orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 50000))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+    )

@@ -1,0 +1,80 @@
+"""Similarity-search queries over the embeddings table.
+
+Cosine math mirrors functions/vectors.py: per-element cast to double,
+sequential left-fold sums — DuckDB's list_reduce folds the same way,
+so scores match bit-for-bit before the final 6dp rounding (the
+rounding is belt-and-braces for ordering stability).
+
+`ann_ivf_topk` has no oracle: centroid means are floating-point group
+aggregates whose summation order is engine-defined, so it gets the
+driver's rows-only check (documented weaker gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_stream_processing_framework_spark.catalog import load
+from python_stream_processing_framework_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from python_stream_processing_framework_spark.queries.base import query
+
+_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), s -> s[1]*s[2]), (p, q) -> p + q)"
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (p, q) -> p + q))"
+
+
+@query(
+    "cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+         qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  round({_DOT.format(a='v', b='q')} /
+                        ({_NORM.format(a='v')} * {_NORM.format(a='q')}), 6)
+                    AS cos_sim
+           FROM e, qv WHERE vec_id != 0)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force cosine top-10 against vec_id=0 — the exactness "
+    "baseline (TakeOrderedAndProject: per-partition top-k, no full sort).",
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return cosine_topk(embeddings, query_id=0, k=10)
+
+
+@query(
+    "embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, {_V} AS v,
+                      {_NORM.format(a=_V)} AS n
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) >= 0.45
+    """,
+    doc="Embedding near-dup pairs (cosine >= 0.45), brute force; the "
+    "scale path is sign-LSH banding (operators/similarity.py notes).",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return cosine_pairs(embeddings, threshold=0.45)
+
+
+@query(
+    "ann_ivf_topk",
+    None,  # centroid means are FP group-aggregates: rows-only check.
+    doc="IVF approximate top-10: probe the 3 label-cells nearest the "
+    "query centroid, scan only those cells (~30% here; ~n_probe/cells "
+    "in production).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return ivf_topk(embeddings, query_id=0, k=10, n_probe=3)

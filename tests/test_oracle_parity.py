@@ -1,0 +1,80 @@
+"""Local mirror of the driver's correctness gate: run every registered
+query in Spark AND its DuckDB oracle on the same parquet, compare
+row count, column names, and order-insensitive values EXACTLY (no
+tolerances — the engine's determinism contract makes that possible).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_CORRECT, register_duck_views
+
+from python_stream_processing_framework_spark.queries import QUERY_REGISTRY
+
+ORACLE_QUERIES = sorted(n for n, s in QUERY_REGISTRY.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in QUERY_REGISTRY.items() if not s.oracle)
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 17 significant digits: exact round-trip for float64.
+        return repr(v)
+    if hasattr(v, "__int__") and not isinstance(v, bool):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            pass
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = QUERY_REGISTRY[name]
+    sdf = spec.fn(spark, SF_CORRECT)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    register_duck_views(duck, SF_CORRECT)
+    res = duck.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} != {len(d_rows)}"
+    s_canon = _canon(s_rows, s_cols)
+    d_canon = _canon(d_rows, d_cols)
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, name):
+    spec = QUERY_REGISTRY[name]
+    sdf = spec.fn(spark, SF_CORRECT)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    qs = entry_mod.queries()
+    os = entry_mod.oracle_sql()
+    assert set(os) <= set(qs)
+    assert len(qs) >= 25
