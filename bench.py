@@ -1,0 +1,62 @@
+"""Benchmark harness: run the engine's query catalog at a scale-factor
+directory and emit ONE JSON line with per-query wall times.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Each query is forced through the `noop` sink so the full physical plan
+executes (scan -> shuffle -> agg/join) with zero sink cost — `count()`
+would let Spark prune work in the final stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from python_stream_processing_framework_spark.queries import QUERY_REGISTRY
+from python_stream_processing_framework_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("pspf-spark-bench", cpus=cpus)
+
+    # Warm the JVM + parquet footers with the flagship query.
+    QUERY_REGISTRY["tumbling_window_sum"].fn(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERY_REGISTRY):
+        fn = QUERY_REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition before a CPU-heavy map stage.
+
+    The testdata ships one row-group per table, so a bare scan is ONE
+    task no matter how many cores exist; hashing/vector math would run
+    single-threaded. One small shuffle buys full-width execution — and
+    at production scale a rebalance before a CPU-bound stage is the
+    same correct move (AQE coalesces it when input is already wide).
+    """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
 def tokens_expr(text_col: str) -> Column:
     """Whitespace tokens of lower-cased trimmed text (engine-portable)."""
     return F.split(F.trim(F.lower(F.col(text_col))), " ")
@@ -71,7 +85,7 @@ def with_minhash(
         f" s -> array_min(transform(_shingles, x -> md5(concat(x, '#', cast(s as string))))))"
     )
     return (
-        df.filter(F.size(tokens_expr(text_col)) >= shingle_k)
+        spread(df.filter(F.size(tokens_expr(text_col)) >= shingle_k))
         .withColumn("_toks", tokens_expr(text_col))
         .withColumn("_shingles", shingles_expr("_toks", shingle_k))
         .withColumn("_sig", sig)
@@ -100,9 +114,11 @@ def minhash_lsh_pairs(
     jaccard >= threshold; doc_a < doc_b.
     """
     rows = num_hashes // bands
+    # Signatures feed four plan branches (both sides of the band join,
+    # both sides of the verify join): persist so the md5 work runs once.
     sigs = with_minhash(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
-    )
+    ).persist()
     band_vals = F.expr(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> concat_ws('', slice(_sig, b * {rows} + 1, {rows})))"
@@ -155,7 +171,8 @@ def simhash_fingerprints(
         f" shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
     )
     return (
-        df.withColumn("_toks", tokens_expr(text_col))
+        spread(df)
+        .withColumn("_toks", tokens_expr(text_col))
         .filter(F.size("_toks") >= 1)
         .withColumn("_hs", hs)
         .withColumn("fingerprint", fp)
@@ -184,9 +201,11 @@ def simhash_pairs(
         raise ValueError("banding guarantees recall only for max_hamming <= bands-1")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    # Both sides of the band self-join read the fingerprints: persist
+    # so the 60-bit majority vote runs once per document.
     fps = simhash_fingerprints(df, id_col, text_col, bits=bits).select(
         id_col, "fingerprint"
-    )
+    ).persist()
     slices = F.expr(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> (fingerprint >> (b * {band_bits})) & {mask})"
@@ -229,11 +248,13 @@ def ngram_jaccard_pairs(
     Jaccard (used by the oracle harness at small SF).
     """
     docs = (
-        df.withColumn("_toks", tokens_expr(text_col))
+        spread(df)
+        .withColumn("_toks", tokens_expr(text_col))
         .filter(F.size("_toks") >= shingle_k)
         .withColumn("_sh", shingles_expr("_toks", shingle_k))
+        .persist()  # feeds both the inverted index and the size table
     )
-    inv = docs.select(F.col(id_col), F.explode("_sh").alias("sh"))
+    inv = docs.select(F.col(id_col), F.explode("_sh").alias("sh")).persist()
     if max_doc_freq is not None:
         freq = inv.groupBy("sh").agg(F.count("*").alias("_df"))
         inv = inv.join(freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh")

@@ -32,7 +32,10 @@ from python_stream_processing_framework_spark.functions.vectors import (
 
 
 def _prep(df: DataFrame, vec_col: str) -> DataFrame:
-    return df.withColumn("_v", as_double_array(vec_col))
+    # Round-robin repartition: the single-row-group testdata otherwise
+    # scans as ONE task and the vector math runs single-threaded.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n).withColumn("_v", as_double_array(vec_col))
 
 
 def cosine_topk(
@@ -76,7 +79,7 @@ def cosine_pairs(
     """
     e = _prep(embeddings, vec_col).select(
         F.col(id_col), F.col("_v"), l2_norm(F.col("_v")).alias("_n")
-    )
+    ).persist()  # both sides of the pair join
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
     )

@@ -104,7 +104,8 @@ def split_late(
     """Split a batch into (on_time, late) against a data-derived watermark.
 
     Reference semantics: watermark = max(event_ts) - delay; an event is
-    late when its window END is at or before the watermark, and late
+    late when its window END is strictly before the watermark
+    (`end < current_watermark`, pspf/stream.py:402), and late
     events are routed to a `{topic}-late` stream instead of silently
     dropped (pspf/stream.py:391-413). In streaming, the same split runs
     inside foreachBatch against the query's checkpointed watermark (see
@@ -116,7 +117,7 @@ def split_late(
     )
     win_end_us = F.unix_micros(F.window(F.col(ts_col), window_size)["end"])
     tagged = df.crossJoin(F.broadcast(wm)).withColumn(
-        "_late", win_end_us <= F.col("wm_us")
+        "_late", win_end_us < F.col("wm_us")
     )
     on_time = tagged.filter(~F.col("_late")).drop("_late", "wm_us")
     late = tagged.filter(F.col("_late")).drop("_late", "wm_us")

@@ -180,7 +180,7 @@ def windowed_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          tagged AS (
            SELECT event_type,
                   CASE WHEN ((epoch_us(ts) // 600000000) * 600 + 600) * 1000000
-                            <= wm
+                            < wm
                        THEN 'late' ELSE 'on_time' END AS status
            FROM events, m)
     SELECT status, event_type, count(*) AS n_events

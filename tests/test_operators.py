@@ -1,0 +1,130 @@
+"""Unit tests for operators not fully covered by the oracle harness:
+as-of join, router fan-out, late split, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from python_stream_processing_framework_spark.operators.joins import as_of_join
+from python_stream_processing_framework_spark.operators.multimodal import (
+    binarize,
+    decode_images,
+    sample_frames,
+)
+from python_stream_processing_framework_spark.operators.routing import Router
+from python_stream_processing_framework_spark.operators.windows import split_late
+
+
+def _ts(spark, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    for c in cols:
+        if c.endswith("ts"):
+            df = df.withColumn(c, F.timestamp_seconds(F.col(c)))
+    return df
+
+
+def test_as_of_join_backward(spark):
+    trades = _ts(
+        spark,
+        [("A", 10.0, 1), ("A", 25.0, 2), ("B", 12.0, 3), ("A", 4.0, 4)],
+        ["sym", "ts", "trade_id"],
+    )
+    quotes = _ts(
+        spark,
+        [("A", 5.0, 100.0), ("A", 20.0, 101.0), ("B", 1.0, 50.0)],
+        ["sym", "ts", "px"],
+    )
+    out = {
+        r["trade_id"]: r["r_px"]
+        for r in as_of_join(trades, quotes, "sym", "ts", "ts").collect()
+    }
+    assert out == {1: 100.0, 2: 101.0, 3: 50.0, 4: None}
+
+
+def test_as_of_join_tolerance_and_tie(spark):
+    left = _ts(spark, [("A", 10.0, 1), ("A", 100.0, 2)], ["k", "ts", "i"])
+    right = _ts(spark, [("A", 10.0, 7.0), ("A", 50.0, 8.0)], ["k", "ts", "v"])
+    out = {
+        r["i"]: r["r_v"]
+        for r in as_of_join(left, right, "k", "ts", "ts", tolerance="20 seconds").collect()
+    }
+    # exact-time tie matches; 100-50=50s exceeds the 20s tolerance
+    assert out == {1: 7.0, 2: None}
+
+
+def test_router_split_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], ["id", "cat"]
+    )
+    router = (
+        Router()
+        .add_route(F.col("id") >= 3, "big")
+        .add_route(F.col("cat") == "a", "cat_a")  # id>=3 wins over cat
+    )
+    parts = router.split(df)
+    assert sorted(parts) == ["big", "cat_a"]
+    assert {r["id"] for r in parts["big"].collect()} == {3, 4}
+    assert {r["id"] for r in parts["cat_a"].collect()} == {1, 2}
+    # no default: id<3 and cat!=a rows are dropped
+    assert df.count() - sum(p.count() for p in parts.values()) == 0
+
+
+def test_router_default_route(spark):
+    df = spark.createDataFrame([(1,), (9,)], ["id"])
+    router = Router().add_route(F.col("id") > 5, "hot").default_route("rest")
+    tags = {r["id"]: r["route"] for r in router.apply(df).collect()}
+    assert tags == {1: "rest", 9: "hot"}
+
+
+def test_split_late(spark):
+    # max ts = 1000s; watermark = 1000 - 100 = 900s; 10s windows;
+    # reference rule (pspf/stream.py:402): late iff window END < 900.
+    df = _ts(
+        spark,
+        [(1, 50.0), (2, 889.0), (3, 891.0), (4, 990.0), (5, 1000.0)],
+        ["id", "ts"],
+    )
+    on_time, late = split_late(df, "ts", "10 seconds", "100 seconds")
+    assert {r["id"] for r in late.collect()} == {1, 2}  # ends 60, 890 < 900
+    # id3's window [890,900) ends exactly AT the watermark: on time.
+    assert {r["id"] for r in on_time.collect()} == {3, 4, 5}
+
+
+def test_multimodal_decode_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 2500)], ["doc_id", "text"]
+    )
+    payloads = binarize(docs, "doc_id", "text")
+    meta = {r["doc_id"]: r.asDict() for r in decode_images(payloads).collect()}
+    assert meta[1]["n_bytes"] == 11
+    assert meta[2]["n_bytes"] == 2500
+    assert all(64 <= m["width"] < 1984 for m in meta.values())
+    assert all(1 <= m["channels"] <= 4 for m in meta.values())
+    # deterministic: same payload -> same pseudo-decode
+    again = {r["doc_id"]: r.asDict() for r in decode_images(payloads).collect()}
+    assert again == meta
+
+    frames = sample_frames(payloads, frame_size=1000, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc2: 2500 bytes -> chunks [1000,1000,500] -> stride 2 keeps idx 0,2
+    assert len(by_doc[2]) == 2
+    assert sorted(len(r["frame_bytes"]) for r in by_doc[2]) == [500, 1000]
+    assert len(by_doc[1]) == 1
+
+
+def test_decode_stub_raise_mode(spark):
+    docs = spark.createDataFrame([(1, "hi")], ["doc_id", "text"])
+    payloads = binarize(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|real image codec"):
+        decode_images(payloads, decode_stub="raise").collect()

@@ -1,0 +1,218 @@
+"""Behavioral specs carried over from the reference's test suite
+(SURVEY §5): exact windowed-state values, retry->DLQ metadata,
+idempotent-sink call counts, exactly-once across re-runs, DLQ replay.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from python_stream_processing_framework_spark.streaming import (
+    SessionWindow,
+    Stream,
+    TumblingWindow,
+)
+from python_stream_processing_framework_spark.streaming.dlq import (
+    IdempotentSink,
+    replay_dead_letters,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField("key", StringType()),
+        StructField("timestamp", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("_attempt", LongType()),
+    ]
+)
+
+AGG_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("win_start_us", LongType()),
+        StructField("win_end_us", LongType()),
+        StructField("total", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    return Stream(spark, str(tmp_path / "broker"))
+
+
+def test_tumbling_window_exact_values(spark, stream):
+    """Mirror of the reference's windowing golden test
+    (tests/test_stream_windowing.py:22-91): seeded timestamps produce
+    exact per-(key, window) sums."""
+    stream.emit(
+        "test_stream",
+        {"key": "user_1", "timestamp": 1.0, "value": 5.0},
+        {"key": "user_1", "timestamp": 5.0, "value": 10.0},
+        {"key": "user_1", "timestamp": 12.0, "value": 7.0},
+        {"key": "user_2", "timestamp": 3.0, "value": 2.5},
+    )
+    stream.window(
+        "test_stream",
+        TumblingWindow(10_000),
+        EVENT_SCHEMA,
+        key_field="key",
+        aggs={"total": F.sum("value"), "n": F.count(F.lit(1))},
+    )
+    stream.run_until_idle()
+
+    out = {
+        (r["key"], r["win_start_us"]): (r["total"], r["n"])
+        for r in stream.read_topic("test_stream-agg", AGG_SCHEMA).collect()
+    }
+    assert out[("user_1", 0)] == (15.0, 2)
+    assert out[("user_1", 10_000_000)] == (7.0, 1)
+    assert out[("user_2", 0)] == (2.5, 1)
+
+
+def test_session_window_merges(spark, stream):
+    stream.emit(
+        "s",
+        {"key": "u", "timestamp": 0.0, "value": 1.0},
+        {"key": "u", "timestamp": 4.0, "value": 1.0},  # within 5s gap: merge
+        {"key": "u", "timestamp": 30.0, "value": 1.0},  # new session
+    )
+    stream.window(
+        "s",
+        SessionWindow(5_000),
+        EVENT_SCHEMA,
+        key_field="key",
+        aggs={"total": F.sum("value"), "n": F.count(F.lit(1))},
+    )
+    stream.run_until_idle()
+    rows = sorted(
+        (r["win_start_us"], r["win_end_us"], r["n"])
+        for r in stream.read_topic("s-agg", AGG_SCHEMA).collect()
+    )
+    # session 1: [0, 4+5)s merged 2 events; session 2: [30, 35)s.
+    assert rows == [(0, 9_000_000, 2), (30_000_000, 35_000_000, 1)]
+
+
+def test_retry_then_dlq_with_error_metadata(spark, stream):
+    """Reference DLQ flow (tests/test_enterprise_features.py:34-112):
+    failing message retried max_retries times, then moved to
+    `{topic}-dlq` with `_error` + provenance metadata; good messages
+    processed exactly once."""
+    seen: list[str] = []
+
+    @stream.subscribe("orders", EVENT_SCHEMA, max_retries=2)
+    def handle(event):
+        if event["value"] < 0:
+            raise ValueError("negative value")
+        seen.append(event["event_id"])
+
+    stream.emit(
+        "orders",
+        {"event_id": "good-1", "key": "a", "timestamp": 1.0, "value": 10.0},
+        {"event_id": "bad-1", "key": "b", "timestamp": 2.0, "value": -1.0},
+    )
+    # each round drains newly re-emitted retry messages.
+    stream.run_until_idle(rounds=4)
+
+    assert seen == ["good-1"]  # exactly once despite 4 rounds
+    dlq = stream.read_topic(
+        "orders-dlq",
+        StructType(
+            EVENT_SCHEMA.fields
+            + [
+                StructField("_error", StringType()),
+                StructField("_original_stream", StringType()),
+                StructField("_original_msg_id", StringType()),
+                StructField("_moved_timestamp", DoubleType()),
+            ]
+        ),
+    ).collect()
+    assert len(dlq) == 1
+    row = dlq[0].asDict()
+    assert row["event_id"] == "bad-1"
+    assert "negative value" in row["_error"]
+    assert row["_original_stream"] == "orders"
+    assert row["_original_msg_id"] == "bad-1"
+    assert row["_attempt"] == 2  # retried to the limit before moving
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    """Reference crash-recovery invariant
+    (tests/test_crash_recovery.py:120-129): processing resumes from the
+    checkpoint; nothing is double-counted. A new Stream instance over
+    the same broker+checkpoints simulates the restart."""
+    broker = str(tmp_path / "broker")
+    counts: dict[str, int] = {}
+
+    def make(stream):
+        @stream.subscribe("pay", EVENT_SCHEMA)
+        def handle(event):
+            counts[event["event_id"]] = counts.get(event["event_id"], 0) + 1
+
+    s1 = Stream(spark, broker)
+    make(s1)
+    s1.emit("pay", *({"event_id": f"e{i}", "key": "k", "timestamp": float(i), "value": 1.0} for i in range(5)))
+    s1.run_until_idle()
+
+    s2 = Stream(spark, broker)  # "restart": same checkpoints dir
+    make(s2)
+    s2.emit("pay", *({"event_id": f"e{i}", "key": "k", "timestamp": float(i), "value": 1.0} for i in range(5, 8)))
+    s2.run_until_idle()
+
+    assert counts == {f"e{i}": 1 for i in range(8)}
+
+
+def test_idempotent_sink_counts(tmp_path):
+    """Reference idempotent sink (tests/connectors/test_sink.py:20-40):
+    second write of the same event is suppressed."""
+    effects: list[str] = []
+
+    class Collect(IdempotentSink):
+        def on_write(self, event, token):
+            effects.append(token)
+
+    sink = Collect("test", str(tmp_path / "tokens"))
+    ev = {"event_id": "e-1"}
+    assert sink.write(ev) is True
+    assert sink.write(ev) is False
+    assert effects == ["test:e-1"]
+
+    # durable across sink restarts
+    sink2 = Collect("test", str(tmp_path / "tokens"))
+    assert sink2.write(ev) is False
+    assert effects == ["test:e-1"]
+
+
+def test_dlq_replay(spark, stream):
+    """Reference replay tool (pspf/cli.py:139-228): strip metadata,
+    re-emit to the source topic, purge the DLQ."""
+    accept = {"on": False}
+    seen: list[str] = []
+
+    @stream.subscribe("jobs", EVENT_SCHEMA, max_retries=0)
+    def handle(event):
+        if not accept["on"]:
+            raise RuntimeError("downstream outage")
+        seen.append(event["event_id"])
+
+    stream.emit("jobs", {"event_id": "j1", "key": "k", "timestamp": 1.0, "value": 1.0})
+    stream.run_until_idle(rounds=2)
+    assert seen == []
+
+    accept["on"] = True
+    n = replay_dead_letters(stream, "jobs", schema=EVENT_SCHEMA)
+    assert n == 1
+    stream.run_until_idle(rounds=2)
+    assert seen == ["j1"]
+    # purged: replaying again is a no-op
+    assert replay_dead_letters(stream, "jobs", schema=EVENT_SCHEMA) == 0
