@@ -1,0 +1,98 @@
+"""Operational CLI — parity with the reference's `pspf` commands
+(pspf/cli.py): DLQ inspection, replay, purge, plus bench/correctness
+entry points for this engine.
+
+Usage:
+  python -m python_stream_processing_framework_spark.cli dlq-inspect --broker DIR --topic T
+  python -m python_stream_processing_framework_spark.cli dlq-replay  --broker DIR --topic T
+  python -m python_stream_processing_framework_spark.cli dlq-purge   --broker DIR --topic T
+  python -m python_stream_processing_framework_spark.cli backends
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def _dlq_dir(broker: str, topic: str) -> Path:
+    return Path(broker) / f"{topic}-dlq"
+
+
+def _read_jsonl_dir(d: Path) -> list[dict]:
+    rows: list[dict] = []
+    if d.exists():
+        for f in sorted(d.glob("*.json")):
+            for line in f.read_text().splitlines():
+                if line.strip():
+                    rows.append(json.loads(line))
+    return rows
+
+
+def dlq_inspect(broker: str, topic: str, limit: int) -> None:
+    rows = _read_jsonl_dir(_dlq_dir(broker, topic))
+    print(f"{len(rows)} message(s) in {topic}-dlq")
+    for r in rows[:limit]:
+        print(json.dumps(r))
+
+
+def dlq_replay(broker: str, topic: str) -> None:
+    """Strip `_`-metadata and re-emit to the source topic
+    (pspf/utils/replay.py:12-51)."""
+    dlq = _dlq_dir(broker, topic)
+    rows = _read_jsonl_dir(dlq)
+    clean = [
+        {k: v for k, v in r.items() if not k.startswith("_") and v is not None}
+        for r in rows
+    ]
+    if clean:
+        import uuid
+
+        out = Path(broker) / topic
+        out.mkdir(parents=True, exist_ok=True)
+        (out / f"replay-{uuid.uuid4().hex}.json").write_text(
+            "\n".join(json.dumps(r) for r in clean) + "\n"
+        )
+        for f in dlq.glob("*.json"):
+            f.unlink()
+    print(f"replayed {len(clean)} message(s) to {topic}")
+
+
+def dlq_purge(broker: str, topic: str) -> None:
+    dlq = _dlq_dir(broker, topic)
+    n = 0
+    for f in dlq.glob("*.json"):
+        f.unlink()
+        n += 1
+    print(f"purged {n} file(s) from {topic}-dlq")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="pspf-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for cmd in ("dlq-inspect", "dlq-replay", "dlq-purge"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--broker", required=True)
+        p.add_argument("--topic", required=True)
+        if cmd == "dlq-inspect":
+            p.add_argument("--limit", type=int, default=20)
+    sub.add_parser("backends")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "dlq-inspect":
+        dlq_inspect(args.broker, args.topic, args.limit)
+    elif args.cmd == "dlq-replay":
+        dlq_replay(args.broker, args.topic)
+    elif args.cmd == "dlq-purge":
+        dlq_purge(args.broker, args.topic)
+    elif args.cmd == "backends":
+        from python_stream_processing_framework_spark.sources import registry
+
+        for name in registry.names():
+            b = registry.get(name)
+            print(f"{name}: {b.doc}")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     dedup,
     similarity,
     text,
+    advanced,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

@@ -1,0 +1,179 @@
+"""Advanced relational/temporal queries: as-of join, exact percentiles,
+keep-last dedup, CUBE grouping sets, analytic function family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.catalog import load
+from python_stream_processing_framework_spark.operators.joins import as_of_join
+from python_stream_processing_framework_spark.queries.base import query
+
+
+@query(
+    "asof_click_attribution",
+    """
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                THEN c.event_id END AS click_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                THEN CAST(epoch_us(c.ts) AS BIGINT) END AS click_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="Backward as-of join with 1h tolerance (click attribution). "
+    "Spark lacks a native as-of join (SURVEY §2.4): implemented as "
+    "union + time-sorted window fill — one shuffle on the key, no "
+    "range-join blowup. Oracle uses DuckDB's native ASOF JOIN.",
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = as_of_join(
+        purchases, clicks, "user_id", "ts", "ts", tolerance="1 hour"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("p_us"),
+        F.col("r_event_id").alias("click_id"),
+        F.unix_micros(F.col("r_ts")).alias("click_us"),
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact linear-interpolated percentiles per group. (The 100 TB "
+    "variant is approx_percentile/t-digest; exact keeps the oracle "
+    "comparable.)",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.lit([0.25, 0.5, 0.9, 0.99]))
+    return (
+        events.groupBy("event_type")
+        .agg(pct.alias("_p"))
+        .select(
+            "event_type",
+            F.col("_p")[0].alias("p25"),
+            F.col("_p")[1].alias("p50"),
+            F.col("_p")[2].alias("p90"),
+            F.col("_p")[3].alias("p99"),
+        )
+    )
+
+
+@query(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, us, event_type, value FROM (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    doc="Deterministic keep-last dedup per key — the batch shape of "
+    "streaming dropDuplicates/compaction (newest state wins).",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+@query(
+    "cube_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all 4 grouping combinations).",
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "order_window_stats",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rnk,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+           epoch_us(o_orderdate)
+             - lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey)
+             AS us_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Analytic function family: rank/dense_rank/percent_rank/"
+    "cume_dist + lag-based inter-order gaps, one shuffle per window spec.",
+)
+def order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        (us - F.lag(us).over(wt)).alias("us_since_prev"),
+    )

@@ -1,0 +1,148 @@
+"""Streaming source/sink builders — the reference's broker backends
+(SURVEY §2.1) mapped to Spark's built-in connectors.
+
+| reference backend                  | here                              |
+|------------------------------------|-----------------------------------|
+| Kafka (pspf/connectors/kafka.py)   | `kafka_source` / `kafka_sink`     |
+| File  (pspf/connectors/file.py)    | `file_source` / `file_sink` (JSON)|
+| Memory (pspf/connectors/memory.py) | `memory_sink` + rate source       |
+| Valkey (pspf/connectors/valkey.py) | not shipped: no broker in this    |
+|                                    | environment; Kafka is the         |
+|                                    | canonical broker (SURVEY §4.3) —  |
+|                                    | a Python DataSource (Spark 4      |
+|                                    | `spark.dataSource.register`) is   |
+|                                    | the documented extension point    |
+
+Offsets/consumer groups dissolve into `checkpointLocation`; the
+exactly-once consume protocol the reference implements by transactional
+state+offset commits (docs/reliability.md:10-18) is the checkpoint's
+native behavior.
+
+Kafka needs the spark-sql-kafka package on the classpath; builders
+raise a clear error if it's absent (not bundled in this environment).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def file_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """JSON-lines directory source (reference FileStreamBackend)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def file_sink(df: DataFrame, path: str, checkpoint: str, *, fmt: str = "json"):
+    """Append sink to a directory; exactly-once via the checkpoint."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic load source (tests/demos; reference MemoryBackend's role)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def memory_sink(df: DataFrame, name: str, *, output_mode: str = "append"):
+    """In-memory queryable sink: `spark.sql(f"SELECT * FROM {name}")`."""
+    return df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+
+
+def _require_kafka(spark: SparkSession) -> None:
+    try:
+        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: SLF001
+    except Exception as exc:  # pragma: no cover - no kafka jars in env
+        raise RuntimeError(
+            "Kafka connector jars not on the classpath; start the session "
+            "with spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>"
+        ) from exc
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: StructType,
+    *,
+    starting_offsets: str = "earliest",
+) -> DataFrame:  # pragma: no cover - needs a broker
+    """Kafka topic -> typed DataFrame: value JSON parsed with `schema`,
+    malformed messages kept in `_corrupt` for DLQ routing (the
+    reference validates per message and DLQs failures)."""
+    _require_kafka(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp"),
+        F.from_json(F.col("value").cast("string"), schema).alias("event"),
+        F.when(
+            F.from_json(F.col("value").cast("string"), schema).isNull(),
+            F.col("value").cast("string"),
+        ).alias("_corrupt"),
+    )
+    return parsed.select("key", "topic", "partition", "offset", "timestamp", "event.*", "_corrupt")
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    *,
+    key_col: str | None = "event_id",
+):  # pragma: no cover - needs a broker
+    """DataFrame -> Kafka JSON sink keyed by `key_col` (the reference
+    keys produced messages by event_id, pspf/connectors/kafka.py:105-122)."""
+    cols = [c for c in df.columns]
+    out = df.select(
+        (F.col(key_col).cast("string") if key_col else F.lit(None)).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def read_jsonl(path: str, schema: StructType) -> list[dict]:
+    """Tiny driver-side JSONL reader for inspection tooling (CLI)."""
+    out = []
+    from pathlib import Path
+
+    for f in sorted(Path(path).glob("*.json")):
+        for line in f.read_text().splitlines():
+            if line.strip():
+                out.append(json.loads(line))
+    return out

@@ -13,7 +13,11 @@ schema fixed while user state evolves.
 
 - `keyed_fold`         — batch: applyInPandas, time-ordered fold per key
 - `keyed_fold_stream`  — streaming: applyInPandasWithState, state
-                         persisted in the checkpoint across micro-batches
+                         persisted in the checkpoint across micro-batches,
+                         optional TTL (reference state TTL, SURVEY A8)
+- `windowed_fold`      — batch fold per (key, event-time window): the
+                         reference's EP3 windowed aggregate with an
+                         arbitrary fold function
 """
 
 from __future__ import annotations
@@ -25,66 +29,129 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StringType, StructField, StructType
 
+from python_stream_processing_framework_spark.streaming.windows import WindowSpec
+
 FoldFn = Callable[[dict, Any], Any]
-
-
-def _out_schema(key_field: StructField) -> StructType:
-    return StructType([key_field, StructField("state_json", StringType())])
-
 
 _STATE_SCHEMA = StructType([StructField("state_json", StringType())])
 
 
+def _keys(key_cols: str | list[str]) -> list[str]:
+    return [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+
+def _out_schema(df: DataFrame, keys: list[str]) -> StructType:
+    return StructType(
+        [df.schema[k] for k in keys] + [StructField("state_json", StringType())]
+    )
+
+
 def keyed_fold(
     df: DataFrame,
-    key_col: str,
+    key_cols: str | list[str],
     ts_col: str,
     fold: FoldFn,
     init: Any = None,
 ) -> DataFrame:
-    """Batch fold: events per key in `ts_col` order through
-    `fold(event, state) -> state`; one output row (key, state_json)
-    per key. One shuffle on the key; Arrow-batched per group."""
-    key_field = df.schema[key_col]
-    out = _out_schema(key_field)
+    """Batch fold: events per key group in `ts_col` order through
+    `fold(event, state) -> state`; one output row (keys..., state_json)
+    per group. One shuffle on the keys; Arrow-batched per group."""
+    keys = _keys(key_cols)
+    out = _out_schema(df, keys)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         st = init
         for event in pdf.sort_values(ts_col).to_dict("records"):
             st = fold(event, st)
-        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "state_json": [json.dumps(st)]})
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["state_json"] = [json.dumps(st)]
+        return pd.DataFrame(row)
 
-    return df.groupBy(key_col).applyInPandas(run, out)
+    return df.groupBy(*keys).applyInPandas(run, out)
 
 
 def keyed_fold_stream(
     df: DataFrame,
-    key_col: str,
+    key_cols: str | list[str],
     ts_col: str,
     fold: FoldFn,
     init: Any = None,
+    *,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming fold with checkpointed state: the reference's
-    per-key running state (pspf/context.py Context.state), but managed
-    by Spark's state store — survives restarts, exactly-once with the
-    query checkpoint. Emits the updated (key, state_json) row each
-    micro-batch the key appears in (update semantics)."""
-    key_field = df.schema[key_col]
-    out = _out_schema(key_field)
+    per-key running state (pspf/context.py Context.state) managed by
+    Spark's state store — survives restarts, exactly-once with the
+    query checkpoint. Emits the updated (keys..., state_json) row each
+    micro-batch the key appears in (update semantics).
+
+    `ttl_ms` evicts state for keys idle longer than the TTL (the
+    reference's per-key state TTL with lazy eviction + background GC,
+    pspf/state/backends/rocksdb_store.py:92-167)."""
+    keys = _keys(key_cols)
+    out = _out_schema(df, keys)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
 
     def run(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         st = json.loads(state.get[0]) if state.exists else init
         for pdf in pdfs:
             for event in pdf.sort_values(ts_col).to_dict("records"):
                 st = fold(event, st)
         state.update((json.dumps(st),))
-        yield pd.DataFrame({key_col: [key[0]], "state_json": [json.dumps(st)]})
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        row = {k: [v] for k, v in zip(keys, key)}
+        row["state_json"] = [json.dumps(st)]
+        yield pd.DataFrame(row)
 
-    return df.groupBy(key_col).applyInPandasWithState(
-        run, out, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    return df.groupBy(*keys).applyInPandasWithState(
+        run, out, _STATE_SCHEMA, "update", timeout
     )
+
+
+def windowed_fold(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: WindowSpec,
+    fold: FoldFn,
+    init: Any = None,
+) -> DataFrame:
+    """Arbitrary fold per (key, event-time window) — the reference's
+    windowed aggregate entry point EP3 (pspf/stream.py:325-471) with a
+    user fold instead of a declarative aggregate.
+
+    Batch shape: assign the window declaratively (tumbling: 1 row/
+    window; sliding: Expand to every overlapping window), then fold per
+    (key, win_start) group. Session windows can't be assigned in a
+    projection (merging happens in the aggregation path); for an
+    arbitrary session fold use
+    `session(...).agg(collect_list(...))` + a fold over the collected
+    events, or `keyed_fold_stream` with custom gap logic.
+    Streaming variant: assign the window column, then `keyed_fold_stream`
+    on (key, win_start) with a watermark upstream.
+    """
+    if window.is_session:
+        raise NotImplementedError(
+            "session windows merge during aggregation; fold over "
+            "session(...).agg(collect_list(...)) instead"
+        )
+    win = window.column(ts_col).alias("_win")
+    with_win = df.withColumn("_win", win).select(
+        F.col(key_col),
+        F.unix_micros(F.col("_win.start")).alias("win_start_us"),
+        F.unix_micros(F.col("_win.end")).alias("win_end_us"),
+        *[F.col(c) for c in df.columns if c not in (key_col,)],
+    )
+    return keyed_fold(with_win, [key_col, "win_start_us", "win_end_us"], ts_col, fold, init)

@@ -1,0 +1,168 @@
+"""Schema registry dispatch, evolution, source registry, telemetry,
+windowed fold, CLI — the remaining SURVEY §2 parity surfaces."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from python_stream_processing_framework_spark.schema import (
+    BASE_EVENT_SCHEMA,
+    SchemaRegistry,
+    evolve,
+)
+from python_stream_processing_framework_spark.sources import registry
+from python_stream_processing_framework_spark.streaming.state import windowed_fold
+from python_stream_processing_framework_spark.streaming.windows import (
+    SessionWindow,
+    SlidingWindow,
+    TumblingWindow,
+)
+
+
+def test_schema_registry_dispatch_and_corrupt(spark):
+    reg = SchemaRegistry()
+    reg.register(
+        "order",
+        StructType(
+            [
+                StructField("event_type", StringType()),
+                StructField("order_id", LongType()),
+                StructField("amount", DoubleType()),
+            ]
+        ),
+    )
+    raw = spark.createDataFrame(
+        [
+            ('{"event_type": "order", "order_id": 1, "amount": 9.5}',),
+            ('{"event_type": "order", "order_id": 2, "amount": 1.0}',),
+            ('{"event_type": "ping", "event_id": "x"}',),  # fallback schema
+            ("{not json at all",),  # corrupt
+        ],
+        ["value"],
+    )
+    frames, corrupt = reg.parse(raw)
+    orders = {r["order_id"]: r["amount"] for r in frames["order"].collect()}
+    assert orders == {1: 9.5, 2: 1.0}
+    fallback = frames["_fallback"].collect()
+    assert len(fallback) == 1 and fallback[0]["event_id"] == "x"
+    bad = corrupt.collect()
+    assert len(bad) == 1 and bad[0]["raw"].startswith("{not")
+
+
+def test_schema_evolution(spark):
+    old = spark.createDataFrame([(1, "a")], ["id", "name"])
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),  # new nullable column
+        ]
+    )
+    row = evolve(old, target).collect()[0]
+    assert (row["id"], row["name"], row["score"]) == (1, "a", None)
+    assert [f.name for f in evolve(old, target).schema.fields] == ["id", "name", "score"]
+
+
+def test_source_registry():
+    assert {"file", "memory", "kafka"} <= set(registry.names())
+    with pytest.raises(ValueError):
+        registry.register("file", doc="dup")
+    with pytest.raises(KeyError, match="unknown backend"):
+        registry.get("valkey")
+    assert registry.load_entry_points() == 0  # no external plugins here
+
+
+def test_windowed_fold_tumbling_and_sliding(spark):
+    def fold(event, state):
+        state = state or {"n": 0, "total": 0.0}
+        return {"n": state["n"] + 1, "total": state["total"] + event["value"]}
+
+    df = spark.createDataFrame(
+        [("u", 1.0, 5.0), ("u", 5.0, 10.0), ("u", 12.0, 7.0)],
+        ["key", "ts", "value"],
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+
+    out = {
+        (r["key"], r["win_start_us"]): json.loads(r["state_json"])
+        for r in windowed_fold(df, "key", "ts", TumblingWindow(10_000), fold).collect()
+    }
+    assert out[("u", 0)] == {"n": 2, "total": 15.0}
+    assert out[("u", 10_000_000)] == {"n": 1, "total": 7.0}
+
+    # sliding 10s/5s: each event lands in two windows
+    sl = windowed_fold(df, "key", "ts", SlidingWindow(10_000, 5_000), fold).collect()
+    starts = {(r["win_start_us"], json.loads(r["state_json"])["n"]) for r in sl}
+    assert (0, 2) in starts  # [0,10): events at 1,5
+    assert (-5_000_000, 1) in starts  # [-5,5): event at 1
+    assert (5_000_000, 2) in starts  # [5,15): events at 5,12
+
+    with pytest.raises(NotImplementedError):
+        windowed_fold(df, "key", "ts", SessionWindow(5_000), fold)
+
+
+def test_metrics_recorder(spark, tmp_path):
+    from python_stream_processing_framework_spark import telemetry
+
+    rec = telemetry.attach(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"k": "a", "v": 1}\n{"k": "b", "v": 2}\n')
+    schema = StructType([StructField("k", StringType()), StructField("v", LongType())])
+    q = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("m_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # listener delivery is async; give it a beat
+    import time
+
+    for _ in range(20):
+        if rec.total_rows() >= 2:
+            break
+        time.sleep(0.25)
+    assert rec.total_rows() >= 2
+    assert any(p.get("num_input_rows") for p in rec.snapshot().values())
+    spark.streams.removeListener(rec)
+
+
+def test_cli_dlq_tools(tmp_path, capsys):
+    from python_stream_processing_framework_spark import cli
+
+    broker = tmp_path / "broker"
+    dlq = broker / "jobs-dlq"
+    dlq.mkdir(parents=True)
+    (dlq / "x.json").write_text(
+        json.dumps({"event_id": "e1", "value": 1.0, "_error": "boom"}) + "\n"
+    )
+
+    cli.main(["dlq-inspect", "--broker", str(broker), "--topic", "jobs"])
+    out = capsys.readouterr().out
+    assert "1 message(s)" in out and "boom" in out
+
+    cli.main(["dlq-replay", "--broker", str(broker), "--topic", "jobs"])
+    assert "replayed 1" in capsys.readouterr().out
+    replayed = list((broker / "jobs").glob("*.json"))
+    assert len(replayed) == 1
+    row = json.loads(replayed[0].read_text().strip())
+    assert row == {"event_id": "e1", "value": 1.0}  # _error stripped
+    assert not list(dlq.glob("*.json"))
+
+    cli.main(["dlq-purge", "--broker", str(broker), "--topic", "jobs"])
+    assert "purged 0" in capsys.readouterr().out
