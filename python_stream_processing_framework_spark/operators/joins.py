@@ -52,6 +52,43 @@ def windowed_join(
     return lb.join(rb, on=[key, "win_start_s"], how=how)
 
 
+def windowed_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    window_size: str,
+    watermark_delay: str,
+    prefixes: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Streaming form of `windowed_join`: watermark both sides and join
+    on (key, window STRUCT). Joining on the event-time window column
+    gives Spark the time constraint it needs to expire join state —
+    the engine-managed version of the reference Joiner's buffer
+    cleanup (pspf/topology.py:49-102, which never cleans up at all).
+    """
+    lp, rp = prefixes
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        # the raw ts column must not survive the projection: it carries
+        # watermark metadata, and a stream may have at most ONE event
+        # time column — the window struct takes that role here.
+        return (
+            df.withWatermark(ts_col, watermark_delay)
+            .select(
+                F.col(key),
+                F.window(F.col(ts_col), window_size).alias("window"),
+                *[
+                    F.col(c).alias(f"{prefix}{c}")
+                    for c in df.columns
+                    if c not in (key, ts_col)
+                ],
+            )
+        )
+
+    return prep(left, lp).join(prep(right, rp), on=[key, "window"], how="inner")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

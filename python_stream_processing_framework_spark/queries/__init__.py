@@ -19,6 +19,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     similarity,
     text,
     advanced,
+    sql_surface,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

@@ -1,0 +1,92 @@
+"""Plan-shape regression tests: the SCALE.md contract, machine-checked.
+
+A refactor that un-pushes a filter, drops a broadcast, or adds a
+shuffle will fail here long before it shows up as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+from python_stream_processing_framework_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    count_exchanges,
+    read_schema_columns,
+)
+from python_stream_processing_framework_spark.queries import QUERY_REGISTRY
+
+
+def q(name, spark):
+    return QUERY_REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q("forecast_revenue", spark)
+    assert_pushed_filters(
+        df,
+        "IsNotNull(l_shipdate)",
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_quantity,24.0)",
+    )
+
+
+def test_column_pruning(spark):
+    df = q("pricing_summary", spark)
+    cols = read_schema_columns(df, "lineitem.parquet")
+    # 11-column table, 7 needed: the scan must not read the rest.
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = q("region_revenue", spark)
+    assert_broadcast_join(df, min_count=4)  # region/nation/orders-side/supplier
+    assert_no_cartesian(df)
+    # all joins broadcast => only the final agg needs a hash exchange
+    assert count_exchanges(df) <= 1
+
+
+def test_orders_enriched_broadcasts(spark):
+    df = q("orders_enriched", spark)
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+    assert_pushed_filters(df, "EqualTo(o_orderstatus,O)")
+
+
+def test_windowed_agg_single_exchange(spark):
+    # groupBy(key, window) must be ONE shuffle (plus map-side partials)
+    df = q("tumbling_window_sum", spark)
+    assert count_exchanges(df) <= 2  # agg + countDistinct expand
+    assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("top_parts", spark)
+    assert "TakeOrderedAndProject" in plan_text(df), "top-k fell back to full sort"
+
+
+def test_minhash_candidates_not_quadratic(spark):
+    # LSH pairing must be an equi-join on band keys, never a cartesian.
+    df = q("dedup_minhash_lsh", spark)
+    assert_no_cartesian(df)
+
+
+def test_cosine_topk_broadcast_query_vector(spark):
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("cosine_topk", spark)
+    text = plan_text(df)
+    # the single query vector rides a broadcast, the corpus is never shuffled
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "TakeOrderedAndProject" in text
