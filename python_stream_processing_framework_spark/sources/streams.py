@@ -79,6 +79,28 @@ def _require_kafka(spark: SparkSession) -> None:
         ) from exc
 
 
+def parse_kafka_frame(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Type a Kafka-shaped frame (key/value binary + topic/partition/
+    offset/timestamp — the reference's StreamRecord fields,
+    pspf/models.py:5-16): value JSON parsed with `schema`, malformed
+    values preserved in `_corrupt` for DLQ routing. Pure plan function
+    so the wire-format logic is testable without a broker."""
+    val = F.col("value").cast("string")
+    valid = F.try_parse_json(val).isNotNull()
+    parsed = raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp"),
+        F.when(valid, F.from_json(val, schema)).alias("event"),
+        F.when(~valid, val).alias("_corrupt"),
+    )
+    return parsed.select(
+        "key", "topic", "partition", "offset", "timestamp", "event.*", "_corrupt"
+    )
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -87,9 +109,7 @@ def kafka_source(
     *,
     starting_offsets: str = "earliest",
 ) -> DataFrame:  # pragma: no cover - needs a broker
-    """Kafka topic -> typed DataFrame: value JSON parsed with `schema`,
-    malformed messages kept in `_corrupt` for DLQ routing (the
-    reference validates per message and DLQs failures)."""
+    """Kafka topic -> typed DataFrame via `parse_kafka_frame`."""
     _require_kafka(spark)
     raw = (
         spark.readStream.format("kafka")
@@ -98,19 +118,7 @@ def kafka_source(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("topic"),
-        F.col("partition"),
-        F.col("offset"),
-        F.col("timestamp"),
-        F.from_json(F.col("value").cast("string"), schema).alias("event"),
-        F.when(
-            F.from_json(F.col("value").cast("string"), schema).isNull(),
-            F.col("value").cast("string"),
-        ).alias("_corrupt"),
-    )
-    return parsed.select("key", "topic", "partition", "offset", "timestamp", "event.*", "_corrupt")
+    return parse_kafka_frame(raw, schema)
 
 
 def kafka_sink(

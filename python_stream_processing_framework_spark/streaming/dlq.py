@@ -22,12 +22,32 @@ suppresses duplicate side effects across retries and restarts.
 
 from __future__ import annotations
 
+import inspect
 import json
 import time
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+
+from python_stream_processing_framework_spark.streaming.context import Context
+
+
+def _arity_call(handler: Callable, ctx: Context | None):
+    """Arity-sniffed dispatch (reference pspf/stream.py:286-323):
+    `(event)` | `(msg_id, data)` | `(msg_id, data, ctx)`."""
+    positional = [
+        p
+        for p in inspect.signature(handler).parameters.values()
+        if p.kind
+        in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    ]
+    n = len(positional)
+    if n >= 3:
+        return lambda ev: handler(ev.get("event_id"), ev, ctx)
+    if n == 2:
+        return lambda ev: handler(ev.get("event_id"), ev)
+    return handler
 
 
 def handle_batch_with_retries(
@@ -37,20 +57,28 @@ def handle_batch_with_retries(
     topic: str,
     max_retries: int,
     emit: Callable[..., list[str]],
+    ctx: Context | None = None,
 ) -> None:
-    """Run `handler(event)` per message with reference retry/DLQ flow.
+    """Run the handler per message with reference retry/DLQ flow.
 
     Runs driver-side over the micro-batch (the facade's handlers are
     side-effecting consumers, exactly like the reference's async
     handlers — heavy transforms belong in DataFrame ops, not here).
     """
+    import contextlib
+
     rows = [r.asDict(recursive=True) for r in batch.collect()]
+    call = _arity_call(handler, ctx)
+    # same-group handlers serialize (reference runs handlers inside a
+    # state transaction, pspf/processor.py:311-328)
+    guard = ctx.lock if ctx is not None else contextlib.nullcontext()
     retries: list[dict] = []
     dead: list[dict] = []
     for event in rows:
         attempt = int(event.get("_attempt") or 0)
         try:
-            handler(event)
+            with guard:
+                call(event)
         except Exception as exc:  # noqa: BLE001 — any handler error retries
             if attempt + 1 > max_retries:
                 dead.append(

@@ -112,7 +112,7 @@ class Stream:
     # ------------------------------------------------------------- consume
     def subscribe(
         self,
-        topic: str,
+        topic: str | list[str],
         schema: StructType,
         *,
         max_retries: int = 3,
@@ -122,18 +122,32 @@ class Stream:
         pspf/stream.py:94-104). The handler is called once per message
         inside foreachBatch; exceptions route the message through the
         retry/DLQ path with `_error` metadata (pspf/processor.py:349-380).
+
+        Handler arity is sniffed like the reference
+        (pspf/stream.py:286-323): `(event)`, `(msg_id, data)`, or
+        `(msg_id, data, ctx)` where `ctx.state` is a durable per-group
+        KV store (reference Context, pspf/context.py:5-14).
+
+        A list of topics registers the same handler on each (one
+        streaming query per topic — the reference runs one asyncio task
+        per subscription, pspf/stream.py:131-150).
         """
+        topics = [topic] if isinstance(topic, str) else list(topic)
 
         def deco(fn: Callable) -> Callable:
-            self._subscriptions.append(
-                _Subscription(
-                    kind="subscribe",
-                    topic=topic,
-                    handler=fn,
-                    schema=schema,
-                    options={"max_retries": max_retries, "group": group or fn.__name__},
+            for t in topics:
+                self._subscriptions.append(
+                    _Subscription(
+                        kind="subscribe",
+                        topic=t,
+                        handler=fn,
+                        schema=schema,
+                        options={
+                            "max_retries": max_retries,
+                            "group": group or fn.__name__,
+                        },
+                    )
                 )
-            )
             return fn
 
         return deco
@@ -176,12 +190,41 @@ class Stream:
             )
         )
 
+    def pipeline(self, topic: str, schema: StructType, *, group: str | None = None) -> "PipelineBuilder":
+        """Chained map/filter/sink DSL — parity with the reference's
+        StreamBuilder (pspf/processing/dsl.py:17-49): arbitrary Python
+        per-element transforms, `None`/False drops the element and
+        short-circuits the rest of the chain, `.sink(target)` registers
+        the pipeline. For column-expressible logic prefer DataFrame ops
+        (`stream_topic(...).select/filter` + file_sink) — this DSL is
+        the arbitrary-Python tier, like the reference's."""
+        return PipelineBuilder(self, topic, schema, group)
+
     # ------------------------------------------------------------- running
+    def _group_context(self, group: str):
+        """One Context per consumer group, shared by every subscription
+        in the group — concurrent topic handlers serialize through the
+        same locked KVState (two instances over one file would lose
+        updates)."""
+        from python_stream_processing_framework_spark.streaming.context import (
+            Context,
+            KVState,
+        )
+
+        if not hasattr(self, "_contexts"):
+            self._contexts: dict[str, Context] = {}
+        if group not in self._contexts:
+            self._contexts[group] = Context(
+                KVState(self.broker / "_state" / f"{group}.json")
+            )
+        return self._contexts[group]
+
     def _start_subscribe(self, sub: _Subscription):
         src = self.stream_topic(sub.topic, sub.schema)
         max_retries = sub.options["max_retries"]
         handler = sub.handler
         stream_self = self
+        ctx = self._group_context(sub.options["group"])
 
         def process(batch: DataFrame, batch_id: int) -> None:
             handle_batch_with_retries(
@@ -190,6 +233,7 @@ class Stream:
                 topic=sub.topic,
                 max_retries=max_retries,
                 emit=stream_self.emit,
+                ctx=ctx,
             )
 
         return (
@@ -247,23 +291,97 @@ class Stream:
             .start()
         )
 
+    def _start_pipeline(self, sub: _Subscription):
+        src = self.stream_topic(sub.topic, sub.schema)
+        ops = sub.options["ops"]
+        target = sub.options["target"]
+        stream_self = self
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            survivors: list[dict] = []
+            for event in (r.asDict(recursive=True) for r in batch.collect()):
+                for kind, fn in ops:
+                    if kind == "map":
+                        event = fn(event)
+                        if event is None:  # map-to-None drops, short-circuits
+                            break
+                    else:  # filter
+                        if not fn(event):
+                            event = None
+                            break
+                if event is not None:
+                    survivors.append(event)
+            if survivors:
+                stream_self.emit(target, *survivors)
+
+        return (
+            src.writeStream.foreachBatch(process)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{sub.options['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def run_until_idle(self, *, rounds: int = 1) -> None:
         """Start every registered pipeline against the data currently in
         the broker and block until all of it is processed — the test /
         batch stand-in for `run_forever()`. `rounds` > 1 re-runs to
         drain messages that handlers re-emitted (retries)."""
+        starters = {
+            "subscribe": self._start_subscribe,
+            "window": self._start_window,
+            "pipeline": self._start_pipeline,
+        }
         for _ in range(max(1, rounds)):
-            queries = []
-            for sub in self._subscriptions:
-                if sub.kind == "subscribe":
-                    queries.append(self._start_subscribe(sub))
-                else:
-                    queries.append(self._start_window(sub))
+            queries = [starters[sub.kind](sub) for sub in self._subscriptions]
             for q in queries:
                 q.awaitTermination()
 
+    def stop(self) -> None:
+        """Graceful shutdown (reference SIGTERM handling finishes the
+        current batch, pspf/processor.py:64-96): availableNow triggers
+        already stop at a batch boundary; this ends `run_forever`."""
+        self._stopped = True
+
     def run_forever(self, poll_interval_s: float = 1.0) -> None:  # pragma: no cover
         """Continuous mode: availableNow replaced by micro-batch triggers."""
-        while True:
+        self._stopped = False
+        while not getattr(self, "_stopped", False):
             self.run_until_idle()
             time.sleep(poll_interval_s)
+
+
+class PipelineBuilder:
+    """Ordered op chain; terminal `.sink()` registers it on the Stream."""
+
+    def __init__(self, stream: Stream, topic: str, schema: StructType, group: str | None):
+        self._stream = stream
+        self._topic = topic
+        self._schema = schema
+        self._group = group
+        self._ops: list[tuple[str, Callable]] = []
+
+    def map(self, fn: Callable[[dict], dict | None]) -> "PipelineBuilder":
+        self._ops.append(("map", fn))
+        return self
+
+    def filter(self, fn: Callable[[dict], bool]) -> "PipelineBuilder":
+        self._ops.append(("filter", fn))
+        return self
+
+    def sink(self, target_topic: str) -> None:
+        self._stream._subscriptions.append(
+            _Subscription(
+                kind="pipeline",
+                topic=self._topic,
+                handler=lambda e: e,
+                schema=self._schema,
+                options={
+                    "ops": list(self._ops),
+                    "target": target_topic,
+                    "group": self._group or f"pipe-{self._topic}-{target_topic}",
+                },
+            )
+        )

@@ -1,0 +1,69 @@
+"""Property-based checks against independent implementations:
+window bucketing vs plain integer arithmetic, as-of join vs
+pandas.merge_asof. Few examples, batched per Spark job."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+TS = st.integers(min_value=0, max_value=10_000_000)  # millis
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ts_ms=st.lists(TS, min_size=1, max_size=50),
+    size_s=st.integers(min_value=1, max_value=3600),
+)
+def test_tumbling_assignment_matches_arithmetic(spark, ts_ms, size_s):
+    df = spark.createDataFrame([(t / 1000.0,) for t in ts_ms], ["ts_s"]).withColumn(
+        "ts", F.timestamp_millis((F.col("ts_s") * 1000).cast("long"))
+    )
+    out = df.select(
+        "ts_s", F.unix_timestamp(F.window("ts", f"{size_s} seconds")["start"]).alias("w")
+    ).collect()
+    for r in out:
+        expect = int(r["ts_s"] * 1000) // (size_s * 1000) * size_s
+        assert r["w"] == expect, (r["ts_s"], size_s, r["w"], expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), TS), min_size=1, max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 3), TS, st.integers(0, 99)), min_size=1, max_size=30),
+)
+def test_as_of_join_matches_pandas_merge_asof(spark, left, right):
+    from python_stream_processing_framework_spark.operators.joins import as_of_join
+
+    # dedupe (key, ts) on the right: with ties merge_asof picks the last
+    # row while our window-fill picks an arbitrary one — dedupe keeps
+    # the comparison well-defined (real streams have unique event times)
+    right = list({(k, t): v for k, t, v in right}.items())
+    right = [(k, t, v) for (k, t), v in right]
+
+    ldf = spark.createDataFrame(
+        [(k, t / 1000.0, i) for i, (k, t) in enumerate(left)], ["k", "ts", "i"]
+    ).withColumn("ts", F.timestamp_millis((F.col("ts") * 1000).cast("long")))
+    rdf = spark.createDataFrame(
+        [(k, t / 1000.0, v) for k, t, v in right], ["k", "ts", "v"]
+    ).withColumn("ts", F.timestamp_millis((F.col("ts") * 1000).cast("long")))
+
+    got = {
+        r["i"]: r["r_v"]
+        for r in as_of_join(ldf, rdf, "k", "ts", "ts").collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "ts", "i"]
+    ).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="mergesort"
+    )
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    expect = {
+        int(row.i): (None if pd.isna(row.v) else int(row.v))
+        for row in merged.itertuples()
+    }
+    assert got == expect

@@ -216,3 +216,29 @@ def test_dlq_replay(spark, stream):
     assert seen == ["j1"]
     # purged: replaying again is a no-op
     assert replay_dead_letters(stream, "jobs", schema=EVENT_SCHEMA) == 0
+
+
+def test_pipeline_dsl_map_filter_sink(spark, stream):
+    """Reference StreamBuilder chain (pspf/processing/dsl.py:17-49):
+    map then filter; a filtered-out element short-circuits; survivors
+    land on the sink topic."""
+    stream.pipeline("raw", EVENT_SCHEMA).map(
+        lambda e: {**e, "value": e["value"] * 2}
+    ).filter(lambda e: e["value"] >= 10).sink("clean")
+
+    stream.emit(
+        "raw",
+        {"event_id": "a", "key": "k", "timestamp": 1.0, "value": 6.0},  # 12 keep
+        {"event_id": "b", "key": "k", "timestamp": 2.0, "value": 3.0},  # 6 drop
+    )
+    stream.run_until_idle()
+    out = {r["event_id"]: r["value"] for r in stream.read_topic("clean", EVENT_SCHEMA).collect()}
+    assert out == {"a": 12.0}
+
+    # map returning None drops the element before the filter runs
+    stream.pipeline("raw2", EVENT_SCHEMA).map(
+        lambda e: None if e["value"] < 0 else e
+    ).sink("clean2")
+    stream.emit("raw2", {"event_id": "c", "key": "k", "timestamp": 1.0, "value": -1.0})
+    stream.run_until_idle()
+    assert stream.read_topic("clean2", EVENT_SCHEMA).count() == 0
