@@ -121,16 +121,29 @@ def ivf_topk(
     """
     e = _prep(embeddings, vec_col)
     dim = len(e.select(vec_col).first()[0])
+    # Exact-arithmetic centroids: per-dim int64 sums of 1e-6-rounded
+    # components, divided once — order-free and engine-exact, so even
+    # the IVF probe selection is oracle-comparable (see queries/
+    # similarity.py). An avg() of doubles would be neither.
+    n = F.count(F.lit(1))
     centroids = e.groupBy(cell_col).agg(
         F.array(
-            *[F.avg(F.col("_v")[i]) for i in range(dim)]
+            *[
+                F.sum(F.round(F.col("_v")[i] * F.lit(1000000)).cast("bigint"))
+                .cast("double")
+                / F.lit(1000000.0)
+                / n
+                for i in range(dim)
+            ]
         ).alias("_c")
     )
     q = e.filter(F.col(id_col) == query_id).select(F.col("_v").alias("_q"))
     probed = (
         centroids.crossJoin(F.broadcast(q))
-        .select(cell_col, cosine(F.col("_c"), F.col("_q")).alias("_csim"))
-        .orderBy(F.col("_csim").desc())
+        .select(
+            cell_col, F.round(cosine(F.col("_c"), F.col("_q")), 6).alias("_csim")
+        )
+        .orderBy(F.col("_csim").desc(), F.col(cell_col))
         .limit(n_probe)
         .select(cell_col)
     )

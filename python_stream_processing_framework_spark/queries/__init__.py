@@ -20,6 +20,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     text,
     advanced,
     sql_surface,
+    extras,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

@@ -70,10 +70,37 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_topk",
-    None,  # centroid means are FP group-aggregates: rows-only check.
-    doc="IVF approximate top-10: probe the 3 label-cells nearest the "
-    "query centroid, scan only those cells (~30% here; ~n_probe/cells "
-    "in production).",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_V} AS v FROM embeddings),
+         qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         comp AS (
+           SELECT label, i,
+                  CAST(sum(CAST(round(v[i]*1000000) AS BIGINT)) AS DOUBLE)
+                    /1000000.0/count(*) AS c
+           FROM e, range(1, 65) t(i)
+           GROUP BY label, i),
+         cent AS (SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
+         probe AS (
+           SELECT label FROM (
+             SELECT label,
+                    round({_DOT.format(a='cv', b='q')} /
+                          ({_NORM.format(a='cv')} * {_NORM.format(a='q')}), 6)
+                      AS csim
+             FROM cent, qv) s
+           ORDER BY csim DESC, label LIMIT 3),
+         scored AS (
+           SELECT vec_id,
+                  round({_DOT.format(a='v', b='q')} /
+                        ({_NORM.format(a='v')} * {_NORM.format(a='q')}), 6)
+                    AS cos_sim
+           FROM e JOIN probe USING (label), qv
+           WHERE vec_id != 0)
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="IVF approximate top-10: probe the 3 cells nearest the query, "
+    "scan only those (~n_probe/cells of the corpus in production). "
+    "Centroids use exact integer-sum arithmetic, so even the probe "
+    "selection is oracle-exact.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
