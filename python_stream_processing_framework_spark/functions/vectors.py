@@ -29,13 +29,30 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<double> columns (sequential fold)."""
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    """Dot product of two array<double> columns.
+
+    Index-fold over `sequence(...)` instead of `zip_with` + fold: no
+    zipped intermediate array per row-pair (the hot allocation in
+    all-pairs similarity), while the op sequence —
+    ((0 + a1*b1) + a2*b2) + ... — is IEEE-identical to the zipped
+    fold, so oracle comparisons are unaffected.
+    """
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(a)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
+    )
 
 
 def l2_norm(a: Column) -> Column:
-    """Euclidean norm of an array<double> column."""
-    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+    """Euclidean norm of an array<double> column (same index-fold)."""
+    return F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(a)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(a, i) * F.element_at(a, i),
+        )
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
