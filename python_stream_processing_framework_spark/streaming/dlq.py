@@ -58,12 +58,19 @@ def handle_batch_with_retries(
     max_retries: int,
     emit: Callable[..., list[str]],
     ctx: Context | None = None,
+    retry_topic: str | None = None,
 ) -> None:
     """Run the handler per message with reference retry/DLQ flow.
 
     Runs driver-side over the micro-batch (the facade's handlers are
     side-effecting consumers, exactly like the reference's async
     handlers — heavy transforms belong in DataFrame ops, not here).
+
+    Retries are re-emitted to `retry_topic` (the consumer group's
+    PRIVATE sibling topic, read only by this group) — the reference
+    keeps retried messages in the group's PEL, invisible to other
+    consumer groups, and re-emitting to the shared topic would
+    duplicate them for every other subscriber.
     """
     import contextlib
 
@@ -93,7 +100,7 @@ def handle_batch_with_retries(
             else:
                 retries.append({**event, "_attempt": attempt + 1})
     if retries:
-        emit(topic, *retries)
+        emit(retry_topic or topic, *retries)
     if dead:
         emit(f"{topic}-dlq", *dead)
 

@@ -31,7 +31,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_LONG = LongType()
 
 from python_stream_processing_framework_spark.streaming.windows import WindowSpec
 
@@ -120,6 +122,79 @@ def keyed_fold_stream(
     )
 
 
+def session_fold(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str,
+    fold: FoldFn,
+    init: Any = None,
+    *,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Arbitrary fold per session window — SURVEY §7 "hard part #1".
+
+    Sessions merge inside the aggregation operator, so the events are
+    gathered per merged session first (`collect_list` of time-ordered
+    structs inside `session_window` groupBy — the engine still does the
+    merging, watermark-compatible), then the user fold runs over each
+    session's event list in an Arrow-batched mapInPandas. Unlike the
+    reference — which silently drops the previous session instead of
+    emitting it (pspf/stream.py:415-451) — every closed session emits.
+
+    Output: key, session_start_us, session_end_us, n_events, state_json.
+    """
+    value_cols = value_cols or [
+        c for c in df.columns if c not in (key_col, ts_col)
+    ]
+    gathered = (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("_w"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_col).alias("_ts"), *value_cols))
+            ).alias("_events")
+        )
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+            F.col("_events"),
+        )
+    )
+    key_field = df.schema[key_col]
+    out = StructType(
+        [
+            key_field,
+            StructField("session_start_us", _LONG),
+            StructField("session_end_us", _LONG),
+            StructField("n_events", _LONG),
+            StructField("state_json", StringType()),
+        ]
+    )
+
+    def run(pdfs) -> "Iterator[pd.DataFrame]":
+        for pdf in pdfs:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                st = init
+                events = rec["_events"]
+                for ev in events:
+                    e = dict(ev.asDict()) if hasattr(ev, "asDict") else dict(ev)
+                    st = fold(e, st)
+                rows.append(
+                    {
+                        key_col: rec[key_col],
+                        "session_start_us": rec["session_start_us"],
+                        "session_end_us": rec["session_end_us"],
+                        "n_events": len(events),
+                        "state_json": json.dumps(st),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out.fields])
+
+    return gathered.mapInPandas(run, out)
+
+
 def windowed_fold(
     df: DataFrame,
     key_col: str,
@@ -144,8 +219,7 @@ def windowed_fold(
     """
     if window.is_session:
         raise NotImplementedError(
-            "session windows merge during aggregation; fold over "
-            "session(...).agg(collect_list(...)) instead"
+            "session windows merge during aggregation; use session_fold()"
         )
     win = window.column(ts_col).alias("_win")
     with_win = df.withColumn("_win", win).select(

@@ -220,11 +220,15 @@ class Stream:
         return self._contexts[group]
 
     def _start_subscribe(self, sub: _Subscription):
-        src = self.stream_topic(sub.topic, sub.schema)
         max_retries = sub.options["max_retries"]
         handler = sub.handler
         stream_self = self
-        ctx = self._group_context(sub.options["group"])
+        group = sub.options["group"]
+        ctx = self._group_context(group)
+        # retries live on a PRIVATE sibling topic per (topic, group) —
+        # the reference keeps them in the group's PEL; re-emitting to
+        # the shared topic would duplicate them for other subscribers.
+        retry_topic = f"{sub.topic}--retry--{group}"
 
         def process(batch: DataFrame, batch_id: int) -> None:
             handle_batch_with_retries(
@@ -234,17 +238,22 @@ class Stream:
                 max_retries=max_retries,
                 emit=stream_self.emit,
                 ctx=ctx,
+                retry_topic=retry_topic,
             )
 
-        return (
-            src.writeStream.foreachBatch(process)
-            .option(
-                "checkpointLocation",
-                str(self.checkpoints / f"{sub.topic}-{sub.options['group']}"),
+        queries = []
+        for src_topic, suffix in ((sub.topic, ""), (retry_topic, "-retry")):
+            src = self.stream_topic(src_topic, sub.schema)
+            queries.append(
+                src.writeStream.foreachBatch(process)
+                .option(
+                    "checkpointLocation",
+                    str(self.checkpoints / f"{sub.topic}-{group}{suffix}"),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
+        return queries
 
     def _start_window(self, sub: _Subscription):
         opts = sub.options
@@ -335,7 +344,10 @@ class Stream:
             "pipeline": self._start_pipeline,
         }
         for _ in range(max(1, rounds)):
-            queries = [starters[sub.kind](sub) for sub in self._subscriptions]
+            queries = []
+            for sub in self._subscriptions:
+                started = starters[sub.kind](sub)
+                queries.extend(started if isinstance(started, list) else [started])
             for q in queries:
                 q.awaitTermination()
 

@@ -101,3 +101,36 @@ def test_streaming_keyed_fold_state_survives_batches(spark, tmp_path):
     # 'a' accumulated ACROSS micro-batches => checkpointed state worked
     assert states["a"] == {"n": 2, "total": 12, "last": 7}
     assert states["b"] == {"n": 1, "total": 3, "last": 3}
+
+
+def test_session_fold_arbitrary(spark):
+    """Arbitrary fold per merged session (SURVEY §7 hard part #1):
+    order-sensitive state over engine-merged session windows."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.streaming.state import session_fold
+
+    fold = make_fold()
+    df = spark.createDataFrame(
+        [
+            ("u", 0.0, 1),
+            ("u", 3.0, 2),   # within 5s gap of 0.0: same session
+            ("u", 6.0, 4),   # within 5s of 3.0: session extends (merge)
+            ("u", 30.0, 8),  # new session
+            ("v", 1.0, 16),
+        ],
+        SCHEMA,
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+
+    out = {
+        (r["key"], r["session_start_us"]): (
+            r["session_end_us"],
+            r["n_events"],
+            json.loads(r["state_json"]),
+        )
+        for r in session_fold(df, "key", "ts", "5 seconds", fold).collect()
+    }
+    # u session 1: events at 0,3,6 merged; end = 6s + 5s gap
+    assert out[("u", 0)] == (11_000_000, 3, {"n": 3, "total": 7, "last": 4})
+    assert out[("u", 30_000_000)] == (35_000_000, 1, {"n": 1, "total": 8, "last": 8})
+    assert out[("v", 1_000_000)] == (6_000_000, 1, {"n": 1, "total": 16, "last": 16})
