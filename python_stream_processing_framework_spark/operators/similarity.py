@@ -99,6 +99,79 @@ def cosine_pairs(
     )
 
 
+def cosine_lsh_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bands: int = 8,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via sign-random-projection LSH (Charikar) —
+    the sub-quadratic scale path for embedding dedup.
+
+    Hyperplanes are pseudo-random but DETERMINISTIC: coefficient
+    (p, d) derives from md5('plane#p#d'), uniform in [-1, 1] — so the
+    whole pipeline (signatures, banding, candidates, verification) is
+    engine-exact and oracle-checkable. Candidate generation is an
+    equi-join on (band, 4-bit key); only candidates pay the exact
+    cosine verification. Recall < 1 by construction (that's the LSH
+    trade) — the oracle mirrors the same pipeline, not brute force.
+    """
+    n_planes = bands * band_bits
+    e = _prep(embeddings, vec_col)
+    coef = (
+        "((cast(conv(substr(md5(concat('plane#', cast(p as string), '#',"
+        " cast(d as string))), 1, 15), 16, 10) as bigint) % 2000001)"
+        " - 1000000) / 1000000.0"
+    )
+    dot_plane = (
+        f"aggregate(sequence(1, size(_v)), cast(0.0 as double),"
+        f" (acc, d) -> acc + element_at(_v, d) * ({coef}))"
+    )
+    sig = F.expr(
+        f"transform(sequence(0, {n_planes - 1}),"
+        f" p -> IF({dot_plane} >= 0.0, 1, 0))"
+    )
+    sigs = e.withColumn("_sig", sig).withColumn("_n", l2_norm(F.col("_v"))).persist()
+    key_expr = " + ".join(
+        f"element_at(_sig, b*{band_bits} + {i + 1}) * {2 ** (band_bits - 1 - i)}"
+        for i in range(band_bits)
+    )
+    band_keys = F.expr(f"transform(sequence(0, {bands - 1}), b -> {key_expr})")
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from python_stream_processing_framework_spark.catalog import load
 from python_stream_processing_framework_spark.operators.similarity import (
+    cosine_lsh_pairs,
     cosine_pairs,
     cosine_topk,
     ivf_topk,
@@ -66,6 +67,50 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return cosine_pairs(embeddings, threshold=0.45)
+
+
+_COEF = (
+    "((('0x' || substr(md5('plane#' || CAST(p AS VARCHAR) || '#' ||"
+    " CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000) / 1000000.0"
+)
+
+
+@query(
+    "cosine_lsh_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+         sigs AS (
+           SELECT vec_id, v,
+                  list_transform(range(0, 32), p ->
+                    CASE WHEN list_reduce(
+                           list_transform(range(1, 65), d -> v[d] * ({_COEF})),
+                           (a, b) -> a + b) >= 0.0
+                         THEN 1 ELSE 0 END) AS sig,
+                  {_NORM.format(a='v')} AS n
+           FROM e),
+         banded AS (
+           SELECT vec_id, b,
+                  sig[b*4+1]*8 + sig[b*4+2]*4 + sig[b*4+3]*2 + sig[b*4+4]
+                    AS band_key
+           FROM sigs, range(0, 8) t(b)),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           FROM banded x JOIN banded y
+             ON x.b = y.b AND x.band_key = y.band_key
+              AND x.vec_id < y.vec_id)
+    SELECT id_a, id_b,
+           round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) AS cos_sim
+    FROM cand JOIN sigs a ON a.vec_id = id_a JOIN sigs b ON b.vec_id = id_b
+    WHERE round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) >= 0.4
+    """,
+    doc="Sign-random-projection LSH (8 bands x 4 bits, md5-derived "
+    "deterministic hyperplanes) + exact-cosine verification at 0.4 — "
+    "the sub-quadratic scale path for embedding near-dup; recall < 1 "
+    "by construction and the oracle mirrors the identical pipeline.",
+)
+def cosine_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(embeddings, threshold=0.4, bands=8, band_bits=4)
 
 
 @query(
