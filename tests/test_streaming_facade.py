@@ -242,3 +242,40 @@ def test_pipeline_dsl_map_filter_sink(spark, stream):
     stream.emit("raw2", {"event_id": "c", "key": "k", "timestamp": 1.0, "value": -1.0})
     stream.run_until_idle()
     assert stream.read_topic("clean2", EVENT_SCHEMA).count() == 0
+
+
+def test_windowed_agg_with_watermark_append_mode(spark, stream):
+    """Facade window with a real watermark: append mode emits only
+    finalized windows; late-beyond-watermark events don't reopen them."""
+    stream.window(
+        "wm",
+        TumblingWindow(10_000),
+        EVENT_SCHEMA,
+        key_field="key",
+        aggs={"total": F.sum("value"), "n": F.count(F.lit(1))},
+        watermark_delay_ms=5_000,
+    )
+    # batch 1: window [0,10) plus an event far ahead to advance the
+    # watermark to 100-5=95s, finalizing [0,10)
+    stream.emit(
+        "wm",
+        {"key": "u", "timestamp": 1.0, "value": 5.0},
+        {"key": "u", "timestamp": 100.0, "value": 1.0},
+    )
+    stream.run_until_idle()
+    out1 = {
+        (r["key"], r["win_start_us"]): (r["total"], r["n"])
+        for r in stream.read_topic("wm-agg", AGG_SCHEMA).collect()
+    }
+    assert out1 == {("u", 0): (5.0, 1)}  # only the finalized window
+
+    # batch 2: a very late event for [0,10) must NOT reopen it
+    stream.emit("wm", {"key": "u", "timestamp": 2.0, "value": 99.0})
+    stream.emit("wm", {"key": "u", "timestamp": 200.0, "value": 1.0})
+    stream.run_until_idle()
+    out2 = {
+        (r["key"], r["win_start_us"]): (r["total"], r["n"])
+        for r in stream.read_topic("wm-agg", AGG_SCHEMA).collect()
+    }
+    assert out2[("u", 0)] == (5.0, 1)  # unchanged
+    assert out2[("u", 100_000_000)] == (1.0, 1)  # [100,110) finalized by 200s
