@@ -41,6 +41,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # dedup/similarity operators persist() reused subplans; drop
+        # those caches between queries so 46 queries don't accumulate
+        # dead cached blocks in one session.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -20,18 +20,21 @@ def _dlq_dir(broker: str, topic: str) -> Path:
     return Path(broker) / f"{topic}-dlq"
 
 
-def _read_jsonl_dir(d: Path) -> list[dict]:
+def _read_jsonl_dir(d: Path) -> tuple[list[dict], list[Path]]:
+    """Snapshot the file list FIRST and return it with the rows, so
+    callers that delete after processing remove exactly what they read
+    — a message dead-lettered mid-replay must survive."""
     rows: list[dict] = []
-    if d.exists():
-        for f in sorted(d.glob("*.json")):
-            for line in f.read_text().splitlines():
-                if line.strip():
-                    rows.append(json.loads(line))
-    return rows
+    files = sorted(d.glob("*.json")) if d.exists() else []
+    for f in files:
+        for line in f.read_text().splitlines():
+            if line.strip():
+                rows.append(json.loads(line))
+    return rows, files
 
 
 def dlq_inspect(broker: str, topic: str, limit: int) -> None:
-    rows = _read_jsonl_dir(_dlq_dir(broker, topic))
+    rows, _ = _read_jsonl_dir(_dlq_dir(broker, topic))
     print(f"{len(rows)} message(s) in {topic}-dlq")
     for r in rows[:limit]:
         print(json.dumps(r))
@@ -41,7 +44,7 @@ def dlq_replay(broker: str, topic: str) -> None:
     """Strip `_`-metadata and re-emit to the source topic
     (pspf/utils/replay.py:12-51)."""
     dlq = _dlq_dir(broker, topic)
-    rows = _read_jsonl_dir(dlq)
+    rows, files = _read_jsonl_dir(dlq)
     clean = [
         {k: v for k, v in r.items() if not k.startswith("_") and v is not None}
         for r in rows
@@ -51,10 +54,10 @@ def dlq_replay(broker: str, topic: str) -> None:
 
         out = Path(broker) / topic
         out.mkdir(parents=True, exist_ok=True)
-        (out / f"replay-{uuid.uuid4().hex}.json").write_text(
-            "\n".join(json.dumps(r) for r in clean) + "\n"
-        )
-        for f in dlq.glob("*.json"):
+        tmp = out / f".replay-{uuid.uuid4().hex}.tmp"
+        tmp.write_text("\n".join(json.dumps(r) for r in clean) + "\n")
+        tmp.rename(out / f"{tmp.stem.lstrip('.')}.json")
+        for f in files:  # only what we read — not later arrivals
             f.unlink()
     print(f"replayed {len(clean)} message(s) to {topic}")
 

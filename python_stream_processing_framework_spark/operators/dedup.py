@@ -235,25 +235,44 @@ def ngram_jaccard_pairs(
     text_col: str,
     *,
     shingle_k: int = 2,
+    unit: str = "word",
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted-index self-join.
 
-    The shuffle key is the shingle itself (inverted index), so common
-    work is proportional to sum over shingles of df^2 — with
-    `max_doc_freq` set, ultra-frequent (non-discriminative) shingles
-    are dropped before pairing, which is the standard way to keep hot
-    keys bounded at corpus scale. Left unset, results are the exact
-    Jaccard (used by the oracle harness at small SF).
+    `unit='word'` shingles over whitespace tokens; `unit='char'`
+    shingles over raw characters (sub-word near-dups). The shuffle key
+    is the shingle itself (inverted index), so common work is
+    proportional to sum over shingles of df^2 — with `max_doc_freq`
+    set, ultra-frequent (non-discriminative) shingles are dropped
+    before pairing, which is the standard way to keep hot keys bounded
+    at corpus scale. Left unset, results are the exact Jaccard (used by
+    the oracle harness at small SF).
     """
-    docs = (
-        spread(df)
-        .withColumn("_toks", tokens_expr(text_col))
-        .filter(F.size("_toks") >= shingle_k)
-        .withColumn("_sh", shingles_expr("_toks", shingle_k))
-        .persist()  # feeds both the inverted index and the size table
-    )
+    if unit == "word":
+        prepped = (
+            spread(df)
+            .withColumn("_toks", tokens_expr(text_col))
+            .filter(F.size("_toks") >= shingle_k)
+            .withColumn("_sh", shingles_expr("_toks", shingle_k))
+        )
+    elif unit == "char":
+        prepped = (
+            spread(df)
+            .withColumn("_t", F.trim(F.lower(F.col(text_col))))
+            .filter(F.length("_t") >= shingle_k)
+            .withColumn(
+                "_sh",
+                F.expr(
+                    f"array_distinct(transform(sequence(1, length(_t) - {shingle_k - 1}),"
+                    f" i -> substring(_t, i, {shingle_k})))"
+                ),
+            )
+        )
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    docs = prepped.persist()  # feeds both the inverted index and the size table
     inv = docs.select(F.col(id_col), F.explode("_sh").alias("sh")).persist()
     if max_doc_freq is not None:
         freq = inv.groupBy("sh").agg(F.count("*").alias("_df"))

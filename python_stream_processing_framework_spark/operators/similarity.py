@@ -181,6 +181,7 @@ def ivf_topk(
     cell_col: str = "label",
     k: int = 10,
     n_probe: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file (IVF) coarse quantization.
 
@@ -192,8 +193,17 @@ def ivf_topk(
     semi-join — the corpus scan prunes to the probed cells, which at
     1000 cells / 8 probes is ~1% of the data.
     """
+    if dim is None:
+        # one cheap limit-1 scan of the RAW table (not the repartitioned
+        # plan) to learn the dimension; pass dim= to skip it entirely.
+        row = embeddings.select(vec_col).limit(1).collect()
+        if not row or row[0][0] is None:
+            spark = embeddings.sparkSession
+            return spark.createDataFrame(
+                [], f"{id_col} bigint, cos_sim double"
+            )
+        dim = len(row[0][0])
     e = _prep(embeddings, vec_col)
-    dim = len(e.select(vec_col).first()[0])
     # Exact-arithmetic centroids: per-dim int64 sums of 1e-6-rounded
     # components, divided once — order-free and engine-exact, so even
     # the IVF probe selection is oracle-comparable (see queries/

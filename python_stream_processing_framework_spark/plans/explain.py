@@ -42,9 +42,19 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (broadcast exchanges
-    excluded — those move only the small side)."""
+    excluded — those move only the small side).
+
+    Counts node headers in formatted mode (`(N) Exchange`); the
+    partitioning details live on a separate Arguments line there, and
+    `\\bExchange\\b` alone would also hit BroadcastExchange.
+    """
     text = plan_text(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobinPartitioning", text))
+    n = len(re.findall(r"\(\d+\) Exchange\b", text))
+    # guard against explain-format drift silently zeroing the guard:
+    # any aggregation/join plan must show SOME exchange somewhere.
+    if n == 0 and "Exchange" in text and "BroadcastExchange" not in text:
+        raise AssertionError("count_exchanges failed to parse plan:\n" + text[:2000])
+    return n
 
 
 def read_schema_columns(df: DataFrame, table_fragment: str) -> list[str]:

@@ -38,38 +38,13 @@ from python_stream_processing_framework_spark.queries.base import query
     "ngram_jaccard_pairs.",
 )
 def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_stream_processing_framework_spark.operators.dedup import spread
+    from python_stream_processing_framework_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
 
     (documents,) = load(spark, sf_dir, "documents")
-    docs = (
-        spread(documents)
-        .withColumn("_t", F.trim(F.lower(F.col("text"))))
-        .filter(F.length("_t") >= 4)
-        .withColumn(
-            "_sh",
-            F.expr(
-                "array_distinct(transform(sequence(1, length(_t) - 3),"
-                " i -> substring(_t, i, 4)))"
-            ),
-        )
-        .persist()
-    )
-    inv = docs.select("doc_id", F.explode("_sh").alias("sh")).persist()
-    sizes = docs.select("doc_id", F.size("_sh").cast("bigint").alias("n"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
-        .withColumn("jaccard", F.col("n_common").cast("double") / F.col("n_union"))
-        .filter(F.col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+    return ngram_jaccard_pairs(
+        documents, "doc_id", "text", shingle_k=4, unit="char", threshold=0.9
     )
 
 

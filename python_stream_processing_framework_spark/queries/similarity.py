@@ -5,9 +5,11 @@ sequential left-fold sums — DuckDB's list_reduce folds the same way,
 so scores match bit-for-bit before the final 6dp rounding (the
 rounding is belt-and-braces for ordering stability).
 
-`ann_ivf_topk` has no oracle: centroid means are floating-point group
-aggregates whose summation order is engine-defined, so it gets the
-driver's rows-only check (documented weaker gate).
+Every similarity query is oracle-exact, including the approximate
+paths: `ann_ivf_topk` uses exact integer-sum centroids (a double
+`avg()` would be summation-order-dependent) and `cosine_lsh_pairs`
+derives its hyperplanes from md5, so both engines reproduce the same
+candidate sets.
 """
 
 from __future__ import annotations

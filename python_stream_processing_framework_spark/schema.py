@@ -73,7 +73,6 @@ class SchemaRegistry:
         # input in permissive mode; try_parse_json is the validity probe.
         valid = F.try_parse_json(F.col(json_col)).isNotNull()
         frames: dict[str, DataFrame] = {}
-        corrupt_parts = []
         for t, schema in sorted(self._schemas.items()):
             subset = df.filter(valid & (etype == t))
             frames[t] = subset.withColumn(
@@ -83,15 +82,10 @@ class SchemaRegistry:
         frames["_fallback"] = others.withColumn(
             "_event", F.from_json(F.col(json_col), self.fallback)
         ).select("_event.*")
-        corrupt_parts.append(
-            df.filter(~valid).select(
-                F.coalesce(etype, F.lit("?")).alias("event_type"),
-                F.col(json_col).alias("raw"),
-            )
+        corrupt = df.filter(~valid).select(
+            F.coalesce(etype, F.lit("?")).alias("event_type"),
+            F.col(json_col).alias("raw"),
         )
-        corrupt = corrupt_parts[0]
-        for part in corrupt_parts[1:]:
-            corrupt = corrupt.unionByName(part)
         return frames, corrupt
 
 

@@ -116,7 +116,12 @@ def replay_dead_letters(
     pspf/utils/replay.py:12-51): strip `_`-prefixed DLQ metadata and
     re-emit to the original topic."""
     dlq_topic = f"{topic}-dlq"
-    df = stream.read_topic(dlq_topic, schema)
+    # snapshot the file list BEFORE reading so the purge removes exactly
+    # what was replayed — a message dead-lettered mid-replay survives.
+    files = sorted(Path(stream.topic_dir(dlq_topic)).glob("*.json"))
+    if not files:
+        return 0
+    df = stream.spark.read.schema(schema).json([str(f) for f in files])
     rows = [r.asDict(recursive=True) for r in df.collect()]
     clean = [
         {k: v for k, v in r.items() if not k.startswith("_") and v is not None}
@@ -124,8 +129,8 @@ def replay_dead_letters(
     ]
     if clean:
         stream.emit(topic, *clean)
-    if purge and rows:
-        for f in Path(stream.topic_dir(dlq_topic)).glob("*.json"):
+    if purge:
+        for f in files:
             f.unlink()
     return len(clean)
 

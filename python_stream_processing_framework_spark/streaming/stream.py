@@ -71,6 +71,19 @@ class Stream:
         self.checkpoints = Path(checkpoint_dir or (self.broker / "_checkpoints"))
         self.checkpoints.mkdir(parents=True, exist_ok=True)
         self._subscriptions: list[_Subscription] = []
+        self._claimed: set[tuple[str, str]] = set()  # (topic, group)
+
+    def _claim(self, topic: str, group: str) -> None:
+        """Checkpoint identity = (topic, group): two subscriptions
+        sharing it would share a checkpointLocation and corrupt each
+        other — fail loudly at registration instead."""
+        key = (topic, group)
+        if key in self._claimed:
+            raise ValueError(
+                f"consumer group {group!r} already registered on topic "
+                f"{topic!r}; pass an explicit group= name"
+            )
+        self._claimed.add(key)
 
     # ------------------------------------------------------------- produce
     def topic_dir(self, topic: str) -> Path:
@@ -91,8 +104,13 @@ class Stream:
             ev.setdefault("timestamp", time.time())
             out_ids.append(ev["event_id"])
             lines.append(json.dumps(ev, default=str))
-        path = self.topic_dir(topic) / f"batch-{uuid.uuid4().hex}.json"
-        path.write_text("\n".join(lines) + "\n")
+        # write-then-rename: the file source must never list a batch
+        # file mid-write (it would checkpoint the name and skip the
+        # contents forever). rename() is atomic on the same filesystem.
+        d = self.topic_dir(topic)
+        tmp = d / f".batch-{uuid.uuid4().hex}.tmp"
+        tmp.write_text("\n".join(lines) + "\n")
+        tmp.rename(d / f"{tmp.stem.lstrip('.')}.json")
         return out_ids
 
     def read_topic(self, topic: str, schema: StructType) -> DataFrame:
@@ -135,17 +153,16 @@ class Stream:
         topics = [topic] if isinstance(topic, str) else list(topic)
 
         def deco(fn: Callable) -> Callable:
+            g = group or fn.__name__
             for t in topics:
+                self._claim(t, g)
                 self._subscriptions.append(
                     _Subscription(
                         kind="subscribe",
                         topic=t,
                         handler=fn,
                         schema=schema,
-                        options={
-                            "max_retries": max_retries,
-                            "group": group or fn.__name__,
-                        },
+                        options={"max_retries": max_retries, "group": g},
                     )
                 )
             return fn
@@ -168,10 +185,16 @@ class Stream:
         """Register a keyed event-time windowed aggregation (reference
         @stream.window / Stream.aggregate, pspf/stream.py:106-118,
         325-471). Results stream to `sink_topic` (default
-        `{topic}-agg`) in update-ish semantics via foreachBatch; late
-        events (window already finalized by the watermark) are captured
-        to `{topic}-late` by Spark's watermark bookkeeping.
+        `{topic}-agg`, or `{topic}-agg-N` for additional windows on the
+        same topic) in update-ish semantics via foreachBatch; events
+        later than the watermark are dropped by Spark's bookkeeping.
         """
+        n_windows = sum(
+            1 for s in self._subscriptions if s.kind == "window" and s.topic == topic
+        )
+        suffix = "" if n_windows == 0 else f"-{n_windows}"
+        g = group or f"window-{topic}{suffix}"
+        self._claim(topic, g)
         self._subscriptions.append(
             _Subscription(
                 kind="window",
@@ -184,8 +207,8 @@ class Stream:
                     "ts_field": ts_field,
                     "aggs": aggs,
                     "watermark_delay_ms": watermark_delay_ms,
-                    "sink_topic": sink_topic or f"{topic}-agg",
-                    "group": group or f"window-{topic}",
+                    "sink_topic": sink_topic or f"{topic}-agg{suffix}",
+                    "group": g,
                 },
             )
         )
@@ -384,6 +407,8 @@ class PipelineBuilder:
         return self
 
     def sink(self, target_topic: str) -> None:
+        g = self._group or f"pipe-{self._topic}-{target_topic}"
+        self._stream._claim(self._topic, g)
         self._stream._subscriptions.append(
             _Subscription(
                 kind="pipeline",
@@ -393,7 +418,7 @@ class PipelineBuilder:
                 options={
                     "ops": list(self._ops),
                     "target": target_topic,
-                    "group": self._group or f"pipe-{self._topic}-{target_topic}",
+                    "group": g,
                 },
             )
         )
