@@ -275,9 +275,17 @@ def ngram_jaccard_pairs(
     docs = prepped.persist()  # feeds both the inverted index and the size table
     inv = docs.select(F.col(id_col), F.explode("_sh").alias("sh")).persist()
     if max_doc_freq is not None:
+        # Drop non-discriminative shingles BEFORE pairing, and compute
+        # set sizes over the SAME filtered space — Jaccard over rare
+        # shingles. (Sizes from the unfiltered sets would undercount
+        # similarity: identical docs would score < 1.)
         freq = inv.groupBy("sh").agg(F.count("*").alias("_df"))
-        inv = inv.join(freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh")
-    sizes = docs.select(F.col(id_col), F.size("_sh").cast("bigint").alias("n_sh"))
+        inv = inv.join(
+            freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh"
+        ).persist()
+        sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = docs.select(F.col(id_col), F.size("_sh").cast("bigint").alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, "sh")

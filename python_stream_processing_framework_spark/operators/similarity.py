@@ -20,8 +20,18 @@ no Python UDF in any hot path.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _plane_coef(p: int, d: int) -> float:
+    """Deterministic hyperplane coefficient in [-1, 1]: the Python
+    evaluation of the same md5 derivation the SQL oracle computes
+    (`('0x'||substr(md5('plane#p#d'),1,15))::BIGINT % 2000001 - 1e6`)."""
+    h = int(hashlib.md5(f"plane#{p}#{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2000001 - 1000000) / 1000000.0
 
 from python_stream_processing_framework_spark.functions.vectors import (
     as_double_array,
@@ -121,19 +131,31 @@ def cosine_lsh_pairs(
     """
     n_planes = bands * band_bits
     e = _prep(embeddings, vec_col)
-    coef = (
-        "((cast(conv(substr(md5(concat('plane#', cast(p as string), '#',"
-        " cast(d as string))), 1, 15), 16, 10) as bigint) % 2000001)"
-        " - 1000000) / 1000000.0"
-    )
+    row = embeddings.select(vec_col).limit(1).collect()
+    if not row or row[0][0] is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cos_sim double"
+        )
+    dim = len(row[0][0])
+    # Precompute the (planes x dim) coefficient matrix driver-side with
+    # hashlib — the SAME md5 derivation the oracle evaluates in SQL —
+    # and embed it as a literal: recomputing md5 inside the per-vector
+    # lambda would cost n_vectors * planes * dim hash calls.
+    planes = [
+        [_plane_coef(p, d) for d in range(1, dim + 1)]
+        for p in range(n_planes)
+    ]
+    planes_col = F.array(*[F.array(*[F.lit(c) for c in row_]) for row_ in planes])
     dot_plane = (
-        f"aggregate(sequence(1, size(_v)), cast(0.0 as double),"
-        f" (acc, d) -> acc + element_at(_v, d) * ({coef}))"
+        "aggregate(sequence(1, size(_v)), cast(0.0 as double),"
+        " (acc, d) -> acc + element_at(_v, d)"
+        " * element_at(element_at(_planes, p + 1), d))"
     )
     sig = F.expr(
         f"transform(sequence(0, {n_planes - 1}),"
         f" p -> IF({dot_plane} >= 0.0, 1, 0))"
     )
+    e = e.withColumn("_planes", planes_col)
     sigs = e.withColumn("_sig", sig).withColumn("_n", l2_norm(F.col("_v"))).persist()
     key_expr = " + ".join(
         f"element_at(_sig, b*{band_bits} + {i + 1}) * {2 ** (band_bits - 1 - i)}"

@@ -20,8 +20,10 @@ from python_stream_processing_framework_spark.queries.base import query
                                           i -> substr(t, i, 4))) AS sh
       FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents) x
       WHERE length(t) >= 4),
-    inv AS (SELECT doc_id, unnest(sh) AS sh FROM d),
-    sz AS (SELECT doc_id, len(sh) AS n FROM d),
+    inv0 AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+    rare AS (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) <= 100),
+    inv AS (SELECT inv0.doc_id, inv0.sh FROM inv0 JOIN rare USING (sh)),
+    sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
     c AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -33,9 +35,10 @@ from python_stream_processing_framework_spark.queries.base import query
     FROM c JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE)/(x.n + y.n - n_common) >= 0.9
     """,
-    doc="Character 4-gram Jaccard >= 0.9 — the sub-word near-dup tier "
-    "(catches edits word-shingles miss). Same inverted-index shape as "
-    "ngram_jaccard_pairs.",
+    doc="Character 4-gram Jaccard >= 0.9 over rare shingles (doc-freq "
+    "<= 100): common 4-grams ('the ', ' and') hit nearly every doc and "
+    "turn the inverted-index join quadratic — the frequency cap is the "
+    "standard web-dedup mitigation, mirrored exactly in the oracle.",
 )
 def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_stream_processing_framework_spark.operators.dedup import (
@@ -44,7 +47,13 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        documents, "doc_id", "text", shingle_k=4, unit="char", threshold=0.9
+        documents,
+        "doc_id",
+        "text",
+        shingle_k=4,
+        unit="char",
+        threshold=0.9,
+        max_doc_freq=100,
     )
 
 
