@@ -137,6 +137,37 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_count_estimate",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens,
+           CAST(greatest(len(string_split(trim(text), ' ')),
+                         (length(text) + 3) // 4) AS BIGINT)
+             AS est_tokens
+    FROM documents
+    """,
+    doc="Token counting for pipeline budgeting: whitespace words + the "
+    "chars/4 BPE heuristic (subword tokenizers average ~4 chars/token "
+    "on English text); est_tokens = max of the two bounds. A real "
+    "tokenizer slots in as an Arrow pandas UDF.",
+)
+def token_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    est_bpe = F.expr("(length(text) + 3) DIV 4")
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        est_bpe.alias("est_bpe_tokens"),
+        F.greatest(n_words, est_bpe).alias("est_tokens"),
+    )
+
+
+@query(
     "part_brand_stats",
     """
     SELECT p_brand,

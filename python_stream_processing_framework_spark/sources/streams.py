@@ -121,6 +121,18 @@ def kafka_source(
     return parse_kafka_frame(raw, schema)
 
 
+def to_kafka_frame(df: DataFrame, key_col: str | None = "event_id") -> DataFrame:
+    """Project a typed frame to the Kafka wire shape (key, value JSON),
+    keyed by `key_col` (the reference keys produced messages by
+    event_id, pspf/connectors/kafka.py:105-122). Pure plan function —
+    testable without a broker; `parse_kafka_frame` inverts it."""
+    cols = list(df.columns)
+    return df.select(
+        (F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+    )
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -129,15 +141,10 @@ def kafka_sink(
     *,
     key_col: str | None = "event_id",
 ):  # pragma: no cover - needs a broker
-    """DataFrame -> Kafka JSON sink keyed by `key_col` (the reference
-    keys produced messages by event_id, pspf/connectors/kafka.py:105-122)."""
-    cols = [c for c in df.columns]
-    out = df.select(
-        (F.col(key_col).cast("string") if key_col else F.lit(None)).alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
-    )
+    """DataFrame -> Kafka JSON sink via `to_kafka_frame`."""
     return (
-        out.writeStream.format("kafka")
+        to_kafka_frame(df, key_col)
+        .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)

@@ -161,3 +161,34 @@ def test_multi_topic_subscribe(spark, tmp_path):
     s.emit("b", {"event_id": "eb", "key": "k", "timestamp": 1.0, "value": 1.0})
     s.run_until_idle()
     assert sorted(hits) == ["ea", "eb"]
+
+
+def test_kafka_wire_roundtrip(spark):
+    """to_kafka_frame -> parse_kafka_frame is a lossless round trip."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from python_stream_processing_framework_spark.sources.streams import (
+        to_kafka_frame,
+    )
+
+    payload = StructType(
+        [StructField("event_id", StringType()), StructField("v", LongType())]
+    )
+    typed = spark.createDataFrame([("e1", 5), ("e2", 7)], payload)
+    wire = to_kafka_frame(typed)
+    assert wire.columns == ["key", "value"]
+    keys = {r["key"] for r in wire.collect()}
+    assert keys == {"e1", "e2"}
+
+    ts = datetime.datetime(2024, 1, 1)
+    kafka_shaped = wire.select(
+        F.encode("key", "utf-8").alias("key"),
+        F.encode("value", "utf-8").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.lit(ts).alias("timestamp"),
+    )
+    back = {r["event_id"]: r["v"] for r in parse_kafka_frame(kafka_shaped, payload).collect()}
+    assert back == {"e1": 5, "e2": 7}
