@@ -52,6 +52,35 @@ def windowed_join(
     return lb.join(rb, on=[key, "win_start_s"], how=how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting — the manual fix for a hot key that
+    overwhelms one shuffle partition (AQE's skew-join splitting is the
+    automatic tier; salting is for when one key alone exceeds an
+    executor).
+
+    The big/skewed side gets an arbitrary per-row salt in [0, salt);
+    the other side is replicated once per salt value; the join key
+    becomes (key, salt). The result set is identical to the plain join
+    for any salt assignment — we derive it from a hash of the row so
+    plans stay deterministic. Replication multiplies the small side by
+    `salt`, so keep it broadcast-sized or keep `salt` modest.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_salted = left.withColumn("_salt", salt_col.cast("int"))
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_salted.join(r_replicated, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
 def windowed_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -90,3 +90,43 @@ def test_cosine_topk_broadcast_query_vector(spark):
     # the single query vector rides a broadcast, the corpus is never shuffled
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     assert "TakeOrderedAndProject" in text
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is a pure execution-layer rewrite: result sets must be
+    identical to the plain join on skewed data."""
+    from python_stream_processing_framework_spark.operators.joins import salted_join
+
+    # heavy skew: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], ["k", "i"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], ["k", "tag"])
+    plain = {(r["k"], r["i"], r["tag"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["i"], r["tag"]) for r in salted_join(left, right, "k").collect()}
+    assert salted == plain and len(plain) == 1000
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing pre-partitions both sides on the join key so the join
+    plan needs NO shuffle exchange — the co-located-join strategy
+    SCALE.md prescribes for repeated joins on the same key."""
+    import shutil
+    from pathlib import Path
+
+    from python_stream_processing_framework_spark.plans import count_exchanges
+
+    df1 = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df2 = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    try:
+        for name, df in [("bt_left", df1), ("bt_right", df2)]:
+            df.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(name)
+        joined = spark.table("bt_left").join(spark.table("bt_right"), "k")
+        assert count_exchanges(joined) == 0, "bucketed join still shuffles"
+        assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
+        wh = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+        for t in ("bt_left", "bt_right"):
+            shutil.rmtree(wh / t, ignore_errors=True)
