@@ -46,6 +46,8 @@ def main() -> None:
         # dead cached blocks in one session.
         spark.catalog.clearCache()
 
+    streaming = _streaming_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -54,12 +56,56 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "cpus": cpus,
             }
         )
     )
+
+
+def _streaming_throughput(spark, sf_dir: str) -> dict:
+    """Structured Streaming micro-benchmark: drive the events table
+    through a watermarked tumbling-window aggregation as a real
+    streaming query (availableNow) and report rows/sec."""
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    n_rows = batch.count()
+    # file streams want a directory: expose the single parquet file
+    # through a symlinked temp dir (read-only testdata stays untouched)
+    src_dir = Path(tempfile.mkdtemp(prefix="bench-stream-src-"))
+    (src_dir / "events.parquet").symlink_to(path)
+    src = (
+        spark.readStream.schema(batch.schema)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = src.groupBy(F.window("ts", "10 minutes"), F.col("user_id")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    ckpt = tempfile.mkdtemp(prefix="bench-stream-ck-")
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    return {
+        "rows": n_rows,
+        "wall_s": round(wall, 3),
+        "rows_per_s": round(n_rows / wall, 1),
+    }
 
 
 if __name__ == "__main__":

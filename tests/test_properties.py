@@ -67,3 +67,51 @@ def test_as_of_join_matches_pandas_merge_asof(spark, left, right):
         for row in merged.itertuples()
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500_000)),  # (key, ts_ms)
+        min_size=1,
+        max_size=40,
+    ),
+    gap_s=st.integers(min_value=1, max_value=120),
+)
+def test_session_windows_match_independent_islands(spark, events, gap_s):
+    """Spark session_window vs a plain-Python gaps-and-islands fold:
+    same sessions (start, end=last+gap, count) for random event sets."""
+    df = spark.createDataFrame(
+        [(k, t / 1000.0) for k, t in events], ["k", "ts_s"]
+    ).withColumn("ts", F.timestamp_millis((F.col("ts_s") * 1000).cast("long")))
+
+    got = {
+        (r["k"], r["start_us"], r["end_us"], r["n"])
+        for r in df.groupBy("k", F.session_window("ts", f"{gap_s} seconds").alias("w"))
+        .count()
+        .select(
+            "k",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            F.col("count").alias("n"),
+        )
+        .collect()
+    }
+
+    # independent: sort per key, break when diff >= gap
+    expect = set()
+    by_key: dict[int, list[int]] = {}
+    for k, t in events:
+        by_key.setdefault(k, []).append(t * 1000)  # us
+    gap_us = gap_s * 1_000_000
+    for k, ts_list in by_key.items():
+        ts_list.sort()
+        start, last, n = ts_list[0], ts_list[0], 1
+        for t in ts_list[1:]:
+            if t - last >= gap_us:
+                expect.add((k, start, last + gap_us, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        expect.add((k, start, last + gap_us, n))
+    assert got == expect
