@@ -24,8 +24,6 @@ raise a clear error if it's absent (not bundled in this environment).
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -151,13 +149,3 @@ def kafka_sink(
     )
 
 
-def read_jsonl(path: str, schema: StructType) -> list[dict]:
-    """Tiny driver-side JSONL reader for inspection tooling (CLI)."""
-    out = []
-    from pathlib import Path
-
-    for f in sorted(Path(path).glob("*.json")):
-        for line in f.read_text().splitlines():
-            if line.strip():
-                out.append(json.loads(line))
-    return out

@@ -128,3 +128,31 @@ def test_decode_stub_raise_mode(spark):
     payloads = binarize(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|real image codec"):
         decode_images(payloads, decode_stub="raise").collect()
+
+
+def test_portable_hash_helpers(spark):
+    """hash60/hash28_mod are the Column-level forms of the md5-derived
+    hashes the operators inline in SQL lambdas; pin their values against
+    the DuckDB evaluation so external users get the same portability."""
+    import duckdb
+
+    from python_stream_processing_framework_spark.functions import (
+        hash28_mod,
+        hash60,
+    )
+
+    df = spark.createDataFrame([("hello",), ("world",)], ["s"])
+    got = {
+        r["s"]: (r["h60"], r["h28"])
+        for r in df.select(
+            "s", hash60("s").alias("h60"), hash28_mod("s").alias("h28")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s, (h60, h28) in got.items():
+        d60, d28 = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,15))::BIGINT,"
+            " ('0x' || substr(md5(?),1,7))::BIGINT % 1000003",
+            [s, s],
+        ).fetchone()
+        assert (h60, h28) == (d60, d28)
