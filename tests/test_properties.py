@@ -18,15 +18,16 @@ TS = st.integers(min_value=0, max_value=10_000_000)  # millis
     size_s=st.integers(min_value=1, max_value=3600),
 )
 def test_tumbling_assignment_matches_arithmetic(spark, ts_ms, size_s):
-    df = spark.createDataFrame([(t / 1000.0,) for t in ts_ms], ["ts_s"]).withColumn(
-        "ts", F.timestamp_millis((F.col("ts_s") * 1000).cast("long"))
+    # integer millis straight in (a /1000*1000 float roundtrip truncates)
+    df = spark.createDataFrame([(t,) for t in ts_ms], ["ts_ms"]).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
     )
     out = df.select(
-        "ts_s", F.unix_timestamp(F.window("ts", f"{size_s} seconds")["start"]).alias("w")
+        "ts_ms", F.unix_timestamp(F.window("ts", f"{size_s} seconds")["start"]).alias("w")
     ).collect()
     for r in out:
-        expect = int(r["ts_s"] * 1000) // (size_s * 1000) * size_s
-        assert r["w"] == expect, (r["ts_s"], size_s, r["w"], expect)
+        expect = r["ts_ms"] // (size_s * 1000) * size_s
+        assert r["w"] == expect, (r["ts_ms"], size_s, r["w"], expect)
 
 
 @settings(max_examples=8, deadline=None)
@@ -81,9 +82,11 @@ def test_as_of_join_matches_pandas_merge_asof(spark, left, right):
 def test_session_windows_match_independent_islands(spark, events, gap_s):
     """Spark session_window vs a plain-Python gaps-and-islands fold:
     same sessions (start, end=last+gap, count) for random event sets."""
+    # integer millis straight in: a /1000*1000 float roundtrip truncates
+    # values like 287ms to 286ms under cast("long")
     df = spark.createDataFrame(
-        [(k, t / 1000.0) for k, t in events], ["k", "ts_s"]
-    ).withColumn("ts", F.timestamp_millis((F.col("ts_s") * 1000).cast("long")))
+        [(k, t) for k, t in events], ["k", "ts_ms"]
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
 
     got = {
         (r["k"], r["start_us"], r["end_us"], r["n"])
