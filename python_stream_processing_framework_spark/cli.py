@@ -41,12 +41,18 @@ def dlq_inspect(broker: str, topic: str, limit: int) -> None:
 
 
 def dlq_replay(broker: str, topic: str) -> None:
-    """Strip `_`-metadata and re-emit to the source topic
-    (pspf/utils/replay.py:12-51)."""
+    """Strip the DLQ-attached metadata and re-emit to the source topic
+    (pspf/utils/replay.py:12-51). Only the keys the DLQ path itself
+    added are removed — user fields that happen to start with `_` (or
+    hold null) round-trip untouched."""
+    from python_stream_processing_framework_spark.streaming.dlq import (
+        DLQ_METADATA_KEYS,
+    )
+
     dlq = _dlq_dir(broker, topic)
     rows, files = _read_jsonl_dir(dlq)
     clean = [
-        {k: v for k, v in r.items() if not k.startswith("_") and v is not None}
+        {k: v for k, v in r.items() if k not in DLQ_METADATA_KEYS}
         for r in rows
     ]
     if clean:

@@ -71,7 +71,19 @@ def salted_join(
     for any salt assignment — we derive it from a hash of the row so
     plans stay deterministic. Replication multiplies the small side by
     `salt`, so keep it broadcast-sized or keep `salt` modest.
+
+    Only inner/left-flavored joins are equivalence-preserving: with a
+    right or full outer join every unmatched right row would surface
+    once per salt value (it was replicated). Those are rejected.
     """
+    normalized = how.replace("_", "").lower()
+    if normalized in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins are not "
+            "equivalence-preserving under salting (unmatched right rows "
+            "are replicated once per salt value); salt the other side or "
+            "use a plain join with AQE skew handling"
+        )
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_salted = left.withColumn("_salt", salt_col.cast("int"))
     r_replicated = right.withColumn(

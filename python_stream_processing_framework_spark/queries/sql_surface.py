@@ -53,12 +53,15 @@ def customer_max_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact values, rows-only in the driver gate.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar projections (not an array column): the driver's rows-only
+    # canonicalizer sorts the pandas frame, and list cells are unhashable.
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT event_type,
                approx_count_distinct(user_id) AS approx_users,
-               approx_percentile(value, array(0.5, 0.99)) AS approx_p50_p99
+               approx_percentile(value, 0.5) AS approx_p50,
+               approx_percentile(value, 0.99) AS approx_p99
         FROM events GROUP BY event_type
         """
     )

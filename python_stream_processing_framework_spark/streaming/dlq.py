@@ -105,6 +105,14 @@ def handle_batch_with_retries(
         emit(f"{topic}-dlq", *dead)
 
 
+# The metadata the DLQ path itself attaches — the ONLY keys replay may
+# strip. User event fields that merely start with `_` (or are None) are
+# the user's data and must round-trip untouched.
+DLQ_METADATA_KEYS = frozenset(
+    {"_error", "_original_stream", "_original_msg_id", "_moved_timestamp", "_attempt"}
+)
+
+
 def replay_dead_letters(
     stream,
     topic: str,
@@ -113,8 +121,9 @@ def replay_dead_letters(
     purge: bool = True,
 ) -> int:
     """DLQ replay (reference CLI `replay`, pspf/cli.py:139-228 /
-    pspf/utils/replay.py:12-51): strip `_`-prefixed DLQ metadata and
-    re-emit to the original topic."""
+    pspf/utils/replay.py:12-51): strip the DLQ-attached metadata
+    (`DLQ_METADATA_KEYS` — not the whole `_` namespace) and re-emit to
+    the original topic."""
     dlq_topic = f"{topic}-dlq"
     # snapshot the file list BEFORE reading so the purge removes exactly
     # what was replayed — a message dead-lettered mid-replay survives.
@@ -124,7 +133,7 @@ def replay_dead_letters(
     df = stream.spark.read.schema(schema).json([str(f) for f in files])
     rows = [r.asDict(recursive=True) for r in df.collect()]
     clean = [
-        {k: v for k, v in r.items() if not k.startswith("_") and v is not None}
+        {k: v for k, v in r.items() if k not in DLQ_METADATA_KEYS}
         for r in rows
     ]
     if clean:

@@ -107,8 +107,15 @@ def keyed_fold_stream(
             state.remove()
             return
         st = json.loads(state.get[0]) if state.exists else init
-        for pdf in pdfs:
-            for event in pdf.sort_values(ts_col).to_dict("records"):
+        # A key's micro-batch group can span multiple Arrow chunks:
+        # sorting each chunk independently would break global time
+        # order for order-dependent folds. Materialize, sort ONCE.
+        # (Bounded by the key's events in one micro-batch — the same
+        # memory envelope applyInPandas itself needs per group.)
+        chunks = list(pdfs)
+        if chunks:
+            events = pd.concat(chunks, ignore_index=True)
+            for event in events.sort_values(ts_col).to_dict("records"):
                 st = fold(event, st)
         state.update((json.dumps(st),))
         if ttl_ms:

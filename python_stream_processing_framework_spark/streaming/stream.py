@@ -37,7 +37,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from python_stream_processing_framework_spark.streaming.dlq import (
     handle_batch_with_retries,
@@ -72,18 +72,36 @@ class Stream:
         self.checkpoints.mkdir(parents=True, exist_ok=True)
         self._subscriptions: list[_Subscription] = []
         self._claimed: set[tuple[str, str]] = set()  # (topic, group)
+        self._claimed_ckpts: set[str] = set()  # derived checkpoint names
 
-    def _claim(self, topic: str, group: str) -> None:
+    def _claim(self, topic: str, group: str, *, with_retry: bool = False) -> None:
         """Checkpoint identity = (topic, group): two subscriptions
         sharing it would share a checkpointLocation and corrupt each
-        other — fail loudly at registration instead."""
+        other — fail loudly at registration instead.
+
+        The DERIVED checkpoint names are claimed too: a subscription's
+        retry query checkpoints at `{topic}-{group}--retry`, which a
+        group literally named `{group}--retry` on the same topic would
+        collide with — (topic, group)-pair tracking alone can't see
+        that, so the names themselves are the claim."""
         key = (topic, group)
         if key in self._claimed:
             raise ValueError(
                 f"consumer group {group!r} already registered on topic "
                 f"{topic!r}; pass an explicit group= name"
             )
+        ckpts = [f"{topic}-{group}"]
+        if with_retry:
+            ckpts.append(f"{topic}-{group}--retry")
+        taken = self._claimed_ckpts.intersection(ckpts)
+        if taken:
+            raise ValueError(
+                f"checkpoint name collision for group {group!r} on topic "
+                f"{topic!r}: {sorted(taken)} already in use by another "
+                "subscription; pick a different group= name"
+            )
         self._claimed.add(key)
+        self._claimed_ckpts.update(ckpts)
 
     # ------------------------------------------------------------- produce
     def topic_dir(self, topic: str) -> Path:
@@ -146,16 +164,31 @@ class Stream:
         `(msg_id, data, ctx)` where `ctx.state` is a durable per-group
         KV store (reference Context, pspf/context.py:5-14).
 
+        Retry bookkeeping rides on a `_attempt` LONG field: the
+        subscription reads it back from the retry topic to enforce
+        `max_retries`. If the given `schema` lacks `_attempt` it is
+        appended automatically (handlers see `_attempt` as None on
+        first delivery); declaring it yourself is also fine.
+
         A list of topics registers the same handler on each (one
         streaming query per topic — the reference runs one asyncio task
         per subscription, pspf/stream.py:131-150).
         """
         topics = [topic] if isinstance(topic, str) else list(topic)
 
+        # `_attempt` must survive the read-back from the retry topic or
+        # max_retries is never enforced (a failing message would retry
+        # forever at attempt 0) — append it when the caller's schema
+        # doesn't declare it.
+        if "_attempt" not in schema.fieldNames():
+            schema = StructType(
+                list(schema.fields) + [StructField("_attempt", LongType())]
+            )
+
         def deco(fn: Callable) -> Callable:
             g = group or fn.__name__
             for t in topics:
-                self._claim(t, g)
+                self._claim(t, g, with_retry=True)
                 self._subscriptions.append(
                     _Subscription(
                         kind="subscribe",
@@ -265,7 +298,7 @@ class Stream:
             )
 
         queries = []
-        for src_topic, suffix in ((sub.topic, ""), (retry_topic, "-retry")):
+        for src_topic, suffix in ((sub.topic, ""), (retry_topic, "--retry")):
             src = self.stream_topic(src_topic, sub.schema)
             queries.append(
                 src.writeStream.foreachBatch(process)
