@@ -357,30 +357,49 @@ class Stream:
         )
 
     def _start_pipeline(self, sub: _Subscription):
+        """Pure map/filter transforms run EXECUTOR-side (Arrow-batched
+        `mapInPandas`), never through the driver: at 100 TB a
+        driver-side loop over `collect()` is the bottleneck of the
+        whole topology. The foreachBatch body only issues the sink
+        write — itself a distributed `DataFrameWriter.json`, so records
+        flow scan -> python-worker transform -> sink file without ever
+        visiting the driver. (Side-effecting `subscribe` handlers keep
+        the driver-side contract — that's their semantics, see
+        `handle_batch_with_retries`.)"""
         src = self.stream_topic(sub.topic, sub.schema)
         ops = sub.options["ops"]
         target = sub.options["target"]
-        stream_self = self
+        cols = [f.name for f in sub.schema.fields]
 
-        def process(batch: DataFrame, batch_id: int) -> None:
-            survivors: list[dict] = []
-            for event in (r.asDict(recursive=True) for r in batch.collect()):
-                for kind, fn in ops:
-                    if kind == "map":
-                        event = fn(event)
-                        if event is None:  # map-to-None drops, short-circuits
-                            break
-                    else:  # filter
-                        if not fn(event):
-                            event = None
-                            break
-                if event is not None:
-                    survivors.append(event)
-            if survivors:
-                stream_self.emit(target, *survivors)
+        def apply_ops(pdfs):
+            import pandas as pd  # executor-side
+
+            for pdf in pdfs:
+                survivors: list[dict] = []
+                for event in pdf.to_dict("records"):
+                    for kind, fn in ops:
+                        if kind == "map":
+                            event = fn(event)
+                            if event is None:  # map-to-None drops, short-circuits
+                                break
+                        else:  # filter
+                            if not fn(event):
+                                event = None
+                                break
+                    if event is not None:
+                        survivors.append(event)
+                yield pd.DataFrame(survivors, columns=cols)
+
+        transformed = src.mapInPandas(apply_ops, sub.schema)
+        sink_dir = str(self.topic_dir(target))
+
+        def write_sink(batch: DataFrame, batch_id: int) -> None:
+            # Distributed write: tasks append part-*.json files directly
+            # into the topic dir (same JSON-lines contract as emit()).
+            batch.write.mode("append").json(sink_dir)
 
         return (
-            src.writeStream.foreachBatch(process)
+            transformed.writeStream.foreachBatch(write_sink)
             .option(
                 "checkpointLocation",
                 str(self.checkpoints / f"{sub.topic}-{sub.options['group']}"),

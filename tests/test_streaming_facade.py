@@ -244,6 +244,30 @@ def test_pipeline_dsl_map_filter_sink(spark, stream):
     assert stream.read_topic("clean2", EVENT_SCHEMA).count() == 0
 
 
+def test_pipeline_ops_run_on_executors_not_driver(spark, stream):
+    """The pipeline DSL's pure transforms must execute executor-side
+    (mapInPandas), not in a driver loop: a closure that mutates a
+    driver-side list would only touch the list if it ran in the driver
+    process. The transform result must still be correct."""
+    driver_sentinel: list[str] = []
+
+    def tag(e):
+        driver_sentinel.append(e["event_id"])  # mutates a COPY on workers
+        return {**e, "value": e["value"] + 100.0}
+
+    stream.pipeline("src_exec", EVENT_SCHEMA).map(tag).sink("out_exec")
+    stream.emit(
+        "src_exec",
+        {"event_id": "e1", "key": "k", "timestamp": 1.0, "value": 1.0},
+        {"event_id": "e2", "key": "k", "timestamp": 2.0, "value": 2.0},
+    )
+    stream.run_until_idle()
+    out = {r["event_id"]: r["value"] for r in stream.read_topic("out_exec", EVENT_SCHEMA).collect()}
+    assert out == {"e1": 101.0, "e2": 102.0}
+    # the op ran in Python workers: the driver's list never saw a mutation
+    assert driver_sentinel == []
+
+
 def test_windowed_agg_with_watermark_append_mode(spark, stream):
     """Facade window with a real watermark: append mode emits only
     finalized windows; late-beyond-watermark events don't reopen them."""
