@@ -26,16 +26,21 @@ from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Round-robin repartition before a CPU-heavy map stage.
+    """Widen a too-narrow scan before a CPU-heavy map stage.
 
     The testdata ships one row-group per table, so a bare scan is ONE
     task no matter how many cores exist; hashing/vector math would run
-    single-threaded. One small shuffle buys full-width execution — and
-    at production scale a rebalance before a CPU-bound stage is the
-    same correct move (AQE coalesces it when input is already wide).
+    single-threaded. One small shuffle buys full-width execution.
+
+    GATED on input width: when the scan already yields >= parallelism
+    partitions (any production-sized table), repartitioning would be a
+    gratuitous full shuffle of raw text/vectors — return the input
+    untouched so no Exchange enters the plan at all.
     """
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
     return df.repartition(parallelism)
 
 

@@ -42,10 +42,11 @@ from python_stream_processing_framework_spark.functions.vectors import (
 
 
 def _prep(df: DataFrame, vec_col: str) -> DataFrame:
-    # Round-robin repartition: the single-row-group testdata otherwise
-    # scans as ONE task and the vector math runs single-threaded.
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n).withColumn("_v", as_double_array(vec_col))
+    # Widen single-row-group scans so vector math runs on all cores;
+    # `spread` is a no-op (no Exchange) when the scan is already wide.
+    from python_stream_processing_framework_spark.operators.dedup import spread
+
+    return spread(df).withColumn("_v", as_double_array(vec_col))
 
 
 def cosine_topk(
@@ -211,35 +212,34 @@ def ivf_topk(
     cluster label; in production the assignment step is a kmeans fit or
     any partitioner). Centroids are per-cell mean vectors; only the
     `n_probe` cells whose centroids are closest to the query are
-    scanned. Centroid build is one narrow agg; probing is a broadcast
-    semi-join — the corpus scan prunes to the probed cells, which at
-    1000 cells / 8 probes is ~1% of the data.
+    scanned. Probing is a broadcast semi-join — the corpus scan prunes
+    to the probed cells, which at 1000 cells / 8 probes is ~1% of the
+    data.
+
+    `dim` is accepted for API compatibility but no longer needed: the
+    centroid build is dimension-agnostic.
     """
-    if dim is None:
-        # one cheap limit-1 scan of the RAW table (not the repartitioned
-        # plan) to learn the dimension; pass dim= to skip it entirely.
-        row = embeddings.select(vec_col).limit(1).collect()
-        if not row or row[0][0] is None:
-            spark = embeddings.sparkSession
-            return spark.createDataFrame(
-                [], f"{id_col} bigint, cos_sim double"
-            )
-        dim = len(row[0][0])
     e = _prep(embeddings, vec_col)
     # Exact-arithmetic centroids: per-dim int64 sums of 1e-6-rounded
     # components, divided once — order-free and engine-exact, so even
     # the IVF probe selection is oracle-comparable (see queries/
     # similarity.py). An avg() of doubles would be neither.
-    n = F.count(F.lit(1))
-    centroids = e.groupBy(cell_col).agg(
-        F.array(
-            *[
-                F.sum(F.round(F.col("_v")[i] * F.lit(1000000)).cast("bigint"))
-                .cast("double")
-                / F.lit(1000000.0)
-                / n
-                for i in range(dim)
-            ]
+    #
+    # Shape: posexplode + groupBy(cell, pos), NOT `dim` separate
+    # aggregate expressions — at embedding dims 768-4096 a per-dim
+    # aggregate list blows up Catalyst analysis/codegen, while
+    # (cells x dim) rows through two tiny shuffles stays flat in dim.
+    exploded = e.select(F.col(cell_col), F.posexplode(F.col("_v")).alias("_i", "_x"))
+    comp = exploded.groupBy(cell_col, "_i").agg(
+        F.sum(F.round(F.col("_x") * F.lit(1000000)).cast("bigint")).alias("_s"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    centroids = comp.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_s"), F.col("_cnt")))
+            ),
+            lambda t: t["_s"].cast("double") / F.lit(1000000.0) / t["_cnt"],
         ).alias("_c")
     )
     q = e.filter(F.col(id_col) == query_id).select(F.col("_v").alias("_q"))

@@ -156,3 +156,52 @@ def test_portable_hash_helpers(spark):
             [s, s],
         ).fetchone()
         assert (h60, h28) == (d60, d28)
+
+
+def test_ivf_topk_high_dim(spark):
+    """Centroid build must be dimension-agnostic (posexplode + two tiny
+    shuffles), not `dim` codegen'd aggregate expressions: at dim 256
+    the old shape stalled Catalyst analysis. Correctness: with cells
+    that cleanly separate two clusters, IVF top-k equals brute force."""
+    import math
+
+    from python_stream_processing_framework_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    dim, n = 256, 120
+    # two well-separated clusters: cluster c occupies dims [c*8, c*8+8)
+    rows = []
+    for i in range(n):
+        c = i % 4
+        v = [0.0] * dim
+        for d in range(8):
+            v[c * 8 + d] = 1.0 + 0.001 * ((i * 7 + d) % 13)
+        rows.append((i, c, v))
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    approx = ivf_topk(df, query_id=0, k=5, n_probe=1)
+    got = [(r["vec_id"], r["cos_sim"]) for r in approx.collect()]
+    assert len(got) == 5
+    # query is in cluster 0; probe_1 restricts to label 0, which holds
+    # the true top-k too — so IVF must equal exact brute force here
+    exact = cosine_topk(df.filter(F.col("label") == 0), query_id=0, k=5)
+    want = [(r["vec_id"], r["cos_sim"]) for r in exact.collect()]
+    assert got == want
+
+
+def test_spread_noop_on_wide_input(spark):
+    """spread() must NOT insert an Exchange when the input is already
+    at least as wide as the target parallelism — at 100 TB an
+    unconditional repartition is a gratuitous full shuffle."""
+    from python_stream_processing_framework_spark.operators.dedup import spread
+
+    wide = spark.range(0, 1000).repartition(64)
+    assert spread(wide) is wide  # untouched: no Exchange added at all
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    spread_out = spread(narrow)
+    assert spread_out.rdd.getNumPartitions() >= min(
+        8, spark.sparkContext.defaultParallelism
+    )
