@@ -84,5 +84,15 @@ def _register_builtins() -> None:
         "kafka", source=s.kafka_source, sink=s.kafka_sink, doc="Kafka topics (needs jars)"
     )
 
+    from python_stream_processing_framework_spark.sources import valkey as v
+
+    registry.register(
+        "valkey",
+        source=v.valkey_dump_source,
+        sink=v.valkey_dump_sink,
+        doc="Valkey/Redis Streams wire format over XRANGE dumps "
+        "(broker-free; swap file IO for XADD/XRANGE against a live server)",
+    )
+
 
 _register_builtins()

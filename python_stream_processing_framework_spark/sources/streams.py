@@ -6,12 +6,11 @@
 | Kafka (pspf/connectors/kafka.py)   | `kafka_source` / `kafka_sink`     |
 | File  (pspf/connectors/file.py)    | `file_source` / `file_sink` (JSON)|
 | Memory (pspf/connectors/memory.py) | `memory_sink` + rate source       |
-| Valkey (pspf/connectors/valkey.py) | not shipped: no broker in this    |
-|                                    | environment; Kafka is the         |
-|                                    | canonical broker (SURVEY §4.3) —  |
-|                                    | a Python DataSource (Spark 4      |
-|                                    | `spark.dataSource.register`) is   |
-|                                    | the documented extension point    |
+| Valkey (pspf/connectors/valkey.py) | sources/valkey.py: wire format,   |
+|                                    | XADD-id semantics, DLQ naming as  |
+|                                    | pure logic + a Spark 4 Python     |
+|                                    | DataSource over XRANGE dumps (no  |
+|                                    | broker in this environment)       |
 
 Offsets/consumer groups dissolve into `checkpointLocation`; the
 exactly-once consume protocol the reference implements by transactional
