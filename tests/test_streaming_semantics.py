@@ -123,3 +123,90 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     out2 = _run(dedup, ckpt)
     ids = [r["event_id"] for r in out1 + out2]
     assert sorted(ids) == ["e1", "e2", "e3"], f"duplicate escaped: {ids}"
+
+
+def test_mid_batch_crash_exactly_once(spark, tmp_path):
+    """The reference's strongest behavioral spec, kill-driven
+    (tests/test_crash_recovery.py:20-130): worker 1 applies 5 of 10
+    side effects then the query DIES mid-batch (an error thrown from
+    the batch body — not a graceful stop — so the batch never
+    commits); worker 2 restarts on the same checkpoint, the whole
+    batch replays, and the idempotent sink suppresses the 5
+    already-applied effects. Final sum exact; every effect applied
+    exactly once."""
+    import pytest
+
+    from python_stream_processing_framework_spark.streaming.dlq import IdempotentSink
+    from python_stream_processing_framework_spark.streaming.stream import Stream
+
+    class SumSink(IdempotentSink):
+        """Durable side effect: append (token, val) lines — append-only,
+        so a double-apply would be VISIBLE, not averaged away."""
+
+        def __init__(self, name, token_dir, effects_file):
+            super().__init__(name, token_dir)
+            self.effects = effects_file
+
+        def on_write(self, event, token):
+            with open(self.effects, "a") as f:
+                f.write(f"{event['tx_id']} {int(event['val'])}\n")
+
+    broker = tmp_path / "broker"
+    effects = tmp_path / "effects.log"
+    effects.touch()
+    ev_schema = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("tx_id", StringType()),
+            StructField("val", LongType()),
+        ]
+    )
+
+    # seed the topic through the facade (also creates the broker dirs)
+    seed = Stream(spark, str(broker))
+    seed.emit("txs", *[{"tx_id": f"tx_{i:02d}", "val": i} for i in range(10)])
+
+    # ---- worker 1: same reader + SAME checkpoint path the facade's
+    # group 'eos' uses; crashes after 5 applied effects
+    sink1 = SumSink("s", str(tmp_path / "tokens"), str(effects))
+    ckpt = str(broker / "_checkpoints" / "txs-eos")
+
+    def crashy(batch, _bid):
+        rows = sorted((r.asDict() for r in batch.collect()), key=lambda r: r["tx_id"])
+        for i, ev in enumerate(rows):
+            if i >= 5:
+                raise RuntimeError("worker crashed abruptly mid-batch")
+            sink1.write(ev)
+
+    q = (
+        seed.stream_topic("txs", ev_schema)
+        .writeStream.foreachBatch(crashy)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="crashed abruptly|Streaming"):
+        q.awaitTermination()
+
+    lines = effects.read_text().splitlines()
+    assert len(lines) == 5  # five effects landed, batch did NOT commit
+
+    # ---- worker 2: the facade, same group -> same checkpoint, fresh
+    # sink instance over the same durable token store
+    sink2 = SumSink("s", str(tmp_path / "tokens"), str(effects))
+    st2 = Stream(spark, str(broker))
+    w2_applied: list[str] = []
+
+    @st2.subscribe("txs", ev_schema, group="eos")
+    def handle(ev):
+        if sink2.write(ev):
+            w2_applied.append(ev["tx_id"])
+
+    st2.run_until_idle()
+
+    lines = effects.read_text().splitlines()
+    assert len(lines) == 10  # each tx applied EXACTLY once overall
+    assert sum(int(ln.split()[1]) for ln in lines) == sum(range(10))  # 45
+    applied = [ln.split()[0] for ln in lines]
+    assert len(set(applied)) == 10  # disjoint: no tx applied twice
+    assert sorted(w2_applied) == [f"tx_{i:02d}" for i in range(5, 10)]
