@@ -59,6 +59,7 @@ def handle_batch_with_retries(
     emit: Callable[..., list[str]],
     ctx: Context | None = None,
     retry_topic: str | None = None,
+    tracer=None,
 ) -> None:
     """Run the handler per message with reference retry/DLQ flow.
 
@@ -83,8 +84,12 @@ def handle_batch_with_retries(
     dead: list[dict] = []
     for event in rows:
         attempt = int(event.get("_attempt") or 0)
+        # run the handler inside the message's extracted trace span, so
+        # emits from the handler continue the trace (reference
+        # pspf/telemetry.py:114-118 extracts per message)
+        span = tracer.span_from(event) if tracer is not None else contextlib.nullcontext()
         try:
-            with guard:
+            with guard, span:
                 call(event)
         except Exception as exc:  # noqa: BLE001 — any handler error retries
             if attempt + 1 > max_retries:

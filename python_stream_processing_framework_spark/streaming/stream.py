@@ -63,9 +63,23 @@ class Stream:
         broker_dir: str,
         checkpoint_dir: str | None = None,
         name: str = "stream",
+        tracer: Any | None = None,
+        max_files_per_trigger: int = 64,
     ):
+        """`tracer` (anything with `inject(dict)` / `extract(dict)` /
+        `span_from(dict)`, e.g. `telemetry.W3CTracer`) turns on
+        trace-context propagation: emit stamps `traceparent` into each
+        event, subscribe handlers run inside the extracted span, and
+        re-emits from a handler continue the incoming trace (reference
+        pspf/telemetry.py:108-118).
+
+        `max_files_per_trigger` is the broker-wide backpressure
+        default (the reference's DEFAULT_BATCH_SIZE / poll tuning,
+        pspf/settings.py:36-38); each subscription can override it."""
         self.spark = spark
         self.name = name
+        self.tracer = tracer
+        self.max_files_per_trigger = max_files_per_trigger
         self.broker = Path(broker_dir)
         self.broker.mkdir(parents=True, exist_ok=True)
         self.checkpoints = Path(checkpoint_dir or (self.broker / "_checkpoints"))
@@ -120,6 +134,10 @@ class Stream:
             ev = dict(ev)
             ev.setdefault("event_id", str(uuid.uuid4()))
             ev.setdefault("timestamp", time.time())
+            if self.tracer is not None:
+                # stamps traceparent; inside a handler span this
+                # CONTINUES the incoming trace (same trace_id)
+                self.tracer.inject(ev)
             out_ids.append(ev["event_id"])
             lines.append(json.dumps(ev, default=str))
         # write-then-rename: the file source must never list a batch
@@ -138,10 +156,19 @@ class Stream:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).json(str(d))
 
-    def stream_topic(self, topic: str, schema: StructType) -> DataFrame:
+    def stream_topic(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
         return (
             self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 64)
+            .option(
+                "maxFilesPerTrigger",
+                max_files_per_trigger or self.max_files_per_trigger,
+            )
             .json(str(self.topic_dir(topic)))
         )
 
@@ -153,6 +180,7 @@ class Stream:
         *,
         max_retries: int = 3,
         group: str | None = None,
+        max_files_per_trigger: int | None = None,
     ) -> Callable[[Callable], Callable]:
         """Register a per-message handler (reference @stream.subscribe,
         pspf/stream.py:94-104). The handler is called once per message
@@ -184,6 +212,14 @@ class Stream:
             schema = StructType(
                 list(schema.fields) + [StructField("_attempt", LongType())]
             )
+        # with tracing on, handlers must SEE the traceparent field to
+        # continue the trace — append it like _attempt
+        if self.tracer is not None and "traceparent" not in schema.fieldNames():
+            from pyspark.sql.types import StringType
+
+            schema = StructType(
+                list(schema.fields) + [StructField("traceparent", StringType())]
+            )
 
         def deco(fn: Callable) -> Callable:
             g = group or fn.__name__
@@ -195,7 +231,11 @@ class Stream:
                         topic=t,
                         handler=fn,
                         schema=schema,
-                        options={"max_retries": max_retries, "group": g},
+                        options={
+                            "max_retries": max_retries,
+                            "group": g,
+                            "max_files_per_trigger": max_files_per_trigger,
+                        },
                     )
                 )
             return fn
@@ -295,11 +335,16 @@ class Stream:
                 emit=stream_self.emit,
                 ctx=ctx,
                 retry_topic=retry_topic,
+                tracer=stream_self.tracer,
             )
 
         queries = []
         for src_topic, suffix in ((sub.topic, ""), (retry_topic, "--retry")):
-            src = self.stream_topic(src_topic, sub.schema)
+            src = self.stream_topic(
+                src_topic,
+                sub.schema,
+                max_files_per_trigger=sub.options.get("max_files_per_trigger"),
+            )
             queries.append(
                 src.writeStream.foreachBatch(process)
                 .option(

@@ -65,3 +65,80 @@ def attach(spark) -> MetricsRecorder:
     rec = MetricsRecorder()
     spark.streams.addListener(rec)
     return rec
+
+
+# ---------------------------------------------------------------- tracing
+
+
+class W3CTracer:
+    """Trace-context propagation through event payloads — parity with
+    the reference's OpenTelemetry inject/extract on emit/consume
+    (pspf/telemetry.py:108-118, which calls
+    `opentelemetry.propagate.inject(carrier)` with the message dict as
+    the carrier).
+
+    The wire format is the W3C `traceparent` header
+    (`00-<trace_id:32hex>-<span_id:16hex>-<flags:2hex>`) stored as an
+    event field, so payloads interoperate with any OTel consumer. The
+    tracer itself is dependency-free; if the `opentelemetry` package
+    is present a real TracerProvider can replace this object — the
+    facade only relies on `inject(dict)` / `extract(dict)`.
+
+    Propagation rule (the reference's): `inject` CONTINUES the current
+    trace when called inside a handler that extracted one (same
+    trace_id, fresh span_id, extracted span becomes the parent);
+    otherwise it starts a new trace.
+    """
+
+    FIELD = "traceparent"
+
+    def __init__(self) -> None:
+        self._current: dict[str, str] | None = None
+
+    @staticmethod
+    def _new_id(nbytes: int) -> str:
+        import secrets
+
+        return secrets.token_hex(nbytes)
+
+    def inject(self, carrier: dict) -> dict:
+        """Add `traceparent` to the carrier (in place; also returned).
+        An existing traceparent is left untouched — the producer
+        upstream owns it."""
+        if carrier.get(self.FIELD):
+            return carrier
+        ctx = self._current
+        trace_id = ctx["trace_id"] if ctx else self._new_id(16)
+        span_id = self._new_id(8)
+        carrier[self.FIELD] = f"00-{trace_id}-{span_id}-01"
+        if ctx:
+            carrier.setdefault("tracestate", f"parent={ctx['span_id']}")
+        return carrier
+
+    def extract(self, carrier: dict) -> dict | None:
+        """Parse the carrier's traceparent -> {trace_id, span_id,
+        flags} or None."""
+        tp = carrier.get(self.FIELD)
+        if not isinstance(tp, str):
+            return None
+        parts = tp.split("-")
+        if len(parts) != 4 or len(parts[1]) != 32 or len(parts[2]) != 16:
+            return None
+        return {"trace_id": parts[1], "span_id": parts[2], "flags": parts[3]}
+
+    def span_from(self, carrier: dict):
+        """Context manager: make the carrier's trace the CURRENT trace
+        for the duration of a handler call, so any emit inside the
+        handler continues it."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            prev = self._current
+            self._current = self.extract(carrier)
+            try:
+                yield self._current
+            finally:
+                self._current = prev
+
+        return _cm()
