@@ -50,6 +50,12 @@ def get_spark(
         # events.parquet uses TIMESTAMP(NANOS); read as int64 nanos
         # (catalog._read converts to a us timestamp column).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The default 100-entry codegen class cache LRU-evicts when a
+        # session runs the whole 47-query catalog; an evicted heavy
+        # shape (e.g. the O(n^2) pair join) recompiles at 15-45 s.
+        # Keep every compiled shape resident — compile once per
+        # process, steady-state after that.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

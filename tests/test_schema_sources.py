@@ -74,11 +74,11 @@ def test_schema_evolution(spark):
 
 
 def test_source_registry():
-    assert {"file", "memory", "kafka"} <= set(registry.names())
+    assert {"file", "memory", "kafka", "valkey"} <= set(registry.names())
     with pytest.raises(ValueError):
         registry.register("file", doc="dup")
     with pytest.raises(KeyError, match="unknown backend"):
-        registry.get("valkey")
+        registry.get("no-such-broker")
     assert registry.load_entry_points() == 0  # no external plugins here
 
 
