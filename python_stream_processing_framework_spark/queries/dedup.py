@@ -174,3 +174,114 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(documents, "doc_id", "text", shingle_k=2, threshold=0.8)
+
+
+# Shared CTE chain: minhash near-dup pairs (threshold 0.5) -> undirected
+# edges -> recursive min-label reachability -> per-node component id.
+# Mirrors operators/graph.connected_components over minhash_lsh_pairs.
+_COMPONENT_CTES = f"""
+    d AS (
+      SELECT doc_id, {_SHINGLES3} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+      WHERE len(toks) >= 3),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), s ->
+               list_min(list_transform(sh, x ->
+                 md5(x || '#' || CAST(s AS VARCHAR))))) AS sig
+      FROM d),
+    banded AS (
+      SELECT doc_id, j,
+             array_to_string(sig[j*4+1 : j*4+4], '') AS band_val
+      FROM sigs, range(0, 4) t(j)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.j = y.j AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sigs a ON a.doc_id = doc_a
+                JOIN sigs b ON b.doc_id = doc_b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.5),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS dd FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component
+      FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_COMPONENT_CTES}
+    SELECT doc_id, component FROM comp
+    """,
+    doc="Near-dup clusters: connected components (min-label propagation, "
+    "operators/graph.py) over MinHash-LSH pairs at Jaccard>=0.5. The "
+    "pairs->clusters step a dedup pipeline needs so transitive near-dups "
+    "(A~B, B~C) collapse to one canonical doc; oracle is a DuckDB "
+    "recursive-CTE reachability over the same pairs.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        documents, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "dedup_cluster_stats",
+    f"""
+    WITH RECURSIVE {_COMPONENT_CTES}
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(docs.n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN c.doc_id != c.component
+                         THEN docs.n_chars ELSE 0 END) AS BIGINT)
+             AS chars_dropped
+    FROM comp c JOIN documents docs ON docs.doc_id = c.doc_id
+    GROUP BY c.component
+    """,
+    doc="Per-cluster dedup yield: docs per component, total bytes, and "
+    "bytes dropped when only the canonical (min-id) doc is kept — the "
+    "dedup-savings report a corpus pipeline emits.",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        documents, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    return (
+        cc.join(documents.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("component"), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("chars_dropped"),
+        )
+    )

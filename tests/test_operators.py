@@ -205,3 +205,35 @@ def test_spread_noop_on_wide_input(spark):
     assert spread_out.rdd.getNumPartitions() >= min(
         8, spark.sparkContext.defaultParallelism
     )
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 6-node path (diameter 5, forces multiple propagation rounds),
+    a triangle, and a lone pair must each collapse to their min id."""
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # path 10-11-12-13-14-15, triangle 20-21-22, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22), (31, 30)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_unconverged_raises(spark):
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(edges, max_iter=1)
