@@ -21,6 +21,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     advanced,
     sql_surface,
     extras,
+    sampling,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

@@ -237,3 +237,57 @@ def test_connected_components_unconverged_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_hash_split_partition_invariant(spark):
+    """Split membership must not depend on partitioning — the property
+    randomSplit lacks and the reason this operator exists."""
+    from python_stream_processing_framework_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(17), "doc_id", w).collect()
+    }
+    assert a == b
+    counts = {s: sum(1 for v in a.values() if v == s) for s in w}
+    assert sum(counts.values()) == 2000
+    assert 1520 < counts["train"] < 1680  # ~80% +/- 4 sigma of uniform-hash noise
+
+
+def test_stratified_sample_nested(spark):
+    """At the same seed a larger fraction's sample must be a superset
+    of a smaller fraction's (nested samples for ablations)."""
+    from python_stream_processing_framework_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    small = {
+        r["doc_id"]
+        for r in stratified_sample(df, "g", {}, "doc_id", default_fraction=0.1).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in stratified_sample(df, "g", {}, "doc_id", default_fraction=0.3).collect()
+    }
+    assert small < big
+    assert 70 <= len(small) <= 130 and 250 <= len(big) <= 350
+
+
+def test_sample_exact_n_plan_and_determinism(spark):
+    from python_stream_processing_framework_spark.operators.sampling import (
+        sample_exact_n,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id").repartition(8)
+    s1 = sample_exact_n(df, "doc_id", 25).collect()
+    s2 = sample_exact_n(df, "doc_id", 25).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    assert len(s1) == 25
+    plan = sample_exact_n(df, "doc_id", 25)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
