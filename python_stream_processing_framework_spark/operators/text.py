@@ -105,6 +105,56 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules).
+
+    Repetitive documents (boilerplate, keyword stuffing, decoding
+    loops) are the classic low-quality signal a corpus filter removes.
+    Per doc with >= 2 tokens:
+    - ``dup_word_frac``: fraction of tokens that repeat an earlier one.
+    - ``top_bigram_frac``: share of all (overlapping, order-preserving)
+      word bigrams taken by the single most frequent bigram.
+    - ``max_run``: longest run of consecutive identical tokens, via a
+      sequential struct fold (order-sensitive, left-to-right).
+
+    All row-local column expressions — map-only, no shuffle, codegen.
+    The top-bigram count is O(distinct * n) per row (nested filter),
+    fine for document-sized rows; a corpus-wide n-gram table would be
+    the explode+groupBy shape instead.
+    """
+    bigrams = F.expr(
+        "transform(sequence(1, size(_toks) - 1),"
+        " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+    )
+    top_bigram = F.expr(
+        "array_max(transform(array_distinct(_bi), x -> size(filter(_bi, y -> y = x))))"
+    )
+    max_run = F.expr(
+        "aggregate(_toks,"
+        " named_struct('prev', '', 'run', cast(0 as bigint), 'best', cast(0 as bigint)),"
+        " (acc, t) -> named_struct("
+        "   'prev', t,"
+        "   'run', IF(t = acc.prev, acc.run + 1, cast(1 as bigint)),"
+        "   'best', greatest(acc.best, IF(t = acc.prev, acc.run + 1, cast(1 as bigint)))),"
+        " acc -> acc.best)"
+    )
+    return (
+        df.withColumn("_toks", tokens_expr(text_col))
+        .filter(F.size("_toks") >= 2)
+        .withColumn("_bi", bigrams)
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            (
+                (F.size("_toks") - F.size(F.array_distinct("_toks"))).cast("double")
+                / F.size("_toks")
+            ).alias("dup_word_frac"),
+            (top_bigram.cast("double") / F.size("_bi")).alias("top_bigram_frac"),
+            max_run.alias("max_run"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str,

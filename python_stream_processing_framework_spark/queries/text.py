@@ -15,6 +15,7 @@ from python_stream_processing_framework_spark.operators.text import (
     fingerprint,
     lang_id,
     quality_stats,
+    repetition_stats,
 )
 from python_stream_processing_framework_spark.queries.base import query
 
@@ -126,3 +127,44 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return binary_meta(binarize(documents, "doc_id", "text"), "doc_id")
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bi
+      FROM d WHERE len(toks) >= 2),
+    tokpos0 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM base),
+    tokpos AS (
+      SELECT doc_id, i, toks[i] AS tok,
+             i - row_number() OVER (PARTITION BY doc_id, toks[i] ORDER BY i)
+               AS island
+      FROM tokpos0),
+    runs AS (
+      SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_run FROM (
+        SELECT doc_id, tok, island, COUNT(*) AS cnt
+        FROM tokpos GROUP BY doc_id, tok, island) t
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS dup_word_frac,
+           CAST(list_max(list_transform(list_distinct(bi),
+                  x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE) / len(bi)
+             AS top_bigram_frac,
+           r.max_run
+    FROM base b JOIN runs r ON r.doc_id = b.doc_id
+    """,
+    doc="Gopher-style repetition quality signals per doc: duplicate-word "
+    "fraction, most-frequent-bigram share, longest identical-token run "
+    "(sequential struct fold). Spark side is map-only row-local exprs; "
+    "the oracle rebuilds max_run with a gaps-and-islands window.",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return repetition_stats(documents, "doc_id", "text")

@@ -291,3 +291,25 @@ def test_sample_exact_n_plan_and_determinism(spark):
     assert len(s1) == 25
     plan = sample_exact_n(df, "doc_id", 25)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_repetition_stats_crafted(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b a"),          # run of 3 'a', dup frac 3/5
+            (2, "x y x y x y"),        # top bigram 'x y' 3 of 5, max_run 1
+            (3, "solo"),               # dropped: < 2 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["max_run"] == 3
+    assert got[1]["dup_word_frac"] == 3 / 5
+    assert got[2]["max_run"] == 1
+    assert got[2]["top_bigram_frac"] == 3 / 5
+    assert got[1]["top_bigram_frac"] == 2 / 4  # 'a a' twice of 4 bigrams
