@@ -203,3 +203,43 @@ def late_data_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("late").alias("status"), "event_type", "n_events")
         )
     )
+
+
+@query(
+    "gapfill_locf",
+    """
+    WITH agg AS (
+      SELECT user_id, epoch_us(ts) // 1800000000 AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM span),
+    j AS (
+      SELECT g.user_id, g.b, a.n, a.cents
+      FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.b = g.b)
+    SELECT user_id,
+           CAST(b * 1800 AS BIGINT) AS bucket_start_s,
+           COALESCE(n, 0) AS n_events,
+           CAST(last_value(cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS sum_value,
+           n IS NULL AS filled
+    FROM j
+    """,
+    doc="Hypertable-style dense rollup (operators/timeseries.py): 30-min "
+    "buckets per user with every gap bucket synthesized executor-side "
+    "(explode(sequence)) and LOCF-filled via an ordered window over "
+    "exact integer cents. TimescaleDB time_bucket_gapfill+locf "
+    "semantics; the reference emits only observed windows.",
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.timeseries import (
+        bucket_gapfill,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    return bucket_gapfill(events, "ts", "user_id", "value", 1800, locf=True)

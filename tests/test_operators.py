@@ -313,3 +313,31 @@ def test_repetition_stats_crafted(spark):
     assert got[2]["max_run"] == 1
     assert got[2]["top_bigram_frac"] == 3 / 5
     assert got[1]["top_bigram_frac"] == 2 / 4  # 'a a' twice of 4 bigrams
+
+
+def test_bucket_gapfill_locf_crafted(spark):
+    from python_stream_processing_framework_spark.operators.timeseries import (
+        bucket_gapfill,
+    )
+
+    # key 'a': events in buckets 0 and 3 (10s buckets) -> gaps at 1, 2
+    df = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("a", 8.0, 2.0), ("a", 35.0, 7.0), ("b", 12.0, 4.0)],
+        ["k", "ts", "value"],
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    out = bucket_gapfill(df, "ts", "k", "value", 10, locf=True)
+    rows = {(r["k"], r["bucket_start_s"]): r for r in out.collect()}
+    assert set(rows) == {("a", 0), ("a", 10), ("a", 20), ("a", 30), ("b", 10)}
+    assert rows[("a", 0)]["n_events"] == 2
+    assert rows[("a", 0)]["sum_value"] == 3.0
+    for gap in (10, 20):  # synthesized, LOCF carries 3.0 forward
+        assert rows[("a", gap)]["filled"] is True
+        assert rows[("a", gap)]["n_events"] == 0
+        assert rows[("a", gap)]["sum_value"] == 3.0
+    assert rows[("a", 30)]["sum_value"] == 7.0
+    assert rows[("b", 10)]["filled"] is False
+
+    nolocf = bucket_gapfill(df, "ts", "k", "value", 10, locf=False)
+    gaps = {r["bucket_start_s"]: r["sum_value"]
+            for r in nolocf.filter(F.col("filled")).collect()}
+    assert gaps == {10: None, 20: None}
