@@ -130,6 +130,81 @@ def windowed_join_stream(
     return prep(left, lp).join(prep(right, rp), on=[key, "window"], how="inner")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    *,
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: each left row pairs with every right
+    interval where ``right_start <= left_ts < right_end`` (half-open).
+
+    Not in the reference (its Joiner is equi-key only,
+    pspf/topology.py:49-102); standard capability for event-vs-interval
+    alignment (promo windows, incident ranges, maintenance periods).
+
+    Strategy — bucketed equi-join, the same shape Databricks' range-join
+    hint produces: quantize time into `bucket`-sized cells, explode each
+    interval over the cells it overlaps, equi-join on the cell id, then
+    apply the exact range predicate. A point falls in exactly one cell,
+    so no dedup is needed. Cost is |left| + sum(interval_len/bucket)
+    shuffle rows instead of the |left|*|right| of a naive
+    theta-join (which Spark would execute as BroadcastNestedLoop or
+    cartesian). Pick `bucket` near the typical interval length: too
+    small explodes the right side, too large degrades the equi-join's
+    selectivity toward all-pairs.
+
+    Right-side intervals with ``end <= start`` are empty under half-open
+    semantics and are dropped (they would otherwise make the cell
+    `sequence()` descend).
+    """
+    from python_stream_processing_framework_spark.operators.windows import _duration_us
+
+    normalized = how.replace("_", "").lower()
+    if normalized in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"range_join(how={how!r}): right/full outer joins are not "
+            "equivalence-preserving here (an unmatched interval was "
+            "exploded once per bucket cell it spans); swap the sides or "
+            "anti-join separately"
+        )
+
+    bucket_us = _duration_us(bucket)
+    s_us = F.unix_micros(F.col(right_start))
+    e_us = F.unix_micros(F.col(right_end))
+    l_us = F.unix_micros(F.col(left_ts))
+
+    lb = left.withColumn("_lcell", F.floor(l_us / F.lit(bucket_us)))
+    rb = (
+        right.filter(e_us > s_us)
+        .withColumn(
+            "_rcell",
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / F.lit(bucket_us)),
+                    # end is exclusive: the last occupied cell is the one
+                    # containing end_us - 1.
+                    F.floor((e_us - F.lit(1)) / F.lit(bucket_us)),
+                )
+            ),
+        )
+    )
+    # The exact range predicate lives in the join condition (not a
+    # post-filter) so left-outer semantics are correct: an unmatched
+    # left row survives as one null-extended row.
+    cond = (
+        (lb["_lcell"] == rb["_rcell"])
+        & (F.unix_micros(lb[left_ts]) >= F.unix_micros(rb[right_start]))
+        & (F.unix_micros(lb[left_ts]) < F.unix_micros(rb[right_end]))
+    )
+    joined = lb.join(rb, on=cond, how=how)
+    return joined.drop("_lcell", "_rcell")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

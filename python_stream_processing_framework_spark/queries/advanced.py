@@ -7,7 +7,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.catalog import load
-from python_stream_processing_framework_spark.operators.joins import as_of_join
+from python_stream_processing_framework_spark.functions.exact import cents_sum, money
+from python_stream_processing_framework_spark.operators.joins import as_of_join, range_join
 from python_stream_processing_framework_spark.queries.base import query
 
 
@@ -176,4 +177,51 @@ def order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rnk"),
         F.cume_dist().over(w).alias("cdist"),
         (us - F.lag(us).over(wt)).alias("us_since_prev"),
+    )
+
+
+@query(
+    "range_join_incidents",
+    """
+    WITH m AS (
+      SELECT event_id AS interval_id, ts AS start_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_id % 977 = 0
+    )
+    SELECT m.interval_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS DOUBLE)/100.0
+               AS sum_value,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN m
+      ON e.ts >= m.start_ts AND e.ts < m.end_ts
+    GROUP BY 1
+    """,
+    doc="Interval-containment (range) join: events falling inside "
+    "derived 2h incident windows, aggregated per window. The oracle is "
+    "a plain theta-join; the Spark plan is operators/joins.py "
+    "range_join — a bucketed equi-join (explode intervals over 1h "
+    "cells, equi-join on cell, exact predicate in the join condition) "
+    "so a big-big interval join never degenerates to "
+    "BroadcastNestedLoop/cartesian at 100 TB.",
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    markers = events.filter(F.col("event_id") % 977 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    joined = range_join(
+        events.select("ts", "user_id", "value"),
+        markers,
+        "ts",
+        "start_ts",
+        "end_ts",
+        bucket="1 hour",
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        money(cents_sum("value")).alias("sum_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )

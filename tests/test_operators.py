@@ -341,3 +341,51 @@ def test_bucket_gapfill_locf_crafted(spark):
     gaps = {r["bucket_start_s"]: r["sum_value"]
             for r in nolocf.filter(F.col("filled")).collect()}
     assert gaps == {10: None, 20: None}
+
+
+def test_range_join_boundaries_and_left(spark):
+    from python_stream_processing_framework_spark.operators.joins import range_join
+
+    # points at 0s, 3599s, 3600s, 7200s; intervals are half-open
+    pts = _ts(
+        spark,
+        [(0.0, 1), (3599.0, 2), (3600.0, 3), (7200.0, 4)],
+        ["ts", "pid"],
+    )
+    iv = _ts(
+        spark,
+        [(0.0, 3600.0, 10), (3600.0, 7200.0, 11), (9000.0, 9000.0, 12)],
+        ["start_ts", "end_ts", "iid"],
+    )
+    inner = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "ts", "start_ts", "end_ts", bucket="30 minutes").collect()
+    }
+    # start inclusive, end exclusive; empty interval 12 matches nothing
+    assert inner == {(1, 10), (2, 10), (3, 11)}
+
+    left = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, iv, "ts", "start_ts", "end_ts", bucket="30 minutes", how="left"
+        ).collect()
+    }
+    assert left == {(1, 10), (2, 10), (3, 11), (4, None)}
+
+    with pytest.raises(ValueError, match="right/full outer"):
+        range_join(pts, iv, "ts", "start_ts", "end_ts", how="full")
+
+
+def test_range_join_overlapping_intervals_no_dups(spark):
+    from python_stream_processing_framework_spark.operators.joins import range_join
+
+    # one point inside two overlapping multi-bucket intervals: exactly
+    # one output row per (point, interval) pair despite the explode
+    pts = _ts(spark, [(5000.0, 1)], ["ts", "pid"])
+    iv = _ts(
+        spark,
+        [(0.0, 10000.0, 20), (4000.0, 6000.0, 21)],
+        ["start_ts", "end_ts", "iid"],
+    )
+    rows = range_join(pts, iv, "ts", "start_ts", "end_ts", bucket="10 minutes").collect()
+    assert sorted((r["pid"], r["iid"]) for r in rows) == [(1, 20), (1, 21)]

@@ -130,3 +130,25 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         wh = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
         for t in ("bt_left", "bt_right"):
             shutil.rmtree(wh / t, ignore_errors=True)
+
+
+def test_range_join_no_nested_loop(spark):
+    """range_join must plan as an equi-join on the bucket cell, never
+    BroadcastNestedLoopJoin/CartesianProduct — that's its whole point."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.joins import range_join
+
+    left = spark.range(0, 10000).select(
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"), F.col("id").alias("pid")
+    )
+    right = spark.range(0, 500).select(
+        F.timestamp_seconds(F.col("id") * 1200).alias("start_ts"),
+        F.timestamp_seconds(F.col("id") * 1200 + 3600).alias("end_ts"),
+        F.col("id").alias("iid"),
+    )
+    plan = range_join(
+        left, right, "ts", "start_ts", "end_ts", bucket="1 hour"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
