@@ -262,3 +262,74 @@ def ivf_topk(
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization.
+
+    ``q[i] = round(v[i] * 127 / max_abs)`` with ``scale = max_abs/127``
+    (so ``v ~= q * scale``); a zero vector quantizes to zeros with
+    scale 0. The compression every 100 TB embedding store runs before
+    ANN: 4x smaller than float32, and integer dot products are exact
+    and order-free, which also makes results engine-portable. Output:
+    (id, q array<int>, scale double). Map-only — no shuffle.
+
+    Not in the reference (no vector ops there at all); standard
+    training-data-pipeline capability per the build brief.
+    """
+    e = _prep(embeddings, vec_col)
+    maxabs = F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+    q = F.when(
+        maxabs == F.lit(0.0),
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x * F.lit(127.0) / maxabs).cast("int"),
+        )
+    )
+    return e.select(
+        F.col(id_col),
+        q.alias("q"),
+        (maxabs / F.lit(127.0)).alias("scale"),
+    )
+
+
+def int8_mips_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by exact integer dot product of int8-quantized vectors —
+    maximum-inner-product search over the compressed store.
+
+    The int64 accumulation is exact (|q|<=127, so dim 4096 still sits
+    far under 2^53/2^63), so unlike float scores the ranking is
+    bit-reproducible on any engine. Same plan shape as `cosine_topk`:
+    broadcast one query row, map-side scoring, TakeOrderedAndProject.
+    """
+    qd = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    query = qd.filter(F.col(id_col) == query_id).select(F.col("q").alias("_qq"))
+    scored = (
+        qd.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"), F.col("_qq"), lambda a, b: (a * b).cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    return scored.orderBy(F.col("dot_q").desc(), F.col(id_col)).limit(k)

@@ -152,3 +152,86 @@ def cosine_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return ivf_topk(embeddings, query_id=0, k=10, n_probe=3)
+
+
+_Q_CTE = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS maxabs
+               FROM v),
+         q AS (SELECT vec_id, maxabs,
+                      CASE WHEN maxabs = 0.0 THEN list_transform(v, x -> 0)
+                           ELSE list_transform(v,
+                                  x -> CAST(round(x * 127.0 / maxabs) AS INT))
+                      END AS qv
+               FROM m)
+"""
+
+
+@query(
+    "int8_quantize_stats",
+    f"""
+    {_Q_CTE}
+    SELECT vec_id,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x))
+                AS BIGINT) AS q_sumsq,
+           CAST(round(maxabs / 127.0 * 1e9) AS BIGINT) AS scale_ppb
+    FROM q
+    """,
+    doc="Symmetric int8 scalar quantization (operators/similarity.py "
+    "quantize_int8): per-vector q=round(v*127/maxabs), scale=maxabs/127. "
+    "Checked via order-free integer stats (min/max/sum/sumsq) plus the "
+    "ppb-rounded scale, so the full quantized array is pinned without "
+    "hashing list columns. Map-only.",
+)
+def int8_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.similarity import quantize_int8
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    qd = quantize_int8(embeddings)
+    return qd.select(
+        "vec_id",
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("q"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint") * x,
+        ).alias("q_sumsq"),
+        F.round(F.col("scale") * F.lit(1e9)).cast("bigint").alias("scale_ppb"),
+    )
+
+
+@query(
+    "int8_mips_topk",
+    f"""
+    {_Q_CTE},
+         qq AS (SELECT qv AS qsel FROM q WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  CAST(round(list_dot_product(
+                         list_transform(qv, x -> CAST(x AS DOUBLE)),
+                         list_transform(qsel, x -> CAST(x AS DOUBLE))))
+                       AS BIGINT) AS dot_q
+           FROM q, qq WHERE vec_id != 0)
+    SELECT vec_id, dot_q FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    doc="Maximum-inner-product top-10 over the int8-quantized store "
+    "(operators/similarity.py int8_mips_topk). Integer dot products are "
+    "exact and order-free, so the ranking is engine-reproducible; the "
+    "oracle's double-typed list_dot_product is exact too (|dot| << 2^53).",
+)
+def int8_mips_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.similarity import int8_mips_topk
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return int8_mips_topk(embeddings, query_id=0, k=10)

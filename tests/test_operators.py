@@ -389,3 +389,37 @@ def test_range_join_overlapping_intervals_no_dups(spark):
     )
     rows = range_join(pts, iv, "ts", "start_ts", "end_ts", bucket="10 minutes").collect()
     assert sorted((r["pid"], r["iid"]) for r in rows) == [(1, 20), (1, 21)]
+
+
+def test_quantize_int8_crafted(spark):
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from python_stream_processing_framework_spark.operators.similarity import (
+        int8_mips_topk,
+        quantize_int8,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 4.0]),     # maxabs=4 -> q=[32,-64,127], scale=4/127
+            (1, [0.0, 0.0, 0.0]),      # zero vector -> zeros, scale 0
+            (2, [-0.5, 0.25, 0.5]),    # maxabs=0.5 -> q=[-127,64,127]
+        ],
+        schema,
+    )
+    out = {r["vec_id"]: (r["q"], r["scale"]) for r in quantize_int8(df).collect()}
+    assert out[0][0] == [32, -64, 127] and abs(out[0][1] - 4 / 127) < 1e-12
+    assert out[1] == ([0, 0, 0], 0.0)
+    assert out[2][0] == [-127, 64, 127]
+    # symmetric range: no value outside [-127, 127]
+    assert all(-127 <= x <= 127 for q, _ in out.values() for x in q)
+
+    # MIPS against vec 0: dot(q2,q0)=32*-127 + -64*64 + 127*127 = 8001
+    top = int8_mips_topk(df, query_id=0, k=2).collect()
+    assert [(r["vec_id"], r["dot_q"]) for r in top] == [(2, 8001), (1, 0)]
