@@ -37,7 +37,9 @@ def _count_in(toks_col: str, words: tuple[str, ...]) -> Column:
     ).cast("bigint")
 
 
-def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_stats(
+    df: DataFrame, id_col: str, text_col: str, token_estimates: bool = False
+) -> DataFrame:
     """Per-document token/quality statistics.
 
     Output: id, n_tokens, n_distinct, type_token_ratio, stopword_ratio,
@@ -45,7 +47,21 @@ def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     score formula is arbitrary but fixed; what matters is that every
     term is exact integer arithmetic divided once at the end, so any
     engine reproduces it bit-for-bit.
+
+    With ``token_estimates=True`` also emits token-budget columns for
+    pipeline sizing: est_bpe_tokens = ceil(chars/4) (subword tokenizers
+    average ~4 chars/token on English) and est_tokens =
+    max(whitespace words, bpe estimate) — an upper bound for batch
+    budgeting. A real tokenizer slots in as an Arrow pandas UDF.
     """
+    est_cols = []
+    if token_estimates:
+        n_words = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("bigint")
+        est_bpe = F.expr(f"(length({text_col}) + 3) DIV 4")
+        est_cols = [
+            est_bpe.alias("est_bpe_tokens"),
+            F.greatest(n_words, est_bpe).alias("est_tokens"),
+        ]
     out = (
         df.withColumn("_toks", tokens_expr(text_col))
         .filter(F.size("_toks") >= 1)
@@ -55,6 +71,7 @@ def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.size(F.array_distinct("_toks")).cast("bigint").alias("n_distinct"),
             _count_in("_toks", STOPWORDS).alias("n_stop"),
             F.length(F.trim(F.col(text_col))).cast("bigint").alias("n_chars_trim"),
+            *est_cols,
         )
         .withColumn(
             "type_token_ratio", F.col("n_distinct").cast("double") / F.col("n_tokens")

@@ -16,7 +16,6 @@ from python_stream_processing_framework_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_fingerprints,
     simhash_pairs,
 )
 from python_stream_processing_framework_spark.queries.base import query
@@ -101,26 +100,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         documents, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
-    )
-
-
-@query(
-    "simhash_fingerprints",
-    f"""
-    SELECT doc_id, {_SIMHASH_FP} AS fingerprint
-    FROM (SELECT doc_id,
-                 list_transform(list_distinct({_TOKS}), t ->
-                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
-          FROM documents
-          WHERE len({_TOKS}) >= 1) t
-    """,
-    doc="60-bit SimHash fingerprint per document (Charikar-style, "
-    "md5-derived token hashes, integer majority vote per bit).",
-)
-def simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = load(spark, sf_dir, "documents")
-    return simhash_fingerprints(documents, "doc_id", "text").select(
-        "doc_id", "fingerprint"
     )
 
 
@@ -243,45 +222,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
-@query(
-    "dedup_cluster_stats",
-    f"""
-    WITH RECURSIVE {_COMPONENT_CTES}
-    SELECT c.component,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(docs.n_chars) AS BIGINT) AS chars_total,
-           CAST(SUM(CASE WHEN c.doc_id != c.component
-                         THEN docs.n_chars ELSE 0 END) AS BIGINT)
-             AS chars_dropped
-    FROM comp c JOIN documents docs ON docs.doc_id = c.doc_id
-    GROUP BY c.component
-    """,
-    doc="Per-cluster dedup yield: docs per component, total bytes, and "
-    "bytes dropped when only the canonical (min-id) doc is kept — the "
-    "dedup-savings report a corpus pipeline emits.",
-)
-def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_stream_processing_framework_spark.operators.graph import (
-        connected_components,
-    )
-
-    (documents,) = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        documents, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
-    )
-    cc = connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), "component"
-    )
-    return (
-        cc.join(documents.select("doc_id", "n_chars"), "doc_id")
-        .groupBy("component")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").alias("chars_total"),
-            F.sum(
-                F.when(F.col("doc_id") != F.col("component"), F.col("n_chars")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("chars_dropped"),
-        )
-    )
+# dedup_cluster_stats (per-cluster yield report) was consolidated into
+# dedup_components: the row-level component labels are the stricter
+# check of the same minhash->LSH->connected-components pipeline, and
+# the registry is capped at 50 driver-verified entries.

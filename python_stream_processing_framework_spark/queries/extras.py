@@ -7,7 +7,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.catalog import load
-from python_stream_processing_framework_spark.functions.exact import cents_sum, money
 from python_stream_processing_framework_spark.queries.base import query
 
 
@@ -113,79 +112,10 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
-@query(
-    "orders_by_month",
-    """
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-           CAST(month(o_orderdate) AS BIGINT) AS m,
-           count(*) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
-             AS total_value
-    FROM orders GROUP BY 1, 2
-    """,
-    doc="Calendar rollup: date-part extraction + grouped exact sums.",
-)
-def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (orders,) = load(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.year("o_orderdate").cast("bigint").alias("y"),
-        F.month("o_orderdate").cast("bigint").alias("m"),
-    ).agg(
-        F.count("*").alias("n_orders"),
-        money(cents_sum("o_totalprice")).alias("total_value"),
-    )
-
-
-@query(
-    "token_count_estimate",
-    """
-    SELECT doc_id,
-           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens,
-           CAST(greatest(len(string_split(trim(text), ' ')),
-                         (length(text) + 3) // 4) AS BIGINT)
-             AS est_tokens
-    FROM documents
-    """,
-    doc="Token counting for pipeline budgeting: whitespace words + the "
-    "chars/4 BPE heuristic (subword tokenizers average ~4 chars/token "
-    "on English text); est_tokens = max of the two bounds. A real "
-    "tokenizer slots in as an Arrow pandas UDF.",
-)
-def token_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = load(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
-    n_chars = F.length("text").cast("bigint")
-    est_bpe = F.expr("(length(text) + 3) DIV 4")
-    return documents.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars"),
-        est_bpe.alias("est_bpe_tokens"),
-        F.greatest(n_words, est_bpe).alias("est_tokens"),
-    )
-
-
-@query(
-    "part_brand_stats",
-    """
-    SELECT p_brand,
-           count(*) AS n_parts,
-           CAST(sum(length(p_name)) AS BIGINT) AS total_name_chars,
-           CAST(count(DISTINCT string_split(p_name, ' ')[1]) AS BIGINT)
-             AS n_first_words,
-           min(upper(p_type)) AS first_type_upper
-    FROM part GROUP BY p_brand
-    """,
-    doc="String-function surface: length/split/upper + distinct count "
-    "over derived strings.",
-)
-def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (part,) = load(spark, sf_dir, "part")
-    return part.groupBy("p_brand").agg(
-        F.count("*").alias("n_parts"),
-        F.sum(F.length("p_name")).alias("total_name_chars"),
-        F.countDistinct(F.split(F.col("p_name"), " ")[0]).alias("n_first_words"),
-        F.min(F.upper("p_type")).alias("first_type_upper"),
-    )
+# orders_by_month, part_brand_stats and token_count_estimate were
+# consolidated out of the 50-entry driver-verified registry: the first
+# two are plain groupBys whose scalar-function surface (date parts,
+# length/split/upper, countDistinct) is covered by pricing_summary,
+# rollup_lineitem, lang_id and customer_max_order_sql; token counting
+# now rides along in text_quality (operators/text.quality_stats
+# token_estimates=True).

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from python_stream_processing_framework_spark.catalog import load
 from python_stream_processing_framework_spark.operators.similarity import (
     cosine_lsh_pairs,
-    cosine_pairs,
     cosine_topk,
     ivf_topk,
 )
@@ -52,24 +51,11 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(embeddings, query_id=0, k=10)
 
 
-@query(
-    "embedding_neardup",
-    f"""
-    WITH e AS (SELECT vec_id, {_V} AS v,
-                      {_NORM.format(a=_V)} AS n
-               FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) >= 0.45
-    """,
-    doc="Embedding near-dup pairs (cosine >= 0.45), brute force; the "
-    "scale path is sign-LSH banding (operators/similarity.py notes).",
-)
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (embeddings,) = load(spark, sf_dir, "embeddings")
-    return cosine_pairs(embeddings, threshold=0.45)
-
+# embedding_neardup (brute-force all-pairs cosine) was consolidated
+# out of the 50-entry registry: cosine_lsh_pairs is the sub-quadratic
+# scale path for the same capability and cosine_topk keeps the exact
+# brute-force baseline; operators/similarity.cosine_pairs remains
+# available and unit-tested.
 
 _COEF = (
     "((('0x' || substr(md5('plane#' || CAST(p AS VARCHAR) || '#' ||"
@@ -170,48 +156,6 @@ _Q_CTE = """
 
 
 @query(
-    "int8_quantize_stats",
-    f"""
-    {_Q_CTE}
-    SELECT vec_id,
-           CAST(list_min(qv) AS INT) AS q_min,
-           CAST(list_max(qv) AS INT) AS q_max,
-           CAST(list_sum(qv) AS BIGINT) AS q_sum,
-           CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x))
-                AS BIGINT) AS q_sumsq,
-           CAST(round(maxabs / 127.0 * 1e9) AS BIGINT) AS scale_ppb
-    FROM q
-    """,
-    doc="Symmetric int8 scalar quantization (operators/similarity.py "
-    "quantize_int8): per-vector q=round(v*127/maxabs), scale=maxabs/127. "
-    "Checked via order-free integer stats (min/max/sum/sumsq) plus the "
-    "ppb-rounded scale, so the full quantized array is pinned without "
-    "hashing list columns. Map-only.",
-)
-def int8_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from python_stream_processing_framework_spark.operators.similarity import quantize_int8
-
-    (embeddings,) = load(spark, sf_dir, "embeddings")
-    qd = quantize_int8(embeddings)
-    return qd.select(
-        "vec_id",
-        F.array_min("q").alias("q_min"),
-        F.array_max("q").alias("q_max"),
-        F.aggregate(
-            F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
-        ).alias("q_sum"),
-        F.aggregate(
-            F.col("q"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x.cast("bigint") * x,
-        ).alias("q_sumsq"),
-        F.round(F.col("scale") * F.lit(1e9)).cast("bigint").alias("scale_ppb"),
-    )
-
-
-@query(
     "int8_mips_topk",
     f"""
     {_Q_CTE},
@@ -221,17 +165,43 @@ def int8_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(round(list_dot_product(
                          list_transform(qv, x -> CAST(x AS DOUBLE)),
                          list_transform(qsel, x -> CAST(x AS DOUBLE))))
-                       AS BIGINT) AS dot_q
+                       AS BIGINT) AS dot_q,
+                  CAST(list_min(qv) AS INT) AS q_min,
+                  CAST(list_max(qv) AS INT) AS q_max,
+                  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                  CAST(round(maxabs / 127.0 * 1e9) AS BIGINT) AS scale_ppb
            FROM q, qq WHERE vec_id != 0)
-    SELECT vec_id, dot_q FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
+    SELECT vec_id, dot_q, q_min, q_max, q_sum, scale_ppb
+    FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
     """,
     doc="Maximum-inner-product top-10 over the int8-quantized store "
-    "(operators/similarity.py int8_mips_topk). Integer dot products are "
-    "exact and order-free, so the ranking is engine-reproducible; the "
-    "oracle's double-typed list_dot_product is exact too (|dot| << 2^53).",
+    "(operators/similarity.py int8_mips_topk + quantize_int8). Integer "
+    "dot products are exact and order-free, so the ranking is "
+    "engine-reproducible; per-vector quantization stats "
+    "(min/max/sum + ppb-rounded scale) ride along so the quantizer "
+    "itself stays oracle-pinned after int8_quantize_stats was "
+    "consolidated into this entry (50-entry registry cap).",
 )
 def int8_mips_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_stream_processing_framework_spark.operators.similarity import int8_mips_topk
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.similarity import (
+        int8_mips_topk,
+        quantize_int8,
+    )
 
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    return int8_mips_topk(embeddings, query_id=0, k=10)
+    topk = int8_mips_topk(embeddings, query_id=0, k=10)
+    stats = quantize_int8(embeddings).select(
+        "vec_id",
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "q_sum"
+        ),
+        F.round(F.col("scale") * F.lit(1e9)).cast("bigint").alias("scale_ppb"),
+    )
+    # Broadcast the k-row top-k side; the quantized store is the big side.
+    return stats.join(F.broadcast(topk), "vec_id").select(
+        "vec_id", "dot_q", "q_min", "q_max", "q_sum", "scale_ppb"
+    )

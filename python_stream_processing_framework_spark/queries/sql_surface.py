@@ -46,22 +46,45 @@ def customer_max_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    None,  # HLL/quantile sketches are engine-specific: rows-only check.
-    doc="Approximate aggregates (approx_count_distinct HLL++, "
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_5pct_users,
+           TRUE AS within_5pct_p50,
+           TRUE AS within_5pct_p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Approximate aggregates (approx_count_distinct HLL++ rsd=0.01, "
     "approx_percentile) — the 100 TB substitutes for exact "
-    "count-distinct / percentiles; sanity-checked in tests against "
-    "exact values, rows-only in the driver gate.",
+    "count-distinct / percentiles. Hash-checkable form: the sketch "
+    "values themselves are engine-specific, so the query emits the "
+    "EXACT distinct count plus per-group booleans asserting the approx "
+    "aggregates land within 5% of exact values computed in the same "
+    "Spark aggregation; the oracle emits the exact count and literal "
+    "TRUEs (HLL++ at rsd=0.01 and the GK percentile sketch are "
+    "deterministic and far inside 5% at this cardinality).",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scalar projections (not an array column): the driver's rows-only
-    # canonicalizer sorts the pandas frame, and list cells are unhashable.
     register_views(spark, sf_dir)
     return spark.sql(
         """
+        WITH a AS (
+          SELECT event_type,
+                 count(DISTINCT user_id) AS n_users_exact,
+                 percentile(value, 0.5) AS p50_exact,
+                 percentile(value, 0.99) AS p99_exact,
+                 approx_count_distinct(user_id, 0.01) AS approx_users,
+                 approx_percentile(value, 0.5) AS approx_p50,
+                 approx_percentile(value, 0.99) AS approx_p99
+          FROM events GROUP BY event_type)
         SELECT event_type,
-               approx_count_distinct(user_id) AS approx_users,
-               approx_percentile(value, 0.5) AS approx_p50,
-               approx_percentile(value, 0.99) AS approx_p99
-        FROM events GROUP BY event_type
+               n_users_exact,
+               abs(approx_users - n_users_exact) <= 0.05 * n_users_exact
+                 AS within_5pct_users,
+               abs(approx_p50 - p50_exact) <= 0.05 * abs(p50_exact)
+                 AS within_5pct_p50,
+               abs(approx_p99 - p99_exact) <= 0.05 * abs(p99_exact)
+                 AS within_5pct_p99
+        FROM a
         """
     )

@@ -3,8 +3,12 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.catalog import load
+from python_stream_processing_framework_spark.operators.dedup import (
+    simhash_fingerprints,
+)
 from python_stream_processing_framework_spark.operators.multimodal import (
     binarize,
     binary_meta,
@@ -18,6 +22,7 @@ from python_stream_processing_framework_spark.operators.text import (
     repetition_stats,
 )
 from python_stream_processing_framework_spark.queries.base import query
+from python_stream_processing_framework_spark.queries.dedup import _SIMHASH_FP
 
 _TOKS = "string_split(trim(lower(text)), ' ')"
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -37,7 +42,7 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
                AS n_stop,
              CAST(length(trim(text)) AS BIGINT) AS n_chars_trim
       FROM t)
-    SELECT doc_id, n_tokens, n_distinct, n_stop, n_chars_trim,
+    SELECT c.doc_id, n_tokens, n_distinct, n_stop, n_chars_trim,
            CAST(n_distinct AS DOUBLE)/n_tokens AS type_token_ratio,
            CAST(n_stop AS DOUBLE)/n_tokens AS stopword_ratio,
            CAST(n_chars_trim - (n_tokens - 1) AS DOUBLE)/n_tokens
@@ -45,15 +50,19 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
            CAST(n_distinct AS DOUBLE)/n_tokens * 0.5
              + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens) * 0.3
              + CAST(least(n_tokens, 100) AS DOUBLE)/100.0 * 0.2
-             AS quality_score
-    FROM c
+             AS quality_score,
+           CAST((length(t.text) + 3) // 4 AS BIGINT) AS est_bpe_tokens,
+           CAST(greatest(len(string_split(trim(t.text), ' ')),
+                         (length(t.text) + 3) // 4) AS BIGINT) AS est_tokens
+    FROM c JOIN t ON t.doc_id = c.doc_id
     """,
     doc="Per-document token stats + deterministic quality score "
-    "(length/stopword/type-token features).",
+    "(length/stopword/type-token features) + token-budget estimates "
+    "(whitespace words vs the chars/4 BPE heuristic).",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    return quality_stats(documents, "doc_id", "text")
+    return quality_stats(documents, "doc_id", "text", token_estimates=True)
 
 
 def _lang_oracle() -> str:
@@ -99,15 +108,28 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(toks, t ->
                  CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 1000003)),
              (acc, h) -> (acc * 131 + h) % 2147483647) AS BIGINT)
-             AS fingerprint
-    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+             AS rolling_fp,
+           {_SIMHASH_FP} AS simhash_fp
+    FROM (SELECT doc_id, toks,
+                 list_transform(list_distinct(toks), t ->
+                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) x
+          WHERE len(toks) >= 1) t
     """,
-    doc="Order-sensitive polynomial rolling-hash fingerprint over the "
-    "token stream (left fold, exact int64 arithmetic).",
+    doc="Both document fingerprint families in one per-doc pass: the "
+    "order-sensitive polynomial rolling hash (left fold, exact int64 "
+    "arithmetic) and the 60-bit SimHash (Charikar-style majority vote "
+    "over md5 token hashes — the near-dup fingerprint that "
+    "simhash_pairs bands). Map-only; both engines fold identically.",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    return fingerprint(documents, "doc_id", "text").select("doc_id", "fingerprint")
+    rolled = fingerprint(documents, "doc_id", "text").withColumnRenamed(
+        "fingerprint", "rolling_fp"
+    )
+    return simhash_fingerprints(rolled, "doc_id", "text").select(
+        "doc_id", "rolling_fp", F.col("fingerprint").alias("simhash_fp")
+    )
 
 
 @query(

@@ -380,15 +380,15 @@ class Stream:
         mode = "complete" if not delay_ms else "append"
 
         def write_agg(batch: DataFrame, batch_id: int) -> None:
-            rows = [r.asDict() for r in batch.collect()]
-            if not rows:
+            # Distributed write — the aggregate never visits the driver:
+            # at 100 TB a user_id x window result is not driver-sized.
+            # complete mode re-emits the full result: distributed
+            # overwrite replaces the sink dir atomically per batch.
+            if batch.isEmpty():
                 return
-            if mode == "complete":
-                # complete mode re-emits the full result: replace the sink.
-                for old in sink_dir.glob("agg-*.json"):
-                    old.unlink()
-            path = sink_dir / f"agg-{batch_id}-{uuid.uuid4().hex}.json"
-            path.write_text("\n".join(json.dumps(r, default=str) for r in rows) + "\n")
+            batch.write.mode("overwrite" if mode == "complete" else "append").json(
+                str(sink_dir)
+            )
 
         return (
             agged.writeStream.foreachBatch(write_agg)
@@ -414,14 +414,33 @@ class Stream:
         src = self.stream_topic(sub.topic, sub.schema)
         ops = sub.options["ops"]
         target = sub.options["target"]
-        cols = [f.name for f in sub.schema.fields]
+        out_schema: StructType = sub.options.get("out_schema") or sub.schema
+        out_cols = [f.name for f in out_schema.fields]
+        allowed = frozenset(out_cols)
 
         def apply_ops(pdfs):
-            import pandas as pd  # executor-side
+            import numpy as np  # executor-side
+            import pandas as pd
+
+            def to_py(v):
+                # Handlers see plain JSON-dict values like the
+                # reference's, not pandas artifacts: NaN/NaT -> None,
+                # numpy scalars -> Python scalars, arrays -> lists.
+                if isinstance(v, np.ndarray):
+                    return v.tolist()
+                if v is None:
+                    return None
+                try:
+                    if v != v:  # NaN / NaT
+                        return None
+                except (TypeError, ValueError):
+                    pass
+                return v.item() if isinstance(v, np.generic) else v
 
             for pdf in pdfs:
                 survivors: list[dict] = []
                 for event in pdf.to_dict("records"):
+                    event = {k: to_py(v) for k, v in event.items()}
                     for kind, fn in ops:
                         if kind == "map":
                             event = fn(event)
@@ -432,10 +451,17 @@ class Stream:
                                 event = None
                                 break
                     if event is not None:
+                        undeclared = set(event) - allowed
+                        if undeclared:
+                            raise ValueError(
+                                f"pipeline map produced fields {sorted(undeclared)} "
+                                f"outside the declared sink schema {sorted(allowed)}; "
+                                "declare them via sink(target, output_schema=...)"
+                            )
                         survivors.append(event)
-                yield pd.DataFrame(survivors, columns=cols)
+                yield pd.DataFrame(survivors, columns=out_cols)
 
-        transformed = src.mapInPandas(apply_ops, sub.schema)
+        transformed = src.mapInPandas(apply_ops, out_schema)
         sink_dir = str(self.topic_dir(target))
 
         def write_sink(batch: DataFrame, batch_id: int) -> None:
@@ -503,7 +529,14 @@ class PipelineBuilder:
         self._ops.append(("filter", fn))
         return self
 
-    def sink(self, target_topic: str) -> None:
+    def sink(self, target_topic: str, output_schema: StructType | None = None) -> None:
+        """Terminal: register the chain. `output_schema` declares the
+        shape map() results take (default: the input schema). A
+        surviving record carrying a field OUTSIDE the declared output
+        schema fails the query loudly instead of being dropped
+        silently — the reference's StreamBuilder emitted arbitrary
+        dicts (pspf/processing/dsl.py:31-49), so a shape-changing map
+        here requires declaring the new shape."""
         g = self._group or f"pipe-{self._topic}-{target_topic}"
         self._stream._claim(self._topic, g)
         self._stream._subscriptions.append(
@@ -516,6 +549,7 @@ class PipelineBuilder:
                     "ops": list(self._ops),
                     "target": target_topic,
                     "group": g,
+                    "out_schema": output_schema,
                 },
             )
         )

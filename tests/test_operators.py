@@ -420,6 +420,7 @@ def test_quantize_int8_crafted(spark):
     # symmetric range: no value outside [-127, 127]
     assert all(-127 <= x <= 127 for q, _ in out.values() for x in q)
 
-    # MIPS against vec 0: dot(q2,q0)=32*-127 + -64*64 + 127*127 = 8001
+    # MIPS against vec 0: dot(q2,q0) = 32*-127 + -64*64 + 127*127
+    #                                = -4064 - 4096 + 16129 = 7969
     top = int8_mips_topk(df, query_id=0, k=2).collect()
-    assert [(r["vec_id"], r["dot_q"]) for r in top] == [(2, 8001), (1, 0)]
+    assert [(r["vec_id"], r["dot_q"]) for r in top] == [(2, 7969), (1, 0)]

@@ -268,6 +268,79 @@ def test_pipeline_ops_run_on_executors_not_driver(spark, stream):
     assert driver_sentinel == []
 
 
+def test_pipeline_shape_changing_map_declares_output_schema(spark, stream):
+    """A map may change the record shape — the reference's StreamBuilder
+    emitted arbitrary dicts (pspf/processing/dsl.py:31-49). The new
+    shape is declared via sink(output_schema=...); missing declared
+    fields null-fill, renamed fields carry through."""
+    out_schema = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("doubled", DoubleType()),
+            StructField("tag", StringType()),
+        ]
+    )
+    stream.pipeline("shape_src", EVENT_SCHEMA).map(
+        lambda e: {"event_id": e["event_id"], "doubled": e["value"] * 2}
+    ).sink("shape_out", output_schema=out_schema)
+    stream.emit(
+        "shape_src",
+        {"event_id": "a", "key": "k", "timestamp": 1.0, "value": 6.0},
+    )
+    stream.run_until_idle()
+    rows = stream.read_topic("shape_out", out_schema).collect()
+    assert [(r["event_id"], r["doubled"], r["tag"]) for r in rows] == [("a", 12.0, None)]
+
+
+def test_pipeline_undeclared_field_fails_loudly(spark, stream):
+    """A survivor carrying a field outside the declared sink schema must
+    fail the query, not silently drop the field."""
+    stream.pipeline("bad_src", EVENT_SCHEMA).map(
+        lambda e: {**e, "sneaky_extra": 1}
+    ).sink("bad_out")
+    stream.emit(
+        "bad_src",
+        {"event_id": "a", "key": "k", "timestamp": 1.0, "value": 1.0},
+    )
+    with pytest.raises(Exception, match="sneaky_extra"):
+        stream.run_until_idle()
+
+
+def test_pipeline_handlers_see_none_not_nan(spark, stream):
+    """Handlers receive JSON-dict-like values as in the reference: a
+    null field arrives as None (not pandas NaN) and numeric scalars are
+    Python scalars, so `is None` checks behave."""
+    seen_types = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("value", DoubleType()),
+            StructField("value_was_none", StringType()),
+        ]
+    )
+    stream.pipeline("nan_src", EVENT_SCHEMA).map(
+        lambda e: {
+            "event_id": e["event_id"],
+            "value": 0.0 if e["value"] is None else e["value"],
+            "value_was_none": str(e["value"] is None and e["_attempt"] is None),
+        }
+    ).sink("nan_out", output_schema=seen_types)
+    stream.emit("nan_src", {"event_id": "a", "key": "k", "timestamp": 1.0})
+    stream.run_until_idle()
+    (row,) = stream.read_topic("nan_out", seen_types).collect()
+    assert (row["value"], row["value_was_none"]) == (0.0, "True")
+
+
+def test_window_sink_is_distributed_not_collected(spark, stream):
+    """The window sink must write executor-side (batch.write.json), not
+    via a driver collect() loop: aggregate output with a
+    high-cardinality key at 100 TB is not driver-sized."""
+    import inspect
+
+    src = inspect.getsource(Stream._start_window)
+    assert ".collect(" not in src
+    assert ".write" in src
+
+
 def test_windowed_agg_with_watermark_append_mode(spark, stream):
     """Facade window with a real watermark: append mode emits only
     finalized windows; late-beyond-watermark events don't reopen them."""
