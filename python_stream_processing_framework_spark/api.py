@@ -59,8 +59,10 @@ class StateApiServer:
                 path = self.path.rstrip("/") or "/"
                 if path == "/health":
                     state = "running" if api.running else "stopped"
+                    # 503 when stopped so status-code-keyed probes
+                    # (load balancers) see the worker as unhealthy.
                     self._send(
-                        200 if api.running else 200,
+                        200 if api.running else 503,
                         {
                             "status": "ok" if api.running else "stopped",
                             "worker_state": state,

@@ -32,13 +32,28 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     task no matter how many cores exist; hashing/vector math would run
     single-threaded. One small shuffle buys full-width execution.
 
-    GATED on input width: when the scan already yields >= parallelism
-    partitions (any production-sized table), repartitioning would be a
+    GATED on input width: when the input is already >= parallelism
+    wide (any production-sized table), repartitioning would be a
     gratuitous full shuffle of raw text/vectors — return the input
     untouched so no Exchange enters the plan at all.
+
+    The gate reads `inputFiles()` first (a file-index lookup): a scan
+    over >= parallelism files is wide at the source, no `.rdd` call
+    needed. Converting the plan to an RDD just to count partitions
+    would re-plan the whole query per call (bypassing AQE) — that
+    fallback only runs for non-file inputs (in-memory test frames),
+    where the plan is trivially small.
     """
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plan
+        files = []
+    if files:
+        if len(files) >= parallelism:
+            return df
+        return df.repartition(parallelism)
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)

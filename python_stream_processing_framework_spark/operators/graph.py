@@ -22,9 +22,9 @@ Scale notes:
 - Per round: one shuffle for the neighbour join, one for the groupBy
   min, one small join for the convergence count. All hash-partitioned
   on node id — uniform md5-derived doc ids, no planned skew.
-- `localCheckpoint` truncates the growing plan lineage each round;
-  on a real cluster prefer `spark.sparkContext.setCheckpointDir` +
-  `checkpoint()` for fault-tolerant truncation.
+- Plan lineage is truncated each round: fault-tolerant `checkpoint()`
+  when a checkpoint dir is configured (the cluster deployment),
+  `localCheckpoint()` otherwise (local dev / tests).
 - The driver loop only examines a single `changed` COUNT per round;
   no row data ever reaches the driver.
 """
@@ -53,29 +53,39 @@ def connected_components(
     Raises ValueError if the propagation has not converged after
     `max_iter` rounds (component ids would be an unconverged snapshot,
     silently wrong for dedup).
+
+    Lineage truncation per round: when a checkpoint directory is set
+    (`spark.sparkContext.setCheckpointDir`), uses fault-tolerant
+    `checkpoint()` — an executor loss mid-iteration recomputes from
+    the durable snapshot, not from the whole edge pipeline. Without
+    one (local dev / tests), falls back to `localCheckpoint()`.
     """
+    sc = edges.sparkSession.sparkContext
+    durable = sc.getCheckpointDir() is not None
+
+    def truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if durable else df.localCheckpoint(eager=True)
+
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = truncate(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iter):
             nbr_min = sym.join(labels, sym["s"] == labels["node"]).select(
                 F.col("d").alias("node"), F.col("component")
             )
-            new = (
+            new = truncate(
                 labels.unionByName(nbr_min)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
             )
             # Labels only ever decrease: converged iff none got smaller.
             changed = (

@@ -139,14 +139,20 @@ def cosine_lsh_pairs(
         )
     dim = len(row[0][0])
     # Precompute the (planes x dim) coefficient matrix driver-side with
-    # hashlib — the SAME md5 derivation the oracle evaluates in SQL —
-    # and embed it as a literal: recomputing md5 inside the per-vector
-    # lambda would cost n_vectors * planes * dim hash calls.
+    # hashlib — the SAME md5 derivation the oracle evaluates in SQL:
+    # recomputing md5 inside the per-vector lambda would cost
+    # n_vectors * planes * dim hash calls. The matrix ships as DATA in
+    # a broadcast single-row DataFrame, NOT as a nested array literal —
+    # a literal is an expression tree of planes*dim nodes (131k at
+    # dim 4096 x 32 planes), which blows up analysis time; the
+    # broadcast row is just bytes (8 MB at that size).
     planes = [
         [_plane_coef(p, d) for d in range(1, dim + 1)]
         for p in range(n_planes)
     ]
-    planes_col = F.array(*[F.array(*[F.lit(c) for c in row_]) for row_ in planes])
+    planes_df = embeddings.sparkSession.createDataFrame(
+        [(planes,)], "_planes: array<array<double>>"
+    )
     dot_plane = (
         "aggregate(sequence(1, size(_v)), cast(0.0 as double),"
         " (acc, d) -> acc + element_at(_v, d)"
@@ -156,8 +162,15 @@ def cosine_lsh_pairs(
         f"transform(sequence(0, {n_planes - 1}),"
         f" p -> IF({dot_plane} >= 0.0, 1, 0))"
     )
-    e = e.withColumn("_planes", planes_col)
-    sigs = e.withColumn("_sig", sig).withColumn("_n", l2_norm(F.col("_v"))).persist()
+    e = e.crossJoin(F.broadcast(planes_df))
+    # drop _planes BEFORE persist: the cache must hold signatures and
+    # vectors, not a copy of the coefficient matrix on every row.
+    sigs = (
+        e.withColumn("_sig", sig)
+        .withColumn("_n", l2_norm(F.col("_v")))
+        .drop("_planes")
+        .persist()
+    )
     key_expr = " + ".join(
         f"element_at(_sig, b*{band_bits} + {i + 1}) * {2 ** (band_bits - 1 - i)}"
         for i in range(band_bits)

@@ -98,6 +98,33 @@ def parse_kafka_frame(raw: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Build the Kafka reader option map — pure function so the
+    backpressure plumbing is unit-testable without a broker.
+
+    `max_offsets_per_trigger` is the Kafka-path backpressure knob
+    (rate-limits records per micro-batch across all partitions), the
+    parity of the file path's `maxFilesPerTrigger` and the reference's
+    batch-size tuning (pspf/settings.py:36-38).
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        if max_offsets_per_trigger <= 0:
+            raise ValueError("max_offsets_per_trigger must be positive")
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -105,17 +132,19 @@ def kafka_source(
     schema: StructType,
     *,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:  # pragma: no cover - needs a broker
     """Kafka topic -> typed DataFrame via `parse_kafka_frame`."""
     _require_kafka(spark)
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return parse_kafka_frame(raw, schema)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_frame(reader.load(), schema)
 
 
 def to_kafka_frame(df: DataFrame, key_col: str | None = "event_id") -> DataFrame:

@@ -54,15 +54,31 @@ class StateTable:
     def upsert(self, batch: DataFrame) -> None:
         """Merge a micro-batch: new rows win over stored rows per key.
 
+        The merge is PARTITION-SCOPED: only the buckets the batch
+        actually touches are read, merged, and rewritten (dynamic
+        partition overwrite) — untouched buckets' files are never
+        listed or rewritten, so a batch costs O(batch + touched
+        buckets), not O(table). At 100 TB the state table dwarfs any
+        micro-batch; a full-table rewrite per batch would be the
+        topology's bottleneck. The touched-bucket set is at most
+        `self.buckets` small ints, so the driver-side `distinct`
+        collect is bounded and tiny.
+
         Production note: this read-union-write is the parquet stand-in
         for MERGE INTO; it is atomic enough for foreachBatch (one
         writer) and keeps the serving path a pruned scan.
         """
-        batch = batch.withColumn("_gen", F.lit(1))
+        batch = batch.withColumn("_gen", F.lit(1)).withColumn(
+            "_bucket", self._bucket_col()
+        )
         if self._exists():
+            touched = [
+                r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+            ]
+            # Partition-pruned read: only the touched bucket dirs.
             current = (
                 self.spark.read.parquet(self.path)
-                .drop("_bucket")
+                .filter(F.col("_bucket").isin(touched))
                 .withColumn("_gen", F.lit(0))
             )
             unioned = current.unionByName(batch)
@@ -73,13 +89,20 @@ class StateTable:
             unioned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_gen")
-            .withColumn("_bucket", self._bucket_col())
         )
         # two-phase write: parquet can't overwrite a path being read.
+        # Staging holds only the touched buckets; the final write uses
+        # dynamic partition overwrite so sibling buckets keep their
+        # existing files byte-identical.
         tmp = self.path + ".staging"
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").partitionBy("_bucket").parquet(self.path)
+        (
+            final.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(self.path)
+        )
 
     def writer(self):
         """foreachBatch hook: `.writeStream.foreachBatch(table.writer())`."""

@@ -228,6 +228,35 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured (the cluster deployment),
+    lineage truncation must use fault-tolerant checkpoint() — files
+    appear under the dir — and results stay identical."""
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = tmp_path / "cc-ckpt"
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        edges = spark.createDataFrame(
+            [(10, 11), (11, 12), (20, 21)], ["src", "dst"]
+        )
+        got = {
+            r["node"]: r["component"] for r in connected_components(edges).collect()
+        }
+        assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        # durable snapshots actually landed on disk
+        assert any(ckpt.rglob("*")), "no checkpoint files written"
+    finally:
+        # unset for the rest of the suite (localCheckpoint fallback);
+        # the scala setter is named `checkpointDir_$eq` (no python API)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
 def test_connected_components_unconverged_raises(spark):
     from python_stream_processing_framework_spark.operators.graph import (
         connected_components,

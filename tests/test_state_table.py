@@ -79,6 +79,40 @@ def test_state_lookup_prunes_to_bucket(spark, tmp_path):
     assert engine == {k: table.bucket_of(k) for k, _ in rows}
 
 
+def test_upsert_leaves_untouched_buckets_byte_identical(spark, tmp_path):
+    """An upsert must rewrite ONLY the buckets the batch touches
+    (dynamic partition overwrite): at 100 TB the state table dwarfs
+    any micro-batch, so a full-table rewrite per batch is the
+    topology's bottleneck. Untouched buckets' parquet files must
+    remain byte-identical — same paths, same bytes."""
+    from pathlib import Path
+
+    table = StateTable(spark, str(tmp_path / "state"), "key", buckets=8)
+    table.upsert(spark.createDataFrame([(f"k{i}", i) for i in range(50)], ["key", "total"]))
+
+    def files_by_bucket():
+        out = {}
+        for p in Path(table.path).rglob("*.parquet"):
+            bucket = next(
+                part.split("=")[1] for part in p.parts if part.startswith("_bucket=")
+            )
+            out.setdefault(int(bucket), {})[str(p)] = p.read_bytes()
+        return out
+
+    before = files_by_bucket()
+    touched_bucket = table.bucket_of("k7")
+    table.upsert(spark.createDataFrame([("k7", 700)], ["key", "total"]))
+    after = files_by_bucket()
+
+    assert table.get("k7")["total"] == 700
+    assert table.get("k8")["total"] == 8  # sibling data intact
+    for bucket, files in before.items():
+        if bucket == touched_bucket:
+            continue
+        assert after[bucket] == files, f"bucket {bucket} was rewritten"
+    assert after[touched_bucket] != before[touched_bucket]
+
+
 def test_state_api_server(spark, tmp_path):
     """Live-server parity with the reference cluster API
     (pspf/api/cluster_api.py:23-106): /health, /state/{key} hit and
