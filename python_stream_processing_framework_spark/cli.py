@@ -1,11 +1,16 @@
 """Operational CLI — parity with the reference's `pspf` commands
-(pspf/cli.py): DLQ inspection, replay, purge, plus bench/correctness
-entry points for this engine.
+(pspf/cli.py): topic/DLQ inspection, replay, purge, worker status,
+consumer-group listing and offset reset.
 
 Usage:
+  python -m python_stream_processing_framework_spark.cli inspect     --broker DIR --topic T [--limit N] [--tail]
   python -m python_stream_processing_framework_spark.cli dlq-inspect --broker DIR --topic T
   python -m python_stream_processing_framework_spark.cli dlq-replay  --broker DIR --topic T
   python -m python_stream_processing_framework_spark.cli dlq-purge   --broker DIR --topic T
+  python -m python_stream_processing_framework_spark.cli status         [--url URL]
+  python -m python_stream_processing_framework_spark.cli cluster-status [--url URL]
+  python -m python_stream_processing_framework_spark.cli groups      --broker DIR [--topic T]
+  python -m python_stream_processing_framework_spark.cli reset       --broker DIR --topic T --group G
   python -m python_stream_processing_framework_spark.cli backends
 """
 
@@ -77,6 +82,100 @@ def dlq_purge(broker: str, topic: str) -> None:
     print(f"purged {n} file(s) from {topic}-dlq")
 
 
+def inspect_topic(broker: str, topic: str, limit: int, tail: bool) -> None:
+    """Inspect a topic's records directly (reference `pspf inspect`,
+    pspf/cli.py:18-55: LocalLog offsets + records). The high watermark
+    is the record count; --tail shows the last N instead of first N."""
+    rows, _ = _read_jsonl_dir(Path(broker) / topic)
+    print(f"Topic {topic}: High Watermark = {len(rows)}")
+    window = rows[-limit:] if tail else rows[:limit]
+    start = len(rows) - len(window) if tail else 0
+    for off, r in enumerate(window, start=start):
+        ts = r.get("timestamp", "")
+        print(f"[{off}] {ts} | {r.get('key', '')} | {json.dumps(r)}")
+
+
+def _http_json(url: str) -> tuple[int, dict]:
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=5) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:  # 4xx/5xx still carry a body
+        return e.code, json.loads(e.read())
+
+
+def status(url: str) -> None:
+    """Worker health check (reference `pspf status`, pspf/cli.py:57-71)."""
+    try:
+        code, data = _http_json(f"{url}/health")
+    except Exception as e:  # noqa: BLE001 - connection-level failure
+        print(f"failed to connect to {url}: {e}")
+        return
+    print(f"worker {'online' if code == 200 else f'unhealthy ({code})'}: "
+          f"{json.dumps(data)}")
+
+
+def cluster_status(url: str) -> None:
+    """Cluster topology (reference `pspf cluster-status`,
+    pspf/cli.py:73-96)."""
+    try:
+        code, data = _http_json(f"{url}/cluster/status")
+    except Exception as e:  # noqa: BLE001
+        print(f"failed to connect to {url}: {e}")
+        return
+    if code != 200:
+        print(f"worker returned {code}: {json.dumps(data)}")
+        return
+    if not data.get("ha_enabled"):
+        print("HA/clustering not enabled on this worker")
+    print(f"node: {data.get('node_id')}")
+    print(f"held partitions: {data.get('held_partitions', [])}")
+
+
+def groups(broker: str, topic: str | None) -> None:
+    """List consumer groups and their progress (reference `pspf
+    groups`, pspf/cli.py:98-116: XINFO GROUPS pending/lag). Spark's
+    group state is the checkpoint: one `{topic}-{group}` dir under the
+    broker's checkpoint root; committed batch count stands in for the
+    acked offset."""
+    root = Path(broker) / "_checkpoints"
+    found = False
+    for ck in sorted(root.iterdir() if root.exists() else []):
+        if not ck.is_dir():
+            continue
+        if topic and not ck.name.startswith(f"{topic}-"):
+            continue
+        commits = [
+            p for p in (ck / "commits").glob("*") if p.name.isdigit()
+        ] if (ck / "commits").exists() else []
+        latest = max((int(p.name) for p in commits), default=-1)
+        print(
+            f"checkpoint: {ck.name} | committed batches: {len(commits)}"
+            f" | latest batch id: {latest}"
+        )
+        found = True
+    if not found:
+        print(f"no consumer groups found under {root}")
+
+
+def reset(broker: str, topic: str, group: str) -> None:
+    """Reset a consumer group to the beginning (reference `pspf reset`
+    offset 0, pspf/cli.py:119-135). Spark's committed offsets ARE the
+    checkpoint, so reset == remove the `{topic}-{group}` checkpoint
+    dir; the next run reprocesses the topic from offset 0. (Mid-stream
+    ids aren't supported — checkpoints don't rewind partially.)"""
+    import shutil
+
+    ck = Path(broker) / "_checkpoints" / f"{topic}-{group}"
+    if not ck.exists():
+        print(f"no checkpoint for group {group!r} on topic {topic!r}")
+        return
+    shutil.rmtree(ck)
+    print(f"reset group {group!r} on topic {topic!r} to offset 0")
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="pspf-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -86,6 +185,21 @@ def main(argv: list[str] | None = None) -> None:
         p.add_argument("--topic", required=True)
         if cmd == "dlq-inspect":
             p.add_argument("--limit", type=int, default=20)
+    p = sub.add_parser("inspect")
+    p.add_argument("--broker", required=True)
+    p.add_argument("--topic", required=True)
+    p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--tail", action="store_true")
+    for cmd in ("status", "cluster-status"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--url", default="http://localhost:8001")
+    p = sub.add_parser("groups")
+    p.add_argument("--broker", required=True)
+    p.add_argument("--topic", default=None)
+    p = sub.add_parser("reset")
+    p.add_argument("--broker", required=True)
+    p.add_argument("--topic", required=True)
+    p.add_argument("--group", required=True)
     sub.add_parser("backends")
     args = ap.parse_args(argv)
 
@@ -95,6 +209,16 @@ def main(argv: list[str] | None = None) -> None:
         dlq_replay(args.broker, args.topic)
     elif args.cmd == "dlq-purge":
         dlq_purge(args.broker, args.topic)
+    elif args.cmd == "inspect":
+        inspect_topic(args.broker, args.topic, args.limit, args.tail)
+    elif args.cmd == "status":
+        status(args.url)
+    elif args.cmd == "cluster-status":
+        cluster_status(args.url)
+    elif args.cmd == "groups":
+        groups(args.broker, args.topic)
+    elif args.cmd == "reset":
+        reset(args.broker, args.topic, args.group)
     elif args.cmd == "backends":
         from python_stream_processing_framework_spark.sources import registry
 

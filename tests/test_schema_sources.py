@@ -166,3 +166,79 @@ def test_cli_dlq_tools(tmp_path, capsys):
 
     cli.main(["dlq-purge", "--broker", str(broker), "--topic", "jobs"])
     assert "purged 0" in capsys.readouterr().out
+
+
+def test_cli_inspect_groups_reset(tmp_path, capsys):
+    """Operational parity with the reference CLI (pspf/cli.py:18-135):
+    inspect reads topic records with offsets and a tail window; groups
+    lists checkpoint-backed consumer groups with committed batches;
+    reset removes a group's checkpoint (offset-0 reprocess)."""
+    from python_stream_processing_framework_spark import cli
+
+    broker = tmp_path / "broker"
+    topic = broker / "jobs"
+    topic.mkdir(parents=True)
+    (topic / "a.json").write_text(
+        "\n".join(
+            json.dumps({"event_id": f"e{i}", "key": "k", "timestamp": float(i)})
+            for i in range(5)
+        )
+        + "\n"
+    )
+
+    cli.main(["inspect", "--broker", str(broker), "--topic", "jobs", "--limit", "2"])
+    out = capsys.readouterr().out
+    assert "High Watermark = 5" in out and "[0]" in out and "e1" in out
+
+    cli.main(["inspect", "--broker", str(broker), "--topic", "jobs",
+              "--limit", "2", "--tail"])
+    out = capsys.readouterr().out
+    assert "[3]" in out and "e4" in out and "e0" not in out
+
+    # a fake committed checkpoint: {topic}-{group}/commits/{0,1}
+    commits = broker / "_checkpoints" / "jobs-workers" / "commits"
+    commits.mkdir(parents=True)
+    (commits / "0").write_text("v1")
+    (commits / "1").write_text("v1")
+    cli.main(["groups", "--broker", str(broker)])
+    out = capsys.readouterr().out
+    assert "jobs-workers" in out
+    assert "committed batches: 2" in out and "latest batch id: 1" in out
+
+    cli.main(["groups", "--broker", str(broker), "--topic", "nope"])
+    assert "no consumer groups" in capsys.readouterr().out
+
+    cli.main(["reset", "--broker", str(broker), "--topic", "jobs",
+              "--group", "workers"])
+    assert "reset group" in capsys.readouterr().out
+    assert not (broker / "_checkpoints" / "jobs-workers").exists()
+    cli.main(["reset", "--broker", str(broker), "--topic", "jobs",
+              "--group", "workers"])
+    assert "no checkpoint" in capsys.readouterr().out
+
+
+def test_cli_status_commands(spark, tmp_path, capsys):
+    """status / cluster-status against a live worker API; a stopped
+    worker is reported unhealthy (HTTP 503)."""
+    from python_stream_processing_framework_spark import cli
+    from python_stream_processing_framework_spark.api import StateApiServer
+    from python_stream_processing_framework_spark.streaming.state_table import (
+        StateTable,
+    )
+
+    table = StateTable(spark, str(tmp_path / "state"), "key", buckets=4)
+    table.upsert(spark.createDataFrame([("a", 1)], ["key", "n"]))
+    api = StateApiServer(table).start()
+    url = f"http://{api.host}:{api.port}"
+    try:
+        cli.main(["status", "--url", url])
+        assert "worker online" in capsys.readouterr().out
+
+        cli.main(["cluster-status", "--url", url])
+        out = capsys.readouterr().out
+        assert "node:" in out and "held partitions" in out
+    finally:
+        api.stop()
+    cli.main(["status", "--url", url])
+    out = capsys.readouterr().out
+    assert "online" not in out  # stopped -> unhealthy or unreachable
