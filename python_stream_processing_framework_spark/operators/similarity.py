@@ -22,16 +22,20 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _plane_coef(p: int, d: int) -> float:
-    """Deterministic hyperplane coefficient in [-1, 1]: the Python
-    evaluation of the same md5 derivation the SQL oracle computes
-    (`('0x'||substr(md5('plane#p#d'),1,15))::BIGINT % 2000001 - 1e6`)."""
+def _plane_coef_int(p: int, d: int) -> int:
+    """Deterministic INTEGER hyperplane coefficient in [-1e6, 1e6]:
+    the Python evaluation of the same md5 derivation the SQL oracle
+    computes (`('0x'||substr(md5('plane#p#d'),1,15))::BIGINT
+    % 2000001 - 1000000`). Kept integral so signature dot products
+    are exact int64 sums — order-free, hence engine-portable."""
     h = int(hashlib.md5(f"plane#{p}#{d}".encode()).hexdigest()[:15], 16)
-    return (h % 2000001 - 1000000) / 1000000.0
+    return h % 2000001 - 1000000
 
 from python_stream_processing_framework_spark.functions.vectors import (
     as_double_array,
@@ -123,12 +127,25 @@ def cosine_lsh_pairs(
     the sub-quadratic scale path for embedding dedup.
 
     Hyperplanes are pseudo-random but DETERMINISTIC: coefficient
-    (p, d) derives from md5('plane#p#d'), uniform in [-1, 1] — so the
-    whole pipeline (signatures, banding, candidates, verification) is
-    engine-exact and oracle-checkable. Candidate generation is an
-    equi-join on (band, 4-bit key); only candidates pay the exact
-    cosine verification. Recall < 1 by construction (that's the LSH
-    trade) — the oracle mirrors the same pipeline, not brute force.
+    (p, d) is the md5('plane#p#d')-derived INTEGER in [-1e6, 1e6] —
+    so the whole pipeline (signatures, banding, candidates,
+    verification) is engine-exact and oracle-checkable. Candidate
+    generation is an equi-join on (band, 4-bit key); only candidates
+    pay the exact cosine verification. Recall < 1 by construction
+    (that's the LSH trade) — the oracle mirrors the same pipeline,
+    not brute force.
+
+    The signature stage is the one place this module uses Python: a
+    vectorized Arrow pandas UDF doing ONE numpy int64 matmul per
+    batch. Components quantize to int64 via floor(x * 2^24 + 0.5)
+    (exact: scaling by a power of two is lossless in IEEE doubles)
+    and multiply the integer plane coefficients, so each sign is an
+    order-free exact integer sum that DuckDB reproduces bit-for-bit.
+    The Catalyst-lambda form it replaced evaluated n_planes
+    interpreted left-folds per row (no codegen inside nested HOFs) —
+    the matmul is the same arithmetic at BLAS speed, and the (planes
+    x dim) coefficient matrix ships once per executor as a
+    SparkContext broadcast, never as an expression tree.
     """
     n_planes = bands * band_bits
     e = _prep(embeddings, vec_col)
@@ -138,37 +155,40 @@ def cosine_lsh_pairs(
             [], "id_a bigint, id_b bigint, cos_sim double"
         )
     dim = len(row[0][0])
-    # Precompute the (planes x dim) coefficient matrix driver-side with
-    # hashlib — the SAME md5 derivation the oracle evaluates in SQL:
-    # recomputing md5 inside the per-vector lambda would cost
-    # n_vectors * planes * dim hash calls. The matrix ships as DATA in
-    # a broadcast single-row DataFrame, NOT as a nested array literal —
-    # a literal is an expression tree of planes*dim nodes (131k at
-    # dim 4096 x 32 planes), which blows up analysis time; the
-    # broadcast row is just bytes (8 MB at that size).
-    planes = [
-        [_plane_coef(p, d) for d in range(1, dim + 1)]
-        for p in range(n_planes)
-    ]
-    planes_df = embeddings.sparkSession.createDataFrame(
-        [(planes,)], "_planes: array<array<double>>"
+    from pyspark.sql.functions import pandas_udf
+
+    # (dim x planes) int64 coefficient matrix, computed driver-side
+    # with hashlib (same md5 derivation the oracle evaluates in SQL),
+    # shipped once per executor via broadcast.
+    coef_t = np.array(
+        [
+            [_plane_coef_int(p, d) for p in range(n_planes)]
+            for d in range(1, dim + 1)
+        ],
+        dtype=np.int64,
     )
-    dot_plane = (
-        "aggregate(sequence(1, size(_v)), cast(0.0 as double),"
-        " (acc, d) -> acc + element_at(_v, d)"
-        " * element_at(element_at(_planes, p + 1), d))"
-    )
-    sig = F.expr(
-        f"transform(sequence(0, {n_planes - 1}),"
-        f" p -> IF({dot_plane} >= 0.0, 1, 0))"
-    )
-    e = e.crossJoin(F.broadcast(planes_df))
-    # drop _planes BEFORE persist: the cache must hold signatures and
-    # vectors, not a copy of the coefficient matrix on every row.
+    bc = embeddings.sparkSession.sparkContext.broadcast(coef_t)
+
+    @pandas_udf("array<int>")
+    def _sig(v: pd.Series) -> pd.Series:
+        ct = bc.value
+        vals = v.values
+        mask = np.array([x is not None for x in vals], dtype=bool)
+        sigs = np.zeros((len(vals), ct.shape[1]), dtype=np.int32)
+        if mask.any():
+            m = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in vals[mask]]
+            )
+            xq = np.floor(m * 16777216.0 + 0.5).astype(np.int64)
+            sigs[mask] = (xq @ ct >= 0).astype(np.int32)
+        # null vectors keep the all-zero signature — same as the old
+        # JVM IF(null >= 0, 1, 0) -> 0 convention; their candidates
+        # die at the null cos_sim verification filter.
+        return pd.Series(list(sigs))
+
     sigs = (
-        e.withColumn("_sig", sig)
+        e.withColumn("_sig", _sig(F.col("_v")))
         .withColumn("_n", l2_norm(F.col("_v")))
-        .drop("_planes")
         .persist()
     )
     key_expr = " + ".join(

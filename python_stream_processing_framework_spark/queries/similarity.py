@@ -57,9 +57,13 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute-force baseline; operators/similarity.cosine_pairs remains
 # available and unit-tested.
 
-_COEF = (
+# Integer plane coefficient in [-1e6, 1e6] (mirrors operators/
+# similarity._plane_coef_int); components quantize to int64 via
+# floor(x * 2^24 + 0.5) so each sign is an order-free exact integer
+# sum — bit-identical to the numpy int64 matmul on the Spark side.
+_COEF_INT = (
     "((('0x' || substr(md5('plane#' || CAST(p AS VARCHAR) || '#' ||"
-    " CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000) / 1000000.0"
+    " CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000)"
 )
 
 
@@ -71,8 +75,10 @@ _COEF = (
            SELECT vec_id, v,
                   list_transform(range(0, 32), p ->
                     CASE WHEN list_reduce(
-                           list_transform(range(1, 65), d -> v[d] * ({_COEF})),
-                           (a, b) -> a + b) >= 0.0
+                           list_transform(range(1, 65), d ->
+                             CAST(floor(v[d] * 16777216.0 + 0.5) AS BIGINT)
+                               * ({_COEF_INT})),
+                           (a, b) -> a + b) >= 0
                          THEN 1 ELSE 0 END) AS sig,
                   {_NORM.format(a='v')} AS n
            FROM e),
