@@ -114,6 +114,20 @@ def cosine_pairs(
     )
 
 
+def _lsh_max_disagree(threshold: float, n_planes: int) -> int:
+    """Signature-hamming prefilter bound: a pair at exactly
+    `threshold` cosine disagrees on an expected
+    `n_planes * acos(threshold)/pi` planes (Charikar); allow 4 planes
+    of slack below the expected agreement so borderline-true pairs
+    survive (~1.5 sigma at 32 planes). Deterministic in (threshold,
+    n_planes), so the SQL oracle hardcodes the same constant."""
+    import math
+
+    t = min(1.0, max(-1.0, threshold))
+    min_agree = max(0, math.floor(n_planes * (1.0 - math.acos(t) / math.pi)) - 4)
+    return n_planes - min_agree
+
+
 def cosine_lsh_pairs(
     embeddings: DataFrame,
     *,
@@ -135,17 +149,25 @@ def cosine_lsh_pairs(
     (that's the LSH trade) — the oracle mirrors the same pipeline,
     not brute force.
 
-    The signature stage is the one place this module uses Python: a
-    vectorized Arrow pandas UDF doing ONE numpy int64 matmul per
-    batch. Components quantize to int64 via floor(x * 2^24 + 0.5)
-    (exact: scaling by a power of two is lossless in IEEE doubles)
-    and multiply the integer plane coefficients, so each sign is an
-    order-free exact integer sum that DuckDB reproduces bit-for-bit.
-    The Catalyst-lambda form it replaced evaluated n_planes
-    interpreted left-folds per row (no codegen inside nested HOFs) —
-    the matmul is the same arithmetic at BLAS speed, and the (planes
-    x dim) coefficient matrix ships once per executor as a
-    SparkContext broadcast, never as an expression tree.
+    Signatures AND verification are the one place this module uses
+    Python: vectorized Arrow pandas UDFs doing numpy int64 matmuls
+    per batch. Components quantize to int64 via floor(x * 2^20 + 0.5)
+    ONCE; the quantized vector drives both the plane-sign signatures
+    (q @ coefs >= 0) and the candidate verification
+    (dot(qa, qb) / sqrt(|qa|^2 * |qb|^2)). Every sum is an order-free
+    exact integer sum that DuckDB reproduces bit-for-bit; the final
+    cosine is one division of identical doubles, so the score is
+    engine-exact despite being numpy-computed. (The Catalyst-lambda
+    forms these replaced evaluated interpreted left-folds per row and
+    per candidate pair — no codegen inside nested HOFs — which at
+    dim >= 1024 dominated the whole query.) The (dim x planes)
+    coefficient matrix ships once per executor as a SparkContext
+    broadcast, never as an expression tree.
+
+    Overflow bounds (int64): |x| <= 2000 at dim 4096 keeps
+    sum(q_a[d]*q_b[d]) under 2^63; plane terms are smaller (coef
+    <= 1e6 < 2^20). Embedding components are unit-ish; documented,
+    not checked per-row.
     """
     n_planes = bands * band_bits
     e = _prep(embeddings, vec_col)
@@ -169,50 +191,105 @@ def cosine_lsh_pairs(
     )
     bc = embeddings.sparkSession.sparkContext.broadcast(coef_t)
 
-    @pandas_udf("array<int>")
-    def _sig(v: pd.Series) -> pd.Series:
+    # Quantized vectors travel candidate-join -> verify as packed
+    # little-endian int32 BINARY, not array<bigint>: 4x fewer bytes on
+    # the wire and Arrow ships one buffer per row instead of a boxed
+    # list (|q| = |x| * 2^20 needs |x| < 2048 — comfortable for
+    # embeddings). The verify matmul still runs in int64. The plane
+    # signs pack into one BIGINT (bit p = plane p), so band keys and
+    # the hamming prefilter are bit ops, no array column at all.
+    @pandas_udf("s bigint, q binary, nq2 bigint")
+    def _sigq(v: pd.Series) -> pd.DataFrame:
         ct = bc.value
         vals = v.values
+        out = pd.DataFrame(
+            {
+                "s": pd.array([None] * len(vals), dtype="Int64"),
+                "q": [None] * len(vals),
+                "nq2": pd.array([None] * len(vals), dtype="Int64"),
+            }
+        )
         mask = np.array([x is not None for x in vals], dtype=bool)
-        sigs = np.zeros((len(vals), ct.shape[1]), dtype=np.int32)
         if mask.any():
-            m = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in vals[mask]]
-            )
-            xq = np.floor(m * 16777216.0 + 0.5).astype(np.int64)
-            sigs[mask] = (xq @ ct >= 0).astype(np.int32)
-        # null vectors keep the all-zero signature — same as the old
-        # JVM IF(null >= 0, 1, 0) -> 0 convention; their candidates
-        # die at the null cos_sim verification filter.
-        return pd.Series(list(sigs))
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in vals[mask]])
+            xq = np.floor(m * 1048576.0 + 0.5).astype(np.int64)
+            bits = (xq @ ct >= 0).astype(np.int64)
+            sig_int = (bits << np.arange(ct.shape[1], dtype=np.int64)).sum(axis=1)
+            nq2 = (xq * xq).sum(axis=1)
+            packed = xq.astype("<i4")
+            idx = np.nonzero(mask)[0]
+            for j, i in enumerate(idx):
+                out.iat[i, 1] = packed[j].tobytes()
+            out.loc[mask, "s"] = sig_int
+            out.loc[mask, "nq2"] = nq2
+        # null vectors keep null s/q: transform/posexplode of a null
+        # signature yields no band rows, so they never produce
+        # candidates (they can't be near anything).
+        return out
 
     sigs = (
-        e.withColumn("_sig", _sig(F.col("_v")))
-        .withColumn("_n", l2_norm(F.col("_v")))
+        e.select(F.col(id_col), _sigq(F.col("_v")).alias("_s"))
+        .select(id_col, "_s.s", "_s.q", "_s.nq2")
         .persist()
     )
-    key_expr = " + ".join(
-        f"element_at(_sig, b*{band_bits} + {i + 1}) * {2 ** (band_bits - 1 - i)}"
-        for i in range(band_bits)
+    mask = 2**band_bits - 1
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> cast(shiftright(s, cast(b * {band_bits} as int)) & {mask} as int))"
     )
-    band_keys = F.expr(f"transform(sequence(0, {bands - 1}), b -> {key_expr})")
     banded = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+        F.col(id_col),
+        F.col("s"),
+        F.posexplode(band_keys).alias("band_idx", "band_key"),
     )
+    # Deterministic signature-hamming prefilter BEFORE the heavy
+    # vector fetch: band collisions between genuinely-dissimilar
+    # vectors (the bulk of candidates on clustered data) die on a
+    # popcount, so only near-agreeing pairs pay the exact verify.
+    # Same constant in the oracle => engine-identical candidate sets.
+    max_disagree = _lsh_max_disagree(threshold, n_planes)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))) <= max_disagree
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
     )
+
+    @pandas_udf("double")
+    def _cosq(
+        qa: pd.Series, qb: pd.Series, na2: pd.Series, nb2: pd.Series
+    ) -> pd.Series:
+        out = np.full(len(qa), np.nan)
+        mask = np.array(
+            [x is not None and y is not None for x, y in zip(qa.values, qb.values)],
+            dtype=bool,
+        )
+        if mask.any():
+            A = np.frombuffer(b"".join(qa.values[mask]), dtype="<i4").reshape(
+                mask.sum(), -1
+            ).astype(np.int64)
+            B = np.frombuffer(b"".join(qb.values[mask]), dtype="<i4").reshape(
+                mask.sum(), -1
+            ).astype(np.int64)
+            dots = (A * B).sum(axis=1).astype(np.float64)  # exact int64 sums
+            denom = np.sqrt(
+                na2[mask].to_numpy(np.float64) * nb2[mask].to_numpy(np.float64)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[mask] = dots / denom
+        return pd.Series(out)
+
     va = sigs.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+        F.col(id_col).alias("id_a"), F.col("q").alias("_qa"), F.col("nq2").alias("_na2")
     )
     vb = sigs.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        F.col(id_col).alias("id_b"), F.col("q").alias("_qb"), F.col("nq2").alias("_nb2")
     )
     return (
         cand.join(va, "id_a")
@@ -221,7 +298,7 @@ def cosine_lsh_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                _cosq(F.col("_qa"), F.col("_qb"), F.col("_na2"), F.col("_nb2")), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

@@ -59,11 +59,18 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Integer plane coefficient in [-1e6, 1e6] (mirrors operators/
 # similarity._plane_coef_int); components quantize to int64 via
-# floor(x * 2^24 + 0.5) so each sign is an order-free exact integer
-# sum — bit-identical to the numpy int64 matmul on the Spark side.
+# floor(x * 2^20 + 0.5). Both the plane signs AND the candidate
+# verification are order-free exact integer sums over the SAME
+# quantized vector, so the numpy matmuls on the Spark side and the
+# list_sum folds here produce bit-identical cosines (one division of
+# identical doubles, then round 6).
 _COEF_INT = (
     "((('0x' || substr(md5('plane#' || CAST(p AS VARCHAR) || '#' ||"
     " CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000)"
+)
+_QDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> s[1] * s[2])) AS BIGINT)"
 )
 
 
@@ -71,36 +78,48 @@ _COEF_INT = (
     "cosine_lsh_pairs",
     f"""
     WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+         q AS (
+           SELECT vec_id,
+                  list_transform(v,
+                    x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv
+           FROM e),
          sigs AS (
-           SELECT vec_id, v,
-                  list_transform(range(0, 32), p ->
+           SELECT vec_id, qv,
+                  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                    AS nq2,
+                  list_reduce(list_transform(range(0, 32), p ->
                     CASE WHEN list_reduce(
                            list_transform(range(1, 65), d ->
-                             CAST(floor(v[d] * 16777216.0 + 0.5) AS BIGINT)
-                               * ({_COEF_INT})),
+                             qv[d] * ({_COEF_INT})),
                            (a, b) -> a + b) >= 0
-                         THEN 1 ELSE 0 END) AS sig,
-                  {_NORM.format(a='v')} AS n
-           FROM e),
+                         THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+                    (a, b) -> a + b) AS s
+           FROM q),
          banded AS (
-           SELECT vec_id, b,
-                  sig[b*4+1]*8 + sig[b*4+2]*4 + sig[b*4+3]*2 + sig[b*4+4]
-                    AS band_key
+           SELECT vec_id, s, b,
+                  CAST((s >> CAST(4*b AS INT)) & 15 AS INT) AS band_key
            FROM sigs, range(0, 8) t(b)),
          cand AS (
            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
            FROM banded x JOIN banded y
              ON x.b = y.b AND x.band_key = y.band_key
-              AND x.vec_id < y.vec_id)
+              AND x.vec_id < y.vec_id
+              AND bit_count(xor(x.s, y.s)) <= 16)
     SELECT id_a, id_b,
-           round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) AS cos_sim
+           round(CAST({_QDOT.format(a='a.qv', b='b.qv')} AS DOUBLE) /
+                 sqrt(CAST(a.nq2 AS DOUBLE) * CAST(b.nq2 AS DOUBLE)), 6)
+             AS cos_sim
     FROM cand JOIN sigs a ON a.vec_id = id_a JOIN sigs b ON b.vec_id = id_b
-    WHERE round({_DOT.format(a='a.v', b='b.v')} / (a.n * b.n), 6) >= 0.4
+    WHERE round(CAST({_QDOT.format(a='a.qv', b='b.qv')} AS DOUBLE) /
+                sqrt(CAST(a.nq2 AS DOUBLE) * CAST(b.nq2 AS DOUBLE)), 6) >= 0.4
     """,
     doc="Sign-random-projection LSH (8 bands x 4 bits, md5-derived "
-    "deterministic hyperplanes) + exact-cosine verification at 0.4 — "
-    "the sub-quadratic scale path for embedding near-dup; recall < 1 "
-    "by construction and the oracle mirrors the identical pipeline.",
+    "deterministic hyperplanes) + signature-hamming prefilter "
+    "(bit_count(xor) <= 16, i.e. expected agreement at cos 0.4 minus "
+    "4 planes of slack) + quantized-exact cosine verification at 0.4 "
+    "— the sub-quadratic scale path for embedding near-dup; recall "
+    "< 1 by construction and the oracle mirrors the identical "
+    "pipeline on the same 2^20-quantized integer vectors.",
 )
 def cosine_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
