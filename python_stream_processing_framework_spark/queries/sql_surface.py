@@ -65,26 +65,32 @@ def customer_max_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic and far inside 5% at this cardinality).",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two hash aggregations joined on the (tiny) group key instead of
+    # one combined pass: count(DISTINCT) alongside TypedImperative
+    # sketch aggregates (approx_percentile / HLL) forces the Expand
+    # rewrite out of hash aggregation into a SortAggregate over 2x
+    # rows (~5x slower here). Split, both sides stay
+    # ObjectHashAggregate; the join is a 5-row broadcast.
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH a AS (
+        WITH d AS (
+          SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+          FROM events GROUP BY event_type),
+        s AS (
           SELECT event_type,
-                 count(DISTINCT user_id) AS n_users_exact,
-                 percentile(value, 0.5) AS p50_exact,
-                 percentile(value, 0.99) AS p99_exact,
+                 percentile(value, array(0.5, 0.99)) AS p_exact,
                  approx_count_distinct(user_id, 0.01) AS approx_users,
-                 approx_percentile(value, 0.5) AS approx_p50,
-                 approx_percentile(value, 0.99) AS approx_p99
+                 approx_percentile(value, array(0.5, 0.99)) AS approx_p
           FROM events GROUP BY event_type)
         SELECT event_type,
                n_users_exact,
                abs(approx_users - n_users_exact) <= 0.05 * n_users_exact
                  AS within_5pct_users,
-               abs(approx_p50 - p50_exact) <= 0.05 * abs(p50_exact)
+               abs(approx_p[0] - p_exact[0]) <= 0.05 * abs(p_exact[0])
                  AS within_5pct_p50,
-               abs(approx_p99 - p99_exact) <= 0.05 * abs(p99_exact)
+               abs(approx_p[1] - p_exact[1]) <= 0.05 * abs(p_exact[1])
                  AS within_5pct_p99
-        FROM a
+        FROM d JOIN s USING (event_type)
         """
     )
