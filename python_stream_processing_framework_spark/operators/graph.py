@@ -9,24 +9,27 @@ sink tokens (`/root/reference/pspf/connectors/base.py:32-78`) — so
 this is a beyond-reference operator mandated by the LLM-pipeline
 charter (SURVEY §2.7).
 
-Algorithm: iterative min-label propagation expressed as DataFrame ops.
-Each round every node adopts the smallest component id among itself
-and its neighbours; labels are monotonically non-increasing and reach
-the per-component minimum in O(max cluster diameter) rounds. Near-dup
-clusters are near-cliques (diameter 1-2), so 2-3 rounds in practice —
-cheaper in total shuffles than the O(log n)-round large-star/small-star
-of Kiveris et al. (2014), which pays ~2 shuffles per round and only
-wins on long-path graphs dedup never produces.
+Algorithm: iterative min-label propagation with pointer doubling,
+expressed as DataFrame ops. Each round every node adopts the smallest
+component id among itself and its neighbours, then shortcuts through
+its label's own label (doubling the effective propagation distance) —
+labels are monotonically non-increasing and reach the per-component
+minimum in O(log diameter) rounds. Near-dup clusters are near-cliques
+(diameter 1-2), so 2-3 rounds in practice; the doubling step is what
+keeps the occasional chain-shaped component from paying
+O(diameter) rounds.
 
 Scale notes:
 - Per round: one shuffle for the neighbour join, one for the groupBy
-  min, one small join for the convergence count. All hash-partitioned
+  min, one node-keyed self-join for the shortcut. All hash-partitioned
   on node id — uniform md5-derived doc ids, no planned skew.
+- Convergence is detected INSIDE the min aggregation (the old label
+  rides along as a tagged row), so no extra join — the driver loop
+  only examines a single `changed` COUNT per round; no row data ever
+  reaches the driver.
 - Plan lineage is truncated each round: fault-tolerant `checkpoint()`
   when a checkpoint dir is configured (the cluster deployment),
   `localCheckpoint()` otherwise (local dev / tests).
-- The driver loop only examines a single `changed` COUNT per round;
-  no row data ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -79,22 +82,51 @@ def connected_components(
     )
     try:
         for _ in range(max_iter):
-            nbr_min = sym.join(labels, sym["s"] == labels["node"]).select(
-                F.col("d").alias("node"), F.col("component")
+            # Pointer doubling on the MATERIALIZED labels: shortcut
+            # each label to its label's own label before propagating.
+            # Both join inputs are the checkpointed `labels`, so the
+            # shortcut costs one node-keyed join, no recomputation.
+            # (A label's label is always <= the label — its own old
+            # value rides in its min — so least() is belt-and-braces.)
+            lab2 = (
+                labels.alias("x")
+                .join(
+                    labels.select(
+                        F.col("node").alias("_ln"), F.col("component").alias("_lc")
+                    ),
+                    F.col("x.component") == F.col("_ln"),
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.coalesce(F.col("_lc"), F.col("x.component")),
+                        F.col("x.component"),
+                    ).alias("component"),
+                )
             )
+            nbr_min = sym.join(lab2, sym["s"] == lab2["node"]).select(
+                F.col("d").alias("node"),
+                F.col("component"),
+                F.lit(None).cast("long").alias("_old"),
+            )
+            # The pre-round label rides along as a tagged row, so one
+            # groupBy yields both the new minimum and the changed flag
+            # — no separate join to detect convergence.
             new = truncate(
-                labels.unionByName(nbr_min)
+                lab2.select("node", "component", F.col("component").alias("_old"))
+                .unionByName(nbr_min)
                 .groupBy("node")
-                .agg(F.min("component").alias("component"))
+                .agg(
+                    F.min("component").alias("component"),
+                    (F.min("component") < F.min("_old")).alias("_changed"),
+                )
             )
-            # Labels only ever decrease: converged iff none got smaller.
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") < F.col("o.component"))
-                .count()
-            )
-            labels = new
+            # Labels only ever decrease: converged iff no label got
+            # smaller than the shortcut snapshot — then lab2 is a
+            # propagation fixpoint, i.e. the per-component minimum.
+            changed = new.filter(F.col("_changed")).count()
+            labels = new.drop("_changed")
             if changed == 0:
                 return labels
     finally:
