@@ -1,0 +1,290 @@
+"""Streaming sessionization with emit-on-close — SURVEY §7 hard part #1
+in its full streaming form.
+
+The reference's session handling (pspf/stream.py:415-451) keeps one
+active session per key and, when an event arrives past the gap,
+SILENTLY DROPS the old session and starts a new one — closed sessions
+are never emitted. `session_fold` (state.py) already fixes that for
+batch; this module is the true-streaming version: sessions close and
+EMIT as soon as the event-time watermark passes `last_event + gap`,
+with state managed by Spark's state store (exactly-once with the query
+checkpoint, survives restarts).
+
+Two implementations, same semantics:
+
+- `sessionize_stream` — `applyInPandasWithState` +
+  `GroupStateTimeout.EventTimeTimeout`: a per-key event-time timer at
+  `last + gap` fires when the watermark passes it and flushes the open
+  session. Works on any Spark 3.4+/4.x with Arrow only.
+- `sessionize_stream_tws` — the Spark 4 `transformWithStateInPandas`
+  StatefulProcessor form (typed value state + named event-time
+  timers). The TWS Python worker needs `google.protobuf` and the
+  RocksDB state-store provider; the function raises a clear error when
+  either is missing, so environments without protobuf fall back to
+  `sessionize_stream` (identical output).
+
+Scale shape (both): one shuffle on the key into the stateful exchange;
+state per key is O(1) (the active session's fold accumulator, not the
+event list); closed sessions flow straight to the sink — nothing ever
+gathers on the driver. Late events older than the watermark are dropped
+by Spark's stateful late-row filter BEFORE reaching the fold (note:
+the filter also catches an event at exactly epoch 0 against the
+initial watermark 0ms) — pair with the facade's late-split
+(`operators/windows.split_late`) upstream for the reference's `-late`
+DLQ capture semantics instead of a silent drop.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+FoldFn = Callable[[dict, Any], Any]
+
+_STATE_SCHEMA = "start_ms long, last_ms long, n long, state_json string"
+
+try:  # TWS needs the protobuf-backed state client (import-gated per brief)
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - exercised where protobuf exists
+    HAS_TWS = False
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+def _out_schema(df: DataFrame, key_col: str) -> StructType:
+    return StructType(
+        [
+            df.schema[key_col],
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("n_events", LongType()),
+            StructField("state_json", StringType()),
+        ]
+    )
+
+
+def _with_ts_ms(df: DataFrame, ts_col: str, watermark_delay: str | None) -> DataFrame:
+    out = df.withColumn("_ts_ms", (F.unix_micros(F.col(ts_col)) / 1000).cast("long"))
+    if watermark_delay is not None:
+        out = out.withWatermark(ts_col, watermark_delay)
+    return out
+
+
+def _fold_batch(
+    events: pd.DataFrame,
+    ts_order: str,
+    fold: FoldFn,
+    init: Any,
+    start: int | None,
+    last: int | None,
+    n: int | None,
+    st: Any,
+    gap_ms: int,
+) -> tuple[list[tuple], int, int, int, Any]:
+    """Run the gap-merge + fold over one batch's time-ordered events.
+    Returns (closed sessions, open-session start/last/n/state)."""
+    closed: list[tuple] = []
+    for ev in events.sort_values(ts_order).to_dict("records"):
+        t = int(ev[ts_order])
+        if last is not None and t - last <= gap_ms:
+            last = max(last, t)
+            n += 1
+            st = fold(ev, st)
+        else:
+            if last is not None:
+                closed.append((start, last, n, st))
+            start, last, n, st = t, t, 1, fold(ev, init)
+    return closed, start, last, n, st
+
+
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    fold: FoldFn,
+    init: Any = None,
+    *,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Emit-on-close session fold over a streaming DataFrame.
+
+    Events within `gap_ms` of the session's last event merge into it
+    (extending its end); a bigger gap closes the session — closed
+    sessions are EMITTED (one row: key, session_start_ms,
+    session_end_ms = last + gap (matching `F.session_window`),
+    n_events, state_json), unlike the reference's silent drop
+    (pspf/stream.py:436-446). Sessions left open when the stream goes
+    quiet close via an event-time timer once the watermark passes
+    `last + gap`.
+
+    `fold(event_dict, state) -> state` is the reference's aggregation
+    handler shape (pspf/stream.py:325-347); `init` seeds each session.
+    `watermark_delay` (e.g. "5 seconds") is applied to `ts_col` here if
+    given; otherwise the caller must have set a watermark upstream
+    (EventTimeTimeout requires one).
+    """
+    out = _out_schema(df, key_col)
+    src = _with_ts_ms(df, ts_col, watermark_delay)
+
+    def run(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start: int, last: int, n: int, st: Any) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start_ms": [start],
+                    "session_end_ms": [last + gap_ms],
+                    "n_events": [n],
+                    "state_json": [json.dumps(st)],
+                }
+            )
+
+        if state.hasTimedOut:
+            # No input rows for this key: the watermark passed
+            # last + gap, flush the open session.
+            start, last, n, st_json = state.get
+            state.remove()
+            yield emit(start, last, n, json.loads(st_json))
+            return
+
+        if state.exists:
+            start, last, n, st_json = state.get
+            st = json.loads(st_json)
+        else:
+            start = last = n = None
+            st = None
+
+        # One concat+sort across Arrow chunks: per-chunk sorting would
+        # break time order for order-dependent folds (see keyed_fold_stream).
+        chunks = list(pdfs)
+        closed: list[tuple] = []
+        if chunks:
+            events = pd.concat(chunks, ignore_index=True)
+            closed, start, last, n, st = _fold_batch(
+                events, "_ts_ms", fold, init, start, last, n, st, gap_ms
+            )
+        if last is None:  # defensively: no events and no prior state
+            return
+        state.update((start, last, n, json.dumps(st)))
+        # Timer must sit strictly past the current watermark: a session
+        # fed entirely by old (pre-watermark) rows would otherwise set
+        # an already-expired timestamp, which Spark rejects. Clamping
+        # forward just closes it at the next trigger.
+        state.setTimeoutTimestamp(max(last + gap_ms, state.getCurrentWatermarkMs() + 1))
+        for c in closed:
+            yield emit(*c)
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        run, out, _STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def sessionize_stream_tws(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    fold: FoldFn,
+    init: Any = None,
+    *,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """`sessionize_stream` on Spark 4's transformWithStateInPandas:
+    typed value state + named event-time timers instead of the single
+    flatMapGroupsWithState timeout slot. Identical output contract.
+
+    Requires `google.protobuf` (the TWS Python state client's wire
+    format) and the RocksDB state-store provider
+    (`spark.sql.streaming.stateStore.providerClass`); raises
+    RuntimeError naming whichever is missing.
+    """
+    if not HAS_TWS:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package for its "
+            "Python state client; pip install protobuf or use "
+            "sessionize_stream() (same semantics, no extra deps)"
+        )
+    provider = df.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state store: "
+            f'spark.conf.set("spark.sql.streaming.stateStore.providerClass", '
+            f'"{_ROCKSDB_PROVIDER}")'
+        )
+
+    out = _out_schema(df, key_col)
+    src = _with_ts_ms(df, ts_col, watermark_delay)
+
+    class _Sessionizer(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", _STATE_SCHEMA)
+
+        def _emit(self, key: Any, start: int, last: int, n: int, st: Any):
+            return pd.DataFrame(
+                {
+                    key_col: [key],
+                    "session_start_ms": [start],
+                    "session_end_ms": [last + gap_ms],
+                    "n_events": [n],
+                    "state_json": [json.dumps(st)],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._sess.get()
+            if cur is not None:
+                start, last, n, st_json = cur
+                st = json.loads(st_json)
+            else:
+                start = last = n = None
+                st = None
+            events = pd.concat(list(rows), ignore_index=True)
+            closed, start, last, n, st = _fold_batch(
+                events, "_ts_ms", fold, init, start, last, n, st, gap_ms
+            )
+            self._sess.update((start, last, n, json.dumps(st)))
+            for t_old in self._handle.listTimers():
+                self._handle.deleteTimer(t_old)
+            self._handle.registerTimer(
+                max(last + gap_ms, timerValues.getCurrentWatermarkInMs() + 1)
+            )
+            for c in closed:
+                yield self._emit(key[0], *c)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cur = self._sess.get()
+            if cur is not None:
+                start, last, n, st_json = cur
+                if expiredTimerInfo.getExpiryTimeInMs() >= last + gap_ms:
+                    self._sess.clear()
+                    yield self._emit(key[0], start, last, n, json.loads(st_json))
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy(key_col).transformWithStateInPandas(
+        _Sessionizer(), out, "Append", "EventTime"
+    )

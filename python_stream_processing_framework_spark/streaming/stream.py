@@ -286,6 +286,47 @@ class Stream:
             )
         )
 
+    def sessionize(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        key_field: str,
+        ts_field: str = "timestamp",
+        gap_ms: int,
+        fold: Callable,
+        init=None,
+        watermark_delay_ms: int = 0,
+        sink_topic: str | None = None,
+        group: str | None = None,
+    ) -> None:
+        """Register an emit-on-close session fold (streaming/sessions.py):
+        the reference's session aggregation (pspf/stream.py:415-451) with
+        the dropped-session bug fixed — every closed session emits one
+        row (key, session_start_ms, session_end_ms, n_events,
+        state_json) to `sink_topic`; sessions left open close via an
+        event-time timer when the watermark passes last + gap."""
+        g = group or f"session-{topic}"
+        self._claim(topic, g)
+        self._subscriptions.append(
+            _Subscription(
+                kind="sessionize",
+                topic=topic,
+                handler=lambda df: df,
+                schema=schema,
+                options={
+                    "key_field": key_field,
+                    "ts_field": ts_field,
+                    "gap_ms": gap_ms,
+                    "fold": fold,
+                    "init": init,
+                    "watermark_delay_ms": watermark_delay_ms,
+                    "sink_topic": sink_topic or f"{topic}-sessions",
+                    "group": g,
+                },
+            )
+        )
+
     def pipeline(self, topic: str, schema: StructType, *, group: str | None = None) -> "PipelineBuilder":
         """Chained map/filter/sink DSL — parity with the reference's
         StreamBuilder (pspf/processing/dsl.py:17-49): arbitrary Python
@@ -401,6 +442,45 @@ class Stream:
             .start()
         )
 
+    def _start_sessionize(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.streaming.sessions import (
+            sessionize_stream,
+        )
+
+        opts = sub.options
+        ts = opts["ts_field"]
+        src = self.stream_topic(sub.topic, sub.schema).withColumn(
+            ts, F.col(ts).cast("timestamp")
+        )
+        delay_ms = opts["watermark_delay_ms"]
+        sessions = sessionize_stream(
+            src,
+            opts["key_field"],
+            ts,
+            opts["gap_ms"],
+            opts["fold"],
+            opts["init"],
+            watermark_delay=f"{delay_ms} milliseconds",
+        )
+        sink_dir = str(self.topic_dir(opts["sink_topic"]))
+
+        def write_sessions(batch: DataFrame, batch_id: int) -> None:
+            # Closed sessions append distributed, like _start_pipeline.
+            if batch.isEmpty():
+                return
+            batch.write.mode("append").json(sink_dir)
+
+        return (
+            sessions.writeStream.foreachBatch(write_sessions)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{opts['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _start_pipeline(self, sub: _Subscription):
         """Pure map/filter transforms run EXECUTOR-side (Arrow-batched
         `mapInPandas`), never through the driver: at 100 TB a
@@ -488,6 +568,7 @@ class Stream:
             "subscribe": self._start_subscribe,
             "window": self._start_window,
             "pipeline": self._start_pipeline,
+            "sessionize": self._start_sessionize,
         }
         for _ in range(max(1, rounds)):
             queries = []
