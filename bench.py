@@ -107,12 +107,10 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
     # through a symlinked temp dir (read-only testdata stays untouched)
     src_dir = Path(tempfile.mkdtemp(prefix="bench-stream-src-"))
     (src_dir / "events.parquet").symlink_to(path)
-    src = (
-        spark.readStream.schema(batch.schema)
-        .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .withWatermark("ts", "1 hour")
-    )
+    src = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generations
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    src = src.withWatermark("ts", "1 hour")
     agg = src.groupBy(F.window("ts", "10 minutes"), F.col("user_id")).agg(
         F.count("*").alias("n"), F.sum("value").alias("v")
     )

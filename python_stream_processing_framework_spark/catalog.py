@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from python_stream_processing_framework_spark.session import ensure_utc
 
@@ -33,10 +33,11 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
-#: natively. Read as int64 nanos (`nanosAsLong`) and truncate to
-#: microsecond timestamps — the same ns->us truncation DuckDB applies
-#: when it reads TIMESTAMP_NS, so both engines see identical values.
+#: Columns that have shipped as parquet TIMESTAMP(NANOS) in some
+#: testdata generations, which Spark cannot read natively. When they
+#: appear as int64 (`nanosAsLong`), truncate to microsecond timestamps —
+#: the same ns->us truncation DuckDB applies when it reads TIMESTAMP_NS,
+#: so both engines see identical values.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -45,6 +46,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    # Generations that store TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # normally read as plain TIMESTAMP via the session conf
+    # (parquet.inferTimestampNTZ.enabled=false, see session.ensure_utc);
+    # cast defensively in case the caller's session read NTZ anyway.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -50,6 +50,12 @@ def get_spark(
         # events.parquet uses TIMESTAMP(NANOS); read as int64 nanos
         # (catalog._read converts to a us timestamp column).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet timestamps with isAdjustedToUTC=false read as plain
+        # TIMESTAMP (session tz = UTC), not TIMESTAMP_NTZ — DuckDB reads
+        # the same values timezone-naive, so both engines agree, and the
+        # whole ts-function surface (unix_micros, window, watermarks)
+        # stays on one timestamp type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # The default 100-entry codegen class cache LRU-evicts when a
         # session runs the whole 47-query catalog; an evicted heavy
         # shape (e.g. the O(n^2) pair join) recompiles at 15-45 s.
@@ -74,4 +80,5 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
