@@ -25,6 +25,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """persist() + eager population (count action).
+
+    A lazily-persisted plan that fans out into SEVERAL downstream
+    stages is a scheduling race: when the scheduler launches those
+    stages concurrently (it does, they share no shuffle dependency),
+    each one computes the full unpersisted plan — the expensive
+    signature/index work runs 2-4x and the cache blocks collide
+    ("Block already exists on this machine" warnings). One count()
+    forces a single computation pass before any consumer is planned;
+    every branch then reads the cached blocks. The count itself does
+    work we'd pay anyway exactly once.
+    """
+    df.persist()
+    df.count()
+    return df
+
+
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Widen a too-narrow scan before a CPU-heavy map stage.
 
@@ -136,9 +154,9 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # Signatures feed four plan branches (both sides of the band join,
     # both sides of the verify join): persist so the md5 work runs once.
-    sigs = with_minhash(
-        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
-    ).persist()
+    sigs = materialize(
+        with_minhash(df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
+    )
     band_vals = F.expr(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> concat_ws('', slice(_sig, b * {rows} + 1, {rows})))"
@@ -223,9 +241,11 @@ def simhash_pairs(
     mask = (1 << band_bits) - 1
     # Both sides of the band self-join read the fingerprints: persist
     # so the 60-bit majority vote runs once per document.
-    fps = simhash_fingerprints(df, id_col, text_col, bits=bits).select(
-        id_col, "fingerprint"
-    ).persist()
+    fps = materialize(
+        simhash_fingerprints(df, id_col, text_col, bits=bits).select(
+            id_col, "fingerprint"
+        )
+    )
     slices = F.expr(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> (fingerprint >> (b * {band_bits})) & {mask})"
@@ -292,17 +312,18 @@ def ngram_jaccard_pairs(
         )
     else:
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
-    docs = prepped.persist()  # feeds both the inverted index and the size table
-    inv = docs.select(F.col(id_col), F.explode("_sh").alias("sh")).persist()
+    # feeds both the inverted index and the size table
+    docs = materialize(prepped)
+    inv = materialize(docs.select(F.col(id_col), F.explode("_sh").alias("sh")))
     if max_doc_freq is not None:
         # Drop non-discriminative shingles BEFORE pairing, and compute
         # set sizes over the SAME filtered space — Jaccard over rare
         # shingles. (Sizes from the unfiltered sets would undercount
         # similarity: identical docs would score < 1.)
         freq = inv.groupBy("sh").agg(F.count("*").alias("_df"))
-        inv = inv.join(
-            freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh"
-        ).persist()
+        inv = materialize(
+            inv.join(freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh")
+        )
         sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
         sizes = docs.select(F.col(id_col), F.size("_sh").cast("bigint").alias("n_sh"))

@@ -44,6 +44,7 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iter: int = 25,
+    double_from: int = 2,
 ) -> DataFrame:
     """Label every node of an undirected edge list with its component.
 
@@ -81,30 +82,39 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # Pointer doubling on the MATERIALIZED labels: shortcut
             # each label to its label's own label before propagating.
             # Both join inputs are the checkpointed `labels`, so the
             # shortcut costs one node-keyed join, no recomputation.
             # (A label's label is always <= the label — its own old
             # value rides in its min — so least() is belt-and-braces.)
-            lab2 = (
-                labels.alias("x")
-                .join(
-                    labels.select(
-                        F.col("node").alias("_ln"), F.col("component").alias("_lc")
-                    ),
-                    F.col("x.component") == F.col("_ln"),
-                    "left",
+            # ADAPTIVE: near-dup clusters are near-cliques that
+            # converge in <= `double_from` plain rounds — for them the
+            # shortcut join is a pure extra shuffle, so the first
+            # rounds propagate plainly; only components still changing
+            # after that (chain-shaped stragglers) pay for doubling
+            # and get the O(log diameter) bound.
+            if it < double_from:
+                lab2 = labels
+            else:
+                lab2 = (
+                    labels.alias("x")
+                    .join(
+                        labels.select(
+                            F.col("node").alias("_ln"), F.col("component").alias("_lc")
+                        ),
+                        F.col("x.component") == F.col("_ln"),
+                        "left",
+                    )
+                    .select(
+                        "node",
+                        F.least(
+                            F.coalesce(F.col("_lc"), F.col("x.component")),
+                            F.col("x.component"),
+                        ).alias("component"),
+                    )
                 )
-                .select(
-                    "node",
-                    F.least(
-                        F.coalesce(F.col("_lc"), F.col("x.component")),
-                        F.col("x.component"),
-                    ).alias("component"),
-                )
-            )
             nbr_min = sym.join(lab2, sym["s"] == lab2["node"]).select(
                 F.col("d").alias("node"),
                 F.col("component"),

@@ -227,10 +227,17 @@ def cosine_lsh_pairs(
         # candidates (they can't be near anything).
         return out
 
-    sigs = (
-        e.select(F.col(id_col), _sigq(F.col("_v")).alias("_s"))
-        .select(id_col, "_s.s", "_s.q", "_s.nq2")
-        .persist()
+    from python_stream_processing_framework_spark.operators.dedup import materialize
+
+    # Signatures feed four plan branches (both band-join sides, both
+    # verify-fetch sides): materialize so the pandas-UDF signature
+    # pass runs ONCE — lazily-persisted, the concurrently-scheduled
+    # branches would each recompute it (2-4x the query's whole cost,
+    # and the dominant run-to-run variance in bench).
+    sigs = materialize(
+        e.select(F.col(id_col), _sigq(F.col("_v")).alias("_s")).select(
+            id_col, "_s.s", "_s.q", "_s.nq2"
+        )
     )
     mask = 2**band_bits - 1
     band_keys = F.expr(
