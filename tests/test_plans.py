@@ -152,3 +152,18 @@ def test_range_join_no_nested_loop(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_signatures_served_from_cache(spark):
+    """Fan-out persists must be EAGER: the signature subplan feeds
+    several concurrently-scheduled branches (band-join sides, verify
+    fetch sides), and a lazy persist lets each branch recompute the
+    whole signature pass (the dominant cost). materialize() populates
+    the cache up front, so every branch must plan as an
+    InMemoryTableScan."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    for name in ("dedup_minhash_lsh", "cosine_lsh_pairs"):
+        text = plan_text(q(name, spark), mode="simple")
+        assert "InMemoryTableScan" in text, f"{name}: signatures not cached"
+    spark.catalog.clearCache()
