@@ -344,3 +344,40 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """End-to-end near-dup collapse: keep ONE canonical doc per cluster.
+
+    ``pairs`` is the output of any detector in this module
+    (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs) or of
+    similarity.cosine_lsh_pairs. Pairs are transitive-closed into
+    clusters (graph.connected_components), and the member with the
+    MINIMUM id survives as the cluster's canonical document — the same
+    deterministic rule the components operator itself uses, so the
+    kept set is reproducible across runs, partitionings, and engines.
+
+    Docs that appear in no pair are untouched (components only labels
+    nodes that occur in edges; the anti-join keeps everything else).
+
+    Scale: components is the iterative part (see graph.py); the final
+    step is one anti-join of the corpus against the non-canonical
+    member set — typically a small fraction of the corpus, so AQE
+    turns it into a broadcast anti-join when it fits.
+    """
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    a, b = pair_cols
+    labels = connected_components(pairs.select(a, b), src=a, dst=b)
+    losers = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
