@@ -68,6 +68,7 @@ def main() -> None:
         "ivf_dim256": _ivf_dim256_bench(spark),
         "lsh_dim1024": _lsh_dim1024_bench(spark),
         "components_200k_edges": _components_scale_bench(spark),
+        "corpus_pipeline": _corpus_pipeline_bench(spark, sf_dir),
     }
 
     total = round(sum(timings.values()), 3)
@@ -250,6 +251,61 @@ def _components_scale_bench(spark) -> dict:
     wall = round(_t.perf_counter() - t0, 3)
     spark.catalog.clearCache()
     return {"wall_s": wall, "n_edges": n_edges, "n_components": n_components}
+
+
+def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
+    """The whole LLM corpus-assembly path end-to-end (the flow of
+    examples/llm_corpus_pipeline.py): quality gate -> MinHash-LSH
+    pairs -> component collapse -> hash split -> greedy packing ->
+    audit. One number for the composed pipeline, not just its parts."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+    from python_stream_processing_framework_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+    from python_stream_processing_framework_spark.operators.sampling import hash_split
+    from python_stream_processing_framework_spark.operators.text import quality_stats
+
+    (docs,) = load(spark, sf_dir, "documents")
+    t0 = _t.perf_counter()
+    quality = quality_stats(docs, "doc_id", "text")
+    good = docs.join(
+        quality.filter(
+            (F.col("n_tokens") >= 5) & (F.col("quality_score") > 0.2)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    deduped = dedup_corpus(
+        good, minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5), "doc_id"
+    )
+    train = (
+        hash_split(deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .filter(F.col("split") == "train")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    audit = packing_stats(
+        pack_sequences(train, max_tokens=512, num_groups=16), max_tokens=512
+    ).collect()[0]
+    wall = round(_t.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    return {
+        "wall_s": wall,
+        "docs_in": docs.count(),
+        "docs_packed": audit["n_documents"],
+        "sequences": audit["n_sequences"],
+        "mean_fill": float(audit["mean_fill"]),
+    }
 
 
 if __name__ == "__main__":
