@@ -381,3 +381,92 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs (MinHash + LSH, two tables).
+
+    The two-table form of `minhash_lsh_pairs`: find documents in
+    ``left`` that near-duplicate documents in ``right`` — the shape of
+    test-set decontamination (corpus vs held-out benchmark) and of
+    incremental dedup (new batch vs existing corpus). Both sides use
+    the SAME md5 hash family, so signatures are comparable without any
+    shared fitted state.
+
+    Output: (id_left, id_right, jaccard) with jaccard >= threshold.
+    Scale: identical to the self-join path — banding is one equi-join
+    shuffle keyed on (band_idx, band_val); when ``right`` is small
+    (a benchmark suite), AQE broadcasts its banded side and the big
+    corpus never shuffles.
+    """
+    rows = num_hashes // bands
+    band_vals = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> concat_ws('', slice(_sig, b * {rows} + 1, {rows})))"
+    )
+
+    def banded(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
+        sigs = materialize(
+            with_minhash(df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
+        )
+        bd = sigs.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.posexplode(band_vals).alias("band_idx", "band_val"),
+        )
+        sh = sigs.select(
+            F.col(id_col).alias(f"id_{side}"), F.col("_shingles").alias(f"_sh_{side}")
+        )
+        return bd, sh
+
+    bl, shl = banded(left, "left")
+    br, shr = banded(right, "right")
+    cand = bl.join(br, ["band_idx", "band_val"]).select("id_left", "id_right").distinct()
+    return (
+        cand.join(shl, "id_left")
+        .join(shr, "id_right")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_sh_left", "_sh_right")).cast("bigint")
+        )
+        .withColumn(
+            "n_union",
+            (F.size("_sh_left") + F.size("_sh_right")).cast("bigint")
+            - F.col("n_common"),
+        )
+        .withColumn("jaccard", F.col("n_common").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_left", "id_right", "jaccard")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Remove training documents that near-duplicate held-out data.
+
+    Benchmark/test-set contamination is the canonical silent failure
+    of LLM training corpora: any training doc whose shingle Jaccard
+    with a held-out doc clears ``threshold`` is dropped. One LSH join
+    + one anti-join; the held-out side is small, so AQE broadcasts it
+    end-to-end and the corpus is never shuffled.
+    """
+    hits = minhash_lsh_join(
+        corpus, heldout, id_col, text_col, threshold=threshold, **lsh_kwargs
+    )
+    contaminated = hits.select(F.col("id_left").alias(id_col)).distinct()
+    return corpus.join(contaminated, id_col, "left_anti")

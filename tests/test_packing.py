@@ -68,3 +68,38 @@ def test_dedup_corpus_keeps_one_per_cluster(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_corpus(corpus, pairs).collect())
     assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_minhash_lsh_join_finds_cross_corpus_dups(spark):
+    from python_stream_processing_framework_spark.operators.dedup import (
+        decontaminate,
+        minhash_lsh_join,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "machine learning systems require large curated training corpora today",
+        "spark executes declarative plans with whole stage code generation",
+        "completely unrelated text about cooking pasta with fresh tomatoes",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)]
+        + [(100 + i, f"filler document number {i} with unique words w{i}a w{i}b w{i}c w{i}d")
+           for i in range(20)],
+        "doc_id long, text string",
+    )
+    # held-out set shares doc 0 verbatim and doc 1 with one word changed
+    heldout = spark.createDataFrame(
+        [(0, base[0]), (1, base[1].replace("today", "now")), (2, "entirely disjoint heldout sample")],
+        "doc_id long, text string",
+    )
+    hits = minhash_lsh_join(corpus, heldout, threshold=0.5)
+    got = {(r["id_left"], r["id_right"]) for r in hits.collect()}
+    assert (0, 0) in got
+    assert (1, 1) in got
+    assert all(left in (0, 1) for left, _ in got)
+
+    clean = decontaminate(corpus, heldout, threshold=0.5)
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert 0 not in kept and 1 not in kept
+    assert {2, 3}.issubset(kept) and len(kept) == corpus.count() - 2
