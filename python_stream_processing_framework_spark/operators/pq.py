@@ -1,0 +1,204 @@
+"""Product quantization (PQ) — compressed-domain ANN at corpus scale.
+
+Jegou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011): split each d-dim vector into ``m`` subvectors, learn a
+``k``-centroid codebook per subspace, store each vector as ``m`` small
+codes (m bytes at k=256, vs 4*d bytes float32 — a 512x compression at
+d=1024 before the float store is even considered). Queries score
+against codes via an Asymmetric Distance Computation (ADC) lookup
+table, never touching raw vectors.
+
+This is the missing tier of the similarity family (similarity.py):
+exact cosine (baseline) -> IVF (scan pruning) -> sign-LSH (pair
+mining) -> int8 (4x compression, exact dot) -> PQ (32-512x
+compression, table-lookup scoring). At 100 TB of embeddings the PQ
+code table is the only representation that fits hot storage.
+
+Spark shapes:
+- training: Lloyd iterations as posexplode + broadcast-join +
+  groupBy-mean — the same flat-in-dim centroid pattern as
+  similarity.ivf_topk (never one aggregate expression per dimension).
+  Deterministic: init centroids are the subvectors of the k
+  hash-smallest vector ids (partition-invariant), iteration count is
+  fixed, and means divide int64 sums of 1e-6-quantized components —
+  so the codebook is reproducible run-to-run on any partitioning.
+- encoding: explode m subvectors per vector, broadcast the (m*k)-row
+  codebook, argmin via min_by, regroup — narrow shuffles keyed on the
+  vector id; raw vectors never fan out across the cluster.
+- ADC query: the m*k distance table is computed as a tiny broadcast
+  plan; scoring is one broadcast join on (subspace, code) + a
+  groupBy-sum + TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.functions.hashing import hash60
+
+#: component quantum for exact integer means (matches similarity.ivf)
+_Q = 1_000_000
+
+
+def _l2sq(a, b):
+    """Squared L2 distance between two float arrays (HOF, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvec_rows(e: DataFrame, m: int) -> DataFrame:
+    """(_id, _sub, _sv): the m subvector rows of every vector."""
+    return e.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_sub"),
+    ).select(
+        "_id",
+        "_sub",
+        F.expr(
+            f"slice(_v, _sub * (size(_v) DIV {m}) + 1, size(_v) DIV {m})"
+        ).alias("_sv"),
+    )
+
+
+def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (vector, subspace) via broadcast.
+
+    Ties break on the smaller code so assignment is deterministic.
+    """
+    joined = sub.join(F.broadcast(codebook), "_sub").withColumn(
+        "_d", _l2sq(F.col("_sv"), F.col("centroid"))
+    )
+    return joined.groupBy("_id", "_sub").agg(
+        F.min_by(F.col("code"), F.struct(F.col("_d"), F.col("code"))).alias("code"),
+        F.first("_sv").alias("_sv"),
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Learn a PQ codebook: (subspace, code, centroid) rows, m*k total.
+
+    Deterministic k-means per subspace: centroids initialize from the
+    subvectors of the k vectors with the smallest md5(id) (stable
+    under partitioning), then ``iters`` fixed Lloyd rounds. Vector dim
+    must be divisible by ``m``. The result is m*k small rows — safe to
+    cache, collect, or broadcast.
+
+    Empty codes can occur (a centroid that attracts no points keeps
+    its last position by dropping out of the mean step); downstream
+    encode/score only ever references codes that exist in the
+    codebook, so that is benign.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    sub = _subvec_rows(e, m)
+
+    seed_ids = (
+        e.select("_id", hash60(F.col("_id").cast("string")).alias("_h"))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .withColumn(
+            "code", (F.row_number().over(Window.orderBy("_h", "_id")) - 1).cast("int")
+        )
+        .select("_id", "code")
+    )
+    codebook = (
+        sub.withColumnRenamed("_id", "_sid")
+        .join(F.broadcast(seed_ids), F.col("_sid") == seed_ids["_id"])
+        .select("_sub", "code", F.col("_sv").alias("centroid"))
+    )
+
+    for _ in range(iters):
+        assigned = _assign(sub, codebook)
+        # exact integer means per (subspace, code, position) — flat in
+        # dim: (m*k*dsub) rows through two tiny shuffles, never one
+        # aggregate expression per dimension.
+        comp = (
+            assigned.select("_sub", "code", F.posexplode("_sv").alias("_i", "_x"))
+            .groupBy("_sub", "code", "_i")
+            .agg(
+                F.sum(F.round(F.col("_x") * _Q).cast("bigint")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        codebook = comp.groupBy("_sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_s", "_n"))),
+                lambda t: t["_s"].cast("double") / F.lit(float(_Q)) / t["_n"],
+            ).alias("centroid")
+        )
+    return codebook
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress vectors to (id, codes): an array of m small ints."""
+    m = codebook.select(F.max("_sub")).first()[0] + 1
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    assigned = _assign(_subvec_rows(e, m), codebook)
+    return (
+        assigned.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_sub", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: smallest approximate L2 distance to ``query_vec``.
+
+    Builds the m*k lookup table (distance from each query subvector to
+    each centroid), broadcast-joins it against the exploded codes, and
+    sums per vector — compressed-domain scoring; raw vectors are never
+    read. Returns (id, adc_dist) ascending, ties broken on id.
+    """
+    m = codebook.select(F.max("_sub")).first()[0] + 1
+    spark = encoded.sparkSession
+    q = spark.createDataFrame([(list(map(float, query_vec)),)], "qv array<double>")
+    table = codebook.crossJoin(F.broadcast(q)).select(
+        "_sub",
+        "code",
+        _l2sq(
+            F.expr(f"slice(qv, _sub * (size(qv) DIV {m}) + 1, size(qv) DIV {m})"),
+            F.col("centroid"),
+        ).alias("_d"),
+    )
+    exploded = encoded.select(F.col(id_col), F.posexplode("codes").alias("_sub", "code"))
+    return (
+        exploded.join(F.broadcast(table), ["_sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
