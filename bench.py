@@ -69,6 +69,7 @@ def main() -> None:
         "lsh_dim1024": _lsh_dim1024_bench(spark),
         "components_200k_edges": _components_scale_bench(spark),
         "corpus_pipeline": _corpus_pipeline_bench(spark, sf_dir),
+        "pq_dim64": _pq_bench(spark),
     }
 
     total = round(sum(timings.values()), 3)
@@ -305,6 +306,48 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
         "docs_packed": audit["n_documents"],
         "sequences": audit["n_sequences"],
         "mean_fill": float(audit["mean_fill"]),
+    }
+
+
+def _pq_bench(spark) -> dict:
+    """Product quantization end-to-end at 20k vectors / dim 64:
+    train (3 Lloyd rounds) + encode + one ADC top-10 query."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    n = 10_000
+    vecs = spark.range(0, n).repartition(32).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), d -> cast((id % 50) * 2.0"
+            " + pmod(id * 13 + d * 7, 17) / 17.0 as double))"
+        ).alias("embedding"),
+    )
+    t0 = _t.perf_counter()
+    cb = pq_train(vecs, m=8, k=32, iters=3)
+    cb.persist().count()
+    enc = pq_encode(vecs, cb)
+    enc.persist().count()
+    query = vecs.filter("vec_id = 123").select("embedding").first()[0]
+    top = pq_topk(enc, cb, query, k=10).collect()
+    wall = round(_t.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    # ADC ranks clusters, not members (codes tie within a cluster):
+    # the quality check is that all 10 hits share the query's cluster.
+    return {
+        "wall_s": wall,
+        "n_vectors": n,
+        "dim": 64,
+        "m": 8,
+        "k_codes": 32,
+        "top10_same_cluster": all(r["vec_id"] % 50 == 123 % 50 for r in top),
     }
 
 

@@ -22,15 +22,21 @@ Spark shapes:
   hash-smallest vector ids (partition-invariant), iteration count is
   fixed, and means divide int64 sums of 1e-6-quantized components —
   so the codebook is reproducible run-to-run on any partitioning.
-- encoding: explode m subvectors per vector, broadcast the (m*k)-row
-  codebook, argmin via min_by, regroup — narrow shuffles keyed on the
-  vector id; raw vectors never fan out across the cluster.
+- assignment/encoding: nearest-centroid is ONE Arrow-batched numpy
+  matmul per batch against the broadcast codebook (map-only — a
+  join + per-pair Catalyst-lambda distance would evaluate an
+  interpreted HOF (subvectors x centroids) times, the hazard
+  similarity.py documents); the only shuffle in encode is the final
+  regroup to one codes-array row per vector id.
 - ADC query: the m*k distance table is computed as a tiny broadcast
   plan; scoring is one broadcast join on (subspace, code) + a
   groupBy-sum + TakeOrderedAndProject.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -66,17 +72,44 @@ def _subvec_rows(e: DataFrame, m: int) -> DataFrame:
 
 
 def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Nearest-centroid code per (vector, subspace) via broadcast.
+    """Nearest-centroid code per (vector, subspace) row.
 
-    Ties break on the smaller code so assignment is deterministic.
+    One Arrow-batched numpy matmul per batch against the broadcast
+    codebook — NOT a join + per-pair HOF distance: Catalyst lambda
+    expressions (zip_with/aggregate) are interpreted, and evaluating
+    them once per (subvector x centroid) pair dominated training by
+    10x (the same hazard similarity.cosine_lsh_pairs documents for
+    its signature pass). Ties break on the smaller code (numpy argmin
+    returns the first minimum; codes are sorted ascending).
     """
-    joined = sub.join(F.broadcast(codebook), "_sub").withColumn(
-        "_d", _l2sq(F.col("_sv"), F.col("centroid"))
-    )
-    return joined.groupBy("_id", "_sub").agg(
-        F.min_by(F.col("code"), F.struct(F.col("_d"), F.col("code"))).alias("code"),
-        F.first("_sv").alias("_sv"),
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    rows = codebook.select("_sub", "code", "centroid").collect()
+    by_sub: dict[int, tuple] = {}
+    for s in {r["_sub"] for r in rows}:
+        group = sorted(
+            ((r["code"], r["centroid"]) for r in rows if r["_sub"] == s)
+        )
+        codes = np.array([c for c, _ in group], dtype=np.int32)
+        mat = np.array([v for _, v in group], dtype=np.float64)
+        by_sub[int(s)] = (codes, mat, (mat * mat).sum(axis=1))
+    bc = sub.sparkSession.sparkContext.broadcast(by_sub)
+
+    @pandas_udf("int")
+    def _nearest(subspace: pd.Series, sv: pd.Series) -> pd.Series:
+        cb = bc.value
+        out = np.empty(len(sv), dtype=np.int32)
+        subs = subspace.to_numpy()
+        for s in np.unique(subs):
+            codes, mat, c2 = cb[int(s)]
+            idx = np.nonzero(subs == s)[0]
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in sv.iloc[idx]])
+            # argmin over |x|^2 - 2 x.C^T + |c|^2; |x|^2 is row-constant
+            d = c2[None, :] - 2.0 * (x @ mat.T)
+            out[idx] = codes[d.argmin(axis=1)]
+        return pd.Series(out)
+
+    return sub.withColumn("code", _nearest(F.col("_sub"), F.col("_sv")))
 
 
 def pq_train(
@@ -111,7 +144,14 @@ def pq_train(
         .orderBy("_h", "_id")
         .limit(k)
         .withColumn(
-            "code", (F.row_number().over(Window.orderBy("_h", "_id")) - 1).cast("int")
+            "code",
+            (
+                # k rows post-limit: the single-partition window is
+                # intentional (partitionBy(lit) just mutes the
+                # move-all-data warning for this tiny frame)
+                F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_h", "_id"))
+                - 1
+            ).cast("int"),
         )
         .select("_id", "code")
     )
