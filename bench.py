@@ -310,7 +310,7 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
 
 
 def _pq_bench(spark) -> dict:
-    """Product quantization end-to-end at 20k vectors / dim 64:
+    """Product quantization end-to-end at 10k vectors / dim 64:
     train (3 Lloyd rounds) + encode + one ADC top-10 query."""
     import time as _t
 
@@ -326,7 +326,7 @@ def _pq_bench(spark) -> dict:
     vecs = spark.range(0, n).repartition(32).select(
         F.col("id").alias("vec_id"),
         F.expr(
-            "transform(sequence(1, 64), d -> cast((id % 50) * 2.0"
+            "transform(sequence(1, 64), d -> cast((id % 25) * 4.0"
             " + pmod(id * 13 + d * 7, 17) / 17.0 as double))"
         ).alias("embedding"),
     )
@@ -347,7 +347,7 @@ def _pq_bench(spark) -> dict:
         "dim": 64,
         "m": 8,
         "k_codes": 32,
-        "top10_same_cluster": all(r["vec_id"] % 50 == 123 % 50 for r in top),
+        "top10_same_cluster": all(r["vec_id"] % 25 == 123 % 25 for r in top),
     }
 
 

@@ -24,23 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def materialize(df: DataFrame) -> DataFrame:
-    """persist() + eager population (count action).
-
-    A lazily-persisted plan that fans out into SEVERAL downstream
-    stages is a scheduling race: when the scheduler launches those
-    stages concurrently (it does, they share no shuffle dependency),
-    each one computes the full unpersisted plan — the expensive
-    signature/index work runs 2-4x and the cache blocks collide
-    ("Block already exists on this machine" warnings). One count()
-    forces a single computation pass before any consumer is planned;
-    every branch then reads the cached blocks. The count itself does
-    work we'd pay anyway exactly once.
-    """
-    df.persist()
-    df.count()
-    return df
+# materialize lives in common.py; re-imported here both for local use
+# and back-compat with callers importing it from this module
+from python_stream_processing_framework_spark.operators.common import materialize
 
 
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -103,6 +89,18 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     )
 
 
+def band_vals_expr(num_hashes: int, bands: int, sig_col: str = "_sig") -> Column:
+    """LSH band keys: concat of each band's signature slice — the ONE
+    definition both the self-join (minhash_lsh_pairs) and the
+    two-table join (minhash_lsh_join) band on, so they can never
+    silently diverge."""
+    rows = num_hashes // bands
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> concat_ws('', slice({sig_col}, b * {rows} + 1, {rows})))"
+    )
+
+
 def with_minhash(
     df: DataFrame,
     id_col: str,
@@ -151,16 +149,17 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, n_common, n_union, jaccard) with
     jaccard >= threshold; doc_a < doc_b.
     """
-    rows = num_hashes // bands
     # Signatures feed four plan branches (both sides of the band join,
     # both sides of the verify join): persist so the md5 work runs once.
+    # project to (id, sig, shingles) BEFORE caching: the raw text and
+    # any other payload columns are dead weight here, and pinning them
+    # in the cache would hold ~the whole corpus in memory at scale.
     sigs = materialize(
-        with_minhash(df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
+        with_minhash(
+            df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+        ).select(F.col(id_col), F.col("_sig"), F.col("_shingles"))
     )
-    band_vals = F.expr(
-        f"transform(sequence(0, {bands - 1}),"
-        f" b -> concat_ws('', slice(_sig, b * {rows} + 1, {rows})))"
-    )
+    band_vals = band_vals_expr(num_hashes, bands)
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_vals).alias("band_idx", "band_val")
     )
@@ -312,8 +311,10 @@ def ngram_jaccard_pairs(
         )
     else:
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
-    # feeds both the inverted index and the size table
-    docs = materialize(prepped)
+    # feeds both the inverted index and the size table; project to
+    # (id, shingles) first — caching the raw text too would pin ~the
+    # whole corpus in memory at scale
+    docs = materialize(prepped.select(F.col(id_col), F.col("_sh")))
     inv = materialize(docs.select(F.col(id_col), F.explode("_sh").alias("sh")))
     if max_doc_freq is not None:
         # Drop non-discriminative shingles BEFORE pairing, and compute
@@ -409,15 +410,14 @@ def minhash_lsh_join(
     (a benchmark suite), AQE broadcasts its banded side and the big
     corpus never shuffles.
     """
-    rows = num_hashes // bands
-    band_vals = F.expr(
-        f"transform(sequence(0, {bands - 1}),"
-        f" b -> concat_ws('', slice(_sig, b * {rows} + 1, {rows})))"
-    )
+    band_vals = band_vals_expr(num_hashes, bands)
 
     def banded(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
+        # cache only (id, sig, shingles) — never the raw text column
         sigs = materialize(
-            with_minhash(df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
+            with_minhash(
+                df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+            ).select(F.col(id_col), F.col("_sig"), F.col("_shingles"))
         )
         bd = sigs.select(
             F.col(id_col).alias(f"id_{side}"),

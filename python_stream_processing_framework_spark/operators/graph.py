@@ -98,6 +98,9 @@ def connected_components(
             if it < double_from:
                 lab2 = labels
             else:
+                # lab2 feeds TWO consumers (the neighbour join and the
+                # union branch): persist+count so the shortcut join
+                # runs once per round, not once per consumer.
                 lab2 = (
                     labels.alias("x")
                     .join(
@@ -114,7 +117,9 @@ def connected_components(
                             F.col("x.component"),
                         ).alias("component"),
                     )
+                    .persist()
                 )
+                lab2.count()
             nbr_min = sym.join(lab2, sym["s"] == lab2["node"]).select(
                 F.col("d").alias("node"),
                 F.col("component"),
@@ -132,6 +137,9 @@ def connected_components(
                     (F.min("component") < F.min("_old")).alias("_changed"),
                 )
             )
+            if it >= double_from:
+                # new is checkpointed (eager) — the shortcut cache is done
+                lab2.unpersist()
             # Labels only ever decrease: converged iff no label got
             # smaller than the shortcut snapshot — then lab2 is a
             # propagation fixpoint, i.e. the per-component minimum.

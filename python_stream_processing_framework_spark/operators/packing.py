@@ -80,7 +80,11 @@ def pack_sequences(
     )
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_order").reset_index(drop=True)
+        # id tie-break: 60-bit hash collisions WILL occur at corpus
+        # scale (birthday bound at 1e9 docs), and without it tied rows
+        # keep shuffle-dependent arrival order — breaking the
+        # partition-invariance guarantee.
+        pdf = pdf.sort_values(["_order", id_col]).reset_index(drop=True)
         seq_idx, seq_pos, used = [], [], 0
         cur, pos = 0, 0
         for n in pdf["_n"]:

@@ -71,7 +71,7 @@ def _subvec_rows(e: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+def _assign(sub: DataFrame, codebook: DataFrame):
     """Nearest-centroid code per (vector, subspace) row.
 
     One Arrow-batched numpy matmul per batch against the broadcast
@@ -81,6 +81,11 @@ def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     10x (the same hazard similarity.cosine_lsh_pairs documents for
     its signature pass). Ties break on the smaller code (numpy argmin
     returns the first minimum; codes are sorted ascending).
+
+    Returns (assigned_df, broadcast): the caller owns the broadcast's
+    lifecycle — destroy it once every action on assigned_df has run
+    (pq_train does, per Lloyd round); leave it alive while the
+    DataFrame may still execute (pq_encode's return value).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -109,7 +114,7 @@ def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
             out[idx] = codes[d.argmin(axis=1)]
         return pd.Series(out)
 
-    return sub.withColumn("code", _nearest(F.col("_sub"), F.col("_sv")))
+    return sub.withColumn("code", _nearest(F.col("_sub"), F.col("_sv"))), bc
 
 
 def pq_train(
@@ -126,13 +131,20 @@ def pq_train(
     Deterministic k-means per subspace: centroids initialize from the
     subvectors of the k vectors with the smallest md5(id) (stable
     under partitioning), then ``iters`` fixed Lloyd rounds. Vector dim
-    must be divisible by ``m``. The result is m*k small rows — safe to
-    cache, collect, or broadcast.
+    must be divisible by ``m``.
 
-    Empty codes can occur (a centroid that attracts no points keeps
-    its last position by dropping out of the mean step); downstream
-    encode/score only ever references codes that exist in the
-    codebook, so that is benign.
+    The returned codebook is CONCRETE (collected per round and
+    rebuilt as a local-data DataFrame): each Lloyd round runs exactly
+    one full-data job, its codebook broadcast is destroyed as soon as
+    the round completes, and downstream actions (encode, queries)
+    replay nothing — without this, every codebook action would rerun
+    the final round's whole-dataset assignment pass.
+
+    A centroid that attracts no points DROPS OUT of the codebook
+    (the mean step has no rows for it), so a subspace can end up with
+    fewer than k codes; assignment and ADC only reference surviving
+    codes, so results stay correct — but do not assume exactly m*k
+    rows.
     """
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -161,8 +173,10 @@ def pq_train(
         .select("_sub", "code", F.col("_sv").alias("centroid"))
     )
 
+    spark = embeddings.sparkSession
+    cb_schema = "_sub int, code int, centroid array<double>"
     for _ in range(iters):
-        assigned = _assign(sub, codebook)
+        assigned, bc = _assign(sub, codebook)
         # exact integer means per (subspace, code, position) — flat in
         # dim: (m*k*dsub) rows through two tiny shuffles, never one
         # aggregate expression per dimension.
@@ -174,11 +188,20 @@ def pq_train(
                 F.count(F.lit(1)).alias("_n"),
             )
         )
-        codebook = comp.groupBy("_sub", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_i", "_s", "_n"))),
-                lambda t: t["_s"].cast("double") / F.lit(float(_Q)) / t["_n"],
-            ).alias("centroid")
+        rows = (
+            comp.groupBy("_sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_s", "_n"))),
+                    lambda t: t["_s"].cast("double") / F.lit(float(_Q)) / t["_n"],
+                ).alias("centroid")
+            )
+            .collect()  # m*k rows: the round's ONE full-data job
+        )
+        bc.destroy()
+        codebook = spark.createDataFrame(
+            [(int(r["_sub"]), int(r["code"]), list(r["centroid"])) for r in rows],
+            cb_schema,
         )
     return codebook
 
@@ -195,7 +218,9 @@ def pq_encode(
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).filter(F.col("_v").isNotNull())
-    assigned = _assign(_subvec_rows(e, m), codebook)
+    # the broadcast must outlive the returned (lazy) DataFrame;
+    # executors drop it with the app / on GC of the result plan
+    assigned, _bc = _assign(_subvec_rows(e, m), codebook)
     return (
         assigned.groupBy("_id")
         .agg(

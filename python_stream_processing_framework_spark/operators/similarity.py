@@ -227,7 +227,7 @@ def cosine_lsh_pairs(
         # candidates (they can't be near anything).
         return out
 
-    from python_stream_processing_framework_spark.operators.dedup import materialize
+    from python_stream_processing_framework_spark.operators.common import materialize
 
     # Signatures feed four plan branches (both band-join sides, both
     # verify-fetch sides): materialize so the pandas-UDF signature
