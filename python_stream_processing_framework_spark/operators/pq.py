@@ -267,3 +267,76 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    cells: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-PQ: coarse-cell probing + compressed-domain ADC scoring —
+    the classic two-level ANN index (FAISS IVFPQ shape).
+
+    ``cells`` maps id -> coarse cell (the same partition column
+    similarity.ivf_topk probes). The n_probe cells whose PER-CELL MEAN
+    of decoded centroids is nearest the query are selected, then only
+    their members are ADC-scored: at 1000 cells / 8 probes the scan
+    touches ~1% of the code table, which is itself 32-512x smaller
+    than the float corpus — the only query shape that stays
+    interactive at 100 TB of embeddings.
+
+    Cell selection uses the PQ-reconstructed member vectors (sum of
+    per-subspace centroid means), so it needs no access to the float
+    corpus either — the whole query path runs off codes + codebook.
+
+    Recall is bounded by how well the cell partitioner matches vector
+    geometry — the inherent IVF trade (similarity.ivf_topk has the
+    same property): with kmeans-quality cells a few probes recover
+    the true neighbours (test-pinned); over semantically-assigned
+    cells raise n_probe (at n_probe ~ cells the result equals full
+    ADC, verified on the embeddings table).
+    """
+    enc = encoded.join(cells.select(F.col(id_col), F.col(cell_col)), id_col)
+    # reconstruct each member approximately: per (cell, subspace, code)
+    # frequency times centroid, averaged per cell — all tiny frames
+    # after the first groupBy (cells x m x k upper bound).
+    code_freq = (
+        enc.select(F.col(cell_col), F.posexplode("codes").alias("_sub", "code"))
+        .groupBy(cell_col, "_sub", "code")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    m = codebook.select(F.max("_sub")).first()[0] + 1
+    spark = encoded.sparkSession
+    q = spark.createDataFrame([(list(map(float, query_vec)),)], "qv array<double>")
+    # distance of the query subvector to each centroid, weighted by how
+    # many members of the cell use that centroid -> mean member ADC
+    # distance per cell == the IVF probe ranking, codes-only.
+    table = codebook.crossJoin(F.broadcast(q)).select(
+        "_sub",
+        "code",
+        _l2sq(
+            F.expr(f"slice(qv, _sub * (size(qv) DIV {m}) + 1, size(qv) DIV {m})"),
+            F.col("centroid"),
+        ).alias("_d"),
+    )
+    probed = (
+        code_freq.join(F.broadcast(table), ["_sub", "code"])
+        .groupBy(cell_col)
+        .agg((F.sum(F.col("_n") * F.col("_d")) / F.sum(F.col("_n") * F.lit(float(m)))).alias("_mean_d"))
+        .orderBy(F.col("_mean_d").asc(), F.col(cell_col))
+        .limit(n_probe)
+        .select(cell_col)
+    )
+    return pq_topk(
+        enc.join(F.broadcast(probed), cell_col).select(id_col, "codes"),
+        codebook,
+        query_vec,
+        id_col=id_col,
+        k=k,
+    )

@@ -70,3 +70,20 @@ def test_adc_topk_cluster_recall(spark, vecs, codebook):
         assert len(approx) == 10
         assert all(v % 8 == qid % 8 for v in approx), (qid, approx)
     spark.catalog.clearCache()
+
+
+def test_ivfpq_topk_probes_and_scores(spark, vecs, codebook):
+    from python_stream_processing_framework_spark.operators.pq import ivfpq_topk
+
+    enc = pq_encode(vecs, codebook)
+    enc.persist().count()
+    # coarse cells = the true cluster id (what a kmeans partitioner
+    # would produce on this data)
+    cells = vecs.select("vec_id", (F.col("vec_id") % 8).alias("label"))
+    query = [r["embedding"] for r in vecs.filter("vec_id = 21").collect()][0]
+    got = [r["vec_id"] for r in
+           ivfpq_topk(enc, codebook, cells, query, n_probe=2, k=10).collect()]
+    assert len(got) == 10
+    # every hit must come from the query's own cluster/cell (5 % 8)
+    assert all(v % 8 == 21 % 8 for v in got), got
+    spark.catalog.clearCache()
