@@ -2,7 +2,8 @@
 
     quality filter -> near-dup detection (MinHash+LSH) -> cluster
     collapse (connected components) -> deterministic train/val/test
-    split -> sequence packing -> audit stats
+    split -> decontaminate train against val/test -> sequence
+    packing -> audit stats
 
 Every step is the scale-path operator (bucketed equi-joins, map-only
 hashing, grouped greedy packing) — no O(n^2) stage, no driver-side
@@ -20,6 +21,7 @@ import pyspark.sql.functions as F
 
 from python_stream_processing_framework_spark.catalog import load
 from python_stream_processing_framework_spark.operators.dedup import (
+    decontaminate,
     dedup_corpus,
     minhash_lsh_pairs,
 )
@@ -57,15 +59,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     )
 
-    # 5. pack the train split into 512-token training sequences
-    train = split.filter(F.col("split") == "train").select(
+    # 5. evaluation hygiene: drop train docs that near-duplicate
+    # anything in val/test (the held-out data must stay unseen)
+    train_docs = split.filter(F.col("split") == "train").select("doc_id", "text")
+    heldout = split.filter(F.col("split") != "train").select("doc_id", "text")
+    clean_train = decontaminate(train_docs, heldout, threshold=0.5)
+    n3 = clean_train.count()
+
+    # 6. pack the clean train split into 512-token training sequences
+    train = clean_train.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     packed = pack_sequences(train, max_tokens=512, num_groups=16)
     audit = packing_stats(packed, max_tokens=512).collect()[0]
 
-    print(f"corpus: {n0} docs -> {n1} after quality -> {n2} after dedup")
+    print(
+        f"corpus: {n0} docs -> {n1} after quality -> {n2} after dedup; "
+        f"train {train_docs.count()} -> {n3} after decontamination"
+    )
     print(
         f"train packing: {audit['n_documents']} docs -> "
         f"{audit['n_sequences']} sequences, mean fill "
