@@ -21,6 +21,9 @@ Scale notes (local[32] tests at sf<=0.1; design target 1000 executors):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -196,23 +199,68 @@ def simhash_fingerprints(
     Per bit b: sum over distinct tokens of +1/-1 depending on bit b of
     the token's 60-bit md5-derived hash; bit set iff sum >= 0. Integer
     sums are order-free, so the fingerprint is engine-exact. Map-only,
-    no shuffle. 60 bits (15 md5 hex chars) keeps every intermediate in
+    no shuffle.
+
+    The token hashes stay JVM-side (md5/conv, codegen'd, pushdown
+    intact); the majority vote is an Arrow-batched numpy bit-count —
+    evaluating it as a nested Catalyst lambda (aggregate over 60 bits x
+    aggregate over tokens) costs 60*|tokens| interpreted iterations per
+    document, the exact hazard similarity.py documents for LSH
+    signatures. 60 bits (15 md5 hex chars) keeps every intermediate in
     a signed int64.
     """
+    from pyspark.sql.functions import pandas_udf
+
     hs = F.expr(
         "transform(array_distinct(_toks), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
     )
-    fp = F.expr(
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, b) -> acc + "
-        f"IF(aggregate(_hs, 0, (s, h) -> s + IF(((h >> b) & 1) = 1, 1, -1)) >= 0,"
-        f" shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
-    )
+    shifts = np.arange(bits, dtype=np.int64)
+    # cap the (tokens x bits) bit matrix per block: 500k tokens x 60
+    # bits as uint8 = 30 MB regardless of how many docs one Arrow
+    # batch carries.
+    max_block_tokens = 500_000
+
+    @pandas_udf("bigint")
+    def _vote(hs_col: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs_col]
+        out = np.empty(len(arrs), dtype=np.int64)
+        i = 0
+        while i < len(arrs):
+            j, tok = i, 0
+            while j < len(arrs) and (tok == 0 or tok + arrs[j].size <= max_block_tokens):
+                tok += arrs[j].size
+                j += 1
+            block = arrs[i:j]
+            lens = np.fromiter((a.size for a in block), dtype=np.int64, count=len(block))
+            flat = np.concatenate(block) if tok else np.empty(0, dtype=np.int64)
+            ones = ((flat[:, None] >> shifts) & 1).astype(np.uint8)
+            starts = np.zeros(len(block), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # empty docs never reach here (filter size>=1), but guard:
+            # reduceat misbehaves on empty segments
+            if tok and (lens > 0).all():
+                cnt = np.add.reduceat(ones, starts, axis=0, dtype=np.int64)
+            else:
+                cnt = np.stack(
+                    [
+                        ((a[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+                        if a.size
+                        else np.zeros(bits, dtype=np.int64)
+                        for a in block
+                    ]
+                )
+            # majority: sum(+1/-1) >= 0  <=>  2*count_ones >= n_tokens
+            fp_bits = (2 * cnt >= lens[:, None]).astype(np.int64)
+            out[i:j] = (fp_bits << shifts).sum(axis=1)
+            i = j
+        return pd.Series(out)
+
     return (
         spread(df)
         .withColumn("_toks", tokens_expr(text_col))
         .filter(F.size("_toks") >= 1)
         .withColumn("_hs", hs)
-        .withColumn("fingerprint", fp)
+        .withColumn("fingerprint", _vote(F.col("_hs")))
         .drop("_toks", "_hs")
     )
 
