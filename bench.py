@@ -19,8 +19,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from python_stream_processing_framework_spark.operators.common import release_caches
 from python_stream_processing_framework_spark.queries import QUERY_REGISTRY
 from python_stream_processing_framework_spark.session import get_spark
+
+#: timed passes per query; the MINIMUM is reported. Mean/first-pass
+#: numbers on a shared box fold concurrent-load noise into the result
+#: (r3's totals ranged 27.9-106.6 s for identical code); the min of 3
+#: is the standard steady-state estimator under interference.
+N_REPEATS = 3
 
 
 def main() -> None:
@@ -49,18 +56,24 @@ def main() -> None:
             # ...but a query that only passes when timed must be VISIBLE:
             # log to stderr (stdout carries the one-line JSON contract).
             print(f"WARMUP FAILURE {name}: {exc!r}", file=sys.stderr)
+        release_caches()
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERY_REGISTRY):
         fn = QUERY_REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # dedup/similarity operators persist() reused subplans; drop
-        # those caches between queries so 46 queries don't accumulate
-        # dead cached blocks in one session.
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(N_REPEATS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+            # dedup/similarity operators persist reused subplans and pq
+            # ships codebook broadcasts; release both between passes so
+            # no pass reads a predecessor's cache and 50 queries don't
+            # accumulate dead blocks in one session.
+            release_caches()
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     streaming = _streaming_throughput(spark, sf_dir)
     extras = {
@@ -85,9 +98,12 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "cpus": cpus,
-                # since r2 every query is run once UNCOUNTED first:
-                # reported numbers are steady-state (post-JIT), not cold.
-                "methodology": "warmup_pass_then_timed_pass",
+                # since r2 every query is run once UNCOUNTED first
+                # (steady-state post-JIT numbers); since r4 each query
+                # is then timed N_REPEATS times and the MIN reported,
+                # making per-query numbers robust to concurrent load.
+                "n_repeats": N_REPEATS,
+                "methodology": "warmup_pass_then_min_of_n",
             }
         )
     )

@@ -29,6 +29,7 @@ from python_stream_processing_framework_spark.operators.packing import (
     pack_sequences,
     packing_stats,
 )
+from python_stream_processing_framework_spark.operators.common import release_caches
 from python_stream_processing_framework_spark.operators.sampling import hash_split
 from python_stream_processing_framework_spark.operators.text import quality_stats
 from python_stream_processing_framework_spark.session import get_spark
@@ -84,6 +85,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"{audit['mean_fill']:.1%}, oversized {audit['n_oversized']}"
     )
     assert audit["n_overfull_bugs"] == 0
+
+    # cache hygiene: the dedup/decontamination operators pinned
+    # signature caches for their fan-out subplans; reclaim them now
+    # that every downstream action has run. (A production pipeline
+    # would write each stage's output and release between stages —
+    # releasing earlier here would force lineage recompute, because
+    # the counts above re-walk the same lazy plans.)
+    release_caches()
     spark.stop()
 
 

@@ -4,6 +4,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Every operator-persisted frame / broadcast is tracked here so a long
+# session can release them all between pipeline stages. Entries are
+# tiny (references, not data); release_caches() drains the lists.
+_TRACKED_FRAMES: list[DataFrame] = []
+_TRACKED_BROADCASTS: list = []
+_TRACKED_RELEASERS: list = []
+
 
 def materialize(df: DataFrame) -> DataFrame:
     """persist() + eager population (count action).
@@ -20,10 +27,69 @@ def materialize(df: DataFrame) -> DataFrame:
 
     Project the frame down to the columns the consumers actually need
     BEFORE materializing — caching payload columns (raw text, binary)
-    pins ~the whole corpus in memory at scale. The cache lives until
-    the caller unpersists or clears it (bench.py clearCache()s between
-    queries).
+    pins ~the whole corpus in memory at scale.
+
+    Cache lifecycle contract: the cache must outlive the RETURNED
+    (lazy) DataFrame, so operators cannot unpersist it themselves —
+    instead every materialize()d frame is tracked, and callers running
+    many operators in one session (pipelines, benchmarks, services)
+    should call `release_caches()` once each result is consumed.
+    bench.py and examples/llm_corpus_pipeline.py do; tests assert the
+    tracker drains to zero persisted RDDs.
     """
     df.persist()
     df.count()
+    _TRACKED_FRAMES.append(df)
     return df
+
+
+def track_broadcast(bc):
+    """Register a SparkContext broadcast for release_caches() destroy.
+
+    For broadcasts that must outlive a returned lazy DataFrame (e.g.
+    pq_encode's codebook) and so cannot be destroyed at operator exit.
+    """
+    _TRACKED_BROADCASTS.append(bc)
+    return bc
+
+
+def track_release(fn) -> None:
+    """Register an arbitrary zero-arg cleanup to run at
+    release_caches() — for storage DataFrame.unpersist can't reach
+    (e.g. graph.connected_components' localCheckpoint RDD backing the
+    returned labels frame)."""
+    _TRACKED_RELEASERS.append(fn)
+
+
+def release_caches() -> int:
+    """Unpersist every tracked frame and destroy every tracked
+    broadcast; returns how many objects were released.
+
+    Safe to call at any point where no tracked operator RESULT is
+    still pending an action (the caches exist to serve those plans).
+    Errors are swallowed per-object: a stopped session or an
+    already-released cache must not mask the caller's work.
+    """
+    n = 0
+    while _TRACKED_FRAMES:
+        df = _TRACKED_FRAMES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    while _TRACKED_BROADCASTS:
+        bc = _TRACKED_BROADCASTS.pop()
+        try:
+            bc.destroy()
+            n += 1
+        except Exception:
+            pass
+    while _TRACKED_RELEASERS:
+        fn = _TRACKED_RELEASERS.pop()
+        try:
+            fn()
+            n += 1
+        except Exception:
+            pass
+    return n

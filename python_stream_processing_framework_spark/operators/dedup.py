@@ -457,6 +457,14 @@ def minhash_lsh_join(
     shuffle keyed on (band_idx, band_val); when ``right`` is small
     (a benchmark suite), AQE broadcasts its banded side and the big
     corpus never shuffles.
+
+    Recall floor: documents with fewer than ``shingle_k`` tokens have
+    no shingles and are dropped from BOTH sides (with_minhash's
+    filter), so sub-shingle-length docs can never match — pair this
+    with an exact-match join on normalized text if very short
+    held-out rows matter. Caches: each side pins one (id, sig,
+    shingles) frame via materialize(); call
+    common.release_caches() once the result is consumed.
     """
     band_vals = band_vals_expr(num_hashes, bands)
 
@@ -512,6 +520,13 @@ def decontaminate(
     with a held-out doc clears ``threshold`` is dropped. One LSH join
     + one anti-join; the held-out side is small, so AQE broadcasts it
     end-to-end and the corpus is never shuffled.
+
+    Limitation (inherited from minhash_lsh_join): held-out docs
+    shorter than ``shingle_k`` tokens (default 3) produce no shingles
+    and can never flag a training doc — short benchmark answers need
+    an additional exact-match pass on normalized text. The two
+    signature caches this pins are reclaimed by
+    common.release_caches() after the kept set is consumed.
     """
     hits = minhash_lsh_join(
         corpus, heldout, id_col, text_col, threshold=threshold, **lsh_kwargs

@@ -64,11 +64,25 @@ def connected_components(
     the durable snapshot, not from the whole edge pipeline. Without
     one (local dev / tests), falls back to `localCheckpoint()`.
     """
+    from python_stream_processing_framework_spark.operators.common import (
+        track_release,
+    )
+
     sc = edges.sparkSession.sparkContext
     durable = sc.getCheckpointDir() is not None
 
     def truncate(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if durable else df.localCheckpoint(eager=True)
+
+    def ck_unpersist(df: DataFrame) -> None:
+        # localCheckpoint storage is an internal LogicalRDD persist
+        # that DataFrame.unpersist cannot reach; free it through the
+        # plan accessor. Best-effort: the accessor is private API, and
+        # leaving a superseded round cached is harmless vs failing.
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
 
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -76,7 +90,7 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = truncate(
+    labels = labels_ck = truncate(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
@@ -140,12 +154,23 @@ def connected_components(
             if it >= double_from:
                 # new is checkpointed (eager) — the shortcut cache is done
                 lab2.unpersist()
+            # new is materialized, so the previous round's checkpoint
+            # storage is superseded — free it now, not at session end.
+            # (labels_ck, not labels: post-drop frames are Projects
+            # over the LogicalRDD and the accessor needs the
+            # checkpointed frame itself.)
+            ck_unpersist(labels_ck)
+            labels_ck = new
             # Labels only ever decrease: converged iff no label got
             # smaller than the shortcut snapshot — then lab2 is a
             # propagation fixpoint, i.e. the per-component minimum.
             changed = new.filter(F.col("_changed")).count()
             labels = new.drop("_changed")
             if changed == 0:
+                # the RESULT's checkpoint must outlive the returned
+                # lazy frame; the session cache tracker reclaims it
+                # once the caller has consumed the labels
+                track_release(lambda df=new: ck_unpersist(df))
                 return labels
     finally:
         sym.unpersist()

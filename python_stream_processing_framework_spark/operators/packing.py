@@ -68,6 +68,10 @@ def pack_sequences(
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    if num_groups <= 0:
+        # hash60 % 0 would evaluate to null and surface as a confusing
+        # non-nullable-field error inside applyInPandas
+        raise ValueError("num_groups must be positive")
 
     out_schema = StructType(
         [

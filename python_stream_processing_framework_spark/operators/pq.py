@@ -31,9 +31,23 @@ Spark shapes:
 - ADC query: the m*k distance table is computed as a tiny broadcast
   plan; scoring is one broadcast join on (subspace, code) + a
   groupBy-sum + TakeOrderedAndProject.
+
+Determinism contract (what makes the family DuckDB-oracle-able): every
+distance is computed over 1e-6-QUANTIZED components — xq =
+floor(x*1e6 + 0.5) as int64 — so assignment argmins, ADC table
+entries, and per-vector ADC sums are exact integer arithmetic with no
+summation-order dependence; ties break to the smaller code / id.
+Centroids are exact rationals (int64 component sums / 1e6 / count)
+materialized through the identical IEEE op sequence in Spark, numpy,
+and SQL, then re-quantized with the same floor(c*1e6 + 0.5) before any
+distance. The only doubles in the outputs are single exact-rounded
+divisions of identical int64s. Quantization error (<= 1e-6 per
+component) is negligible against PQ's own approximation error.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -47,11 +61,28 @@ from python_stream_processing_framework_spark.functions.hashing import hash60
 _Q = 1_000_000
 
 
-def _l2sq(a, b):
-    """Squared L2 distance between two float arrays (HOF, JVM-side)."""
+def _quant(col):
+    """1e-6 quantization to int64: floor(x*1e6 + 0.5) per component.
+
+    floor(+0.5) (not round()) everywhere — Spark/DuckDB round() differ
+    on negative halves (HALF_UP vs half-away nuances); floor of the
+    same IEEE double is unambiguous in every engine and in numpy.
+    """
+    return F.transform(
+        col, lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _l2sq_q(a, b):
+    """Integer squared L2 between two quantized bigint arrays (JVM HOF).
+
+    Magnitudes: |xq| <= 1e6 at unit-scale embeddings -> per-component
+    square <= 4e12, x 512 dims ~ 2e15 — inside int64 (and these sums
+    are exact; no float enters until the final display division).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
 
@@ -79,8 +110,14 @@ def _assign(sub: DataFrame, codebook: DataFrame):
     expressions (zip_with/aggregate) are interpreted, and evaluating
     them once per (subvector x centroid) pair dominated training by
     10x (the same hazard similarity.cosine_lsh_pairs documents for
-    its signature pass). Ties break on the smaller code (numpy argmin
-    returns the first minimum; codes are sorted ascending).
+    its signature pass).
+
+    Distances are integer-exact: both subvector and centroid are
+    1e-6-quantized to int64 (floor(v*1e6+0.5), the module contract),
+    and the argmin compares |cq|^2 - 2*xq.cq (the row-constant |xq|^2
+    dropped — an integer shift that cannot change the argmin). Ties
+    break on the smaller code (argmin first-minimum; codes sorted
+    ascending) — matching ORDER BY (dist, code) in the SQL oracle.
 
     Returns (assigned_df, broadcast): the caller owns the broadcast's
     lifecycle — destroy it once every action on assigned_df has run
@@ -97,7 +134,8 @@ def _assign(sub: DataFrame, codebook: DataFrame):
         )
         codes = np.array([c for c, _ in group], dtype=np.int32)
         mat = np.array([v for _, v in group], dtype=np.float64)
-        by_sub[int(s)] = (codes, mat, (mat * mat).sum(axis=1))
+        cq = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        by_sub[int(s)] = (codes, cq, (cq * cq).sum(axis=1))
     bc = sub.sparkSession.sparkContext.broadcast(by_sub)
 
     @pandas_udf("int")
@@ -106,15 +144,45 @@ def _assign(sub: DataFrame, codebook: DataFrame):
         out = np.empty(len(sv), dtype=np.int32)
         subs = subspace.to_numpy()
         for s in np.unique(subs):
-            codes, mat, c2 = cb[int(s)]
+            codes, cq, c2 = cb[int(s)]
             idx = np.nonzero(subs == s)[0]
             x = np.stack([np.asarray(v, dtype=np.float64) for v in sv.iloc[idx]])
-            # argmin over |x|^2 - 2 x.C^T + |c|^2; |x|^2 is row-constant
-            d = c2[None, :] - 2.0 * (x @ mat.T)
+            xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            # integer argmin over |cq|^2 - 2 xq.cq^T (|xq|^2 row-constant)
+            d = c2[None, :] - 2 * (xq @ cq.T)
             out[idx] = codes[d.argmin(axis=1)]
         return pd.Series(out)
 
     return sub.withColumn("code", _nearest(F.col("_sub"), F.col("_sv"))), bc
+
+
+def _check_dim(df: DataFrame, vec_expr, m: int, *, dsub: int | None = None) -> int:
+    """Validate vector dim divisible by m (one-row job); returns dim.
+
+    Without this, slice() silently drops the trailing dim % m
+    components from training, encoding, and queries — degraded
+    distances with no error.
+    """
+    row = df.select(F.size(vec_expr).alias("_dim")).first()
+    if row is None:
+        raise ValueError("no vectors to quantize (empty input)")
+    dim = int(row["_dim"])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    if dsub is not None and dim != m * dsub:
+        raise ValueError(
+            f"vector dim {dim} != m*dsub = {m}*{dsub} of the codebook"
+        )
+    return dim
+
+
+def _codebook_shape(codebook: DataFrame) -> tuple[int, int]:
+    """(m, dsub) of a codebook in one tiny job (codebooks are local
+    m*k-row frames, see pq_train)."""
+    row = codebook.select(
+        (F.max("_sub") + 1).alias("_m"), F.max(F.size("centroid")).alias("_dsub")
+    ).first()
+    return int(row["_m"]), int(row["_dsub"])
 
 
 def pq_train(
@@ -149,6 +217,7 @@ def pq_train(
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).filter(F.col("_v").isNotNull())
+    _check_dim(e, F.col("_v"), m)
     sub = _subvec_rows(e, m)
 
     seed_ids = (
@@ -184,7 +253,12 @@ def pq_train(
             assigned.select("_sub", "code", F.posexplode("_sv").alias("_i", "_x"))
             .groupBy("_sub", "code", "_i")
             .agg(
-                F.sum(F.round(F.col("_x") * _Q).cast("bigint")).alias("_s"),
+                # floor(x*1e6+0.5), the module-wide quantization rule
+                F.sum(
+                    F.floor(
+                        F.col("_x") * F.lit(1_000_000.0) + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("_s"),
                 F.count(F.lit(1)).alias("_n"),
             )
         )
@@ -214,13 +288,21 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Compress vectors to (id, codes): an array of m small ints."""
-    m = codebook.select(F.max("_sub")).first()[0] + 1
+    m, dsub = _codebook_shape(codebook)
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).filter(F.col("_v").isNotNull())
-    # the broadcast must outlive the returned (lazy) DataFrame;
-    # executors drop it with the app / on GC of the result plan
+    _check_dim(e, F.col("_v"), m, dsub=dsub)
+    # the broadcast must outlive the returned (lazy) DataFrame, so it
+    # is registered with the session cache tracker instead of being
+    # destroyed here — common.release_caches() reclaims it once the
+    # encode result has been consumed
+    from python_stream_processing_framework_spark.operators.common import (
+        track_broadcast,
+    )
+
     assigned, _bc = _assign(_subvec_rows(e, m), codebook)
+    track_broadcast(_bc)
     return (
         assigned.groupBy("_id")
         .agg(
@@ -247,25 +329,44 @@ def pq_topk(
     each centroid), broadcast-joins it against the exploded codes, and
     sums per vector — compressed-domain scoring; raw vectors are never
     read. Returns (id, adc_dist) ascending, ties broken on id.
+
+    ``adc_dist`` is the integer quantized squared L2 (micro^2 units)
+    divided by 1e12 — a single exact-rounded division of an exact
+    int64 sum, so the ranking AND the value are engine-reproducible.
     """
-    m = codebook.select(F.max("_sub")).first()[0] + 1
+    m, dsub = _codebook_shape(codebook)
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != m*dsub = {m}*{dsub} of the codebook"
+        )
     spark = encoded.sparkSession
-    q = spark.createDataFrame([(list(map(float, query_vec)),)], "qv array<double>")
-    table = codebook.crossJoin(F.broadcast(q)).select(
-        "_sub",
-        "code",
-        _l2sq(
-            F.expr(f"slice(qv, _sub * (size(qv) DIV {m}) + 1, size(qv) DIV {m})"),
-            F.col("centroid"),
-        ).alias("_d"),
-    )
+    # quantize the query driver-side with the module rule (Python float
+    # math is the same IEEE ops as JVM/numpy/SQL)
+    qq = [int(math.floor(float(x) * 1e6 + 0.5)) for x in query_vec]
+    q = spark.createDataFrame([(qq,)], "qq array<bigint>")
+    table = _adc_table(codebook, q, m, dsub)
     exploded = encoded.select(F.col(id_col), F.posexplode("codes").alias("_sub", "code"))
     return (
         exploded.join(F.broadcast(table), ["_sub", "code"])
         .groupBy(id_col)
-        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        .agg(
+            (F.sum("_d").cast("double") / F.lit(1e12)).alias("adc_dist")
+        )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def _adc_table(codebook: DataFrame, q: DataFrame, m: int, dsub: int) -> DataFrame:
+    """(_sub, code, _d): integer quantized sq-L2 from the quantized
+    query subvector to each quantized centroid. Tiny broadcast plan."""
+    return codebook.crossJoin(F.broadcast(q)).select(
+        "_sub",
+        "code",
+        _l2sq_q(
+            F.expr(f"slice(qq, _sub * {dsub} + 1, {dsub})"),
+            _quant(F.col("centroid")),
+        ).alias("_d"),
     )
 
 
@@ -311,25 +412,37 @@ def ivfpq_topk(
         .groupBy(cell_col, "_sub", "code")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    m = codebook.select(F.max("_sub")).first()[0] + 1
+    m, dsub = _codebook_shape(codebook)
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != m*dsub = {m}*{dsub} of the codebook"
+        )
     spark = encoded.sparkSession
-    q = spark.createDataFrame([(list(map(float, query_vec)),)], "qv array<double>")
+    qq = [int(math.floor(float(x) * 1e6 + 0.5)) for x in query_vec]
+    q = spark.createDataFrame([(qq,)], "qq array<bigint>")
     # distance of the query subvector to each centroid, weighted by how
-    # many members of the cell use that centroid -> mean member ADC
-    # distance per cell == the IVF probe ranking, codes-only.
-    table = codebook.crossJoin(F.broadcast(q)).select(
-        "_sub",
-        "code",
-        _l2sq(
-            F.expr(f"slice(qv, _sub * (size(qv) DIV {m}) + 1, size(qv) DIV {m})"),
-            F.col("centroid"),
-        ).alias("_d"),
-    )
+    # many members of the cell use that centroid -> mean MEMBER ADC
+    # distance per cell == the IVF probe ranking, codes-only. sum(_n)
+    # counts m code rows per member, so the member count is sum(_n)/m:
+    # mean = m * sum(_n*_d) / sum(_n). The numerator rides in
+    # DECIMAL(38,0) (n*d can pass int64 at large-magnitude vectors) —
+    # still exact integer arithmetic, order-free; DuckDB mirrors it
+    # with HUGEINT. One exact wide-int -> double conversion (IEEE
+    # nearest in both engines), one division.
+    table = _adc_table(codebook, q, m, dsub)
     probed = (
         code_freq.join(F.broadcast(table), ["_sub", "code"])
         .groupBy(cell_col)
-        .agg((F.sum(F.col("_n") * F.col("_d")) / F.sum(F.col("_n") * F.lit(float(m)))).alias("_mean_d"))
-        .orderBy(F.col("_mean_d").asc(), F.col(cell_col))
+        .agg(
+            (
+                (
+                    F.lit(m)
+                    * F.sum(F.col("_n").cast("decimal(38,0)") * F.col("_d"))
+                ).cast("double")
+                / F.sum("_n")
+            ).alias("_mean_member_adc")
+        )
+        .orderBy(F.col("_mean_member_adc").asc(), F.col(cell_col))
         .limit(n_probe)
         .select(cell_col)
     )

@@ -92,9 +92,17 @@ def cosine_pairs(
     corpus scale use `minhash`-style LSH banding on sign-random
     projections or `ivf_topk` per query instead.
     """
-    e = _prep(embeddings, vec_col).select(
-        F.col(id_col), F.col("_v"), l2_norm(F.col("_v")).alias("_n")
-    ).persist()  # both sides of the pair join
+    from python_stream_processing_framework_spark.operators.common import materialize
+
+    # both sides of the pair join read this; materialize (not bare
+    # persist) so the fan-out computes once AND the cache is tracked
+    # for release_caches() — a long session calling this repeatedly
+    # must not accrete caches
+    e = materialize(
+        _prep(embeddings, vec_col).select(
+            F.col(id_col), F.col("_v"), l2_norm(F.col("_v")).alias("_n")
+        )
+    )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
     )

@@ -22,6 +22,8 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     sql_surface,
     extras,
     sampling,
+    pq,
+    packing,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

