@@ -60,12 +60,30 @@ def handle_batch_with_retries(
     ctx: Context | None = None,
     retry_topic: str | None = None,
     tracer=None,
+    distribute: bool = False,
+    distribute_partitions: int | None = None,
 ) -> None:
     """Run the handler per message with reference retry/DLQ flow.
 
-    Runs driver-side over the micro-batch (the facade's handlers are
-    side-effecting consumers, exactly like the reference's async
-    handlers — heavy transforms belong in DataFrame ops, not here).
+    Two execution modes:
+
+    - Default (driver-serial): handlers run in one driver loop under
+      the group lock — the reference's exact semantics (handlers are
+      arbitrary side-effecting Python sharing a state transaction,
+      pspf/processor.py:311-328). Throughput is driver-bound; the
+      parity mode, not the scale mode.
+    - ``distribute=True``: handlers run executor-side via
+      mapPartitions — N partitions execute in parallel across the
+      cluster, and only FAILURES (tiny) return to the driver, which
+      owns all retry/DLQ emission so delivery bookkeeping stays
+      single-writer. Requires handlers that are (a) picklable, (b)
+      ctx-free (durable group state is driver-owned), and (c)
+      idempotent per message — a Spark task retry re-runs its
+      partition's handlers, giving at-least-once side effects,
+      upgraded to effectively-once by event-id tokens (IdempotentSink)
+      exactly as the reference upgrades its at-least-once delivery.
+      No cross-message ordering is guaranteed (the reference only
+      orders within a partition anyway).
 
     Retries are re-emitted to `retry_topic` (the consumer group's
     PRIVATE sibling topic, read only by this group) — the reference
@@ -75,35 +93,66 @@ def handle_batch_with_retries(
     """
     import contextlib
 
-    rows = [r.asDict(recursive=True) for r in batch.collect()]
-    call = _arity_call(handler, ctx)
-    # same-group handlers serialize (reference runs handlers inside a
-    # state transaction, pspf/processor.py:311-328)
-    guard = ctx.lock if ctx is not None else contextlib.nullcontext()
     retries: list[dict] = []
     dead: list[dict] = []
-    for event in rows:
+
+    def route_failure(event: dict, err: str) -> None:
         attempt = int(event.get("_attempt") or 0)
-        # run the handler inside the message's extracted trace span, so
-        # emits from the handler continue the trace (reference
-        # pspf/telemetry.py:114-118 extracts per message)
-        span = tracer.span_from(event) if tracer is not None else contextlib.nullcontext()
-        try:
-            with guard, span:
-                call(event)
-        except Exception as exc:  # noqa: BLE001 — any handler error retries
-            if attempt + 1 > max_retries:
-                dead.append(
-                    {
-                        **event,
-                        "_error": str(exc),
-                        "_original_stream": topic,
-                        "_original_msg_id": event.get("event_id"),
-                        "_moved_timestamp": time.time(),
-                    }
-                )
-            else:
-                retries.append({**event, "_attempt": attempt + 1})
+        if attempt + 1 > max_retries:
+            dead.append(
+                {
+                    **event,
+                    "_error": err,
+                    "_original_stream": topic,
+                    "_original_msg_id": event.get("event_id"),
+                    "_moved_timestamp": time.time(),
+                }
+            )
+        else:
+            retries.append({**event, "_attempt": attempt + 1})
+
+    if distribute:
+        call = _arity_call(handler, None)  # ctx is driver-owned
+        # small topic files bin-pack into ONE scan partition
+        # (maxPartitionBytes), which would serialize the handlers
+        # anyway — distribute_partitions forces real fan-out (one
+        # shuffle of the micro-batch, usually tiny next to handler
+        # side-effect latency, the reason to distribute at all)
+        if distribute_partitions:
+            batch = batch.repartition(distribute_partitions)
+
+        def run_partition(rows_iter):
+            for row in rows_iter:
+                event = row.asDict(recursive=True)
+                try:
+                    call(event)
+                except Exception as exc:  # noqa: BLE001 — route to retry/DLQ
+                    yield {**event, "_handler_error": str(exc)}
+
+        # executors run every handler; only failures travel back
+        for failed in batch.rdd.mapPartitions(run_partition).collect():
+            err = failed.pop("_handler_error")
+            route_failure(failed, err)
+    else:
+        rows = [r.asDict(recursive=True) for r in batch.collect()]
+        call = _arity_call(handler, ctx)
+        # same-group handlers serialize (reference runs handlers inside
+        # a state transaction, pspf/processor.py:311-328)
+        guard = ctx.lock if ctx is not None else contextlib.nullcontext()
+        for event in rows:
+            # run the handler inside the message's extracted trace
+            # span, so emits from the handler continue the trace
+            # (reference pspf/telemetry.py:114-118 extracts per message)
+            span = (
+                tracer.span_from(event)
+                if tracer is not None
+                else contextlib.nullcontext()
+            )
+            try:
+                with guard, span:
+                    call(event)
+            except Exception as exc:  # noqa: BLE001 — any handler error retries
+                route_failure(event, str(exc))
     if retries:
         emit(retry_topic or topic, *retries)
     if dead:

@@ -10,18 +10,37 @@ EMIT as soon as the event-time watermark passes `last_event + gap`,
 with state managed by Spark's state store (exactly-once with the query
 checkpoint, survives restarts).
 
-Two implementations, same semantics:
+Two implementations, same semantics; `sessionize_stream` is CANONICAL:
 
-- `sessionize_stream` — `applyInPandasWithState` +
+- `sessionize_stream` (canonical — what the facade's session sink and
+  all e2e tests run) — `applyInPandasWithState` +
   `GroupStateTimeout.EventTimeTimeout`: a per-key event-time timer at
   `last + gap` fires when the watermark passes it and flushes the open
-  session. Works on any Spark 3.4+/4.x with Arrow only.
-- `sessionize_stream_tws` — the Spark 4 `transformWithStateInPandas`
-  StatefulProcessor form (typed value state + named event-time
-  timers). The TWS Python worker needs `google.protobuf` and the
-  RocksDB state-store provider; the function raises a clear error when
-  either is missing, so environments without protobuf fall back to
-  `sessionize_stream` (identical output).
+  session. Works on any Spark 3.4+/4.x with Arrow only — no extra
+  deps, which is why it is the default.
+- `sessionize_stream_tws` (compat / forward path) — the Spark 4
+  `transformWithStateInPandas` StatefulProcessor form (typed value
+  state + named event-time timers). The TWS Python worker needs
+  `google.protobuf` and the RocksDB state-store provider; the function
+  raises a clear error when either is missing, so environments without
+  protobuf fall back to `sessionize_stream` (identical output).
+
+Both share `_fold_batch` — the gap-merge + fold core is literally one
+function, so the two paths cannot drift semantically; the TWS e2e
+equivalence test (tests/test_sessions.py) is protobuf-gated like the
+live-broker tests.
+
+Why keep the TWS form at all: NAMED timers are strictly more
+expressive than the single flatMapGroupsWithState timeout slot. With
+them a processor can hold MULTIPLE timers per key — e.g. one at
+`last + gap` (session close) and one at `last + gap + grace` holding
+the closed session's identity so a post-watermark straggler inside the
+grace window can be captured to a `-late` topic WITH its session
+attribution (reference `-late` DLQ, pspf/stream.py:402-413), rather
+than pre-split upstream (operators/windows.split_late) before
+attribution exists. That upgrade only needs `handleExpiredTimer` to
+branch on which timer fired — the SURVEY hard-part #1/#3 closure path
+once protobuf ships in the target environment.
 
 Scale shape (both): one shuffle on the key into the stateful exchange;
 state per key is O(1) (the active session's fold accumulator, not the

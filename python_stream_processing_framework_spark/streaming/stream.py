@@ -181,6 +181,8 @@ class Stream:
         max_retries: int = 3,
         group: str | None = None,
         max_files_per_trigger: int | None = None,
+        distribute: bool = False,
+        distribute_partitions: int | None = None,
     ) -> Callable[[Callable], Callable]:
         """Register a per-message handler (reference @stream.subscribe,
         pspf/stream.py:94-104). The handler is called once per message
@@ -201,6 +203,17 @@ class Stream:
         A list of topics registers the same handler on each (one
         streaming query per topic — the reference runs one asyncio task
         per subscription, pspf/stream.py:131-150).
+
+        ``distribute=True`` opts the handler into EXECUTOR-SIDE
+        execution (dlq.handle_batch_with_retries distribute mode): the
+        scale path for side-effect-safe handlers — partitions run in
+        parallel, only failures return to the driver, delivery
+        bookkeeping (retry/DLQ emission) stays single-writer. The
+        handler must be picklable, per-message idempotent (pair with
+        IdempotentSink event-id tokens for effectively-once), and
+        CANNOT take ctx — durable group state is driver-owned, so the
+        3-arg form raises here. The driver-serial default remains the
+        reference-parity ordering mode.
         """
         topics = [topic] if isinstance(topic, str) else list(topic)
 
@@ -222,6 +235,27 @@ class Stream:
             )
 
         def deco(fn: Callable) -> Callable:
+            if distribute:
+                import inspect as _inspect
+
+                n_pos = len(
+                    [
+                        p
+                        for p in _inspect.signature(fn).parameters.values()
+                        if p.kind
+                        in (
+                            _inspect.Parameter.POSITIONAL_ONLY,
+                            _inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                        )
+                    ]
+                )
+                if n_pos >= 3:
+                    raise ValueError(
+                        "distribute=True handlers cannot take ctx: durable "
+                        "group state is driver-owned; use the (event) or "
+                        "(msg_id, data) form, with IdempotentSink tokens "
+                        "for side-effect dedup"
+                    )
             g = group or fn.__name__
             for t in topics:
                 self._claim(t, g, with_retry=True)
@@ -235,6 +269,8 @@ class Stream:
                             "max_retries": max_retries,
                             "group": g,
                             "max_files_per_trigger": max_files_per_trigger,
+                            "distribute": distribute,
+                            "distribute_partitions": distribute_partitions,
                         },
                     )
                 )
@@ -367,6 +403,8 @@ class Stream:
         # the shared topic would duplicate them for other subscribers.
         retry_topic = f"{sub.topic}--retry--{group}"
 
+        distribute = sub.options.get("distribute", False)
+
         def process(batch: DataFrame, batch_id: int) -> None:
             handle_batch_with_retries(
                 batch,
@@ -377,6 +415,8 @@ class Stream:
                 ctx=ctx,
                 retry_topic=retry_topic,
                 tracer=stream_self.tracer,
+                distribute=distribute,
+                distribute_partitions=sub.options.get("distribute_partitions"),
             )
 
         queries = []

@@ -188,3 +188,71 @@ def test_tws_requires_rocksdb_provider(spark):
     df = spark.createDataFrame([("u", 1.0, 1.0)], EVENT_SCHEMA)
     with pytest.raises(RuntimeError, match="RocksDB"):
         sessionize_stream_tws(df, "key", "timestamp", 5_000, _make_sum_fold())
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs protobuf")
+def test_tws_matches_canonical_path_end_to_end(spark, tmp_path):
+    """Compat contract: the TWS form must emit EXACTLY the canonical
+    path's sessions on the same input (both run _fold_batch, so a
+    divergence means timer/state wiring broke). Protobuf-gated, like
+    the live-broker tests: skips cleanly in environments without the
+    TWS python client, runs for real where it exists."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.streaming.sessions import (
+        _ROCKSDB_PROVIDER,
+        sessionize_stream,
+    )
+
+    rows = [
+        ("u1", 1.0, 5.0),
+        ("u1", 3.0, 10.0),
+        ("u1", 30.0, 7.0),  # gap > 5s closes the first session
+        ("u2", 2.0, 2.5),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "events.json").write_text(
+        "\n".join(
+            _json.dumps({"key": k, "timestamp": t, "value": v}) for k, t, v in rows
+        )
+    )
+
+    def run(sessionize, use_rocksdb):
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if use_rocksdb:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+            )
+        try:
+            src = (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .json(str(src_dir))
+                .withColumn("timestamp", F.timestamp_seconds(F.col("timestamp")))
+            )
+            out = sessionize(
+                src, "key", "timestamp", 5_000, _make_sum_fold(),
+                watermark_delay="0 seconds",
+            )
+            collected = []
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda b, _: collected.extend(r.asDict() for r in b.collect())
+                )
+                .option("checkpointLocation", str(tmp_path / f"ck-{use_rocksdb}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(tuple(r.values()) for r in collected)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    assert run(sessionize_stream_tws, True) == run(sessionize_stream, False)

@@ -103,6 +103,90 @@ def test_session_window_merges(spark, stream):
     assert rows == [(0, 9_000_000, 2), (30_000_000, 35_000_000, 1)]
 
 
+def test_distributed_subscribe_parallel_exactly_once(spark, stream, tmp_path):
+    """distribute=True runs handlers executor-side (dlq.py distribute
+    mode): side effects land from MULTIPLE partitions in parallel,
+    every message is handled exactly once per delivery, and the
+    retry->DLQ flow still works with only failures shipped back to the
+    driver."""
+    import os
+    import uuid
+
+    effects = tmp_path / "effects"
+    effects.mkdir()
+    effects_dir = str(effects)
+
+    @stream.subscribe(
+        "dist_orders",
+        EVENT_SCHEMA,
+        max_retries=2,
+        distribute=True,
+        distribute_partitions=4,
+    )
+    def handle(event):
+        # executor-side observable side effect: one uniquely-named
+        # token per handler invocation, tagged with the partition id
+        from pyspark import TaskContext
+
+        if event["value"] < 0:
+            raise ValueError("negative value")
+        pid = TaskContext.get().partitionId()
+        name = f"{event['event_id']}.p{pid}.{uuid.uuid4().hex}"
+        with open(os.path.join(effects_dir, name), "w") as f:
+            f.write("1")
+
+    n = 40
+    stream.emit(
+        "dist_orders",
+        *[
+            {"event_id": f"e{i}", "key": "k", "timestamp": float(i), "value": float(i)}
+            for i in range(n)
+        ],
+        {"event_id": "bad-d", "key": "b", "timestamp": 99.0, "value": -1.0},
+    )
+    stream.run_until_idle(rounds=4)
+
+    tokens = sorted(p.name for p in effects.iterdir())
+    by_event: dict[str, int] = {}
+    pids = set()
+    for t in tokens:
+        ev, pid, _ = t.split(".", 2)
+        by_event[ev] = by_event.get(ev, 0) + 1
+        pids.add(pid)
+    # exactly one handler invocation per good message...
+    assert by_event == {f"e{i}": 1 for i in range(n)}
+    # ...executed across several partitions in parallel
+    assert len(pids) >= 2, pids
+    # the failing message still walked retry -> DLQ with full metadata
+    dlq = stream.read_topic(
+        "dist_orders-dlq",
+        StructType(
+            EVENT_SCHEMA.fields
+            + [
+                StructField("_error", StringType()),
+                StructField("_original_stream", StringType()),
+                StructField("_original_msg_id", StringType()),
+                StructField("_moved_timestamp", DoubleType()),
+            ]
+        ),
+    ).collect()
+    assert len(dlq) == 1
+    row = dlq[0].asDict()
+    assert row["event_id"] == "bad-d"
+    assert "negative value" in row["_error"]
+    assert row["_attempt"] == 2
+
+
+def test_distributed_subscribe_rejects_ctx_handler(spark, stream):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-owned"):
+
+        @stream.subscribe("t_ctx", EVENT_SCHEMA, distribute=True)
+        def handle(msg_id, data, ctx):
+            pass
+
+
 def test_retry_then_dlq_with_error_metadata(spark, stream):
     """Reference DLQ flow (tests/test_enterprise_features.py:34-112):
     failing message retried max_retries times, then moved to
