@@ -17,6 +17,10 @@ Response shapes mirror the reference exactly:
 - /state/{key}     -> {"key": k, "value": {...}} | 404 {"detail": ...}
 - /cluster/status  -> {"ha_enabled": false, "node_id": ...,
                        "nodes": [...], "held_partitions": [...]}
+- /metrics         -> Prometheus text exposition of the streaming
+                      gauges (when a MetricsRecorder is wired) — the
+                      scrape target examples/grafana points at, parity
+                      with the reference's prometheus_client surface.
 """
 
 from __future__ import annotations
@@ -32,8 +36,15 @@ from python_stream_processing_framework_spark.streaming.state_table import State
 class StateApiServer:
     """Serve a StateTable over HTTP (reference cluster API surface)."""
 
-    def __init__(self, table: StateTable, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        table: StateTable,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        metrics=None,
+    ):
         self.table = table
+        self.metrics = metrics  # MetricsRecorder | None
         self.running = False
         api = self
 
@@ -77,6 +88,22 @@ class StateApiServer:
                         self._send(200, {"key": key, "value": row.asDict()})
                 elif path == "/cluster/status":
                     self._send(200, api.cluster_status())
+                elif path == "/metrics":
+                    if api.metrics is None:
+                        self._send(404, {"detail": "no metrics recorder wired"})
+                        return
+                    from python_stream_processing_framework_spark.telemetry import (
+                        prometheus_exposition,
+                    )
+
+                    body = prometheus_exposition(api.metrics).encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"detail": f"No route {path}"})
 

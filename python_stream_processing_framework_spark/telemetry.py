@@ -67,6 +67,48 @@ def attach(spark) -> MetricsRecorder:
     return rec
 
 
+def prometheus_exposition(rec: MetricsRecorder) -> str:
+    """Render a MetricsRecorder snapshot in the Prometheus text
+    exposition format (0.0.4) — the scrape surface the reference ships
+    dashboards for (pspf/telemetry.py:16-51 exposes counters/gauges/
+    histograms; examples/grafana mirrors its panel set for these
+    gauges). Dependency-free: the text format is a stable public
+    contract, no client library needed.
+    """
+    sane = []
+    for qid, p in rec.snapshot().items():
+        name = (p.get("name") or "unnamed").replace('"', "")
+        labels = f'{{query="{name}",id="{qid}"}}'
+        for metric, key in (
+            ("pspf_stream_batch_id", "batch_id"),
+            ("pspf_stream_input_rows", "num_input_rows"),
+            ("pspf_stream_input_rows_per_second", "input_rows_per_second"),
+            ("pspf_stream_processed_rows_per_second", "processed_rows_per_second"),
+            ("pspf_stream_batch_duration_ms", "batch_duration_ms"),
+        ):
+            v = p.get(key)
+            if v is not None:
+                sane.append((metric, labels, float(v)))
+    lines = []
+    help_text = {
+        "pspf_stream_batch_id": "Last completed micro-batch id per query",
+        "pspf_stream_input_rows": "Input rows of the last micro-batch",
+        "pspf_stream_input_rows_per_second": "Source arrival rate",
+        "pspf_stream_processed_rows_per_second": "Processing throughput",
+        "pspf_stream_batch_duration_ms": "Micro-batch wall time",
+    }
+    for metric in sorted({m for m, _, _ in sane}):
+        lines.append(f"# HELP {metric} {help_text[metric]}")
+        lines.append(f"# TYPE {metric} gauge")
+        for m, labels, v in sane:
+            if m == metric:
+                lines.append(f"{m}{labels} {v}")
+    lines.append("# HELP pspf_stream_rows_total Rows processed since start")
+    lines.append("# TYPE pspf_stream_rows_total counter")
+    lines.append(f"pspf_stream_rows_total {float(rec.total_rows())}")
+    return "\n".join(lines) + "\n"
+
+
 # ---------------------------------------------------------------- tracing
 
 

@@ -139,6 +139,36 @@ def test_metrics_recorder(spark, tmp_path):
         time.sleep(0.25)
     assert rec.total_rows() >= 2
     assert any(p.get("num_input_rows") for p in rec.snapshot().values())
+
+    # Prometheus surface over the same recorder: exposition text + the
+    # live /metrics endpoint (reference ships a prometheus_client
+    # exporter + grafana dashboards; examples/grafana mirrors that
+    # against these metric names).
+    from python_stream_processing_framework_spark.telemetry import (
+        prometheus_exposition,
+    )
+
+    text = prometheus_exposition(rec)
+    assert "# TYPE pspf_stream_rows_total counter" in text
+    assert "pspf_stream_input_rows{" in text
+    assert 'query="m_out"' in text
+
+    import urllib.request
+
+    from python_stream_processing_framework_spark.api import StateApiServer
+    from python_stream_processing_framework_spark.streaming.state_table import (
+        StateTable,
+    )
+
+    table = StateTable(spark, str(tmp_path / "state"), "key", buckets=2)
+    api = StateApiServer(table, metrics=rec).start()
+    try:
+        resp = urllib.request.urlopen(f"http://{api.host}:{api.port}/metrics")
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        body = resp.read().decode()
+        assert "pspf_stream_rows_total" in body
+    finally:
+        api.stop()
     spark.streams.removeListener(rec)
 
 
