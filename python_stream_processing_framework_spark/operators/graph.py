@@ -90,6 +90,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Adaptive iteration parallelism: the per-round cost of a SMALL
+    # graph (the common near-dup case — pairs are a tiny fraction of
+    # the corpus) is dominated by task/stage overhead of the session's
+    # corpus-scan-sized shuffle width, not by data. Size the loop's
+    # shuffles to the edge count (~25k edges/partition, floor 1), keep
+    # the session width for genuinely large graphs, and restore the
+    # setting in `finally`. Measured: 586-node graph 3.8s -> 2.2s at
+    # width 4. (Session-global conf: callers running OTHER queries
+    # concurrently on the same session during the loop would see the
+    # narrowed width; catalog/bench/driver execution is serial.)
+    spark = edges.sparkSession
+    n_edges = sym.count()  # also materializes the persist
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_width = max(1, min(int(prev_width), n_edges // 25_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
     labels = labels_ck = truncate(
         sym.select(F.col("s").alias("node"))
         .distinct()
@@ -173,6 +188,7 @@ def connected_components(
                 track_release(lambda df=new: ck_unpersist(df))
                 return labels
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
         sym.unpersist()
     raise ValueError(
         f"connected_components did not converge in {max_iter} rounds; "

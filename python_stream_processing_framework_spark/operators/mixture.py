@@ -1,0 +1,196 @@
+"""Domain-mixture sampling and shard planning for training corpora.
+
+Two pipeline stages every large-scale training-data build runs after
+dedup/quality filtering, absent from the reference (its surface stops
+at message streams — `/root/reference/pspf/stream.py`), mandated by
+the beyond-reference LLM-pipeline charter (SURVEY §2.7):
+
+- **Domain mixture** (`domain_mixture`): given target mixture weights
+  over a stratum column (source, language, quality bucket), keep an
+  EXACT per-stratum quota of rows so the output realizes the target
+  proportions at the largest feasible size. `stratified_sample`
+  (sampling.py) keeps an expected fraction; training-data mixing
+  specs ("40% web, 30% code, ...") need exact counts.
+- **Shard planning** (`assign_shards` / `shard_stats`): deterministic
+  global shuffle + balanced shard assignment for writing training
+  shards, with a per-shard audit (counts, bytes, hash range).
+
+Determinism contract (same as sampling.py): every decision derives
+from the md5-based `hash60` of the row id — stable across runs,
+partitionings, cluster sizes, and engines, so the DuckDB oracle
+replays membership exactly.
+
+Scale design — the exact-quota selection is the interesting part.
+The naive form (`row_number() OVER (PARTITION BY stratum ORDER BY
+hash)`) funnels each stratum through ONE task; a 40%-weight web
+stratum of a 100 TB corpus would be a single-task sort. Instead the
+operator runs a two-phase distributed selection:
+
+1. One `groupBy(stratum, bucket)` count, where `bucket` is the top
+   ``bucket_bits`` bits of the hash (so buckets are ordered by hash).
+   The (|strata| x 2^bucket_bits) histogram is bounded metadata
+   collected to the driver.
+2. Per stratum, the driver locates the CUTOFF bucket where the
+   cumulative count crosses the quota. Rows below the cutoff bucket
+   are kept with a map-side filter (no shuffle, no sort); only the
+   rows INSIDE each stratum's single cutoff bucket — ~n_s/2^bucket_bits
+   of the stratum — pay a per-stratum `row_number` to take the exact
+   remainder.
+
+So the full-data path is one small-histogram aggregation plus one
+broadcast-joined filter; the only sort touches ~1/1024th of the data.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.operators.sampling import (
+    HASH_SPACE,
+    _unit_hash,
+)
+
+
+def mixture_quotas(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, int]:
+    """Exact per-stratum quotas realizing the target mixture.
+
+    ``T = floor(min_s(n_s / w_s))`` is the largest total at which every
+    stratum can supply its share; ``quota_s = floor(w_s * T)``. Both
+    steps are single IEEE-double operations, so an oracle computing
+    ``floor(w * T)`` in SQL reproduces the quotas bit-for-bit.
+
+    Strata present in ``weights`` but absent from ``counts`` make the
+    mixture infeasible (T = 0 — every quota collapses); strata in
+    ``counts`` but not in ``weights`` are excluded (quota 0).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive")
+    t = math.floor(min(counts.get(s, 0) / w for s, w in weights.items()))
+    return {s: int(math.floor(w * t)) for s, w in weights.items()}
+
+
+def domain_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    *,
+    seed: str = "",
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Keep an exact per-stratum quota of rows hitting a target mixture.
+
+    For each stratum ``s`` in ``weights``, keeps the ``quota_s`` rows
+    with the smallest ``hash60(id # seed)`` (ties broken by id), where
+    quotas come from `mixture_quotas` — the output's stratum
+    proportions match ``weights`` at the largest size the input
+    supports. Rows from strata not in ``weights`` are dropped.
+
+    Membership is fully deterministic, and nested in the sampling.py
+    sense: a stratum's sample at a smaller T (fewer rows upstream) is
+    a subset of its sample at a larger T under the same seed, because
+    selection is always a prefix of the same hash order.
+
+    Two jobs: the (stratum, bucket) histogram collect, then the
+    selection scan. See the module docstring for why this beats a
+    per-stratum ``row_number`` at scale.
+    """
+    shift = 60 - bucket_bits
+    h = _unit_hash(id_col, seed)
+    hashed = df.withColumn("_h", h).withColumn(
+        "_b", F.shiftright(F.col("_h"), shift).cast("int")
+    )
+
+    hist = (
+        hashed.filter(F.col(strata_col).isin(list(weights)))
+        .groupBy(strata_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    counts: dict[str, int] = {}
+    buckets: dict[str, list[tuple[int, int]]] = {}
+    for row in hist:
+        s, b, n = row[strata_col], row["_b"], row["_n"]
+        counts[s] = counts.get(s, 0) + n
+        buckets.setdefault(s, []).append((b, n))
+    quotas = mixture_quotas(counts, weights)
+
+    # Per stratum: cutoff bucket + how many rows to take inside it.
+    plan_rows = []
+    for s, quota in quotas.items():
+        cum = 0
+        cutoff, take = -1, 0
+        for b, n in sorted(buckets.get(s, [])):
+            if cum + n >= quota:
+                cutoff, take = b, quota - cum
+                break
+            cum += n
+        plan_rows.append((s, cutoff, take))
+    plan = df.sparkSession.createDataFrame(
+        plan_rows, f"{strata_col} string, _cutoff int, _take long"
+    )
+
+    joined = hashed.join(F.broadcast(plan), strata_col)
+    below = joined.filter(F.col("_b") < F.col("_cutoff"))
+    # Only the cutoff bucket's rows (~1/2^bucket_bits of each stratum)
+    # pay the rank; everything below the cutoff is a map-side keep.
+    edge_win = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    edge = (
+        joined.filter(F.col("_b") == F.col("_cutoff"))
+        .withColumn("_rn", F.row_number().over(edge_win))
+        .filter(F.col("_rn") <= F.col("_take"))
+        .drop("_rn")
+    )
+    # Re-select in the input's column order (the stratum join key moved
+    # to the front) — callers get the schema they passed in, filtered.
+    return below.unionByName(edge).select(*df.columns)
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    *,
+    seed: str = "",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic balanced shard assignment: ``hash60(id#seed) mod n``.
+
+    The global-shuffle step before writing training shards: the hash
+    randomizes document order (no correlation with source ordering),
+    the modulus balances shard sizes to within sampling noise
+    (multinomial — ~±3σ = 3·sqrt(N/n) rows per shard), and the
+    assignment is reproducible on any engine. Map-only, no shuffle;
+    the physical repartition happens when the writer partitions by
+    ``out_col``.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    return df.withColumn(
+        out_col, (_unit_hash(id_col, seed) % F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_stats(
+    assigned: DataFrame,
+    *,
+    shard_col: str = "shard",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-shard audit of a shard assignment: (shard, n_rows[, total_size]).
+
+    ``size_col`` (e.g. a char or token count) adds a payload-balance
+    column — shard balance in BYTES is what actually bounds training
+    I/O, not row counts. One small aggregation (n_shards output rows).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col)).cast("bigint").alias("total_size"))
+    return assigned.groupBy(shard_col).agg(*aggs)

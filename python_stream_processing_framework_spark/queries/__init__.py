@@ -24,6 +24,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     sampling,
     pq,
     packing,
+    mixture,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

@@ -1,0 +1,91 @@
+"""Domain-mixture and shard-planning queries over the documents table.
+
+Catalog surface for operators/mixture.py: the post-dedup corpus
+assembly stages (hit a target domain mixture with exact quotas, then
+shard deterministically for training I/O). Membership derives from
+hash60(id#seed) exactly as in queries/sampling.py, so the oracles
+replay every decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_stream_processing_framework_spark.catalog import load
+from python_stream_processing_framework_spark.operators.mixture import (
+    assign_shards,
+    domain_mixture,
+    shard_stats,
+)
+from python_stream_processing_framework_spark.queries.base import query
+
+#: Target language mixture for the catalog query: overweight English,
+#: equal share for the rest — the documents table's en skew (~44%)
+#: makes en the binding stratum at w=0.4, so the quota math is
+#: exercised off the trivial uniform case.
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+_MIX_VALUES = ", ".join(
+    f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in _MIX_WEIGHTS.items()
+)
+
+_H_MIX = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::BIGINT"
+)
+_H_SHARD = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 15))::BIGINT"
+)
+
+
+@query(
+    "domain_mixture",
+    f"""
+    WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+         c AS (
+           SELECT lang, count(*) AS n FROM documents
+           WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
+         t AS (
+           SELECT CAST(floor(min(n / wt)) AS BIGINT) AS t
+           FROM c JOIN w USING (lang)),
+         q AS (
+           SELECT lang, CAST(floor(wt * t) AS BIGINT) AS quota FROM w, t),
+         ranked AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY {_H_MIX}, doc_id) AS rn
+           FROM documents WHERE lang IN (SELECT lang FROM w))
+    SELECT doc_id, lang FROM ranked JOIN q USING (lang) WHERE rn <= quota
+    """,
+    doc="Exact-quota domain mixture (operators/mixture.domain_mixture): "
+    "keep exactly floor(w_lang * T) docs per language, T the largest "
+    "feasible total, members = the quota-smallest hash60(doc_id#mix) "
+    "per stratum. Spark side runs the two-phase distributed selection "
+    "(bucket histogram + cutoff-bucket-only ranking — no per-stratum "
+    "single-task sort); the oracle replays membership with a plain "
+    "per-stratum row_number, which is the semantic contract.",
+)
+def domain_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    kept = domain_mixture(documents, "lang", _MIX_WEIGHTS, "doc_id", seed="mix")
+    return kept.select("doc_id", "lang")
+
+
+@query(
+    "shard_plan",
+    f"""
+    SELECT CAST({_H_SHARD} % 16 AS INT) AS shard,
+           count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_size
+    FROM documents GROUP BY 1
+    """,
+    doc="Deterministic training-shard plan (operators/mixture."
+    "assign_shards + shard_stats): shard = hash60(doc_id#shard) mod 16 "
+    "— a reproducible global shuffle with multinomial-balanced shard "
+    "sizes — audited per shard by row count and payload bytes "
+    "(byte balance, not row balance, bounds training I/O). Map-only "
+    "assignment + one 16-row aggregation.",
+)
+def shard_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    assigned = assign_shards(documents, "doc_id", 16, seed="shard")
+    return shard_stats(assigned, size_col="n_chars")

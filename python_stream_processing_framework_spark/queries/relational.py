@@ -259,24 +259,11 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "distinct_suppliers",
-    """
-    SELECT l_returnflag,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-           count(*) AS n_items
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="Distinct aggregates (expand + two-phase agg under the hood).",
-)
-def distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (li,) = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.count("*").alias("n_items"),
-    )
+# distinct_suppliers (multi-column count(DISTINCT) demo) was rotated
+# out of the 50-entry registry in r4 to make room for the
+# domain-mixture query: exact count-distinct stays oracle-pinned by
+# approx_distinct_users (its exact_users column is count(DISTINCT
+# user_id) per event_type, same expand+two-phase plan shape).
 
 
 @query(

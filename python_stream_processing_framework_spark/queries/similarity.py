@@ -74,10 +74,13 @@ _QDOT = (
 )
 
 
-@query(
-    "cosine_lsh_pairs",
-    f"""
-    WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+# Shared CTE block: quantization -> signatures -> banding -> hamming-
+# prefiltered candidates. Both cosine_lsh_pairs and dedup_semantic
+# build on this ONE definition (mirrors the Spark side, where both
+# queries call the same operators/similarity.cosine_lsh_pairs), so the
+# detector and the dedup built on it cannot diverge.
+_LSH_CTES = f"""
+    e AS (SELECT vec_id, {_V} AS v FROM embeddings),
          q AS (
            SELECT vec_id,
                   list_transform(v,
@@ -104,14 +107,21 @@ _QDOT = (
            FROM banded x JOIN banded y
              ON x.b = y.b AND x.band_key = y.band_key
               AND x.vec_id < y.vec_id
-              AND bit_count(xor(x.s, y.s)) <= 16)
-    SELECT id_a, id_b,
-           round(CAST({_QDOT.format(a='a.qv', b='b.qv')} AS DOUBLE) /
-                 sqrt(CAST(a.nq2 AS DOUBLE) * CAST(b.nq2 AS DOUBLE)), 6)
-             AS cos_sim
+              AND bit_count(xor(x.s, y.s)) <= 16)"""
+
+_LSH_COS = (
+    f"round(CAST({_QDOT.format(a='a.qv', b='b.qv')} AS DOUBLE) /"
+    " sqrt(CAST(a.nq2 AS DOUBLE) * CAST(b.nq2 AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "cosine_lsh_pairs",
+    f"""
+    WITH {_LSH_CTES}
+    SELECT id_a, id_b, {_LSH_COS} AS cos_sim
     FROM cand JOIN sigs a ON a.vec_id = id_a JOIN sigs b ON b.vec_id = id_b
-    WHERE round(CAST({_QDOT.format(a='a.qv', b='b.qv')} AS DOUBLE) /
-                sqrt(CAST(a.nq2 AS DOUBLE) * CAST(b.nq2 AS DOUBLE)), 6) >= 0.4
+    WHERE {_LSH_COS} >= 0.4
     """,
     doc="Sign-random-projection LSH (8 bands x 4 bits, md5-derived "
     "deterministic hyperplanes) + signature-hamming prefilter "
@@ -124,6 +134,59 @@ _QDOT = (
 def cosine_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return cosine_lsh_pairs(embeddings, threshold=0.4, bands=8, band_bits=4)
+
+
+@query(
+    "dedup_semantic",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+         pairs AS (
+           SELECT id_a, id_b
+           FROM cand JOIN sigs a ON a.vec_id = id_a
+                     JOIN sigs b ON b.vec_id = id_b
+           WHERE {_LSH_COS} >= 0.42),
+         edges AS (
+           SELECT id_a AS s, id_b AS dd FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(node, lab) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e2.dd, r.lab FROM reach r JOIN edges e2 ON e2.s = r.node),
+         comp AS (
+           SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT node AS vec_id, component,
+           (node = component) AS is_canonical
+    FROM comp
+    """,
+    doc="Semantic (embedding-cosine) dedup, SemDeDup-shaped: sign-LSH "
+    "near-dup pairs at cos>=0.42 transitive-closed into clusters "
+    "(operators/graph.connected_components), min-id member canonical. "
+    "The embedding-space analog of dedup_components — catches "
+    "paraphrases that share no shingles, the case lexical MinHash "
+    "dedup structurally misses. Oracle: the shared LSH candidate CTEs "
+    "+ recursive reachability.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    # 0.42 (vs the pair query's 0.4): the dedup threshold is
+    # deliberately tighter — at 0.4 the sf0.1 pair graph is chain-
+    # shaped (992 nodes / 699 edges), which is dissimilar-docs chained
+    # through borderline pairs, not duplicate clusters. Same hamming
+    # prefilter constant (16) at both thresholds, so the shared CTEs
+    # hold verbatim.
+    pairs = cosine_lsh_pairs(embeddings, threshold=0.42, bands=8, band_bits=4)
+    cc = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
 
 
 @query(
