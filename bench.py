@@ -273,8 +273,9 @@ def _components_scale_bench(spark) -> dict:
 def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
     """The whole LLM corpus-assembly path end-to-end (the flow of
     examples/llm_corpus_pipeline.py): quality gate -> MinHash-LSH
-    pairs -> component collapse -> hash split -> greedy packing ->
-    audit. One number for the composed pipeline, not just its parts."""
+    pairs -> component collapse -> hash split -> exact-quota language
+    mixture -> greedy packing -> shard plan -> audit. One number for
+    the composed pipeline, not just its parts."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -283,6 +284,11 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
     from python_stream_processing_framework_spark.operators.dedup import (
         dedup_corpus,
         minhash_lsh_pairs,
+    )
+    from python_stream_processing_framework_spark.operators.mixture import (
+        assign_shards,
+        domain_mixture,
+        shard_stats,
     )
     from python_stream_processing_framework_spark.operators.packing import (
         pack_sequences,
@@ -300,20 +306,42 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
         ).select("doc_id"),
         "doc_id",
     )
+    from python_stream_processing_framework_spark.operators.common import materialize
+
     deduped = dedup_corpus(
         good, minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5), "doc_id"
     )
-    train = (
-        hash_split(deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
-        .filter(F.col("split") == "train")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    # STAGE BOUNDARY: domain_mixture makes two passes over its input
+    # (bucket histogram, then selection) and the audits below re-read
+    # the packed frame — materialize the hand-offs so no pass
+    # recomputes the whole dedup pipeline upstream. (A production
+    # pipeline writes each stage to storage; materialize is the
+    # in-session equivalent. Unreleased, this triples the wall time.)
+    train = materialize(
+        hash_split(
+            deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
         )
+        .filter(F.col("split") == "train")
+        .select("doc_id", "text", "lang")
     )
-    audit = packing_stats(
-        pack_sequences(train, max_tokens=512, num_groups=16), max_tokens=512
-    ).collect()[0]
+    mixed = domain_mixture(
+        train,
+        "lang",
+        {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15},
+        "doc_id",
+        seed="mix",
+    ).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = materialize(pack_sequences(mixed, max_tokens=512, num_groups=16))
+    audit = packing_stats(packed, max_tokens=512).collect()[0]
+    seqs = packed.withColumn(
+        "seq_key", F.concat_ws(":", "pack_group", "seq_idx")
+    )
+    shards = shard_stats(
+        assign_shards(seqs, "seq_key", 8, seed="shard"), size_col="n_tokens"
+    ).collect()
     wall = round(_t.perf_counter() - t0, 3)
     spark.catalog.clearCache()
     return {
@@ -322,6 +350,7 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
         "docs_packed": audit["n_documents"],
         "sequences": audit["n_sequences"],
         "mean_fill": float(audit["mean_fill"]),
+        "n_shards": len(shards),
     }
 
 

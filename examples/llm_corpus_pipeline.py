@@ -2,12 +2,13 @@
 
     quality filter -> near-dup detection (MinHash+LSH) -> cluster
     collapse (connected components) -> deterministic train/val/test
-    split -> decontaminate train against val/test -> sequence
-    packing -> audit stats
+    split -> decontaminate train against val/test -> exact-quota
+    domain mixture -> sequence packing -> shard plan -> audit stats
 
 Every step is the scale-path operator (bucketed equi-joins, map-only
-hashing, grouped greedy packing) — no O(n^2) stage, no driver-side
-data. Run: python examples/llm_corpus_pipeline.py [sf_dir]
+hashing, two-phase quota selection, grouped greedy packing) — no
+O(n^2) stage, no driver-side data. Run:
+python examples/llm_corpus_pipeline.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -29,7 +30,15 @@ from python_stream_processing_framework_spark.operators.packing import (
     pack_sequences,
     packing_stats,
 )
-from python_stream_processing_framework_spark.operators.common import release_caches
+from python_stream_processing_framework_spark.operators.common import (
+    materialize,
+    release_caches,
+)
+from python_stream_processing_framework_spark.operators.mixture import (
+    assign_shards,
+    domain_mixture,
+    shard_stats,
+)
 from python_stream_processing_framework_spark.operators.sampling import hash_split
 from python_stream_processing_framework_spark.operators.text import quality_stats
 from python_stream_processing_framework_spark.session import get_spark
@@ -62,28 +71,60 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     # 5. evaluation hygiene: drop train docs that near-duplicate
     # anything in val/test (the held-out data must stay unseen)
-    train_docs = split.filter(F.col("split") == "train").select("doc_id", "text")
+    train_docs = split.filter(F.col("split") == "train").select(
+        "doc_id", "text", "lang"
+    )
     heldout = split.filter(F.col("split") != "train").select("doc_id", "text")
-    clean_train = decontaminate(train_docs, heldout, threshold=0.5)
+    # STAGE BOUNDARY: the mixture below makes two passes over its
+    # input (bucket histogram + selection); materialize the clean
+    # train set so neither pass recomputes dedup + decontamination.
+    # (A production pipeline writes each stage's output to storage.)
+    clean_train = materialize(decontaminate(train_docs, heldout, threshold=0.5))
     n3 = clean_train.count()
 
-    # 6. pack the clean train split into 512-token training sequences
-    train = clean_train.select(
+    # 6. hit the target language mixture with EXACT per-stratum quotas
+    # (overweight en; stratified_sample would only give expected
+    # fractions — a mixture spec wants exact counts)
+    mixed = domain_mixture(
+        clean_train,
+        "lang",
+        {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15},
+        "doc_id",
+        seed="mix",
+    )
+    n4 = mixed.count()
+
+    # 7. pack the mixed train split into 512-token training sequences
+    train = mixed.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
-    packed = pack_sequences(train, max_tokens=512, num_groups=16)
+    packed = materialize(pack_sequences(train, max_tokens=512, num_groups=16))
     audit = packing_stats(packed, max_tokens=512).collect()[0]
+
+    # 8. shard the packed sequences for training I/O; keying the shard
+    # hash on the sequence identity keeps each sequence whole within
+    # one shard while balancing across all sequences
+    seqs = packed.withColumn(
+        "seq_key", F.concat_ws(":", "pack_group", "seq_idx")
+    )
+    shards = shard_stats(
+        assign_shards(seqs, "seq_key", 8, seed="shard"),
+        size_col="n_tokens",
+    ).collect()
 
     print(
         f"corpus: {n0} docs -> {n1} after quality -> {n2} after dedup; "
-        f"train {train_docs.count()} -> {n3} after decontamination"
+        f"train {train_docs.count()} -> {n3} after decontamination "
+        f"-> {n4} after mixture"
     )
     print(
         f"train packing: {audit['n_documents']} docs -> "
         f"{audit['n_sequences']} sequences, mean fill "
         f"{audit['mean_fill']:.1%}, oversized {audit['n_oversized']}"
     )
+    sizes = sorted(r["total_size"] for r in shards)
+    print(f"shards: {len(shards)}, token-size min {sizes[0]} max {sizes[-1]}")
     assert audit["n_overfull_bugs"] == 0
 
     # cache hygiene: the dedup/decontamination operators pinned

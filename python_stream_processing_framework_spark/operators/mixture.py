@@ -100,7 +100,11 @@ def domain_mixture(
 
     Two jobs: the (stratum, bucket) histogram collect, then the
     selection scan. See the module docstring for why this beats a
-    per-stratum ``row_number`` at scale.
+    per-stratum ``row_number`` at scale. Both jobs re-evaluate ``df``
+    — if it is an expensive lazy pipeline (e.g. fresh out of dedup),
+    materialize it first (common.materialize, or a written stage in
+    production); otherwise the histogram pass recomputes the whole
+    upstream plan.
     """
     shift = 60 - bucket_bits
     h = _unit_hash(id_col, seed)

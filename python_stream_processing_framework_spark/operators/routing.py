@@ -35,6 +35,14 @@ class Router:
         self._default = route
         return self
 
+    @property
+    def targets(self) -> list[str]:
+        """Every topic this router can emit to (routes + default)."""
+        routes = [r for _, r in self._routes]
+        if self._default is not None and self._default not in routes:
+            routes.append(self._default)
+        return routes
+
     def tag(self) -> Column:
         """The first-match-wins route tag as a single JVM expression."""
         if not self._routes:
@@ -54,7 +62,4 @@ class Router:
     def split(self, df: DataFrame, tag_col: str = "route") -> dict[str, DataFrame]:
         """One DataFrame per route (shared tagged plan, lazy filters)."""
         tagged = self.apply(df, tag_col)
-        routes = [r for _, r in self._routes]
-        if self._default is not None and self._default not in routes:
-            routes.append(self._default)
-        return {r: tagged.filter(F.col(tag_col) == r) for r in routes}
+        return {r: tagged.filter(F.col(tag_col) == r) for r in self.targets}

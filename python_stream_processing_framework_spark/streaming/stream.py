@@ -33,7 +33,10 @@ import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:  # pragma: no cover
+    from python_stream_processing_framework_spark.operators.routing import Router
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -373,6 +376,37 @@ class Stream:
         the arbitrary-Python tier, like the reference's."""
         return PipelineBuilder(self, topic, schema, group)
 
+    def route(
+        self,
+        topic: str,
+        schema: StructType,
+        router: "Router",
+        *,
+        group: str | None = None,
+    ) -> None:
+        """Register a predicate-router fan-out on `topic` (reference
+        advanced_topology: `router.route(event)` publishes each event
+        to its first matching sub-topic; subscribers then consume the
+        sub-topics). Spark-first shape: each micro-batch is tagged in
+        ONE `when/otherwise` pass (operators/routing.Router.tag), then
+        every route's subset is written DISTRIBUTED to that route's
+        topic dir — the batch is persisted so the source is scanned
+        once, not once per route, and no row visits the driver.
+        Unroutable events are dropped, like the reference
+        (pspf/topology.py:40-46).
+        """
+        group = group or f"{self.name}-route"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="route",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={"router": router, "group": group},
+            )
+        )
+
     # ------------------------------------------------------------- running
     def _group_context(self, group: str):
         """One Context per consumer group, shared by every subscription
@@ -599,6 +633,40 @@ class Stream:
             .start()
         )
 
+    def _start_route(self, sub: _Subscription):
+        """Router fan-out: tag once, write each route's subset
+        distributed into its topic dir. The batch is persisted for the
+        fan-out (N filtered writes over one cached scan), released
+        after."""
+        src = self.stream_topic(sub.topic, sub.schema)
+        router = sub.options["router"]
+        tagged = router.apply(src, "_route")
+        targets = router.targets
+        sink_dirs = {r: str(self.topic_dir(r)) for r in targets}
+
+        def write_routes(batch: DataFrame, batch_id: int) -> None:
+            batch.persist()
+            try:
+                for r in targets:
+                    (
+                        batch.filter(F.col("_route") == r)
+                        .drop("_route")
+                        .write.mode("append")
+                        .json(sink_dirs[r])
+                    )
+            finally:
+                batch.unpersist()
+
+        return (
+            tagged.writeStream.foreachBatch(write_routes)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{sub.options['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def run_until_idle(self, *, rounds: int = 1) -> None:
         """Start every registered pipeline against the data currently in
         the broker and block until all of it is processed — the test /
@@ -609,6 +677,7 @@ class Stream:
             "window": self._start_window,
             "pipeline": self._start_pipeline,
             "sessionize": self._start_sessionize,
+            "route": self._start_route,
         }
         for _ in range(max(1, rounds)):
             queries = []
