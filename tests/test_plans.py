@@ -173,3 +173,32 @@ def test_lsh_signatures_served_from_cache(spark):
         text = plan_text(q(name, spark), mode="simple")
         assert "InMemoryTableScan" in text, f"{name}: signatures not cached"
     spark.catalog.clearCache()
+
+
+def test_shard_plan_pruned_single_exchange(spark):
+    """shard_plan: map-only shard assignment + one small agg. The scan
+    must read only (doc_id, n_chars) and the plan needs exactly one
+    exchange (the 16-group aggregation)."""
+    df = q("shard_plan", spark)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "n_chars"}
+    assert count_exchanges(df) == 1
+
+
+def test_domain_mixture_sorts_only_cutoff_bucket(spark):
+    """domain_mixture's scale contract (SCALE.md): the bulk branch is
+    a broadcast-joined map-side filter; ONLY the cutoff-bucket branch
+    (~1/2^bucket_bits of each stratum) pays a Sort+Window. A refactor
+    that reintroduces a per-stratum full sort doubles the Window/Sort
+    count or drops the broadcast."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("domain_mixture", spark)
+    text = plan_text(df)
+    # the tiny per-stratum plan table broadcasts to both branches
+    # (") NodeName" matches the formatted detail header exactly once
+    # per physical node; the tree rendering writes "NodeName (n)")
+    assert text.count(") BroadcastExchange") == 2
+    # exactly one Window (edge branch); the below-cutoff branch has none
+    assert text.count(") Window") == 1
+    assert_no_cartesian(df)

@@ -118,3 +118,78 @@ def test_session_windows_match_independent_islands(spark, events, gap_s):
             n += 1
         expect.add((k, start, last + gap_us, n))
     assert got == expect
+
+
+# ---- pure-Python properties (no Spark job per example) ----------------
+
+_COUNTS = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(min_value=0, max_value=10_000),
+    min_size=1,
+)
+_WEIGHTS = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+    min_size=1,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(counts=_COUNTS, weights=_WEIGHTS)
+def test_mixture_quotas_feasible_and_proportional(counts, weights):
+    from python_stream_processing_framework_spark.operators.mixture import (
+        mixture_quotas,
+    )
+
+    import math
+
+    q = mixture_quotas(counts, weights)
+    assert set(q) == set(weights)
+    # the documented spec: T = floor(min(n_s / w_s)), quota = floor(w*T)
+    t = math.floor(min(counts.get(s, 0) / w for s, w in weights.items()))
+    for s, w in weights.items():
+        # feasible: never asks a stratum for more than it has
+        assert 0 <= q[s] <= counts.get(s, 0)
+        # proportional to the feasible total: within 1 of the w*T line
+        assert w * t - 1 < q[s] <= w * t + 1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(counts=_COUNTS, weights=_WEIGHTS, extra=st.integers(1, 5_000))
+def test_mixture_quotas_monotone_in_counts(counts, weights, extra):
+    """Adding documents to any stratum never shrinks any quota — the
+    property that makes incremental corpus growth safe (a bigger
+    corpus can only widen the feasible mixture)."""
+    from python_stream_processing_framework_spark.operators.mixture import (
+        mixture_quotas,
+    )
+
+    base = mixture_quotas(counts, weights)
+    for s in weights:
+        grown = dict(counts)
+        grown[s] = grown.get(s, 0) + extra
+        bigger = mixture_quotas(grown, weights)
+        assert all(bigger[x] >= base[x] for x in weights)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["train", "val", "test", "x"]),
+        st.floats(min_value=0.001, max_value=100.0, allow_nan=False),
+        min_size=1,
+    )
+)
+def test_split_thresholds_partition_hash_space(weights):
+    from python_stream_processing_framework_spark.operators.sampling import (
+        HASH_SPACE,
+        split_thresholds,
+    )
+
+    bounds = split_thresholds(weights)
+    uppers = [b for _, b in bounds]
+    # nondecreasing, and the final bucket always closes the space: no
+    # hash value can fall through to an unassigned label
+    assert uppers == sorted(uppers)
+    assert uppers[-1] == HASH_SPACE
+    assert [label for label, _ in bounds] == list(weights)
