@@ -137,9 +137,18 @@ def domain_mixture(
                 break
             cum += n
         plan_rows.append((s, cutoff, take))
-    plan = df.sparkSession.createDataFrame(
-        plan_rows, f"{strata_col} string, _cutoff int, _take long"
+    # the plan table's stratum column mirrors the input's dtype (int
+    # strata — cluster ids, quality buckets — are as valid as strings)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    plan_schema = StructType(
+        [
+            StructField(strata_col, df.schema[strata_col].dataType),
+            StructField("_cutoff", IntegerType()),
+            StructField("_take", LongType()),
+        ]
     )
+    plan = df.sparkSession.createDataFrame(plan_rows, plan_schema)
 
     joined = hashed.join(F.broadcast(plan), strata_col)
     below = joined.filter(F.col("_b") < F.col("_cutoff"))

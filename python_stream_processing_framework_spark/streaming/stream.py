@@ -376,6 +376,52 @@ class Stream:
         the arbitrary-Python tier, like the reference's."""
         return PipelineBuilder(self, topic, schema, group)
 
+    def dedupe(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        keys: tuple[str, ...] = ("event_id",),
+        target: str | None = None,
+        group: str | None = None,
+        watermark_delay_ms: int | None = None,
+        ts_field: str = "timestamp",
+    ) -> None:
+        """Streaming first-occurrence dedup: forward `topic` to
+        ``target`` (default `{topic}-deduped`) keeping ONE event per
+        ``keys`` across micro-batches — the streaming form of exact
+        dedup (SURVEY §7 phase 2; the reference approximates this with
+        idempotent sink tokens, pspf/connectors/base.py:32-78, which
+        dedupe only at the sink boundary).
+
+        With ``watermark_delay_ms`` set, uses Spark's
+        `dropDuplicatesWithinWatermark` over the event-time field
+        (float seconds, facade convention): per-key state is EVICTED
+        once the watermark passes it — the bounded-state shape a
+        100 TB stream needs. Without it, `dropDuplicates` keeps every
+        key seen forever (exact across any gap, state grows with
+        distinct keys — fine for bounded key domains only). Dedup
+        state and delivery both live in the query's checkpoint, so a
+        restart neither re-delivers nor forgets.
+        """
+        group = group or f"{self.name}-dedupe"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="dedupe",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "keys": list(keys),
+                    "target": target or f"{topic}-deduped",
+                    "group": group,
+                    "watermark_delay_ms": watermark_delay_ms,
+                    "ts_field": ts_field,
+                },
+            )
+        )
+
     def route(
         self,
         topic: str,
@@ -667,6 +713,40 @@ class Stream:
             .start()
         )
 
+    def _start_dedupe(self, sub: _Subscription):
+        """First-occurrence dedup into the target topic. The dedup
+        operator itself is Spark's stateful dropDuplicates[WithinWatermark]
+        — per-key state in the checkpointed state store, distributed by
+        key hash; the foreachBatch body only issues the distributed
+        sink write."""
+        src = self.stream_topic(sub.topic, sub.schema)
+        keys = sub.options["keys"]
+        delay = sub.options["watermark_delay_ms"]
+        if delay is not None:
+            ts = sub.options["ts_field"]
+            deduped = (
+                src.withColumn("_ts", F.timestamp_seconds(F.col(ts)))
+                .withWatermark("_ts", f"{delay} milliseconds")
+                .dropDuplicatesWithinWatermark(keys)
+                .drop("_ts")
+            )
+        else:
+            deduped = src.dropDuplicates(keys)
+        sink_dir = str(self.topic_dir(sub.options["target"]))
+
+        def write_sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("append").json(sink_dir)
+
+        return (
+            deduped.writeStream.foreachBatch(write_sink)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{sub.options['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def run_until_idle(self, *, rounds: int = 1) -> None:
         """Start every registered pipeline against the data currently in
         the broker and block until all of it is processed — the test /
@@ -678,6 +758,7 @@ class Stream:
             "pipeline": self._start_pipeline,
             "sessionize": self._start_sessionize,
             "route": self._start_route,
+            "dedupe": self._start_dedupe,
         }
         for _ in range(max(1, rounds)):
             queries = []

@@ -118,3 +118,24 @@ def test_assign_shards_and_stats(spark):
 def test_assign_shards_validation(spark):
     with pytest.raises(ValueError, match="positive"):
         assign_shards(_docs(spark), "doc_id", 0)
+
+
+def test_domain_mixture_int_strata(spark):
+    """Strata need not be strings: cluster ids / quality buckets are
+    ints. The per-stratum plan table mirrors the input dtype."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    weights = {0: 0.5, 1: 0.3, 2: 0.2}
+    kept = domain_mixture(emb, "label", weights, "vec_id", seed="t")
+    counts = {
+        r["label"]: r["n"]
+        for r in emb.filter(F.col("label") < 3)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expected = mixture_quotas(counts, weights)
+    got = {
+        r["label"]: r["n"]
+        for r in kept.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {s: q for s, q in expected.items() if q > 0}

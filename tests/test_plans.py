@@ -53,12 +53,31 @@ def test_column_pruning(spark):
     }
 
 
-def test_star_join_broadcasts_dims(spark):
+def test_star_join_broadcasts_dims_fact_stays_streamed(spark):
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
     df = q("region_revenue", spark)
-    assert_broadcast_join(df, min_count=4)  # region/nation/orders-side/supplier
+    assert_broadcast_join(df, min_count=4)  # region/nation/customer/supplier
     assert_no_cartesian(df)
-    # all joins broadcast => only the final agg needs a hash exchange
-    assert count_exchanges(df) <= 1
+    # The FACT table must never be a broadcast build side: unhinted,
+    # Catalyst broadcasts all of lineitem at test SFs (size estimate
+    # under threshold) — a plan that detonates at 100 TB. The merge
+    # hint pins the fact join to sort-merge (2 exchanges) + the final
+    # agg exchange; AQE may still convert to broadcast AT RUNTIME when
+    # the dims side is small, which is the correct adaptive behavior.
+    text = plan_text(df, mode="simple")
+    assert "SortMergeJoin" in text
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        indent = line.index("+-") if "+-" in line else 0
+        for sub in lines[i + 1:]:
+            depth = max(sub.find("+-"), sub.find(":-"))
+            if depth >= 0 and depth <= indent:
+                break  # left the BroadcastExchange subtree
+            assert "lineitem.parquet" not in sub, "fact table broadcast"
+    assert count_exchanges(df) <= 3
 
 
 def test_orders_enriched_broadcasts(spark):
