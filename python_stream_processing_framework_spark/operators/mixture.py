@@ -166,6 +166,50 @@ def domain_mixture(
     return below.unionByName(edge).select(*df.columns)
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    id_col: str,
+    *,
+    seed: str = "",
+    ascending: bool = True,
+) -> DataFrame:
+    """Deterministic curriculum training order: phase by score band,
+    shuffle within phase.
+
+    Adds (``curr_phase``, ``curr_key``): phase = which of the
+    ``thresholds`` bands the row's score falls in (band i =
+    score < thresholds[i], last band = rest; ``ascending=False``
+    reverses phase order for hard-first anti-curricula), key =
+    hash60(id#seed) — so sorting by (curr_phase, curr_key) yields an
+    easy-to-hard schedule whose within-phase order is a reproducible
+    shuffle. Writers realize the order with
+    ``repartitionByRange("curr_phase", "curr_key")`` +
+    ``sortWithinPartitions`` — a range shuffle, never a global
+    single-task sort.
+
+    Thresholds are explicit values (in practice from
+    ``approx_percentile`` over the score), NOT computed here: the
+    operator stays map-only and the schedule is pinned by literal
+    constants, reproducible across engines and runs.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if sorted(thresholds) != list(thresholds):
+        raise ValueError("thresholds must be ascending")
+    phase = None
+    for i, bound in enumerate(thresholds):
+        cond = F.col(score_col) < F.lit(bound)
+        phase = F.when(cond, i) if phase is None else phase.when(cond, i)
+    phase = phase.otherwise(len(thresholds)).cast("int")
+    if not ascending:
+        phase = (F.lit(len(thresholds)) - phase).cast("int")
+    return df.withColumn("curr_phase", phase).withColumn(
+        "curr_key", _unit_hash(id_col, seed)
+    )
+
+
 def assign_shards(
     df: DataFrame,
     id_col: str,
