@@ -176,6 +176,34 @@ def reset(broker: str, topic: str, group: str) -> None:
     print(f"reset group {group!r} on topic {topic!r} to offset 0")
 
 
+def search(data: str, query: str, k: int) -> None:
+    """BM25 keyword search over a documents parquet (operators/
+    retrieval.bm25_topk) — corpus curation from the shell: what does
+    the corpus contain about X, which docs would a probe query
+    retrieve."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from python_stream_processing_framework_spark.session import get_spark
+
+    spark = get_spark("pspf-spark-search")
+    path = data if data.endswith(".parquet") else f"{data}/documents.parquet"
+    docs = spark.read.parquet(path)
+    top = bm25_topk(docs, query, k=k)
+    hits = (
+        top.join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "bm25", F.substring("text", 1, 80).alias("snippet"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .collect()
+    )
+    for r in hits:
+        print(f"{r['doc_id']:>8}  {r['bm25']:.4f}  {r['snippet']}")
+    if not hits:
+        print("no documents matched the query")
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="pspf-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -201,6 +229,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--topic", required=True)
     p.add_argument("--group", required=True)
     sub.add_parser("backends")
+    p = sub.add_parser("search")
+    p.add_argument("--data", required=True, help="sf dir or documents parquet")
+    p.add_argument("--query", required=True)
+    p.add_argument("--k", type=int, default=10)
     args = ap.parse_args(argv)
 
     if args.cmd == "dlq-inspect":
@@ -219,6 +251,8 @@ def main(argv: list[str] | None = None) -> None:
         groups(args.broker, args.topic)
     elif args.cmd == "reset":
         reset(args.broker, args.topic, args.group)
+    elif args.cmd == "search":
+        search(args.data, args.query, args.k)
     elif args.cmd == "backends":
         from python_stream_processing_framework_spark.sources import registry
 

@@ -272,3 +272,25 @@ def test_cli_status_commands(spark, tmp_path, capsys):
     cli.main(["status", "--url", url])
     out = capsys.readouterr().out
     assert "online" not in out  # stopped -> unhealthy or unreachable
+
+
+def test_cli_search(capsys):
+    """`pspf-spark search` runs BM25 over a documents parquet and
+    prints ranked hits with snippets."""
+    from python_stream_processing_framework_spark import cli
+
+    cli.main(
+        [
+            "search",
+            "--data",
+            "/root/testdata/sf0.001",
+            "--query",
+            "window join",
+            "--k",
+            "3",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3
+    scores = [float(line.split()[1]) for line in out]
+    assert scores == sorted(scores, reverse=True)
