@@ -112,7 +112,10 @@ def main() -> None:
 def _streaming_throughput(spark, sf_dir: str) -> dict:
     """Structured Streaming micro-benchmark: drive the events table
     through a watermarked tumbling-window aggregation as a real
-    streaming query (availableNow) and report rows/sec."""
+    streaming query (availableNow) and report rows/sec. Min-of-N like
+    the catalog timings (fresh checkpoint per pass — each pass is a
+    complete from-offset-0 run): single-pass numbers bounced 27-40k
+    rows/s round-to-round on shared-box noise alone."""
     import tempfile
     from pathlib import Path
 
@@ -132,21 +135,24 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
     agg = src.groupBy(F.window("ts", "10 minutes"), F.col("user_id")).agg(
         F.count("*").alias("n"), F.sum("value").alias("v")
     )
-    ckpt = tempfile.mkdtemp(prefix="bench-stream-ck-")
-    t0 = time.perf_counter()
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    wall = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(N_REPEATS):
+        ckpt = tempfile.mkdtemp(prefix="bench-stream-ck-")
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        best = min(best, time.perf_counter() - t0)
     return {
         "rows": n_rows,
-        "wall_s": round(wall, 3),
-        "rows_per_s": round(n_rows / wall, 1),
+        "wall_s": round(best, 3),
+        "rows_per_s": round(n_rows / best, 1),
+        "n_repeats": N_REPEATS,
     }
 
 
