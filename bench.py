@@ -135,19 +135,25 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
     agg = src.groupBy(F.window("ts", "10 minutes"), F.col("user_id")).agg(
         F.count("*").alias("n"), F.sum("value").alias("v")
     )
+    import shutil
+
     best = float("inf")
-    for _ in range(N_REPEATS):
-        ckpt = tempfile.mkdtemp(prefix="bench-stream-ck-")
-        t0 = time.perf_counter()
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("noop")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        best = min(best, time.perf_counter() - t0)
+    try:
+        for _ in range(N_REPEATS):
+            ckpt = tempfile.mkdtemp(prefix="bench-stream-ck-")
+            t0 = time.perf_counter()
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best = min(best, time.perf_counter() - t0)
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
     return {
         "rows": n_rows,
         "wall_s": round(best, 3),

@@ -233,7 +233,15 @@ def simhash_fingerprints(
             block = arrs[i:j]
             lens = np.fromiter((a.size for a in block), dtype=np.int64, count=len(block))
             flat = np.concatenate(block) if tok else np.empty(0, dtype=np.int64)
-            ones = ((flat[:, None] >> shifts) & 1).astype(np.uint8)
+            # per-bit columns: each pass allocates ONE token-length
+            # int64 temp (~4 MB at the cap). The one-shot broadcast
+            # form ((flat[:, None] >> shifts) & 1) materializes TWO
+            # (tokens x bits) int64 intermediates first — ~240 MB each
+            # at the cap, 16x the documented block budget, per
+            # concurrently-running UDF worker.
+            ones = np.empty((flat.size, bits), dtype=np.uint8)
+            for b in range(bits):
+                ones[:, b] = (flat >> b) & 1
             starts = np.zeros(len(block), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             # empty docs never reach here (filter size>=1), but guard:
@@ -243,7 +251,10 @@ def simhash_fingerprints(
             else:
                 cnt = np.stack(
                     [
-                        ((a[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+                        np.array(
+                            [((a >> b) & 1).sum(dtype=np.int64) for b in range(bits)],
+                            dtype=np.int64,
+                        )
                         if a.size
                         else np.zeros(bits, dtype=np.int64)
                         for a in block

@@ -101,16 +101,21 @@ def connected_components(
     # concurrently on the same session during the loop would see the
     # narrowed width; catalog/bench/driver execution is serial.)
     spark = edges.sparkSession
-    n_edges = sym.count()  # also materializes the persist
     prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_width = max(1, min(int(prev_width), n_edges // 25_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
-    labels = labels_ck = truncate(
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+    # everything from the first job on sits inside try: a failure in
+    # ANY iteration job must restore the session's shuffle width and
+    # release the persisted edge frame (a narrowed width outliving
+    # this call would silently single-partition every later query in
+    # the session)
     try:
+        n_edges = sym.count()  # also materializes the persist
+        loop_width = max(1, min(int(prev_width), n_edges // 25_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+        labels = labels_ck = truncate(
+            sym.select(F.col("s").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
         for it in range(max_iter):
             # Pointer doubling on the MATERIALIZED labels: shortcut
             # each label to its label's own label before propagating.

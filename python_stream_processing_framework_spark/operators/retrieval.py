@@ -17,13 +17,15 @@ engine ships):
 Scale shape: the query's term set is TINY, so everything prunes to it
 immediately —
 
-- one corpus scan computes per-doc length AND the query-term
-  frequencies (the token explode is filtered to query terms inside
-  the same stage, so non-query tokens never reach a shuffle);
-- df(t) and the (N, avgdl) corpus constants are one small aggregation
-  each (|terms| + 1 rows of driver-free broadcast data);
+- TWO corpus scans total: one narrow scan aggregates the (N, avgdl)
+  corpus constants; one scan + token explode (filtered to query terms
+  inside the same stage, so non-query tokens never reach a shuffle)
+  feeds the materialized tf frame — df(t), idf, and scoring all read
+  that tiny cache, never the corpus again;
 - final scoring is a groupBy(doc) over at most |docs_with_a_hit| x
-  |terms| rows + TakeOrderedAndProject for the top-k.
+  |terms| rows + TakeOrderedAndProject for the top-k. In a serving
+  deployment (N, avgdl, df) are precomputed index statistics and the
+  per-query cost drops to the pruned scan alone.
 
 Determinism: the per-doc sum folds term scores in SORTED term order
 (array_sort(collect_list(struct(term, score)))), so the double
@@ -40,9 +42,17 @@ from pyspark.sql import functions as F
 
 
 def tokenize_expr(col):
-    """Lowercase whitespace tokens — the same normalization the dedup
-    family uses (operators/dedup.tokens_expr)."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Lowercase whitespace-run tokens, Python ``str.split()``
+    semantics: runs of any whitespace separate tokens and blank text
+    yields ZERO tokens (``split`` alone returns ``['']`` there, which
+    would count empty docs as length 1 and skew avgdl). NOTE: this is
+    deliberately NOT dedup.tokens_expr — that family splits on single
+    spaces (its oracle contract, pinned by shipped hashes), so token
+    counts can differ on multi-whitespace text."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def bm25_topk(
@@ -81,12 +91,23 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
         .collect()[0]
     )
-    n_docs, avgdl = int(stats["_n"]), float(stats["_avgdl"])
+    n_docs = int(stats["_n"])
+    if n_docs == 0 or stats["_avgdl"] is None or float(stats["_avgdl"]) == 0.0:
+        raise ValueError("bm25_topk: corpus is empty (no documents/tokens)")
+    avgdl = float(stats["_avgdl"])
+
+    from python_stream_processing_framework_spark.operators.common import materialize
 
     hits = toks.filter(F.col("_t").isin(terms))
-    tf = hits.groupBy(id_col, "_t").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf"),
-        F.first("_dl").alias("_dl"),
+    # tf is tiny (docs-with-a-hit x |terms| rows) but its lineage is
+    # the full corpus scan + explode: materialize it so the df_counts
+    # collect below and the scoring job both read the cache instead of
+    # each re-running the scan (release via common.release_caches()).
+    tf = materialize(
+        hits.groupBy(id_col, "_t").agg(
+            F.count(F.lit(1)).cast("double").alias("_tf"),
+            F.first("_dl").alias("_dl"),
+        )
     )
     df_counts = {
         r["_t"]: r["_df"]

@@ -45,8 +45,11 @@ _H_SHARD = (
            SELECT lang, count(*) AS n FROM documents
            WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
          t AS (
-           SELECT CAST(floor(min(n / wt)) AS BIGINT) AS t
-           FROM c JOIN w USING (lang)),
+           -- LEFT join from weights: a weighted stratum with ZERO
+           -- rows must clamp T to 0 (mixture_quotas uses
+           -- counts.get(s, 0)), not silently drop out of the min
+           SELECT CAST(floor(min(coalesce(n, 0) / wt)) AS BIGINT) AS t
+           FROM w LEFT JOIN c USING (lang)),
          q AS (
            SELECT lang, CAST(floor(wt * t) AS BIGINT) AS quota FROM w, t),
          ranked AS (

@@ -215,8 +215,12 @@ class Stream:
         handler must be picklable, per-message idempotent (pair with
         IdempotentSink event-id tokens for effectively-once), and
         CANNOT take ctx — durable group state is driver-owned, so the
-        3-arg form raises here. The driver-serial default remains the
-        reference-parity ordering mode.
+        3-arg form raises here. Per-message trace SPANS are also
+        driver-serial-only: distribute mode still delivers the
+        `traceparent` field to handlers (they can propagate it
+        manually), but does not open a span around each call — the
+        tracer object is not shipped to executors. The driver-serial
+        default remains the reference-parity ordering mode.
         """
         topics = [topic] if isinstance(topic, str) else list(topic)
 

@@ -75,10 +75,16 @@ def prometheus_exposition(rec: MetricsRecorder) -> str:
     gauges). Dependency-free: the text format is a stable public
     contract, no client library needed.
     """
+    def esc(v: str) -> str:
+        # label-value escaping per the exposition format: backslash
+        # first, then quote and newline — stripping/ignoring these
+        # breaks the whole scrape (one bad label loses every metric)
+        return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
     sane = []
     for qid, p in rec.snapshot().items():
-        name = (p.get("name") or "unnamed").replace('"', "")
-        labels = f'{{query="{name}",id="{qid}"}}'
+        name = esc(p.get("name") or "unnamed")
+        labels = f'{{query="{name}",id="{esc(str(qid))}"}}'
         for metric, key in (
             ("pspf_stream_batch_id", "batch_id"),
             ("pspf_stream_input_rows", "num_input_rows"),

@@ -294,3 +294,29 @@ def test_cli_search(capsys):
     assert len(out) == 3
     scores = [float(line.split()[1]) for line in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_prometheus_exposition_escapes_labels():
+    """Exposition-format label escaping: backslash, quote, newline.
+    One unescaped value breaks the WHOLE scrape (every metric lost)."""
+    from python_stream_processing_framework_spark.telemetry import (
+        prometheus_exposition,
+    )
+
+    class FakeRec:
+        def snapshot(self):
+            return {
+                'id"1': {
+                    "name": 'win\\10m "hot"\nline',
+                    "batch_id": 3,
+                    "num_input_rows": 7,
+                }
+            }
+
+        def total_rows(self):
+            return 7
+
+    text = prometheus_exposition(FakeRec())
+    assert 'query="win\\\\10m \\"hot\\"\\nline"' in text
+    assert 'id="id\\"1"' in text
+    assert "\nline" not in text.replace("\\n", "")  # no raw newline inside a label
