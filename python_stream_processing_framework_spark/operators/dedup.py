@@ -12,9 +12,18 @@ results are engine-portable and oracle-checkable.
 
 Scale notes (local[32] tests at sf<=0.1; design target 1000 executors):
 - signatures: narrow map-only stage, whole-stage codegen.
-- LSH banding: |bands| rows per doc into one shuffle; buckets are
-  md5-uniform so no planned skew. AQE skew-join handles pathological
-  buckets (e.g. empty-text clusters).
+- LSH banding: |bands| rows per doc into one shuffle; BUCKET keys are
+  md5-uniform, but bucket OCCUPANCY is not — c byte-identical copies
+  of one document share every band value, so an unguarded band join
+  generates O(c^2) candidates per copy-cluster, and real web corpora
+  are 30-50% exact duplicates. minhash_lsh_pairs/minhash_lsh_join
+  therefore collapse exact duplicates (identical normalized text) to
+  ONE representative before banding and re-expand the results through
+  the membership table afterwards — exactly output-equivalent (copies
+  have identical shingle sets, so intra-cluster pairs are Jaccard 1.0
+  and cross-cluster member pairs inherit their representatives'
+  statistics), while the band join only ever sees distinct texts.
+  AQE skew-join handles residual pathological buckets.
 - verification joins fetch shingle sets only for candidate pairs —
   candidates are O(near-dups), not O(n^2).
 """
@@ -111,6 +120,7 @@ def with_minhash(
     *,
     num_hashes: int = 16,
     shingle_k: int = 3,
+    widen: bool = True,
 ) -> DataFrame:
     """Add `_shingles` and a `_sig` MinHash signature column.
 
@@ -118,17 +128,76 @@ def with_minhash(
     of h_i(shingle), with h_i = md5(shingle || '#' || i). Min over the
     md5 hex strings is a valid uniform min-hash (lexicographic order on
     uniformly distributed hex). Map-only, codegen'd.
+
+    ``widen=False`` skips the spread() gate — pass it when the input
+    is already shuffle-width (e.g. a collapse_exact_dups output):
+    spread's partition-count probe (`df.rdd`) would force AQE to
+    materialize the upstream shuffle stages eagerly just to read the
+    partition count.
     """
     sig = F.expr(
         f"transform(sequence(0, {num_hashes - 1}),"
         f" s -> array_min(transform(_shingles, x -> md5(concat(x, '#', cast(s as string))))))"
     )
+    filtered = df.filter(F.size(tokens_expr(text_col)) >= shingle_k)
     return (
-        spread(df.filter(F.size(tokens_expr(text_col)) >= shingle_k))
+        (spread(filtered) if widen else filtered)
         .withColumn("_toks", tokens_expr(text_col))
         .withColumn("_shingles", shingles_expr("_toks", shingle_k))
         .withColumn("_sig", sig)
         .drop("_toks")
+    )
+
+
+def collapse_exact_dups(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_k: int = 3
+) -> DataFrame:
+    """Collapse byte-identical (after trim+lower normalization) texts
+    to ONE representative row before any signature work.
+
+    Returns one row per distinct normalized text: the minimum-id
+    member's (id, text) plus `_members`, the sorted id list of every
+    copy (so `_members[0]` is the representative itself). Identical
+    normalized texts have identical token streams, hence identical
+    shingle sets, signatures and band values — so running LSH on
+    representatives and re-expanding through `_members` afterwards is
+    EXACTLY output-equivalent to running it on the raw corpus, while
+    the band join never sees duplicate mass (the O(c^2)-per-copy-
+    cluster hazard of real web corpora, which are 30-50% exact dups).
+
+    One hash shuffle on the md5 text key; docs below the shingle
+    floor are dropped exactly as with_minhash would drop them. No
+    spread() here: the collapse map side is one cheap md5 per doc
+    (production scans are file-split wide anyway), and the groupBy
+    exchange itself gives the expensive downstream signature stage
+    full shuffle-partition width.
+    """
+    eligible = df.select(id_col, text_col).filter(
+        F.size(tokens_expr(text_col)) >= shingle_k
+    )
+    return (
+        eligible.withColumn("_dupkey", F.md5(F.trim(F.lower(F.col(text_col)))))
+        .groupBy("_dupkey")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min(text_col).alias(text_col),
+            F.sort_array(F.collect_list(id_col)).alias("_members"),
+        )
+        .drop("_dupkey")
+    )
+
+
+def _cap_band_buckets(banded: DataFrame, max_band_freq: int) -> DataFrame:
+    """Drop (band_idx, band_val) buckets with more than `max_band_freq`
+    occupants before the candidate join — the `max_doc_freq` hot-key
+    pattern applied to LSH buckets. Occupancy is counted over
+    REPRESENTATIVES (exact dups are already collapsed), so only
+    genuinely giant near-dup buckets are dropped; that trades recall
+    inside those buckets for a hard per-bucket O(cap^2) bound."""
+    freq = banded.groupBy("band_idx", "band_val").agg(F.count("*").alias("_bf"))
+    return banded.join(
+        freq.filter(F.col("_bf") <= max_band_freq).select("band_idx", "band_val"),
+        ["band_idx", "band_val"],
     )
 
 
@@ -141,31 +210,67 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
+    expand: str = "pairs",
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
-    1. signatures (map-only);
-    2. banding: `bands` band-keys per doc, equi-self-join on
+    1. collapse exact duplicates to one representative (default on —
+       exactly output-equivalent, see collapse_exact_dups; identical
+       docs would otherwise occupy every band together and the band
+       join would generate O(c^2) candidates per copy-cluster);
+    2. signatures (map-only);
+    3. banding: `bands` band-keys per doc, equi-self-join on
        (band_idx, band_val) — the one shuffle;
-    3. verify candidates with exact Jaccard over distinct shingle sets.
+    4. verify candidates with exact Jaccard over distinct shingle sets;
+    5. re-expand representative pairs through the membership table.
 
     Output: (doc_a, doc_b, n_common, n_union, jaccard) with
     jaccard >= threshold; doc_a < doc_b.
+
+    ``expand="star"`` (with collapse_exact) returns the linear-size
+    spanning form instead of all-pairs: representative-vs-
+    representative pairs plus one (representative, copy) edge per
+    exact duplicate. Connected components over the star output equals
+    components over the full pair set (each copy-cluster is a clique;
+    a star spans it), so dedup pipelines avoid materializing the
+    inherently O(c^2) intra-cluster pairs. ``max_band_freq`` caps
+    band-bucket occupancy (recall-trading hot-key guard, off by
+    default — see _cap_band_buckets).
     """
+    if expand not in ("pairs", "star"):
+        raise ValueError(f"expand must be 'pairs' or 'star', got {expand!r}")
+    if expand == "star" and not collapse_exact:
+        raise ValueError("expand='star' requires collapse_exact=True")
+    if collapse_exact:
+        src = collapse_exact_dups(df, id_col, text_col, shingle_k=shingle_k)
+    else:
+        src = df.select(id_col, text_col).withColumn(
+            "_members", F.array(F.col(id_col))
+        )
     # Signatures feed four plan branches (both sides of the band join,
     # both sides of the verify join): persist so the md5 work runs once.
-    # project to (id, sig, shingles) BEFORE caching: the raw text and
-    # any other payload columns are dead weight here, and pinning them
-    # in the cache would hold ~the whole corpus in memory at scale.
+    # project to (id, members, sig, shingles) BEFORE caching: the raw
+    # text and any other payload columns are dead weight here, and
+    # pinning them in the cache would hold ~the whole corpus in memory
+    # at scale.
     sigs = materialize(
         with_minhash(
-            df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
-        ).select(F.col(id_col), F.col("_sig"), F.col("_shingles"))
+            src,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            widen=not collapse_exact,
+        ).select(F.col(id_col), F.col("_members"), F.col("_sig"), F.col("_shingles"))
     )
     band_vals = band_vals_expr(num_hashes, bands)
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_vals).alias("band_idx", "band_val")
     )
+    if max_band_freq is not None:
+        banded = _cap_band_buckets(banded, max_band_freq)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band_idx", "band_val"])
@@ -176,7 +281,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = sigs.select(F.col(id_col), F.col("_shingles"))
-    verified = (
+    rep_pairs = (
         cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_shingles", "_sh_a"), "doc_a")
         .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_shingles", "_sh_b"), "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint"))
@@ -188,7 +293,57 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
     )
-    return verified
+    if not collapse_exact:
+        return rep_pairs
+    # Re-expansion. Copies have IDENTICAL shingle sets, so every intra-
+    # cluster pair is (n_sh, n_sh, 1.0) and every (member-of-A,
+    # member-of-B) pair carries exactly the (rep_A, rep_B) statistics —
+    # no re-verification needed, just membership joins.
+    nsh = F.size("_shingles").cast("bigint")
+    clusters = sigs.filter(F.size("_members") > 1)
+    if expand == "star":
+        copies = clusters.select(
+            F.col(id_col).alias("doc_a"),
+            F.explode(F.expr("slice(_members, 2, size(_members) - 1)")).alias("doc_b"),
+            nsh.alias("n_common"),
+            nsh.alias("n_union"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        return rep_pairs.unionByName(copies) if threshold <= 1.0 else rep_pairs
+    # expand="pairs": exact all-pairs semantics. Cluster self-pairs
+    # (rep, rep) ride through the same two membership joins as the
+    # cross-cluster pairs; the filter keeps each unordered pair once
+    # (cross-cluster members are distinct so least/greatest orders
+    # them; intra-cluster needs the _ma < _mb guard).
+    selfpairs = clusters.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        nsh.alias("n_common"),
+        nsh.alias("n_union"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    allp = rep_pairs.unionByName(selfpairs) if threshold <= 1.0 else rep_pairs
+    mem = sigs.select(
+        F.col(id_col).alias("_rep"), F.explode("_members").alias("_member")
+    )
+    return (
+        allp.join(
+            mem.select(F.col("_rep").alias("doc_a"), F.col("_member").alias("_ma")),
+            "doc_a",
+        )
+        .join(
+            mem.select(F.col("_rep").alias("doc_b"), F.col("_member").alias("_mb")),
+            "doc_b",
+        )
+        .filter((F.col("doc_a") != F.col("doc_b")) | (F.col("_ma") < F.col("_mb")))
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            "n_common",
+            "n_union",
+            "jaccard",
+        )
+    )
 
 
 def simhash_fingerprints(
@@ -417,7 +572,10 @@ def dedup_corpus(
 
     ``pairs`` is the output of any detector in this module
     (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs) or of
-    similarity.cosine_lsh_pairs. Pairs are transitive-closed into
+    similarity.cosine_lsh_pairs — including minhash_lsh_pairs'
+    ``expand="star"`` form, which spans the same clusters with
+    linearly many edges and is the right input at corpus scale.
+    Pairs are transitive-closed into
     clusters (graph.connected_components), and the member with the
     MINIMUM id survives as the cluster's canonical document — the same
     deterministic rule the components operator itself uses, so the
@@ -453,6 +611,8 @@ def minhash_lsh_join(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate pairs (MinHash + LSH, two tables).
 
@@ -464,27 +624,44 @@ def minhash_lsh_join(
     shared fitted state.
 
     Output: (id_left, id_right, jaccard) with jaccard >= threshold.
-    Scale: identical to the self-join path — banding is one equi-join
-    shuffle keyed on (band_idx, band_val); when ``right`` is small
-    (a benchmark suite), AQE broadcasts its banded side and the big
-    corpus never shuffles.
+    Scale: identical to the self-join path — each side collapses its
+    exact duplicates to one representative before banding (exactly
+    output-equivalent, see collapse_exact_dups; results re-expand
+    through the membership tables), banding is one equi-join shuffle
+    keyed on (band_idx, band_val); when ``right`` is small (a
+    benchmark suite), AQE broadcasts its banded side and the big
+    corpus never shuffles. ``max_band_freq`` caps LEFT-side (corpus)
+    band-bucket occupancy — the recall-trading hot-key guard.
 
     Recall floor: documents with fewer than ``shingle_k`` tokens have
     no shingles and are dropped from BOTH sides (with_minhash's
     filter), so sub-shingle-length docs can never match — pair this
     with an exact-match join on normalized text if very short
-    held-out rows matter. Caches: each side pins one (id, sig,
-    shingles) frame via materialize(); call
+    held-out rows matter. Caches: each side pins one (id, members,
+    sig, shingles) frame via materialize(); call
     common.release_caches() once the result is consumed.
     """
     band_vals = band_vals_expr(num_hashes, bands)
 
-    def banded(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
-        # cache only (id, sig, shingles) — never the raw text column
+    def banded(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+        if collapse_exact:
+            src = collapse_exact_dups(df, id_col, text_col, shingle_k=shingle_k)
+        else:
+            src = df.select(id_col, text_col).withColumn(
+                "_members", F.array(F.col(id_col))
+            )
+        # cache only (id, members, sig, shingles) — never the raw text
         sigs = materialize(
             with_minhash(
-                df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
-            ).select(F.col(id_col), F.col("_sig"), F.col("_shingles"))
+                src,
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+                shingle_k=shingle_k,
+                widen=not collapse_exact,
+            ).select(
+                F.col(id_col), F.col("_members"), F.col("_sig"), F.col("_shingles")
+            )
         )
         bd = sigs.select(
             F.col(id_col).alias(f"id_{side}"),
@@ -493,12 +670,18 @@ def minhash_lsh_join(
         sh = sigs.select(
             F.col(id_col).alias(f"id_{side}"), F.col("_shingles").alias(f"_sh_{side}")
         )
-        return bd, sh
+        mem = sigs.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.explode("_members").alias(f"_m_{side}"),
+        )
+        return bd, sh, mem
 
-    bl, shl = banded(left, "left")
-    br, shr = banded(right, "right")
+    bl, shl, meml = banded(left, "left")
+    br, shr, memr = banded(right, "right")
+    if max_band_freq is not None:
+        bl = _cap_band_buckets(bl, max_band_freq)
     cand = bl.join(br, ["band_idx", "band_val"]).select("id_left", "id_right").distinct()
-    return (
+    rep_out = (
         cand.join(shl, "id_left")
         .join(shr, "id_right")
         .withColumn(
@@ -512,6 +695,20 @@ def minhash_lsh_join(
         .withColumn("jaccard", F.col("n_common").cast("double") / F.col("n_union"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_left", "id_right", "jaccard")
+    )
+    if not collapse_exact:
+        return rep_out
+    # Re-expand: every (copy-of-left-rep, copy-of-right-rep) pair
+    # carries exactly the representative pair's Jaccard (identical
+    # shingle sets) — membership joins, no re-verification.
+    return (
+        rep_out.join(meml, "id_left")
+        .join(memr, "id_right")
+        .select(
+            F.col("_m_left").alias("id_left"),
+            F.col("_m_right").alias("id_right"),
+            "jaccard",
+        )
     )
 
 

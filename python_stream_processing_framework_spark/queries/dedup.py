@@ -207,7 +207,10 @@ _COMPONENT_CTES = f"""
     "operators/graph.py) over MinHash-LSH pairs at Jaccard>=0.5. The "
     "pairs->clusters step a dedup pipeline needs so transitive near-dups "
     "(A~B, B~C) collapse to one canonical doc; oracle is a DuckDB "
-    "recursive-CTE reachability over the same pairs.",
+    "recursive-CTE reachability over the same pairs. Spark side feeds "
+    "components the expand='star' spanning form (exact dups collapse "
+    "to rep+copy edges) — identical component labels, linear edge "
+    "count under duplicate mass.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_stream_processing_framework_spark.operators.graph import (
@@ -216,7 +219,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        documents, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+        documents,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        expand="star",
     )
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
@@ -322,7 +332,14 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = documents.filter(bucket != 0)
     heldout = documents.filter(bucket == 0)
     pairs = minhash_lsh_pairs(
-        corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+        corpus,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        expand="star",
     )
     kept = dedup_corpus(corpus, pairs, "doc_id")
     clean = decontaminate(kept, heldout, "doc_id", "text", threshold=0.5)
