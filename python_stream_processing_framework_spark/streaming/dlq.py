@@ -173,11 +173,29 @@ def replay_dead_letters(
     *,
     schema,
     purge: bool = True,
+    distributed: bool | None = None,
+    distributed_threshold_bytes: int = 32 << 20,
 ) -> int:
     """DLQ replay (reference CLI `replay`, pspf/cli.py:139-228 /
     pspf/utils/replay.py:12-51): strip the DLQ-attached metadata
     (`DLQ_METADATA_KEYS` — not the whole `_` namespace) and re-emit to
-    the original topic."""
+    the original topic.
+
+    Execution: small DLQs replay through the driver (collect + one
+    `stream.emit` call — human-scale incident recovery, exact
+    reference parity). Above ``distributed_threshold_bytes`` (or with
+    ``distributed=True``) the replay never materializes messages on
+    the driver: each partition of the DLQ frame strips the metadata
+    COLUMNS and writes its rows as one JSON-lines file directly into
+    the target topic dir, using the same write-then-rename visibility
+    protocol as `Stream.emit`, so a multi-million-row incident DLQ —
+    the one place this tool gets used under pressure — replays at
+    cluster width with only per-partition counts returning to the
+    driver. A Spark task retry can re-write its partition's file
+    (at-least-once, like the reference CLI's message-at-a-time loop
+    after a crash); downstream IdempotentSink event-id tokens upgrade
+    that to effectively-once, which is the engine's standard contract.
+    """
     dlq_topic = f"{topic}-dlq"
     # snapshot the file list BEFORE reading so the purge removes exactly
     # what was replayed — a message dead-lettered mid-replay survives.
@@ -185,17 +203,57 @@ def replay_dead_letters(
     if not files:
         return 0
     df = stream.spark.read.schema(schema).json([str(f) for f in files])
-    rows = [r.asDict(recursive=True) for r in df.collect()]
-    clean = [
-        {k: v for k, v in r.items() if k not in DLQ_METADATA_KEYS}
-        for r in rows
-    ]
-    if clean:
-        stream.emit(topic, *clean)
+    if distributed is None:
+        distributed = (
+            sum(f.stat().st_size for f in files) > distributed_threshold_bytes
+        )
+    if distributed:
+        n = _replay_distributed(df, str(stream.topic_dir(topic)))
+    else:
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        clean = [
+            {k: v for k, v in r.items() if k not in DLQ_METADATA_KEYS}
+            for r in rows
+        ]
+        if clean:
+            stream.emit(topic, *clean)
+        n = len(clean)
     if purge:
         for f in files:
             f.unlink()
-    return len(clean)
+    return n
+
+
+def _replay_distributed(df: DataFrame, target_dir: str) -> int:
+    """Executor-side DLQ re-emission: drop the DLQ metadata columns,
+    write one JSON-lines file per non-empty partition into the topic
+    dir with `Stream.emit`'s atomic write-then-rename, return only the
+    summed row count to the driver. Requires the broker dir to be a
+    shared filesystem — the file broker's standing assumption."""
+    clean = df.drop(*[c for c in df.columns if c in DLQ_METADATA_KEYS])
+
+    def write_partition(rows_iter):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        n = 0
+        out = None
+        tmp_path = None
+        for row in rows_iter:
+            if out is None:
+                tmp_path = os.path.join(target_dir, f".batch-{_uuid.uuid4().hex}.tmp")
+                out = open(tmp_path, "w")
+            out.write(_json.dumps(row.asDict(recursive=True), default=str) + "\n")
+            n += 1
+        if out is not None:
+            out.close()
+            base = os.path.basename(tmp_path)
+            final = os.path.join(target_dir, base[1:].removesuffix(".tmp") + ".json")
+            os.rename(tmp_path, final)
+        yield n
+
+    return sum(clean.rdd.mapPartitions(write_partition).collect())
 
 
 class IdempotentSink:

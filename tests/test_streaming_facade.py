@@ -302,6 +302,82 @@ def test_dlq_replay(spark, stream):
     assert replay_dead_letters(stream, "jobs", schema=EVENT_SCHEMA) == 0
 
 
+def test_dlq_replay_distributed(spark, stream):
+    """Scale path: the replay must NOT materialize messages on the
+    driver — each partition writes its own atomically-renamed
+    JSON-lines file into the topic dir and only counts return. Same
+    observable semantics as the collect path: metadata stripped,
+    events consumable, DLQ purged."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    dlq_schema = StructType(
+        list(EVENT_SCHEMA.fields)
+        + [
+            StructField("_error", StringType()),
+            StructField("_original_stream", StringType()),
+            StructField("_original_msg_id", StringType()),
+        ]
+    )
+    dead = [
+        {
+            "event_id": f"d{i}",
+            "key": "k",
+            "timestamp": float(i),
+            "value": float(i),
+            "_error": "boom",
+            "_original_stream": "wide",
+            "_original_msg_id": f"d{i}",
+            "_attempt": 3,
+        }
+        for i in range(50)
+    ]
+    stream.emit("wide-dlq", *dead)
+    n = replay_dead_letters(stream, "wide", schema=dlq_schema, distributed=True)
+    assert n == 50
+    # DLQ purged; replayed events in the topic, metadata stripped
+    assert replay_dead_letters(stream, "wide", schema=dlq_schema, distributed=True) == 0
+    replayed = stream.read_topic("wide", dlq_schema).collect()
+    assert len(replayed) == 50
+    assert {r["event_id"] for r in replayed} == {f"d{i}" for i in range(50)}
+    assert all(
+        r["_error"] is None and r["_original_stream"] is None for r in replayed
+    )
+
+
+def test_replay_distributed_partition_files(spark, tmp_path):
+    """One atomically-renamed file per non-empty partition; only
+    per-partition counts travel to the driver (the mapPartitions
+    iterator yields ints, never rows)."""
+    from pathlib import Path
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from python_stream_processing_framework_spark.streaming.dlq import (
+        _replay_distributed,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("payload", StringType()),
+            StructField("_error", StringType()),
+        ]
+    )
+    rows = [(f"e{i}", f"p{i}", "err") for i in range(40)]
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    target = tmp_path / "topic"
+    target.mkdir()
+    assert _replay_distributed(df, str(target)) == 40
+    files = sorted(Path(target).glob("*.json"))
+    assert len(files) == 4  # one per partition
+    assert not list(Path(target).glob(".*.tmp"))  # all renamed into place
+    import json as _json
+
+    out = [_json.loads(line) for f in files for line in f.read_text().splitlines()]
+    assert {o["event_id"] for o in out} == {f"e{i}" for i in range(40)}
+    assert all("_error" not in o for o in out)
+
+
 def test_pipeline_dsl_map_filter_sink(spark, stream):
     """Reference StreamBuilder chain (pspf/processing/dsl.py:17-49):
     map then filter; a filtered-out element short-circuits; survivors
