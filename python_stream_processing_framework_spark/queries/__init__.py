@@ -25,6 +25,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     pq,
     packing,
     mixture,
+    retrieval,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

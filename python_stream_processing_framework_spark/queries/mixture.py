@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from python_stream_processing_framework_spark.catalog import load
 from python_stream_processing_framework_spark.operators.mixture import (
     assign_shards,
+    curriculum_order,
     domain_mixture,
     shard_stats,
 )
@@ -92,3 +93,33 @@ def shard_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     assigned = assign_shards(documents, "doc_id", 16, seed="shard")
     return shard_stats(assigned, size_col="n_chars")
+
+
+_H_CURR = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#curr'), 1, 15))::BIGINT"
+)
+
+
+@query(
+    "curriculum_order",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN n_chars < 150 THEN 0
+                     WHEN n_chars < 300 THEN 1
+                     ELSE 2 END AS INT) AS curr_phase,
+           {_H_CURR} AS curr_key
+    FROM documents
+    """,
+    doc="Deterministic curriculum schedule (operators/mixture."
+    "curriculum_order): phase = score band of n_chars at thresholds "
+    "[150, 300] (easy short docs first), within-phase order = the "
+    "reproducible hash60(doc_id#curr) shuffle key. Map-only; writers "
+    "realize the order with repartitionByRange(curr_phase, curr_key), "
+    "never a global single-task sort.",
+)
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    ordered = curriculum_order(
+        documents, "n_chars", [150.0, 300.0], "doc_id", seed="curr"
+    )
+    return ordered.select("doc_id", "curr_phase", "curr_key")

@@ -97,7 +97,7 @@ def test_windowed_agg_single_exchange(spark):
 def test_topk_uses_take_ordered(spark):
     from python_stream_processing_framework_spark.plans import plan_text
 
-    df = q("top_parts", spark)
+    df = q("bm25_topk", spark)
     assert "TakeOrderedAndProject" in plan_text(df), "top-k fell back to full sort"
 
 
