@@ -84,37 +84,35 @@ def connected_components(
         except Exception:
             pass
 
+    # Adaptive iteration parallelism, PLAN-LOCAL: the per-round cost
+    # of a SMALL graph (the common near-dup case — pairs are a tiny
+    # fraction of the corpus) is dominated by task/stage overhead, not
+    # data. Size the loop's frames to the edge count (~25k edges per
+    # partition, floor 1) with explicit hash repartitions on the loop
+    # key; the checkpointed frames then carry loop_width partitions,
+    # bounding every round's map-side task count. Session conf is
+    # never touched — a concurrent query on the same session keeps its
+    # own width, and two interleaved components calls cannot race a
+    # save/restore (the round-4 ADVICE hazard). Intermediate shuffles
+    # that still plan at session width are AQE-coalesced.
+    spark = edges.sparkSession
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
         .persist()
     )
-    # Adaptive iteration parallelism: the per-round cost of a SMALL
-    # graph (the common near-dup case — pairs are a tiny fraction of
-    # the corpus) is dominated by task/stage overhead of the session's
-    # corpus-scan-sized shuffle width, not by data. Size the loop's
-    # shuffles to the edge count (~25k edges/partition, floor 1), keep
-    # the session width for genuinely large graphs, and restore the
-    # setting in `finally`. Measured: 586-node graph 3.8s -> 2.2s at
-    # width 4. (Session-global conf: callers running OTHER queries
-    # concurrently on the same session during the loop would see the
-    # narrowed width; catalog/bench/driver execution is serial.)
-    spark = edges.sparkSession
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    # everything from the first job on sits inside try: a failure in
-    # ANY iteration job must restore the session's shuffle width and
-    # release the persisted edge frame (a narrowed width outliving
-    # this call would silently single-partition every later query in
-    # the session)
+    # a failure in ANY iteration job must release the persisted edge
+    # frame
     try:
         n_edges = sym.count()  # also materializes the persist
-        loop_width = max(1, min(int(prev_width), n_edges // 25_000 + 1))
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+        loop_width = max(1, min(session_width, n_edges // 25_000 + 1))
         labels = labels_ck = truncate(
             sym.select(F.col("s").alias("node"))
             .distinct()
             .withColumn("component", F.col("node"))
+            .repartition(loop_width, "node")
         )
         for it in range(max_iter):
             # Pointer doubling on the MATERIALIZED labels: shortcut
@@ -165,6 +163,7 @@ def connected_components(
             new = truncate(
                 lab2.select("node", "component", F.col("component").alias("_old"))
                 .unionByName(nbr_min)
+                .repartition(loop_width, "node")
                 .groupBy("node")
                 .agg(
                     F.min("component").alias("component"),
@@ -193,7 +192,6 @@ def connected_components(
                 track_release(lambda df=new: ck_unpersist(df))
                 return labels
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
         sym.unpersist()
     raise ValueError(
         f"connected_components did not converge in {max_iter} rounds; "

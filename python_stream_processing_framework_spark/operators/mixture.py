@@ -105,23 +105,40 @@ def domain_mixture(
     materialize it first (common.materialize, or a written stage in
     production); otherwise the histogram pass recomputes the whole
     upstream plan.
+
+    SNAPSHOT semantics: the histogram jobs run eagerly AT CALL TIME
+    and the resulting per-stratum cutoff plan is embedded in the
+    returned frame as literals. The returned DataFrame is therefore a
+    plan over the input **as it was when this function ran** — if the
+    underlying table changes before (or between) executions of the
+    result, the pinned quotas/cutoffs no longer match the data and the
+    exact-quota contract can be silently violated. Re-call the
+    operator after any upstream refresh. Internal working columns use
+    a per-call unique suffix, so they can never collide with (or
+    leak into) user columns of any name.
     """
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:8]
+    c_h, c_b, c_cut, c_take, c_rn, c_n = (
+        f"_{n}_{sfx}" for n in ("h", "b", "cutoff", "take", "rn", "n")
+    )
     shift = 60 - bucket_bits
     h = _unit_hash(id_col, seed)
-    hashed = df.withColumn("_h", h).withColumn(
-        "_b", F.shiftright(F.col("_h"), shift).cast("int")
+    hashed = df.withColumn(c_h, h).withColumn(
+        c_b, F.shiftright(F.col(c_h), shift).cast("int")
     )
 
     hist = (
         hashed.filter(F.col(strata_col).isin(list(weights)))
-        .groupBy(strata_col, "_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(strata_col, c_b)
+        .agg(F.count(F.lit(1)).alias(c_n))
         .collect()
     )
     counts: dict[str, int] = {}
     buckets: dict[str, list[tuple[int, int]]] = {}
     for row in hist:
-        s, b, n = row[strata_col], row["_b"], row["_n"]
+        s, b, n = row[strata_col], row[c_b], row[c_n]
         counts[s] = counts.get(s, 0) + n
         buckets.setdefault(s, []).append((b, n))
     quotas = mixture_quotas(counts, weights)
@@ -144,22 +161,22 @@ def domain_mixture(
     plan_schema = StructType(
         [
             StructField(strata_col, df.schema[strata_col].dataType),
-            StructField("_cutoff", IntegerType()),
-            StructField("_take", LongType()),
+            StructField(c_cut, IntegerType()),
+            StructField(c_take, LongType()),
         ]
     )
     plan = df.sparkSession.createDataFrame(plan_rows, plan_schema)
 
     joined = hashed.join(F.broadcast(plan), strata_col)
-    below = joined.filter(F.col("_b") < F.col("_cutoff"))
+    below = joined.filter(F.col(c_b) < F.col(c_cut))
     # Only the cutoff bucket's rows (~1/2^bucket_bits of each stratum)
     # pay the rank; everything below the cutoff is a map-side keep.
-    edge_win = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    edge_win = Window.partitionBy(strata_col).orderBy(c_h, id_col)
     edge = (
-        joined.filter(F.col("_b") == F.col("_cutoff"))
-        .withColumn("_rn", F.row_number().over(edge_win))
-        .filter(F.col("_rn") <= F.col("_take"))
-        .drop("_rn")
+        joined.filter(F.col(c_b) == F.col(c_cut))
+        .withColumn(c_rn, F.row_number().over(edge_win))
+        .filter(F.col(c_rn) <= F.col(c_take))
+        .drop(c_rn)
     )
     # Re-select in the input's column order (the stratum join key moved
     # to the front) — callers get the schema they passed in, filtered.

@@ -57,6 +57,47 @@ class _Subscription:
     options: dict[str, Any] = field(default_factory=dict)
 
 
+def _write_batch_jsonl(
+    batch: DataFrame, sink_dir: str, batch_id: int, tag: str = ""
+) -> None:
+    """Idempotent-per-batch_id distributed JSON-lines sink write.
+
+    Spark's `foreachBatch` contract is at-least-once: after a crash
+    between the sink write and the checkpoint commit, the SAME batch_id
+    is re-run. A bare `mode("append")` write would then duplicate every
+    row. Here each partition writes to a DETERMINISTIC file name
+    (`batch-{batch_id}{tag}-p{partition}`) via write-then-rename, so a
+    re-run of the batch overwrites the first attempt's files instead of
+    appending — rename() replaces atomically, and readers (the file
+    source's `*.json` glob) never observe a half-written file. The
+    batch's partitioning is deterministic for a given batch_id (the
+    checkpoint's offset log pins the exact source files before
+    processing starts), which makes the rewrite byte-stable.
+
+    JSON encoding parity with `Stream.emit`: one object per line,
+    Python json (NaN literals permitted — Spark's reader parses them
+    with its default allowNonNumericNumbers).
+    """
+
+    def write_partition(idx, rows_iter):
+        import json as _json
+        import os
+
+        name = f"batch-{batch_id:012d}{tag}-p{idx:05d}"
+        tmp = os.path.join(sink_dir, f".{name}.tmp")
+        out = None
+        for row in rows_iter:
+            if out is None:
+                out = open(tmp, "w")
+            out.write(_json.dumps(row.asDict(recursive=True), default=str) + "\n")
+        if out is not None:
+            out.close()
+            os.rename(tmp, os.path.join(sink_dir, name + ".json"))
+        return iter(())
+
+    batch.rdd.mapPartitionsWithIndex(write_partition).count()
+
+
 class Stream:
     """A named event-stream application over a file-backed broker."""
 
@@ -405,8 +446,11 @@ class Stream:
         100 TB stream needs. Without it, `dropDuplicates` keeps every
         key seen forever (exact across any gap, state grows with
         distinct keys — fine for bounded key domains only). Dedup
-        state and delivery both live in the query's checkpoint, so a
-        restart neither re-delivers nor forgets.
+        state and delivery both live in the query's checkpoint, and
+        the sink write is idempotent per batch_id (deterministic
+        per-partition file names, `_write_batch_jsonl`), so a restart
+        neither re-delivers nor forgets — including the foreachBatch
+        retry window between a sink write and its checkpoint commit.
         """
         group = group or f"{self.name}-dedupe"
         self._claim(topic, group)
@@ -669,9 +713,9 @@ class Stream:
         sink_dir = str(self.topic_dir(target))
 
         def write_sink(batch: DataFrame, batch_id: int) -> None:
-            # Distributed write: tasks append part-*.json files directly
-            # into the topic dir (same JSON-lines contract as emit()).
-            batch.write.mode("append").json(sink_dir)
+            # Distributed, idempotent per batch_id: a foreachBatch
+            # retry overwrites its own files instead of appending.
+            _write_batch_jsonl(batch, sink_dir, batch_id)
 
         return (
             transformed.writeStream.foreachBatch(write_sink)
@@ -698,11 +742,13 @@ class Stream:
             batch.persist()
             try:
                 for r in targets:
-                    (
-                        batch.filter(F.col("_route") == r)
-                        .drop("_route")
-                        .write.mode("append")
-                        .json(sink_dirs[r])
+                    # idempotent per (batch_id, route): a retried batch
+                    # rewrites each route's deterministic files
+                    _write_batch_jsonl(
+                        batch.filter(F.col("_route") == r).drop("_route"),
+                        sink_dirs[r],
+                        batch_id,
+                        tag=f"-{r}",
                     )
             finally:
                 batch.unpersist()
@@ -739,7 +785,8 @@ class Stream:
         sink_dir = str(self.topic_dir(sub.options["target"]))
 
         def write_sink(batch: DataFrame, batch_id: int) -> None:
-            batch.write.mode("append").json(sink_dir)
+            # idempotent per batch_id — see _write_batch_jsonl
+            _write_batch_jsonl(batch, sink_dir, batch_id)
 
         return (
             deduped.writeStream.foreachBatch(write_sink)

@@ -378,6 +378,40 @@ def test_replay_distributed_partition_files(spark, tmp_path):
     assert all("_error" not in o for o in out)
 
 
+def test_write_batch_jsonl_idempotent_per_batch_id(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between sink write and
+    checkpoint commit re-runs the SAME batch_id. The facade sink must
+    overwrite its own files on that retry, not append duplicates."""
+    from python_stream_processing_framework_spark.streaming.stream import (
+        _write_batch_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], ["k", "v"]
+    ).repartition(2, "k")
+    d = tmp_path / "topic"
+    d.mkdir()
+
+    def rows():
+        return sorted(
+            (r["k"], r["v"])
+            for r in spark.read.json(str(d)).collect()
+        )
+
+    _write_batch_jsonl(df, str(d), 7)
+    names_first = sorted(p.name for p in d.glob("*.json"))
+    assert rows() == [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    # simulated foreachBatch retry of batch 7: same files, same rows
+    _write_batch_jsonl(df, str(d), 7)
+    assert sorted(p.name for p in d.glob("*.json")) == names_first
+    assert rows() == [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    # a NEW batch id appends
+    df2 = spark.createDataFrame([("e", 5)], ["k", "v"])
+    _write_batch_jsonl(df2, str(d), 8)
+    assert rows() == [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5)]
+    assert not list(d.glob(".*.tmp"))
+
+
 def test_pipeline_dsl_map_filter_sink(spark, stream):
     """Reference StreamBuilder chain (pspf/processing/dsl.py:17-49):
     map then filter; a filtered-out element short-circuits; survivors
