@@ -60,20 +60,44 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in sorted(QUERY_REGISTRY):
         fn = QUERY_REGISTRY[name].fn
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(N_REPEATS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             # dedup/similarity operators persist reused subplans and pq
             # ships codebook broadcasts; release both between passes so
             # no pass reads a predecessor's cache and 50 queries don't
             # accumulate dead blocks in one session.
             release_caches()
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(samples), 3)
+        # max/min of the N repeats. min-of-N is robust to load landing
+        # on SOME passes, but when a load burst spans the whole repeat
+        # window even the min is contaminated (r4: dedup_exact reported
+        # 1.59 s vs 0.57 s exclusive — all 3 passes ran inside one busy
+        # window). A spread > 2x is the tell: steady-state repeats of
+        # identical plans vary ~10-30%, never 2x, unless something else
+        # held the cores.
+        spreads[name] = round(
+            max(samples) / min(samples) if min(samples) > 0 else 1.0, 2
+        )
+
+    # Flagged queries get ONE extra re-run each, after the whole
+    # catalog pass (a different time window than the burst that
+    # contaminated them); keep whichever min survives.
+    suspect_load = sorted(n for n, s in spreads.items() if s > 2.0)
+    for name in suspect_load:
+        t0 = time.perf_counter()
+        QUERY_REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
+        release_caches()
+        spark.catalog.clearCache()
 
     streaming = _streaming_throughput(spark, sf_dir)
     extras = {
@@ -82,6 +106,7 @@ def main() -> None:
         "lsh_dim1024": _lsh_dim1024_bench(spark),
         "components_200k_edges": _components_scale_bench(spark),
         "corpus_pipeline": _corpus_pipeline_bench(spark, sf_dir),
+        "corpus_pipeline_10x": _corpus_pipeline_10x_bench(spark),
         "pq_dim64": _pq_bench(spark),
     }
 
@@ -104,6 +129,12 @@ def main() -> None:
                 # making per-query numbers robust to concurrent load.
                 "n_repeats": N_REPEATS,
                 "methodology": "warmup_pass_then_min_of_n",
+                # per-query max/min across the N repeats; >2 means the
+                # repeat window was load-contaminated and the query got
+                # one automatic exclusive re-run (suspect_load lists
+                # them). Read flagged numbers as upper bounds.
+                "spread": spreads,
+                "suspect_load": suspect_load,
             }
         )
     )
@@ -364,6 +395,168 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
         "mean_fill": float(audit["mean_fill"]),
         "n_shards": len(shards),
     }
+
+
+def _synth_corpus(spark, n_docs: int):
+    """Deterministic synthetic corpus with REALISTIC pathology: ~35%
+    duplicate mass whose copy-cluster sizes are Zipf-skewed (the
+    hottest text collects ~1-2% of all duplicate rows — hundreds to
+    thousands of byte-identical copies at 100k docs, the exact shape
+    the collapse_exact_dups guard exists for), a Zipfian 8-language
+    domain distribution, and a 10% near-dup (not exact) variant tail.
+    Pure Spark expressions — no Python randomness, same bytes every
+    run, any scale."""
+    from pyspark.sql import functions as F
+
+    n_base = max(n_docs // 10, 1)
+    return spark.range(0, n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            # u^3 of a uniform hash -> Zipf-ish cluster-size skew
+            f"""if(pmod(id * 7919, 100) < 35,
+                   cast(floor(pow(pmod(id * 2654435761, 1048576)
+                                  / 1048576.0d, 3.0d) * {n_base}) as bigint),
+                   id)"""
+        ).alias("_tid"),
+        F.expr(
+            """case when pmod(id * 104729, 1000) < 500 then 'en'
+                    when pmod(id * 104729, 1000) < 700 then 'zh'
+                    when pmod(id * 104729, 1000) < 800 then 'es'
+                    when pmod(id * 104729, 1000) < 870 then 'de'
+                    when pmod(id * 104729, 1000) < 920 then 'fr'
+                    when pmod(id * 104729, 1000) < 960 then 'ru'
+                    when pmod(id * 104729, 1000) < 985 then 'ja'
+                    else 'pt' end"""
+        ).alias("lang"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            # murmur3 word mixing: any linear-congruence scheme makes
+            # the word VECTOR a function of _tid mod vocab-size (only
+            # ~5000 distinct texts at any corpus size); hash(_tid, j)
+            # keeps distinct tids -> distinct texts w.h.p., still
+            # byte-deterministic across runs
+            """concat(
+                 concat_ws(' ', transform(sequence(1, 30),
+                   j -> concat('w', pmod(hash(_tid, j), 5000)))),
+                 if(pmod(doc_id * 13, 10) = 0, concat(' z', doc_id), ''))"""
+        ).alias("text"),
+    )
+
+
+def _corpus_pipeline_10x_bench(spark) -> dict:
+    """The scale-up claim, measured: the full corpus-assembly pipeline
+    (quality gate -> MinHash-LSH dedup -> decontaminate vs a held-out
+    set -> exact-quota mixture -> packing) at 10k and again at 100k
+    synthetic docs (same generator, 10x the rows, ~35% duplicate mass,
+    Zipf copy-clusters and domains). Reports per-stage wall times at
+    both scales plus the 10x/1x ratio — a stage whose ratio is
+    super-linear (>> 10) is a scale hazard the small runs can't see."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.dedup import (
+        decontaminate,
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+    from python_stream_processing_framework_spark.operators.mixture import (
+        domain_mixture,
+    )
+    from python_stream_processing_framework_spark.operators.packing import (
+        pack_sequences,
+    )
+    from python_stream_processing_framework_spark.operators.text import quality_stats
+
+    weights = {
+        "en": 0.40, "zh": 0.20, "es": 0.10, "de": 0.10,
+        "fr": 0.10, "ru": 0.05, "ja": 0.03, "pt": 0.02,
+    }
+
+    def run(n_docs: int) -> dict:
+        docs = materialize(_synth_corpus(spark, n_docs))
+        n_in = docs.count()
+        # held-out set drawn from the same text space -> real LSH hits
+        heldout = materialize(
+            _synth_corpus(spark, max(n_docs // 50, 20)).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+        )
+        heldout.count()
+        stages: dict[str, float] = {}
+
+        t0 = _t.perf_counter()
+        quality = quality_stats(docs, "doc_id", "text")
+        good = materialize(
+            docs.join(
+                quality.filter(F.col("n_tokens") >= 5).select("doc_id"), "doc_id"
+            )
+        )
+        good.count()
+        stages["quality"] = round(_t.perf_counter() - t0, 3)
+
+        t0 = _t.perf_counter()
+        deduped = materialize(
+            dedup_corpus(
+                good,
+                minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5),
+                "doc_id",
+            )
+        )
+        n_dedup = deduped.count()
+        stages["dedup"] = round(_t.perf_counter() - t0, 3)
+
+        t0 = _t.perf_counter()
+        clean = materialize(decontaminate(deduped, heldout, threshold=0.5))
+        n_clean = clean.count()
+        stages["decontaminate"] = round(_t.perf_counter() - t0, 3)
+
+        t0 = _t.perf_counter()
+        mixed = materialize(
+            domain_mixture(clean, "lang", weights, "doc_id", seed="mix10x").select(
+                "doc_id",
+                F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            )
+        )
+        n_mixed = mixed.count()
+        stages["mixture"] = round(_t.perf_counter() - t0, 3)
+
+        t0 = _t.perf_counter()
+        packed = pack_sequences(mixed, max_tokens=512, num_groups=32)
+        n_seqs = packed.select("pack_group", "seq_idx").distinct().count()
+        stages["packing"] = round(_t.perf_counter() - t0, 3)
+
+        release_caches()
+        spark.catalog.clearCache()
+        return {
+            "stages": stages,
+            "total_s": round(sum(stages.values()), 3),
+            "docs_in": n_in,
+            "docs_after_dedup": n_dedup,
+            "docs_after_decontam": n_clean,
+            "docs_mixed": n_mixed,
+            "sequences": n_seqs,
+        }
+
+    run(2_000)  # UNCOUNTED warm-up: JIT/codegen for this pipeline's
+    # shapes (same rationale as the catalog warm-up pass) — without
+    # it the 1x run absorbs all compile cost and every ratio reads
+    # artificially sub-linear.
+    one_x = run(10_000)
+    ten_x = run(100_000)
+    ratio = {
+        k: round(ten_x["stages"][k] / one_x["stages"][k], 2)
+        if one_x["stages"][k] > 0
+        else None
+        for k in one_x["stages"]
+    }
+    return {"1x": one_x, "10x": ten_x, "stage_ratio_10x_over_1x": ratio}
 
 
 def _pq_bench(spark) -> dict:
