@@ -30,17 +30,26 @@ function, so the two paths cannot drift semantically; the TWS e2e
 equivalence test (tests/test_sessions.py) is protobuf-gated like the
 live-broker tests.
 
-Why keep the TWS form at all: NAMED timers are strictly more
-expressive than the single flatMapGroupsWithState timeout slot. With
-them a processor can hold MULTIPLE timers per key — e.g. one at
-`last + gap` (session close) and one at `last + gap + grace` holding
-the closed session's identity so a post-watermark straggler inside the
-grace window can be captured to a `-late` topic WITH its session
-attribution (reference `-late` DLQ, pspf/stream.py:402-413), rather
-than pre-split upstream (operators/windows.split_late) before
-attribution exists. That upgrade only needs `handleExpiredTimer` to
-branch on which timer fired — the SURVEY hard-part #1/#3 closure path
-once protobuf ships in the target environment.
+Late-data capture (SURVEY hard part #3, the `grace_ms` mode of BOTH
+functions): the reference routes events behind the watermark to a
+`{topic}-late` DLQ (pspf/stream.py:402-413) — but it does so BEFORE
+session attribution exists. Here a closed session leaves a TOMBSTONE
+(its boundaries) in state for a grace window after close; a straggler
+arriving inside that window is emitted as a `kind='late'` row carrying
+the session it belonged to, instead of being silently dropped by
+Spark's stateful late-row filter. Mechanically: the Spark watermark is
+delayed by an extra `grace_ms` (so stragglers survive the built-in
+filter), sessions still close at the UNDELAYED business watermark by
+registering the close timer `grace_ms` early (`last + gap - grace` in
+delayed-watermark coordinates = `last + gap` in business time), and a
+second boundary at `last + gap` garbage-collects the tombstone exactly
+when the delayed watermark guarantees no matching straggler can still
+arrive. The TWS form holds the two boundaries as two NAMED timers —
+the expressiveness named timers exist for; the canonical form emulates
+them with one timeout slot set to the earliest pending boundary and
+re-armed on fire. Output schema changes in grace mode (a `kind`
+discriminator + `ts_ms` + `payload_json`); with `grace_ms=None` both
+functions emit the original 5-column contract unchanged.
 
 Scale shape (both): one shuffle on the key into the stateful exchange;
 state per key is O(1) (the active session's fold accumulator, not the
@@ -95,6 +104,59 @@ def _out_schema(df: DataFrame, key_col: str) -> StructType:
     )
 
 
+#: grace-mode state: the open session (o_*) plus the most recently
+#: closed session's tombstone (c_*) held for `grace_ms` after close so
+#: stragglers can be attributed. One tombstone slot per key: a newer
+#: close replaces an older tombstone (whose grace window is mostly
+#: spent — stragglers overwhelmingly target the latest session).
+_GRACE_STATE_SCHEMA = (
+    "o_start long, o_last long, o_n long, o_state string, "
+    "c_start long, c_last long, c_n long"
+)
+
+
+def _out_schema_grace(df: DataFrame, key_col: str) -> StructType:
+    return StructType(
+        [
+            df.schema[key_col],
+            StructField("kind", StringType()),  # 'session' | 'late'
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ts_ms", LongType()),  # late rows: the event's ts
+            StructField("payload_json", StringType()),
+        ]
+    )
+
+
+def _jsonable(v: Any) -> Any:
+    """JSON-safe scalar: numpy numerics to python, everything else
+    non-serializable (pandas Timestamps) to str."""
+    if v is None or isinstance(v, (str, bool, int, float)):
+        return v
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+    except ImportError:  # pragma: no cover
+        pass
+    return str(v)
+
+
+def _late_payload(ev: dict) -> str:
+    """The straggler event as JSON (reference -late DLQ carries the
+    event itself, pspf/stream.py:402-413); internal columns dropped —
+    the event's ts travels in the typed ts_ms output column."""
+    return json.dumps(
+        {k: _jsonable(v) for k, v in ev.items() if not k.startswith("_")}
+    )
+
+
 def _with_ts_ms(df: DataFrame, ts_col: str, watermark_delay: str | None) -> DataFrame:
     out = df.withColumn("_ts_ms", (F.unix_micros(F.col(ts_col)) / 1000).cast("long"))
     if watermark_delay is not None:
@@ -138,6 +200,7 @@ def sessionize_stream(
     init: Any = None,
     *,
     watermark_delay: str | None = None,
+    grace_ms: int | None = None,
 ) -> DataFrame:
     """Emit-on-close session fold over a streaming DataFrame.
 
@@ -155,7 +218,28 @@ def sessionize_stream(
     `watermark_delay` (e.g. "5 seconds") is applied to `ts_col` here if
     given; otherwise the caller must have set a watermark upstream
     (EventTimeTimeout requires one).
+
+    `grace_ms`: attributed late-data capture (module docstring). The
+    output schema changes to (key, kind, session_start_ms,
+    session_end_ms, n_events, ts_ms, payload_json): `kind='session'`
+    rows are closed sessions (payload_json = folded state, ts_ms
+    null); `kind='late'` rows are stragglers that arrived within
+    `grace_ms` (business time) after their session closed, attributed
+    to that session's boundaries with the event itself in
+    payload_json. Requires `watermark_delay` (the grace shift is
+    applied on top of it). Stragglers later than the grace window are
+    dropped by Spark's late-row filter, and late rows matching no
+    tombstone fold normally (merge or start a session — they are
+    inside Spark's allowed lateness, so dropping them silently would
+    recreate the reference bug this module exists to fix).
     """
+    if grace_ms is not None:
+        if watermark_delay is None:
+            raise ValueError("grace_ms requires watermark_delay")
+        return _sessionize_grace(
+            df, key_col, ts_col, gap_ms, fold, init,
+            watermark_delay=watermark_delay, grace_ms=grace_ms,
+        )
     out = _out_schema(df, key_col)
     src = _with_ts_ms(df, ts_col, watermark_delay)
 
@@ -213,6 +297,143 @@ def sessionize_stream(
     )
 
 
+def _delay_to_ms(spec: str) -> int:
+    from python_stream_processing_framework_spark.operators.windows import (
+        _duration_us,
+    )
+
+    return _duration_us(spec) // 1000
+
+
+def _split_stragglers(
+    events: pd.DataFrame, c_last: int | None, gap_ms: int
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(stragglers-for-tombstone, rest). A row belongs to the closed
+    session iff it would have merged into it: ts <= closed.last + gap."""
+    if c_last is None or events.empty:
+        return events.iloc[0:0], events
+    mask = events["_ts_ms"] <= c_last + gap_ms
+    return events[mask], events[~mask]
+
+
+def _sessionize_grace(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    fold: FoldFn,
+    init: Any,
+    *,
+    watermark_delay: str,
+    grace_ms: int,
+) -> DataFrame:
+    """Canonical-path grace mode (see sessionize_stream / module
+    docstring). One timeout slot emulates the TWS form's two named
+    timers: the timeout is always the EARLIEST pending boundary
+    (open-session close at `last + gap - grace`, tombstone GC at
+    `last + gap`, both in grace-delayed watermark coordinates); on
+    fire, every boundary the watermark has passed is processed and
+    the slot re-arms on the next pending one."""
+    out = _out_schema_grace(df, key_col)
+    delay_ms = _delay_to_ms(watermark_delay) + grace_ms
+    src = _with_ts_ms(df, ts_col, f"{delay_ms} milliseconds")
+
+    def run(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def row(kind, start, last_or_end, n, ts_ms, payload):
+            return (key[0], kind, start, last_or_end, n, ts_ms, payload)
+
+        def session_row(start, last, n, st):
+            return row("session", start, last + gap_ms, n, None, json.dumps(st))
+
+        def late_row(ev, c_start, c_last):
+            return row(
+                "late", c_start, c_last + gap_ms, 1,
+                int(ev["_ts_ms"]), _late_payload(ev),
+            )
+
+        def boundaries(o_last, c_last):
+            b = []
+            if o_last is not None:
+                b.append(o_last + gap_ms - grace_ms)
+            if c_last is not None:
+                b.append(c_last + gap_ms)
+            return b
+
+        def flush(rows):
+            if rows:
+                pdf = pd.DataFrame(rows, columns=[f.name for f in out.fields])
+                # None-or-int mix must be nullable Int64, not object
+                pdf["ts_ms"] = pd.array(pdf["ts_ms"], dtype="Int64")
+                yield pdf
+
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            o_start, o_last, o_n, o_state, c_start, c_last, c_n = state.get
+            rows = []
+            if c_last is not None and wm >= c_last + gap_ms:
+                c_start = c_last = c_n = None  # no straggler can arrive now
+            if o_last is not None and wm >= o_last + gap_ms - grace_ms:
+                # business watermark (wm + grace) passed last + gap: close
+                rows.append(session_row(o_start, o_last, o_n, json.loads(o_state)))
+                c_start, c_last, c_n = o_start, o_last, o_n
+                o_start = o_last = o_n = o_state = None
+            pending = boundaries(o_last, c_last)
+            if not pending:
+                state.remove()
+            else:
+                state.update(
+                    (o_start, o_last, o_n, o_state, c_start, c_last, c_n)
+                )
+                state.setTimeoutTimestamp(max(min(pending), wm + 1))
+            yield from flush(rows)
+            return
+
+        if state.exists:
+            o_start, o_last, o_n, o_state, c_start, c_last, c_n = state.get
+            st = json.loads(o_state) if o_state is not None else None
+        else:
+            o_start = o_last = o_n = c_start = c_last = c_n = None
+            st = None
+
+        chunks = list(pdfs)
+        rows = []
+        if chunks:
+            events = pd.concat(chunks, ignore_index=True)
+            # Stragglers match the tombstone AS OF batch start — before
+            # any session this batch closes replaces it.
+            stragglers, rest = _split_stragglers(events, c_last, gap_ms)
+            for ev in stragglers.sort_values("_ts_ms").to_dict("records"):
+                rows.append(late_row(ev, c_start, c_last))
+            closed, o_start, o_last, o_n, st = _fold_batch(
+                rest, "_ts_ms", fold, init, o_start, o_last, o_n, st, gap_ms
+            )
+            for c in closed:
+                rows.append(session_row(*c))
+            if closed:  # newest in-batch close takes the tombstone slot
+                c_start, c_last, c_n = closed[-1][0], closed[-1][1], closed[-1][2]
+        pending = boundaries(o_last, c_last)
+        if not pending:  # no events and no prior state
+            if state.exists:
+                state.remove()
+            yield from flush(rows)
+            return
+        state.update(
+            (
+                o_start, o_last, o_n,
+                json.dumps(st) if o_last is not None else None,
+                c_start, c_last, c_n,
+            )
+        )
+        state.setTimeoutTimestamp(max(min(pending), wm + 1))
+        yield from flush(rows)
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        run, out, _GRACE_STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
@@ -227,16 +448,23 @@ def sessionize_stream_tws(
     init: Any = None,
     *,
     watermark_delay: str | None = None,
+    grace_ms: int | None = None,
 ) -> DataFrame:
     """`sessionize_stream` on Spark 4's transformWithStateInPandas:
     typed value state + named event-time timers instead of the single
-    flatMapGroupsWithState timeout slot. Identical output contract.
+    flatMapGroupsWithState timeout slot. Identical output contract —
+    including `grace_ms` attributed late capture, where the two grace
+    boundaries (session close, tombstone GC) are held as two REAL
+    timers per key instead of the canonical path's re-armed single
+    slot (the expressiveness named timers exist for).
 
     Requires `google.protobuf` (the TWS Python state client's wire
     format) and the RocksDB state-store provider
     (`spark.sql.streaming.stateStore.providerClass`); raises
     RuntimeError naming whichever is missing.
     """
+    if grace_ms is not None and watermark_delay is None:
+        raise ValueError("grace_ms requires watermark_delay")
     if not HAS_TWS:
         raise RuntimeError(
             "transformWithStateInPandas needs the 'protobuf' package for its "
@@ -253,6 +481,11 @@ def sessionize_stream_tws(
             f'"{_ROCKSDB_PROVIDER}")'
         )
 
+    if grace_ms is not None:
+        return _sessionize_grace_tws(
+            df, key_col, ts_col, gap_ms, fold, init,
+            watermark_delay=watermark_delay, grace_ms=grace_ms,
+        )
     out = _out_schema(df, key_col)
     src = _with_ts_ms(df, ts_col, watermark_delay)
 
@@ -306,4 +539,117 @@ def sessionize_stream_tws(
 
     return src.groupBy(key_col).transformWithStateInPandas(
         _Sessionizer(), out, "Append", "EventTime"
+    )
+
+
+def _sessionize_grace_tws(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    fold: FoldFn,
+    init: Any,
+    *,
+    watermark_delay: str,
+    grace_ms: int,
+) -> DataFrame:
+    """TWS grace mode: same semantics as `_sessionize_grace` (shared
+    `_fold_batch` / `_split_stragglers` core, so the two paths cannot
+    drift), with the two pending boundaries held as two NAMED timers —
+    close at `last + gap - grace`, tombstone GC at `last + gap`, both
+    in grace-delayed watermark coordinates. `handleExpiredTimer`
+    branches on state against the watermark, not on which timer
+    object fired, so a clamped-forward timer is handled identically."""
+    out = _out_schema_grace(df, key_col)
+    delay_ms = _delay_to_ms(watermark_delay) + grace_ms
+    src = _with_ts_ms(df, ts_col, f"{delay_ms} milliseconds")
+    _OPEN_SCHEMA = "start_ms long, last_ms long, n long, state_json string"
+    _TOMB_SCHEMA = "start_ms long, last_ms long, n long"
+
+    class _GraceSessionizer(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", _OPEN_SCHEMA)
+            self._tomb = handle.getValueState("tomb", _TOMB_SCHEMA)
+
+        def _row(self, key, kind, start, end, n, ts_ms, payload):
+            return pd.DataFrame(
+                {
+                    key_col: [key],
+                    "kind": [kind],
+                    "session_start_ms": [start],
+                    "session_end_ms": [end],
+                    "n_events": [n],
+                    "ts_ms": pd.array([ts_ms], dtype="Int64"),
+                    "payload_json": [payload],
+                }
+            )
+
+        def _session_row(self, key, start, last, n, st):
+            return self._row(
+                key, "session", start, last + gap_ms, n, None, json.dumps(st)
+            )
+
+        def _sync_timers(self, wm: int) -> None:
+            cur = self._sess.get()
+            tomb = self._tomb.get()
+            want = set()
+            if cur is not None:
+                want.add(max(cur[1] + gap_ms - grace_ms, wm + 1))
+            if tomb is not None:
+                want.add(max(tomb[1] + gap_ms, wm + 1))
+            have = set(self._handle.listTimers())
+            for t in have - want:
+                self._handle.deleteTimer(t)
+            for t in want - have:
+                self._handle.registerTimer(t)
+
+        def handleInputRows(self, key, rows, timerValues):
+            wm = timerValues.getCurrentWatermarkInMs()
+            cur = self._sess.get()
+            if cur is not None:
+                start, last, n, st_json = cur
+                st = json.loads(st_json)
+            else:
+                start = last = n = None
+                st = None
+            tomb = self._tomb.get()
+            c_start, c_last = (tomb[0], tomb[1]) if tomb is not None else (None, None)
+
+            events = pd.concat(list(rows), ignore_index=True)
+            stragglers, rest = _split_stragglers(events, c_last, gap_ms)
+            for ev in stragglers.sort_values("_ts_ms").to_dict("records"):
+                yield self._row(
+                    key[0], "late", c_start, c_last + gap_ms, 1,
+                    int(ev["_ts_ms"]), _late_payload(ev),
+                )
+            closed, start, last, n, st = _fold_batch(
+                rest, "_ts_ms", fold, init, start, last, n, st, gap_ms
+            )
+            for c in closed:
+                yield self._session_row(key[0], *c)
+            if closed:
+                self._tomb.update((closed[-1][0], closed[-1][1], closed[-1][2]))
+            if last is not None:
+                self._sess.update((start, last, n, json.dumps(st)))
+            self._sync_timers(wm)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            tomb = self._tomb.get()
+            if tomb is not None and wm >= tomb[1] + gap_ms:
+                self._tomb.clear()
+            cur = self._sess.get()
+            if cur is not None and wm >= cur[1] + gap_ms - grace_ms:
+                start, last, n, st_json = cur
+                self._sess.clear()
+                self._tomb.update((start, last, n))
+                yield self._session_row(key[0], start, last, n, json.loads(st_json))
+            self._sync_timers(wm)
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy(key_col).transformWithStateInPandas(
+        _GraceSessionizer(), out, "Append", "EventTime"
     )

@@ -383,13 +383,24 @@ class Stream:
         watermark_delay_ms: int = 0,
         sink_topic: str | None = None,
         group: str | None = None,
+        grace_ms: int | None = None,
+        late_topic: str | None = None,
     ) -> None:
         """Register an emit-on-close session fold (streaming/sessions.py):
         the reference's session aggregation (pspf/stream.py:415-451) with
         the dropped-session bug fixed — every closed session emits one
         row (key, session_start_ms, session_end_ms, n_events,
         state_json) to `sink_topic`; sessions left open close via an
-        event-time timer when the watermark passes last + gap."""
+        event-time timer when the watermark passes last + gap.
+
+        `grace_ms` adds ATTRIBUTED late capture (the reference's
+        `{topic}-late` DLQ, pspf/stream.py:402-413, upgraded with
+        session attribution): a straggler arriving within `grace_ms`
+        after its session closed lands in `late_topic` (default
+        `{topic}-late`) as one JSON row carrying the event payload
+        plus `_ts_ms`, `_session_start_ms`, `_session_end_ms` — the
+        DLQ `_error`-style metadata convention. Session rows still go
+        to `sink_topic` with the unchanged 5-column contract."""
         g = group or f"session-{topic}"
         self._claim(topic, g)
         self._subscriptions.append(
@@ -406,6 +417,8 @@ class Stream:
                     "init": init,
                     "watermark_delay_ms": watermark_delay_ms,
                     "sink_topic": sink_topic or f"{topic}-sessions",
+                    "grace_ms": grace_ms,
+                    "late_topic": late_topic or f"{topic}-late",
                     "group": g,
                 },
             )
@@ -621,6 +634,7 @@ class Stream:
             ts, F.col(ts).cast("timestamp")
         )
         delay_ms = opts["watermark_delay_ms"]
+        grace_ms = opts.get("grace_ms")
         sessions = sessionize_stream(
             src,
             opts["key_field"],
@@ -629,14 +643,46 @@ class Stream:
             opts["fold"],
             opts["init"],
             watermark_delay=f"{delay_ms} milliseconds",
+            grace_ms=grace_ms,
         )
         sink_dir = str(self.topic_dir(opts["sink_topic"]))
+        late_dir = str(self.topic_dir(opts["late_topic"])) if grace_ms else None
+        key = opts["key_field"]
 
         def write_sessions(batch: DataFrame, batch_id: int) -> None:
-            # Closed sessions append distributed, like _start_pipeline.
+            # Distributed + idempotent per batch_id, like the other
+            # facade sinks: a foreachBatch retry rewrites its own files.
             if batch.isEmpty():
                 return
-            batch.write.mode("append").json(sink_dir)
+            if grace_ms is None:
+                _write_batch_jsonl(batch, sink_dir, batch_id)
+                return
+            # grace mode: split the kind discriminator — sessions keep
+            # the 5-column contract; stragglers land in the -late topic
+            # as event payload + attribution metadata columns.
+            _write_batch_jsonl(
+                batch.filter(F.col("kind") == "session").select(
+                    key,
+                    "session_start_ms",
+                    "session_end_ms",
+                    "n_events",
+                    F.col("payload_json").alias("state_json"),
+                ),
+                sink_dir,
+                batch_id,
+            )
+            _write_batch_jsonl(
+                batch.filter(F.col("kind") == "late").select(
+                    key,
+                    F.col("ts_ms").alias("_ts_ms"),
+                    F.col("session_start_ms").alias("_session_start_ms"),
+                    F.col("session_end_ms").alias("_session_end_ms"),
+                    F.col("payload_json").alias("_event_json"),
+                ),
+                late_dir,
+                batch_id,
+                tag="-late",
+            )
 
         return (
             sessions.writeStream.foreachBatch(write_sessions)

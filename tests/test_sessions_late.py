@@ -1,0 +1,316 @@
+"""Attributed late-data capture for streaming sessions (the grace_ms
+mode of streaming/sessions.py — SURVEY hard part #3).
+
+The reference routes late events to a `{topic}-late` DLQ BEFORE any
+session attribution exists (pspf/stream.py:402-413). The grace mode
+captures a straggler AFTER its session closed, attributed to that
+session's boundaries, instead of Spark's silent stateful late-row
+drop. These tests drive the canonical applyInPandasWithState path
+end-to-end through the facade; the TWS named-timer form is pinned to
+identical output by a protobuf-gated parity test, like the other TWS
+tests.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from python_stream_processing_framework_spark.streaming import Stream
+from python_stream_processing_framework_spark.streaming.sessions import (
+    HAS_TWS,
+    sessionize_stream,
+    sessionize_stream_tws,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("timestamp", DoubleType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("state_json", StringType()),
+    ]
+)
+
+LATE_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("_ts_ms", LongType()),
+        StructField("_session_start_ms", LongType()),
+        StructField("_session_end_ms", LongType()),
+        StructField("_event_json", StringType()),
+    ]
+)
+
+
+def _make_sum_fold():
+    def _sum_fold(event: dict, state) -> float:
+        return (state or 0.0) + float(event["value"])
+
+    return _sum_fold
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    return Stream(spark, str(tmp_path / "broker"))
+
+
+def _sessions(stream, topic="s-sessions"):
+    return sorted(
+        (
+            r["key"],
+            r["session_start_ms"],
+            r["session_end_ms"],
+            r["n_events"],
+            json.loads(r["state_json"]),
+        )
+        for r in stream.read_topic(topic, SESSION_SCHEMA).collect()
+    )
+
+
+def _lates(stream, topic="s-late"):
+    return sorted(
+        (
+            r["key"],
+            r["_ts_ms"],
+            r["_session_start_ms"],
+            r["_session_end_ms"],
+            json.loads(r["_event_json"]),
+        )
+        for r in stream.read_topic(topic, LATE_SCHEMA).collect()
+    )
+
+
+def test_straggler_after_timer_close_is_captured_with_attribution(spark, stream):
+    # gap 5s, delay 2s, grace 20s. Wave 1: u@10,u@14 form a session;
+    # v@30 pushes the BUSINESS watermark to 28s > 19s, closing it via
+    # the (grace-shifted) timer. Spark's own watermark is delayed by
+    # the grace (30-22 = 8s), so the wave-2 straggler u@13 — hopeless
+    # under plain semantics — still reaches the processor, matches the
+    # closed session's tombstone (13 <= 14+5), and lands in s-late
+    # WITH the session's boundaries.
+    stream.sessionize(
+        "s",
+        EVENT_SCHEMA,
+        key_field="key",
+        gap_ms=5_000,
+        fold=_make_sum_fold(),
+        watermark_delay_ms=2_000,
+        grace_ms=20_000,
+    )
+    stream.emit(
+        "s",
+        {"key": "u", "timestamp": 10.0, "value": 1.0},
+        {"key": "u", "timestamp": 14.0, "value": 2.0},
+        {"key": "v", "timestamp": 30.0, "value": 9.0},
+    )
+    stream.run_until_idle()
+    assert ("u", 10_000, 19_000, 2, 3.0) in _sessions(stream)
+    assert _lates(stream) == []
+
+    stream.emit("s", {"key": "u", "timestamp": 13.0, "value": 7.0})
+    stream.run_until_idle()
+    lates = _lates(stream)
+    assert len(lates) == 1
+    key, ts_ms, s_start, s_end, event = lates[0]
+    assert (key, ts_ms, s_start, s_end) == ("u", 13_000, 10_000, 19_000)
+    assert event["key"] == "u" and event["value"] == 7.0
+    # the straggler did NOT create a spurious session or mutate the old one
+    assert ("u", 10_000, 19_000, 2, 3.0) in _sessions(stream)
+    assert [s for s in _sessions(stream) if s[0] == "u"] == [
+        ("u", 10_000, 19_000, 2, 3.0)
+    ]
+
+
+def test_straggler_after_in_batch_close_is_captured(spark, stream):
+    # u@40 closes the first session IN-BATCH (gap exceeded), leaving
+    # its tombstone; the wave-2 straggler u@16 (<= 14+5) attributes to
+    # it while u's SECOND session stays open and untouched.
+    stream.sessionize(
+        "s",
+        EVENT_SCHEMA,
+        key_field="key",
+        gap_ms=5_000,
+        fold=_make_sum_fold(),
+        watermark_delay_ms=2_000,
+        grace_ms=60_000,
+    )
+    stream.emit(
+        "s",
+        {"key": "u", "timestamp": 10.0, "value": 1.0},
+        {"key": "u", "timestamp": 14.0, "value": 2.0},
+        {"key": "u", "timestamp": 40.0, "value": 4.0},
+    )
+    stream.run_until_idle()
+    assert _sessions(stream) == [("u", 10_000, 19_000, 2, 3.0)]
+
+    stream.emit("s", {"key": "u", "timestamp": 16.0, "value": 5.0})
+    stream.run_until_idle()
+    assert [(k, t, s, e) for k, t, s, e, _ in _lates(stream)] == [
+        ("u", 16_000, 10_000, 19_000)
+    ]
+    # close the open session and check it was never perturbed
+    stream.emit("s", {"key": "w", "timestamp": 500.0, "value": 0.0})
+    stream.run_until_idle()
+    assert ("u", 40_000, 45_000, 1, 4.0) in _sessions(stream)
+
+
+def test_straggler_past_grace_is_dropped_silently(spark, stream):
+    # After the watermark passes the tombstone GC boundary, a matching
+    # straggler is older than Spark's (grace-delayed) late-row filter
+    # and never reaches the processor: no late row, no session change.
+    stream.sessionize(
+        "s",
+        EVENT_SCHEMA,
+        key_field="key",
+        gap_ms=5_000,
+        fold=_make_sum_fold(),
+        watermark_delay_ms=2_000,
+        grace_ms=10_000,
+    )
+    stream.emit(
+        "s",
+        {"key": "u", "timestamp": 10.0, "value": 1.0},
+        {"key": "v", "timestamp": 100.0, "value": 9.0},  # spark wm -> 88s
+    )
+    stream.run_until_idle()
+    before_sessions = _sessions(stream)
+    assert ("u", 10_000, 15_000, 1, 1.0) in before_sessions
+
+    stream.emit("s", {"key": "u", "timestamp": 12.0, "value": 7.0})
+    stream.run_until_idle()
+    assert _lates(stream) == []
+    assert _sessions(stream) == before_sessions
+
+
+def test_grace_mode_exactly_once_across_reruns(spark, stream):
+    stream.sessionize(
+        "s",
+        EVENT_SCHEMA,
+        key_field="key",
+        gap_ms=5_000,
+        fold=_make_sum_fold(),
+        watermark_delay_ms=2_000,
+        grace_ms=20_000,
+    )
+    stream.emit(
+        "s",
+        {"key": "u", "timestamp": 10.0, "value": 1.0},
+        {"key": "v", "timestamp": 30.0, "value": 9.0},
+    )
+    stream.run_until_idle()
+    stream.emit("s", {"key": "u", "timestamp": 12.0, "value": 7.0})
+    stream.run_until_idle()
+    sessions, lates = _sessions(stream), _lates(stream)
+    assert len(lates) == 1
+    stream.run_until_idle()  # no new data: nothing may duplicate
+    assert _sessions(stream) == sessions
+    assert _lates(stream) == lates
+
+
+def test_grace_requires_watermark_delay(spark):
+    df = spark.createDataFrame([("u", 1.0, 1.0)], EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="watermark_delay"):
+        sessionize_stream(
+            df, "key", "timestamp", 5_000, _make_sum_fold(), grace_ms=1_000
+        )
+    with pytest.raises(ValueError, match="watermark_delay"):
+        sessionize_stream_tws(
+            df, "key", "timestamp", 5_000, _make_sum_fold(), grace_ms=1_000
+        )
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs protobuf")
+def test_tws_grace_matches_canonical_path(spark, tmp_path):
+    """The named-timer TWS grace form must emit exactly the canonical
+    path's rows (sessions AND attributed lates) on the same two-wave
+    input. Protobuf-gated like the other TWS tests."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.streaming.sessions import (
+        _ROCKSDB_PROVIDER,
+    )
+
+    wave1 = [("u", 10.0, 1.0), ("u", 14.0, 2.0), ("v", 30.0, 9.0)]
+    wave2 = [("u", 13.0, 7.0)]
+
+    def run(sessionize, use_rocksdb):
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if use_rocksdb:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+            )
+        try:
+            src_dir = tmp_path / f"src-{use_rocksdb}"
+            src_dir.mkdir()
+            collected = []
+
+            def drain():
+                src = (
+                    spark.readStream.schema(EVENT_SCHEMA)
+                    .json(str(src_dir))
+                    .withColumn(
+                        "timestamp", F.timestamp_seconds(F.col("timestamp"))
+                    )
+                )
+                out = sessionize(
+                    src, "key", "timestamp", 5_000, _make_sum_fold(),
+                    watermark_delay="2 seconds", grace_ms=20_000,
+                )
+                q = (
+                    out.writeStream.foreachBatch(
+                        lambda b, _: collected.extend(
+                            r.asDict() for r in b.collect()
+                        )
+                    )
+                    .option(
+                        "checkpointLocation", str(tmp_path / f"ck-{use_rocksdb}")
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            for i, wave in enumerate((wave1, wave2)):
+                (src_dir / f"wave{i}.json").write_text(
+                    "\n".join(
+                        _json.dumps(
+                            {"key": k, "timestamp": t, "value": v}
+                        )
+                        for k, t, v in wave
+                    )
+                )
+                drain()
+            return sorted(
+                tuple(r[c] for c in ("key", "kind", "session_start_ms",
+                                     "session_end_ms", "n_events", "ts_ms"))
+                for r in collected
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    assert run(sessionize_stream_tws, True) == run(sessionize_stream, False)
