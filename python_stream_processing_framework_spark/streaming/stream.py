@@ -109,6 +109,7 @@ class Stream:
         name: str = "stream",
         tracer: Any | None = None,
         max_files_per_trigger: int = 64,
+        state_partitions: int | None = None,
     ):
         """`tracer` (anything with `inject(dict)` / `extract(dict)` /
         `span_from(dict)`, e.g. `telemetry.W3CTracer`) turns on
@@ -119,11 +120,30 @@ class Stream:
 
         `max_files_per_trigger` is the broker-wide backpressure
         default (the reference's DEFAULT_BATCH_SIZE / poll tuning,
-        pspf/settings.py:36-38); each subscription can override it."""
+        pspf/settings.py:36-38); each subscription can override it.
+
+        `state_partitions` sizes the STATE partitioning of this
+        stream's stateful queries (window/sessionize/dedupe). Spark
+        pins state width at first query start from
+        spark.sql.shuffle.partitions and AQE never coalesces it, and
+        each HDFS-state partition pays a fixed commit cost per
+        micro-batch — so width should track rows-per-batch (~10-50k
+        rows/partition), not core count; core-count width on a small
+        topic is pure overhead (measured 2x wall in bench.py's
+        streaming probe). Opt-in because the only mechanism Spark
+        offers is a session-conf set/restore around query START: the
+        start loop is serialized on the calling thread so this
+        stream's own queries cannot race it, but an unrelated query
+        STARTED concurrently on the same session by other code could
+        observe the narrowed width (batch queries merely running are
+        unaffected — width is read at plan time). Once a checkpoint
+        exists its width is pinned; changing this knob needs fresh
+        checkpoints."""
         self.spark = spark
         self.name = name
         self.tracer = tracer
         self.max_files_per_trigger = max_files_per_trigger
+        self.state_partitions = state_partitions
         self.broker = Path(broker_dir)
         self.broker.mkdir(parents=True, exist_ok=True)
         self.checkpoints = Path(checkpoint_dir or (self.broker / "_checkpoints"))
@@ -860,10 +880,26 @@ class Stream:
         for _ in range(max(1, rounds)):
             queries = []
             for sub in self._subscriptions:
-                started = starters[sub.kind](sub)
+                started = self._with_state_width(starters[sub.kind], sub)
                 queries.extend(started if isinstance(started, list) else [started])
             for q in queries:
                 q.awaitTermination()
+
+    def _with_state_width(self, starter, sub: _Subscription):
+        """Start one subscription's queries, applying the opt-in
+        `state_partitions` width around START (the only moment Spark
+        reads spark.sql.shuffle.partitions for a streaming plan; see
+        __init__). No-op when the knob is unset."""
+        if self.state_partitions is None:
+            return starter(sub)
+        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(self.state_partitions)
+        )
+        try:
+            return starter(sub)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     def stop(self) -> None:
         """Graceful shutdown (reference SIGTERM handling finishes the

@@ -103,6 +103,38 @@ def test_session_window_merges(spark, stream):
     assert rows == [(0, 9_000_000, 2), (30_000_000, 35_000_000, 1)]
 
 
+def test_state_partitions_knob_sizes_state_and_preserves_results(spark, tmp_path):
+    """Opt-in state-width sizing (Stream(state_partitions=N)): the
+    stateful query's state store runs at N partitions (the checkpoint's
+    state/0/ layout proves it — Spark pins width at first start and AQE
+    never coalesces streaming state), results are identical, and the
+    session conf is restored after the start loop."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = Stream(spark, str(tmp_path / "broker"), state_partitions=4)
+    stream.emit(
+        "t",
+        {"key": "u", "timestamp": 1.0, "value": 5.0},
+        {"key": "v", "timestamp": 2.0, "value": 7.0},
+    )
+    stream.window(
+        "t",
+        TumblingWindow(10_000),
+        EVENT_SCHEMA,
+        key_field="key",
+        aggs={"total": F.sum("value"), "n": F.count(F.lit(1))},
+    )
+    stream.run_until_idle()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    out = {
+        r["key"]: (r["total"], r["n"])
+        for r in stream.read_topic("t-agg", AGG_SCHEMA).collect()
+    }
+    assert out == {"u": (5.0, 1), "v": (7.0, 1)}
+    state_root = next((stream.checkpoints / "t-window-t").glob("state/0"))
+    widths = [p.name for p in state_root.iterdir() if p.name.isdigit()]
+    assert len(widths) == 4
+
+
 def test_distributed_subscribe_parallel_exactly_once(spark, stream, tmp_path):
     """distribute=True runs handlers executor-side (dlq.py distribute
     mode): side effects land from MULTIPLE partitions in parallel,
