@@ -199,3 +199,120 @@ def fingerprint(
         .withColumn("fingerprint", fold)
         .drop("_toks")
     )
+
+
+#: PII patterns, applied/counted in this fixed order. Written in the
+#: common Java-regex / RE2 subset (no lookaround, no backreferences)
+#: so Spark (java.util.regex) and any RE2 engine (DuckDB, Go) match
+#: the same spans — which is what makes the driver oracle exact.
+#: Email before ipv4/phone: digits inside a matched email's host
+#: (a@555-123-4567.example.com) must not re-match as phone/IP spans.
+#: (An all-numeric host like a.b@203.0.113.7 is NOT an email under
+#: the letters-TLD rule — its IP still redacts, by design.)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII occurrence counts (email / ipv4 / phone).
+
+    Output: id, n_email, n_ipv4, n_phone, n_pii. Counts are
+    independent per pattern (no masking between categories — that is
+    `redact_pii`'s job, where order matters). Pure `regexp_count`
+    column expressions: map-only, codegen'd, no shuffle — the shape
+    of a 100 TB scrubbing pre-pass that decides which documents need
+    the (more expensive) redaction write at all.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    return out.withColumn("n_pii", total)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    *,
+    output_col: str | None = None,
+    token_format: str = "[{name}]",
+) -> DataFrame:
+    """Replace PII spans with category tokens (`[EMAIL]`, `[IPV4]`,
+    `[PHONE]`) — the scrubbing pass itself.
+
+    Patterns apply in the fixed `PII_PATTERNS` order (emails first so
+    host-part digits never half-match as IPs/phones); each
+    `regexp_replace` replaces ALL occurrences. Deterministic: the
+    same fixed order + global-replace semantics reproduce in any
+    regex engine (DuckDB needs the 'g' flag for the same behavior).
+    Map-only column expression; `output_col` defaults to replacing
+    `text_col` in place.
+    """
+    out_col = output_col or text_col
+    expr = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        expr = F.regexp_replace(
+            expr, pat, token_format.format(name=name.upper())
+        )
+    return df.withColumn(out_col, expr)
+
+
+#: URL + capture-group-for-host written in the same dual-engine
+#: subset. Host chars stop at '/', ':', whitespace, or quote.
+URL_PATTERN = r"https?://[^\s/:\"']+[^\s\"']*"
+URL_HOST_PATTERN = r"https?://([^\s/:\"']+)"
+
+
+def extract_url_domains(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (document, URL host) occurrence.
+
+    Output: id, domain (lowercased full host). `regexp_extract_all`
+    with a capture group pulls every host; explode keeps duplicates
+    (a doc linking the same domain 5 times counts 5 — the signal a
+    link-spam filter wants). Map-side explode, no shuffle; the
+    downstream groupBy/join decides the exchange.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_PATTERN), F.lit(1))
+        ).alias("domain"),
+    ).withColumn("domain", F.lower(F.col("domain")))
+
+
+def filter_url_blocklist(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: DataFrame,
+    *,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents containing a URL whose host is blocklisted.
+
+    The standard corpus hygiene pass (spam/adult/malware domain
+    lists). Blocklists are small (even the big public ones are <10M
+    rows): the semi-join side broadcasts, so the corpus never
+    shuffles — extract hosts map-side, broadcast-join against the
+    list, anti-join the flagged ids back. Matching is exact on the
+    lowercased host; subdomain policies (suffix matching) belong in
+    the blocklist itself (pre-expand) to keep the join an equi-join.
+    """
+    hosts = extract_url_domains(df, id_col, text_col)
+    flagged = (
+        hosts.join(
+            F.broadcast(blocklist.select(F.col(domain_col).alias("domain"))),
+            "domain",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(flagged, id_col, "left_anti")

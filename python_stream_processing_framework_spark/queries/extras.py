@@ -59,11 +59,12 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_unpivot and value_histogram were rotated out of the 50-entry
 # driver-verified registry in round 4 to make room for the PQ /
 # packing / decontamination flagships (VERDICT r3 #1-#3): both were
-# single-function demonstrations — stack() is the inverse of the
-# pivot that events_pivot keeps green, and the histogram's CASE
-# bucketing shares its scalar surface with value_percentiles'
-# width-bucket logic. The DataFrame shapes remain unit-covered via
-# tests/test_edge_cases.py.
+# single-function demonstrations — stack() is the inverse of pivot
+# (events_pivot, itself rotated out in r5 — the CASE-WHEN aggregate
+# both compile to stays pinned by pricing_summary/region_revenue),
+# and the histogram's CASE bucketing shares its scalar surface with
+# value_percentiles' width-bucket logic. The DataFrame shapes remain
+# unit-covered via tests/test_edge_cases.py.
 
 # orders_by_month, part_brand_stats and token_count_estimate were
 # consolidated out of the 50-entry driver-verified registry: the first

@@ -15,10 +15,14 @@ from python_stream_processing_framework_spark.operators.multimodal import (
 )
 from python_stream_processing_framework_spark.operators.text import (
     LANG_MARKERS,
+    PII_PATTERNS,
     STOPWORDS,
+    extract_url_domains,
     fingerprint,
     lang_id,
+    pii_stats,
     quality_stats,
+    redact_pii,
     repetition_stats,
 )
 from python_stream_processing_framework_spark.queries.base import query
@@ -190,3 +194,132 @@ def binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return repetition_stats(documents, "doc_id", "text")
+
+
+#: Synthetic-PII construction shared by the Spark query and the
+#: oracle: the testdata documents are clean word soup, so the query
+#: deterministically plants an email, a phone, and an IPv4 per doc
+#: from table columns — detection/redaction then has non-trivial
+#: matches whose spans both engines must agree on exactly.
+_PII_BUILT_SQL = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || '@' || source"
+    " || '.com or 555-'"
+    " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')"
+    " || ' srv 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST(doc_id * 3 % 256 AS VARCHAR) || ' ' || substr(text, 1, 80)"
+)
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    total = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    return f"""
+    WITH built AS (SELECT doc_id, {_PII_BUILT_SQL} AS text FROM documents),
+    c AS (SELECT doc_id,
+           {counts},
+           {red} AS redacted
+          FROM built)
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           CAST({total} AS BIGINT) AS n_pii, redacted
+    FROM c
+    """
+
+
+@query(
+    "pii_redaction",
+    _pii_oracle(),
+    doc="PII scrubbing pass: per-doc email/IPv4/phone counts "
+    "(regexp_count, map-only) + category-token redaction in the fixed "
+    "PII_PATTERNS order. Patterns live in the common Java-regex/RE2 "
+    "subset, so both engines agree on every span; the redacted STRING "
+    "itself is value-compared, not just the counts.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    built = documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".com or 555-"),
+            F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+            F.lit(" srv 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") * 3 % 256).cast("string"),
+            F.lit(" "),
+            F.substring(F.col("text"), 1, 80),
+        ).alias("text"),
+    )
+    stats = pii_stats(built, "doc_id", "text")
+    red = redact_pii(built, "text", output_col="redacted").select(
+        "doc_id", "redacted"
+    )
+    return stats.join(red, "doc_id")
+
+
+@query(
+    "url_domains",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             'see https://' || source || '.example-' || lang || '.com/p/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' and https://mirror-' || source || '.net/x'
+                       ELSE '' END AS text
+      FROM documents),
+    hosts AS (
+      SELECT doc_id,
+             lower(unnest(regexp_extract_all(
+               text, 'https?://([^\\s/:"'']+)', 1))) AS domain
+      FROM built)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hosts GROUP BY domain
+    """,
+    doc="URL-domain extraction + per-domain link stats (the shape of a "
+    "blocklist/link-spam hygiene pass): regexp_extract_all host "
+    "capture, map-side explode, one groupBy shuffle. The blocklist "
+    "filter itself (broadcast semi-join, filter_url_blocklist) is "
+    "unit-tested; this row pins the extraction+count semantics.",
+)
+def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    built = documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("see https://"),
+            F.col("source"),
+            F.lit(".example-"),
+            F.col("lang"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" and https://mirror-"), F.col("source"), F.lit(".net/x")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        extract_url_domains(built, "doc_id", "text")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )

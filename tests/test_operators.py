@@ -453,3 +453,81 @@ def test_quantize_int8_crafted(spark):
     #                                = -4064 - 4096 + 16129 = 7969
     top = int8_mips_topk(df, query_id=0, k=2).collect()
     assert [(r["vec_id"], r["dot_q"]) for r in top] == [(2, 7969), (1, 0)]
+
+
+def test_pii_stats_and_redaction_crafted(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        pii_stats,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+tag@corp.example.io or 555-123-4567 srv 10.0.0.1"),
+            (2, "host a@555-123-4567.example.com stays one email"),
+            (3, "clean text, no identifiers at all"),
+            (4, "two mails x@y.co z@w.io and 999.999.999.999"),
+        ],
+        ["doc_id", "text"],
+    )
+    stats = {r["doc_id"]: r for r in pii_stats(df, "doc_id", "text").collect()}
+    assert (stats[1]["n_email"], stats[1]["n_ipv4"], stats[1]["n_phone"]) == (1, 1, 1)
+    assert stats[1]["n_pii"] == 3
+    # digits inside a matched email host must NOT also count... stats
+    # counts are per-pattern independent (redaction order resolves the
+    # overlap); the phone IS present as a span:
+    assert stats[2]["n_email"] == 1
+    assert stats[3]["n_pii"] == 0
+    assert (stats[4]["n_email"], stats[4]["n_ipv4"]) == (2, 1)
+
+    red = {
+        r["doc_id"]: r["red"]
+        for r in redact_pii(df, "text", output_col="red").collect()
+    }
+    assert red[1] == "mail [EMAIL] or [PHONE] srv [IPV4]"
+    # email applied FIRST: the host's phone-shaped digits are already
+    # inside the [EMAIL] token, so no nested [PHONE] appears
+    assert red[2] == "host [EMAIL] stays one email"
+    assert red[3] == df.collect()[2]["text"]
+    assert "[EMAIL]" in red[4] and "[IPV4]" in red[4]
+
+
+def test_url_domains_and_blocklist(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        extract_url_domains,
+        filter_url_blocklist,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://Spam.Example.org/a and https://spam.example.org/b"),
+            (2, "ok https://fine.example.com/x http://fine.example.com:8080/y"),
+            (3, "no urls here"),
+        ],
+        ["doc_id", "text"],
+    )
+    hosts = sorted(
+        (r["doc_id"], r["domain"])
+        for r in extract_url_domains(df, "doc_id", "text").collect()
+    )
+    # lowercased, duplicates kept, port stripped from host
+    assert hosts == [
+        (1, "spam.example.org"),
+        (1, "spam.example.org"),
+        (2, "fine.example.com"),
+        (2, "fine.example.com"),
+    ]
+    bl = spark.createDataFrame([("spam.example.org",)], ["domain"])
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_url_blocklist(df, "doc_id", "text", bl).collect()
+    )
+    assert kept == [2, 3]
+    # blocklist side must broadcast: the corpus never shuffles
+    plan = (
+        filter_url_blocklist(df, "doc_id", "text", bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
