@@ -1,9 +1,10 @@
 """End-to-end LLM training-data pipeline on the documents table:
 
-    quality filter -> near-dup detection (MinHash+LSH) -> cluster
-    collapse (connected components) -> deterministic train/val/test
-    split -> decontaminate train against val/test -> exact-quota
-    domain mixture -> sequence packing -> shard plan -> audit stats
+    quality filter -> PII scrub -> near-dup detection (MinHash+LSH)
+    -> cluster collapse (connected components) -> deterministic
+    train/val/test split -> decontaminate train against val/test ->
+    exact-quota domain mixture -> sequence packing -> shard plan ->
+    audit stats
 
 Every step is the scale-path operator (bucketed equi-joins, map-only
 hashing, two-phase quota selection, grouped greedy packing) — no
@@ -40,7 +41,11 @@ from python_stream_processing_framework_spark.operators.mixture import (
     shard_stats,
 )
 from python_stream_processing_framework_spark.operators.sampling import hash_split
-from python_stream_processing_framework_spark.operators.text import quality_stats
+from python_stream_processing_framework_spark.operators.text import (
+    pii_stats,
+    quality_stats,
+    redact_pii,
+)
 from python_stream_processing_framework_spark.session import get_spark
 
 
@@ -58,6 +63,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "doc_id",
     )
     n1 = good.count()
+
+    # 1b. PII scrub BEFORE dedup: redaction tokens normalize spans
+    # that would otherwise make near-identical docs differ (two copies
+    # of a page with different tracking emails dedup after scrubbing,
+    # not before). Map-only regex pass; the counts are the audit.
+    n_pii = (
+        pii_stats(good, "doc_id", "text")
+        .agg(F.sum("n_pii").alias("s"))
+        .collect()[0]["s"]
+    )
+    good = redact_pii(good, "text")
 
     # 2-3. near-dup pairs -> one canonical doc per cluster
     pairs = minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5)
@@ -114,7 +130,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     ).collect()
 
     print(
-        f"corpus: {n0} docs -> {n1} after quality -> {n2} after dedup; "
+        f"corpus: {n0} docs -> {n1} after quality "
+        f"({n_pii} PII spans redacted) -> {n2} after dedup; "
         f"train {train_docs.count()} -> {n3} after decontamination "
         f"-> {n4} after mixture"
     )
