@@ -193,3 +193,86 @@ def test_split_thresholds_partition_hash_space(weights):
     assert uppers == sorted(uppers)
     assert uppers[-1] == HASH_SPACE
     assert [label for label, _ in bounds] == list(weights)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            # printable-ish mix heavy in the characters the PII
+            # patterns care about (@, dots, digits, separators)
+            alphabet="abcXYZ019@.+-_ :/\t",
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_redact_pii_idempotent_and_matches_python_re(spark, texts):
+    """Two properties on arbitrary adversarial text: (1) redaction is
+    IDEMPOTENT — the category tokens contain no digits or '@', so a
+    second pass never finds new spans (a scrubbed corpus can be
+    re-scrubbed safely); (2) both counts and redacted output match an
+    independent Python `re` implementation applying the same patterns
+    in the same order (java.util.regex vs the `re` module — a third
+    engine beyond the DuckDB oracle)."""
+    import re
+
+    from python_stream_processing_framework_spark.operators.text import (
+        PII_PATTERNS,
+        pii_stats,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got_stats = {
+        r["doc_id"]: tuple(r[f"n_{n}"] for n, _ in PII_PATTERNS)
+        for r in pii_stats(df, "doc_id", "text").collect()
+    }
+    once = {
+        r["doc_id"]: r["red"]
+        for r in redact_pii(df, "text", output_col="red").collect()
+    }
+    red_df = redact_pii(df, "text")  # in place
+    twice = {
+        r["doc_id"]: r["red"]
+        for r in redact_pii(red_df, "text", output_col="red").collect()
+    }
+    for i, t in enumerate(texts):
+        expect_counts = tuple(len(re.findall(p, t)) for _, p in PII_PATTERNS)
+        expect_red = t
+        for name, p in PII_PATTERNS:
+            expect_red = re.sub(p, f"[{name.upper()}]", expect_red)
+        assert got_stats[i] == expect_counts, (t, got_stats[i], expect_counts)
+        assert once[i] == expect_red, (t, once[i], expect_red)
+        assert twice[i] == once[i], (t, once[i], twice[i])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcZ01:/.https w\n", min_size=0, max_size=80),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_extract_url_domains_matches_python_re(spark, texts):
+    import re
+
+    from python_stream_processing_framework_spark.operators.text import (
+        URL_HOST_PATTERN,
+        extract_url_domains,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got: dict[int, list[str]] = {i: [] for i in range(len(texts))}
+    for r in extract_url_domains(df, "doc_id", "text").collect():
+        got[r["doc_id"]].append(r["domain"])
+    for i, t in enumerate(texts):
+        expect = [m.lower() for m in re.findall(URL_HOST_PATTERN, t)]
+        assert sorted(got[i]) == sorted(expect), (t, got[i], expect)

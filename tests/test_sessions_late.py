@@ -314,3 +314,98 @@ def test_tws_grace_matches_canonical_path(spark, tmp_path):
                 )
 
     assert run(sessionize_stream_tws, True) == run(sessionize_stream, False)
+
+
+def test_grace_sessions_exactly_once_across_crash_replay(spark, tmp_path):
+    """Chaos variant (the tests/test_chaos.py contract applied to the
+    grace path): the query dies AFTER the sink write but BEFORE the
+    checkpoint commit — the worst-case foreachBatch retry window. The
+    idempotent per-batch_id writer must make the replay overwrite its
+    own files, and the state store must roll the session/tombstone
+    state back with the uncommitted batch, so sessions and attributed
+    late rows both come out exactly once."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+    from python_stream_processing_framework_spark.streaming.stream import (
+        _write_batch_jsonl,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = tmp_path / "sink"
+    sink_dir.mkdir()
+    ckpt = str(tmp_path / "ck")
+    killed: set[int] = set()
+
+    def drain_with_chaos():
+        """Run to completion, killing the FIRST attempt of every
+        row-bearing batch; each death is followed by a restart on the
+        same checkpoint."""
+        for _ in range(10):
+            src = (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .json(str(src_dir))
+                .withColumn("timestamp", F.timestamp_seconds(F.col("timestamp")))
+            )
+            out = sessionize_stream(
+                src, "key", "timestamp", 5_000, _make_sum_fold(),
+                watermark_delay="2 seconds", grace_ms=20_000,
+            )
+
+            def wr(batch, bid):
+                if batch.isEmpty():
+                    return
+                _write_batch_jsonl(batch, str(sink_dir), bid)
+                if bid not in killed:
+                    killed.add(bid)
+                    raise RuntimeError("chaos kill")
+
+            q = (
+                out.writeStream.foreachBatch(wr)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return
+            except Exception as exc:  # noqa: BLE001 — the chaos kill
+                assert "chaos kill" in str(exc) or "Streaming" in str(exc)
+        raise AssertionError("query never completed a clean run")
+
+    (src_dir / "w1.json").write_text(
+        "\n".join(
+            _json.dumps({"key": k, "timestamp": t, "value": v})
+            for k, t, v in [("u", 10.0, 1.0), ("u", 14.0, 2.0), ("v", 30.0, 9.0)]
+        )
+    )
+    drain_with_chaos()
+    (src_dir / "w2.json").write_text(
+        _json.dumps({"key": "u", "timestamp": 13.0, "value": 7.0})
+    )
+    drain_with_chaos()
+
+    assert killed, "chaos never fired — the test lost its teeth"
+    rows = [
+        _json.loads(line)
+        for f in sink_dir.glob("*.json")
+        for line in f.read_text().splitlines()
+    ]
+    sessions = sorted(
+        (r["key"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in rows
+        if r["kind"] == "session"
+    )
+    lates = [
+        (r["key"], r["ts_ms"], r["session_start_ms"], r["session_end_ms"])
+        for r in rows
+        if r["kind"] == "late"
+    ]
+    # exactly once each, despite every row-bearing batch being replayed
+    assert sessions == [("u", 10_000, 19_000, 2)]
+    assert lates == [("u", 13_000, 10_000, 19_000)]
