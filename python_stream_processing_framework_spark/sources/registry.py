@@ -93,6 +93,14 @@ def _register_builtins() -> None:
         doc="Valkey/Redis Streams wire format over XRANGE dumps "
         "(broker-free; swap file IO for XADD/XRANGE against a live server)",
     )
+    registry.register(
+        "valkey-live",
+        source=v.valkey_live_stream,
+        sink=v.valkey_stream_sink,
+        doc="live Valkey/Redis server: streaming XRANGE source "
+        "(Python data source, entry-id offsets) + pipelined "
+        "foreachPartition XADD sink (needs the redis package)",
+    )
 
 
 _register_builtins()

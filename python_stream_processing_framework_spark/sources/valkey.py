@@ -228,3 +228,205 @@ def valkey_dump_sink(df: DataFrame, path: str, *, now_ms: int) -> list[str]:
     that carries over unchanged."""
     rows = [r.asDict(recursive=True) for r in df.collect()]
     return append_to_dump(path, rows, now_ms=now_ms)
+
+
+# --------------------------------------------------------------- live tier
+#
+# Everything below talks to a real Valkey/Redis server via the
+# `redis` package (import-gated, like the live-broker tests). The
+# pure pieces — pipelined-XADD batching, exclusive-XRANGE paging —
+# take the CLIENT AS AN ARGUMENT, so they unit-test against a fake
+# in this broker-free sandbox and run unchanged against a server.
+
+
+def _redis_client(url: str):
+    try:
+        import redis
+    except ImportError as exc:  # pragma: no cover - redis absent here
+        raise RuntimeError(
+            "the live Valkey tier needs the 'redis' package "
+            "(pip install redis); the broker-free dump tier "
+            "(valkey_dump_source/valkey_dump_sink) works without it"
+        ) from exc
+    return redis.Redis.from_url(url, decode_responses=True)
+
+
+def xadd_rows(
+    client,
+    stream_key: str,
+    rows,
+    *,
+    maxlen: int | None = None,
+    pipeline_size: int = 500,
+) -> int:
+    """Pipelined XADDs for one partition's rows.
+
+    The reference XADDs one awaited call per message
+    (pspf/connectors/valkey.py:292, with `maxlen` trimming); at Spark
+    partition sizes that round-trip per row dominates, so rows batch
+    into non-transactional pipelines of `pipeline_size`. Wire format
+    is `flatten_entry` — byte-identical to the reference's producer.
+    """
+    pipe = client.pipeline(transaction=False)
+    n = 0
+    for row in rows:
+        kwargs = {"maxlen": maxlen} if maxlen is not None else {}
+        pipe.xadd(stream_key, flatten_entry(dict(row)), **kwargs)
+        n += 1
+        if n % pipeline_size == 0:
+            pipe.execute()
+    if n % pipeline_size:
+        pipe.execute()
+    return n
+
+
+def xrange_after(client, stream_key: str, last_id: str, *, count: int = 1000):
+    """One exclusive-start XRANGE page: entries strictly AFTER
+    `last_id` (the `(id` exclusive-range form), as (entry_id,
+    value_json) rows in the dump-source schema. `last_id='0-0'`
+    reads from the beginning — XADD never auto-assigns 0-0."""
+    entries = client.xrange(stream_key, min=f"({last_id}", max="+", count=count)
+    return [
+        (eid, json.dumps(unflatten_entry(fields), sort_keys=True, default=str))
+        for eid, fields in entries
+    ]
+
+
+def valkey_stream_sink(
+    df: DataFrame,
+    url: str,
+    stream_key: str,
+    *,
+    maxlen: int | None = None,
+    pipeline_size: int = 500,
+) -> None:
+    """Distributed XADD sink: one connection + pipelined writes per
+    partition (`foreachPartition`) — the production shape the
+    driver-side `valkey_dump_sink` docstring promises. Rows never
+    visit the driver. At-least-once on task retry, like any
+    non-transactional external sink: pair with the idempotent-sink
+    token pattern (streaming/dlq.py) or a `maxlen`-trimmed audit
+    stream when duplicates matter. In streaming, call from
+    foreachBatch."""
+
+    def write_partition(rows) -> None:
+        client = _redis_client(url)
+        try:
+            xadd_rows(
+                client,
+                stream_key,
+                (r.asDict(recursive=True) for r in rows),
+                maxlen=maxlen,
+                pipeline_size=pipeline_size,
+            )
+        finally:
+            client.close()
+
+    df.foreachPartition(write_partition)
+
+
+if HAVE_DATASOURCE_API:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class ValkeyLiveDataSource(DataSource):
+        """Spark 4 Python data source for a LIVE Valkey stream.
+
+        `spark.readStream.format("valkey_live").option("url", ...)
+        .option("stream_key", ...)` — micro-batches page the stream
+        with exclusive XRANGE from the last checkpointed entry id,
+        so offsets are the broker's own `<ms>-<seq>` ids (the same
+        ordering contract consumers checkpoint by, entry_id_key).
+        Schema matches the dump source: (entry_id, value) with value
+        the JSON of the unflattened fields.
+
+        Offset model: {"last_id": "<ms>-<seq>"}; `initialOffset` is
+        "0-0" (read from the beginning — the facade's consumer-group
+        semantics; start tail-only by passing .option("start_id",
+        "$"-style explicit id). The simple-reader API reads pages on
+        the driver and replays committed ranges on executors, which
+        fits a single ordered stream (Valkey streams are not
+        partitioned; shard across stream KEYS for parallel ingest —
+        one source per shard, union the DataFrames).
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "valkey_live"
+
+        def schema(self) -> str:
+            return "entry_id string, value string"
+
+        def simpleStreamReader(self, schema) -> "ValkeyLiveStreamReader":
+            return ValkeyLiveStreamReader(self.options)
+
+    class ValkeyLiveStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options, client_factory=None):
+            self.url = options.get("url")
+            self.stream_key = options.get("stream_key")
+            if not self.url or not self.stream_key:
+                raise ValueError(
+                    "valkey_live requires .option('url', ...) and "
+                    ".option('stream_key', ...)"
+                )
+            self.start_id = options.get("start_id", "0-0")
+            self.batch_size = int(options.get("batch_size", 1000))
+            self._client_factory = client_factory or _redis_client
+            self._client = None
+
+        def _c(self):
+            if self._client is None:
+                self._client = self._client_factory(self.url)
+            return self._client
+
+        def initialOffset(self) -> dict:
+            return {"last_id": self.start_id}
+
+        def read(self, start: dict):
+            rows = xrange_after(
+                self._c(), self.stream_key, start["last_id"],
+                count=self.batch_size,
+            )
+            end = {"last_id": rows[-1][0]} if rows else dict(start)
+            return iter(rows), end
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # committed-range replay (executor-side on recovery):
+            # page the same exclusive range up to and including end.
+            out = []
+            last = start["last_id"]
+            end_key = entry_id_key(end["last_id"])
+            while entry_id_key(last) < end_key:
+                page = xrange_after(
+                    self._c(), self.stream_key, last, count=self.batch_size
+                )
+                if not page:
+                    break
+                for eid, val in page:
+                    if entry_id_key(eid) > end_key:
+                        return iter(out)
+                    out.append((eid, val))
+                last = page[-1][0]
+            return iter(out)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+
+def valkey_live_stream(
+    spark: SparkSession, url: str, stream_key: str, **options: str
+) -> DataFrame:
+    """readStream a live Valkey stream (see ValkeyLiveDataSource)."""
+    if not HAVE_DATASOURCE_API:  # pragma: no cover
+        raise RuntimeError("valkey_live needs the Spark 4 Python data source API")
+    try:
+        spark.dataSource.register(ValkeyLiveDataSource)
+    except Exception:  # already registered
+        pass
+    reader = (
+        spark.readStream.format("valkey_live")
+        .option("url", url)
+        .option("stream_key", stream_key)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

@@ -6,6 +6,7 @@ entry-id and DLQ-naming contracts and the Spark DataSource read path.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -132,3 +133,201 @@ def test_registry_has_valkey_backend(spark, tmp_path):
     assert ids == ["500-0"]
     back = b.source(spark, str(p)).collect()
     assert json.loads(back[0]["data"]) == {"event_id": "e1", "v": 5}
+
+
+# ---------------------------------------------------------------- live tier
+# The live-tier logic takes the client as an argument, so these run
+# against an in-memory fake in this broker-free sandbox; the same
+# code paths hit a real server wherever VALKEY_URL is set
+# (tests/test_broker_integration.py pattern).
+
+
+class _FakePipeline:
+    def __init__(self, server):
+        self.server = server
+        self.queued = []
+        self.executes = 0
+
+    def xadd(self, key, fields, maxlen=None):
+        self.queued.append((key, fields, maxlen))
+
+    def execute(self):
+        for key, fields, maxlen in self.queued:
+            self.server._do_xadd(key, fields, maxlen)
+        self.queued = []
+        self.executes += 1
+
+
+class _FakeValkey:
+    """Minimal XADD/XRANGE server: auto `<ms>-<seq>` ids via the
+    module's own next_entry_id, deterministic clock."""
+
+    def __init__(self):
+        self.streams: dict[str, list] = {}
+        self.now_ms = 1000
+        self.pipelines: list[_FakePipeline] = []
+
+    def _do_xadd(self, key, fields, maxlen=None):
+        entries = self.streams.setdefault(key, [])
+        last = entries[-1][0] if entries else None
+        eid = next_entry_id(last, self.now_ms)
+        entries.append((eid, dict(fields)))
+        if maxlen is not None:
+            del entries[:-maxlen]
+        return eid
+
+    def pipeline(self, transaction=True):
+        p = _FakePipeline(self)
+        self.pipelines.append(p)
+        return p
+
+    def xrange(self, key, min="-", max="+", count=None):
+        entries = self.streams.get(key, [])
+        if min.startswith("("):
+            lo = entry_id_key(min[1:])
+            out = [e for e in entries if entry_id_key(e[0]) > lo]
+        elif min == "-":
+            out = list(entries)
+        else:
+            lo = entry_id_key(min)
+            out = [e for e in entries if entry_id_key(e[0]) >= lo]
+        return out[:count] if count else out
+
+    def close(self):
+        pass
+
+
+def test_xadd_rows_pipelines_and_wire_format():
+    from python_stream_processing_framework_spark.sources.valkey import xadd_rows
+
+    server = _FakeValkey()
+    rows = [{"event_id": f"e{i}", "n": i, "meta": {"a": i}} for i in range(7)]
+    n = xadd_rows(server, "s", rows, pipeline_size=3)
+    assert n == 7
+    # ceil(7/3) = 3 round-trips, not 7
+    assert server.pipelines[0].executes == 3
+    stored = server.streams["s"]
+    assert len(stored) == 7
+    # wire format: dict JSON-serialized, scalars pass through
+    assert stored[0][1] == {"event_id": "e0", "n": 0, "meta": '{"a": 0}'}
+
+
+def test_xadd_rows_maxlen_trims():
+    from python_stream_processing_framework_spark.sources.valkey import xadd_rows
+
+    server = _FakeValkey()
+    xadd_rows(server, "s", [{"i": i} for i in range(10)], maxlen=4)
+    assert [f["i"] for _, f in server.streams["s"]] == [6, 7, 8, 9]
+
+
+def test_xrange_after_exclusive_and_roundtrip():
+    import json as _json
+
+    from python_stream_processing_framework_spark.sources.valkey import (
+        xadd_rows,
+        xrange_after,
+    )
+
+    server = _FakeValkey()
+    xadd_rows(server, "s", [{"i": i, "flag": True} for i in range(5)])
+    all_rows = xrange_after(server, "s", "0-0")
+    assert len(all_rows) == 5
+    # exclusive: restarting from the 2nd id yields exactly the rest
+    rest = xrange_after(server, "s", all_rows[1][0])
+    assert [r[0] for r in rest] == [r[0] for r in all_rows[2:]]
+    # wire-format roundtrip (bool came back a real bool)
+    assert _json.loads(all_rows[0][1]) == {"i": 0, "flag": True}
+
+
+def test_live_stream_reader_offsets_and_replay():
+    from python_stream_processing_framework_spark.sources.valkey import (
+        HAVE_DATASOURCE_API,
+        xadd_rows,
+    )
+
+    if not HAVE_DATASOURCE_API:
+        pytest.skip("Spark 4 data source API required")
+    from python_stream_processing_framework_spark.sources.valkey import (
+        ValkeyLiveStreamReader,
+    )
+
+    server = _FakeValkey()
+    reader = ValkeyLiveStreamReader(
+        {"url": "redis://fake", "stream_key": "s", "batch_size": "2"},
+        client_factory=lambda url: server,
+    )
+    start = reader.initialOffset()
+    assert start == {"last_id": "0-0"}
+
+    # empty stream: offset must NOT advance
+    rows, end = reader.read(start)
+    assert list(rows) == [] and end == start
+
+    xadd_rows(server, "s", [{"i": i} for i in range(5)])
+    seen = []
+    off = start
+    for _ in range(5):  # batch_size 2 -> pages of <= 2
+        rows, off = reader.read(off)
+        seen.extend(rows)
+    assert [r[0] for r in seen] == [e[0] for e in server.streams["s"]]
+
+    # committed-range replay: exactly entries 2..4 (exclusive start,
+    # inclusive end), across multiple internal pages
+    replay = list(
+        reader.readBetweenOffsets(
+            {"last_id": seen[1][0]}, {"last_id": seen[4][0]}
+        )
+    )
+    assert [r[0] for r in replay] == [r[0] for r in seen[2:5]]
+
+
+def test_live_reader_validates_options():
+    from python_stream_processing_framework_spark.sources.valkey import (
+        HAVE_DATASOURCE_API,
+    )
+
+    if not HAVE_DATASOURCE_API:
+        pytest.skip("Spark 4 data source API required")
+    from python_stream_processing_framework_spark.sources.valkey import (
+        ValkeyLiveStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="valkey_live requires"):
+        ValkeyLiveStreamReader({"url": "redis://x"})
+
+
+VALKEY_URL = os.environ.get("VALKEY_URL")
+
+
+@pytest.mark.skipif(not VALKEY_URL, reason="VALKEY_URL not set")
+def test_live_sink_and_stream_roundtrip_e2e(spark, tmp_path):
+    """Against a real server (env-gated): distributed XADD sink ->
+    valkey_live readStream -> rows match, ids ordered."""
+    import json as _json
+
+    from python_stream_processing_framework_spark.sources.valkey import (
+        valkey_live_stream,
+        valkey_stream_sink,
+    )
+
+    stream_key = f"pspf-test-{os.getpid()}"
+    df = spark.createDataFrame(
+        [(f"e{i}", i) for i in range(20)], ["event_id", "n"]
+    )
+    valkey_stream_sink(df, VALKEY_URL, stream_key)
+
+    src = valkey_live_stream(spark, VALKEY_URL, stream_key)
+    collected = []
+    q = (
+        src.writeStream.foreachBatch(
+            lambda b, _: collected.extend((r["entry_id"], r["value"]) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(collected) == 20
+    assert {_json.loads(v)["event_id"] for _, v in collected} == {
+        f"e{i}" for i in range(20)
+    }
