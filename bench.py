@@ -100,6 +100,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     streaming = _streaming_throughput(spark, sf_dir)
+    streaming["facade"] = _facade_throughput(spark)
     extras = {
         "skew_join": _skew_join_bench(spark, sf_dir),
         "ivf_dim256": _ivf_dim256_bench(spark),
@@ -229,6 +230,77 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
         "state_partitions": STREAM_STATE_PARTITIONS,
         # single pass at core-count width: the sizing effect, measured
         "rows_per_s_default_width": round(n_rows / wide, 1),
+    }
+
+
+def _facade_throughput(spark) -> dict:
+    """Throughput of the FACADE itself (Stream.pipeline: JSON-lines
+    topic -> executor-side mapInPandas transform -> idempotent
+    per-batch_id sink), as distinct from the raw Structured Streaming
+    probe above — this one pays our code's costs: emit's file layout,
+    the DSL's Arrow exchange, _write_batch_jsonl. 50k rows in 50
+    emit-files (realistic many-small-files broker shape), min-of-N
+    full fresh runs. State width via Stream(state_partitions=8) —
+    same sizing rule as the raw probe."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from python_stream_processing_framework_spark.streaming import Stream
+
+    schema = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("k", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    n_rows, n_files = 50_000, 50
+    per = n_rows // n_files
+    best = float("inf")
+    for _ in range(N_REPEATS):
+        root = Path(tempfile.mkdtemp(prefix="bench-facade-"))
+        stream = Stream(spark, str(root / "broker"), state_partitions=8)
+        for f in range(n_files):
+            stream.emit(
+                "in",
+                *[
+                    {"event_id": f"e{f}_{i}", "k": i % 97, "value": float(i)}
+                    for i in range(per)
+                ],
+            )
+
+        def double(ev):
+            if ev["value"] < 0:  # never: keep the filter honest
+                return None
+            return {**ev, "value": ev["value"] * 2}
+
+        stream.pipeline("in", schema).map(double).sink("out")
+        t0 = time.perf_counter()
+        stream.run_until_idle()
+        wall = time.perf_counter() - t0
+        out_rows = sum(
+            1
+            for p in (root / "broker" / "out").glob("*.json")
+            for _ in open(p)
+        )
+        assert out_rows == n_rows, f"facade bench lost rows: {out_rows}"
+        best = min(best, wall)
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "n_emit_files": n_files,
+        "wall_s": round(best, 3),
+        "rows_per_s": round(n_rows / best, 1),
+        "n_repeats": N_REPEATS,
     }
 
 
