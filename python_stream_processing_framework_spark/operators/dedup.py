@@ -741,3 +741,86 @@ def decontaminate(
     )
     contaminated = hits.select(F.col("id_left").alias(id_col)).distinct()
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def ngram_overlap_hits(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Exact n-gram overlap between corpus and held-out docs.
+
+    The published decontamination rule GPT-3/Gopher-style pipelines
+    apply alongside fuzzy dedup: a training document is contaminated
+    if it shares ANY exact n-token span (n=13 is the classic choice)
+    with held-out data — much stricter than a Jaccard threshold, and
+    the right tool when a benchmark answer string is embedded inside
+    an otherwise-unrelated page (Jaccard over whole docs stays near 0
+    there, so `decontaminate` misses it; one shared 13-gram flags it).
+
+    Output: (id_corpus, id_heldout, n_shared) — one row per flagged
+    doc pair with its shared-distinct-n-gram count. Compose with an
+    anti-join (`ngram_decontaminate`) to drop flagged training docs.
+
+    Scale: per-doc DISTINCT n-gram md5s via the same JVM-side
+    higher-order-function hashing as the rest of this module (map-only,
+    no Python); the join is an equi-join on the hash. The held-out
+    side is benchmark-sized, so AQE broadcasts it and the corpus never
+    shuffles; the corpus side's n-gram explode is the unavoidable
+    |doc| x (len - n + 1) row fan-out, but it's map-side and feeds a
+    broadcast join, not an exchange. Docs shorter than n tokens have
+    no n-grams and can never be flagged (same recall floor as the
+    shingle pipeline, documented there).
+    """
+    def grams(side: str) -> DataFrame:
+        src = corpus if side == "c" else heldout
+        return src.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.explode_outer(
+                F.array_distinct(
+                    # size < n guard is load-bearing: sequence(1, k)
+                    # DESCENDS for k < 1, and a filtered remnant would
+                    # hash a shorter-than-n slice as a fake n-gram
+                    F.expr(
+                        f"if(size(_toks) < {n}, array(),"
+                        f" transform(sequence(1, size(_toks) - {n} + 1),"
+                        f"   i -> md5(array_join(slice(_toks, i, {n}), ' '))))"
+                    )
+                )
+            ).alias("_g"),
+        ).filter(F.col("_g").isNotNull())
+
+    c = corpus.withColumn("_toks", tokens_expr(text_col))
+    h = heldout.withColumn("_toks", tokens_expr(text_col))
+    corpus, heldout = c, h  # grams() closes over these
+    return (
+        grams("c")
+        .join(grams("h"), "_g")
+        .groupBy("id_c", "id_h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .select(
+            F.col("id_c").alias("id_corpus"),
+            F.col("id_h").alias("id_heldout"),
+            "n_shared",
+        )
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Drop training docs sharing any exact n-gram with held-out data
+    (see ngram_overlap_hits). The strict companion to `decontaminate`
+    — production pipelines run BOTH: Jaccard for near-copies, exact
+    n-gram for embedded benchmark strings."""
+    hits = ngram_overlap_hits(corpus, heldout, id_col, text_col, n=n)
+    flagged = hits.select(F.col("id_corpus").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "left_anti")

@@ -181,3 +181,117 @@ def test_star_requires_collapse(spark):
             collapse_exact=False,
             expand="star",
         )
+
+
+def test_ngram_overlap_hits_exact_and_duckdb_cross_check(spark):
+    """Planted 13-gram overlap + an independent DuckDB replay of the
+    whole operator (tokenize, slice, md5, distinct, join, count) —
+    oracle-grade verification without a driver catalog slot, since
+    the catalog's corpus_decontaminate row already pins the fuzzy
+    member of this family."""
+    import duckdb
+
+    from python_stream_processing_framework_spark.operators.dedup import (
+        ngram_overlap_hits,
+    )
+
+    span = " ".join(f"w{i}" for i in range(13))  # the shared 13 tokens
+    corpus_rows = [
+        (1, f"intro text then {span} and an unrelated tail here"),
+        (2, "completely unrelated document with its own words only"),
+        (3, f"{span}"),  # exactly the span, nothing else
+        (4, "short doc"),  # < 13 tokens: must never be flagged
+    ]
+    heldout_rows = [
+        (100, f"benchmark question embedding {span} inside an answer"),
+        (101, "held out but sharing nothing with training data"),
+        (102, "tiny"),  # < 13 tokens on the held-out side
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    heldout = spark.createDataFrame(heldout_rows, ["doc_id", "text"])
+
+    got = sorted(
+        (r["id_corpus"], r["id_heldout"], r["n_shared"])
+        for r in ngram_overlap_hits(corpus, heldout, n=13).collect()
+    )
+    # docs 1 and 3 share exactly the one planted 13-gram with doc 100
+    assert got == [(1, 100, 1), (3, 100, 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in corpus_rows)
+        + ") t(doc_id, text)"
+    )
+    con.execute(
+        "CREATE TABLE h AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in heldout_rows)
+        + ") t(doc_id, text)"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH cg AS (SELECT DISTINCT doc_id, g FROM (
+                   SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS g
+                   FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM c),
+                        unnest(range(1, len(toks) - 11)) AS u(i)
+                   WHERE len(toks) >= 13) x),
+                 hg AS (SELECT DISTINCT doc_id, g FROM (
+                   SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS g
+                   FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM h),
+                        unnest(range(1, len(toks) - 11)) AS u(i)
+                   WHERE len(toks) >= 13) x)
+            SELECT cg.doc_id, hg.doc_id, CAST(count(*) AS BIGINT)
+            FROM cg JOIN hg USING (g)
+            GROUP BY cg.doc_id, hg.doc_id
+            """
+        ).fetchall()
+    )
+    assert got == expect
+
+
+def test_ngram_decontaminate_drops_flagged_only(spark):
+    from python_stream_processing_framework_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    span = " ".join(f"t{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"contaminated because {span} appears here"),
+            (2, "clean document that shares no long span at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    heldout = spark.createDataFrame(
+        [(9, f"eval item with {span} in it")], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in ngram_decontaminate(corpus, heldout).collect()
+    )
+    assert kept == [2]
+
+
+def test_ngram_overlap_heldout_side_broadcasts(spark):
+    """The corpus must never shuffle: the benchmark-sized held-out
+    gram set is the broadcast side."""
+    from python_stream_processing_framework_spark.operators.dedup import (
+        ngram_overlap_hits,
+    )
+
+    corpus = spark.range(0, 2000).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 20), j -> concat('w', pmod(id*7+j, 999)))) AS text",
+    )
+    heldout = spark.range(0, 5).selectExpr(
+        "id + 10000 AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 20), j -> concat('w', j))) AS text",
+    )
+    plan = (
+        ngram_overlap_hits(corpus, heldout)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
