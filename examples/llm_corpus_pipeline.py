@@ -26,6 +26,7 @@ from python_stream_processing_framework_spark.operators.dedup import (
     decontaminate,
     dedup_corpus,
     minhash_lsh_pairs,
+    ngram_decontaminate,
 )
 from python_stream_processing_framework_spark.operators.packing import (
     pack_sequences,
@@ -95,7 +96,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # input (bucket histogram + selection); materialize the clean
     # train set so neither pass recomputes dedup + decontamination.
     # (A production pipeline writes each stage's output to storage.)
-    clean_train = materialize(decontaminate(train_docs, heldout, threshold=0.5))
+    # Both decontamination rules run: Jaccard for near-copies of
+    # held-out docs, exact 13-gram for benchmark strings embedded in
+    # otherwise-unrelated pages (whole-doc Jaccard stays ~0 there).
+    clean_train = materialize(
+        ngram_decontaminate(
+            decontaminate(train_docs, heldout, threshold=0.5), heldout
+        )
+    )
     n3 = clean_train.count()
 
     # 6. hit the target language mixture with EXACT per-stratum quotas
