@@ -216,21 +216,30 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
-def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def pii_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document PII occurrence counts (email / ipv4 / phone).
 
-    Output: id, n_email, n_ipv4, n_phone, n_pii. Counts are
-    independent per pattern (no masking between categories — that is
-    `redact_pii`'s job, where order matters). Pure `regexp_count`
-    column expressions: map-only, codegen'd, no shuffle — the shape
-    of a 100 TB scrubbing pre-pass that decides which documents need
-    the (more expensive) redaction write at all.
+    Output: id, n_email, n_ipv4, n_phone, n_pii (plus any
+    `keep_cols`, carried through so a downstream `redact_pii` can
+    chain onto the SAME projection instead of re-joining on the id —
+    one map-only select, no shuffle). Counts are independent per
+    pattern (no masking between categories — that is `redact_pii`'s
+    job, where order matters). Pure `regexp_count` column
+    expressions: map-only, codegen'd, no shuffle — the shape of a
+    100 TB scrubbing pre-pass that decides which documents need the
+    (more expensive) redaction write at all.
     """
     counts = [
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
         for name, pat in PII_PATTERNS
     ]
-    out = df.select(F.col(id_col), *counts)
+    out = df.select(F.col(id_col), *counts, *[F.col(c) for c in keep_cols])
     total = None
     for name, _ in PII_PATTERNS:
         c = F.col(f"n_{name}")

@@ -262,11 +262,13 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), 1, 80),
         ).alias("text"),
     )
-    stats = pii_stats(built, "doc_id", "text")
-    red = redact_pii(built, "text", output_col="redacted").select(
-        "doc_id", "redacted"
-    )
-    return stats.join(red, "doc_id")
+    # counts + redaction in ONE map-only pass (pii_stats keeps the
+    # text column it's given alongside the id, so redact_pii can chain
+    # onto the same projection) — joining two derivations of the same
+    # frame on doc_id would add a pointless shuffle to a query that
+    # needs none.
+    stats = pii_stats(built, "doc_id", "text", keep_cols=("text",))
+    return redact_pii(stats, "text", output_col="redacted").drop("text")
 
 
 @query(
