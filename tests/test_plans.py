@@ -221,3 +221,26 @@ def test_domain_mixture_sorts_only_cutoff_bucket(spark):
     # exactly one Window (edge branch); the below-cutoff branch has none
     assert text.count(") Window") == 1
     assert_no_cartesian(df)
+
+
+def test_pii_redaction_map_only_no_shuffle(spark):
+    """The PII pass is a pure scan->project query: counts + redaction
+    chain on ONE projection (pii_stats keep_cols). A refactor that
+    re-joins the stats and redaction derivations on doc_id adds an
+    Exchange here."""
+    df = q("pii_redaction", spark)
+    assert count_exchanges(df) == 0
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "source", "text"}
+
+
+def test_url_domains_distinct_agg_exchanges_only(spark):
+    """Host extraction is a map-side explode feeding the aggregation;
+    the only shuffles are the TWO a grouped count(DISTINCT) needs
+    (partial on (domain, doc_id) -> exchange -> merge -> exchange on
+    domain), both fed by map-side partials. A third exchange means
+    the explode started shuffling."""
+    df = q("url_domains", spark)
+    assert count_exchanges(df) == 2
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "lang", "source"}
