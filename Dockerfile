@@ -24,7 +24,7 @@ WORKDIR /app
 
 # Layer-cache the (heavy) dependency install against source edits.
 COPY pyproject.toml README.md ./
-RUN pip install --no-cache-dir pyspark>=4.0 "pandas>=2.0" "pyarrow>=12"
+RUN pip install --no-cache-dir "pyspark>=4.0" "pandas>=2.0" "pyarrow>=12"
 
 COPY python_stream_processing_framework_spark ./python_stream_processing_framework_spark
 COPY examples ./examples

@@ -463,7 +463,9 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:
     from python_stream_processing_framework_spark.operators.common import materialize
 
     deduped = dedup_corpus(
-        good, minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5), "doc_id"
+        good,
+        minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5, expand="star"),
+        "doc_id",
     )
     # STAGE BOUNDARY: domain_mixture makes two passes over its input
     # (bucket histogram, then selection) and the audits below re-read
@@ -616,7 +618,9 @@ def _corpus_pipeline_10x_bench(spark) -> dict:
         deduped = materialize(
             dedup_corpus(
                 good,
-                minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5),
+                minhash_lsh_pairs(
+                    good, "doc_id", "text", threshold=0.5, expand="star"
+                ),
                 "doc_id",
             )
         )

@@ -77,7 +77,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     good = redact_pii(good, "text")
 
     # 2-3. near-dup pairs -> one canonical doc per cluster
-    pairs = minhash_lsh_pairs(good, "doc_id", "text", threshold=0.5)
+    # star expansion: linearly many (canonical, member) edges instead
+    # of O(c^2) intra-cluster pairs — the right input for dedup_corpus
+    # at real duplicate mass (see dedup_corpus docstring)
+    pairs = minhash_lsh_pairs(
+        good, "doc_id", "text", threshold=0.5, expand="star"
+    )
     deduped = dedup_corpus(good, pairs, "doc_id")
     n2 = deduped.count()
 

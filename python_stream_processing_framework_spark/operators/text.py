@@ -275,9 +275,15 @@ def redact_pii(
 
 
 #: URL + capture-group-for-host written in the same dual-engine
-#: subset. Host chars stop at '/', ':', whitespace, or quote.
-URL_PATTERN = r"https?://[^\s/:\"']+[^\s\"']*"
-URL_HOST_PATTERN = r"https?://([^\s/:\"']+)"
+#: subset (non-capturing groups are valid Java regex AND RE2). The
+#: optional userinfo prefix is load-bearing: without it, a URL like
+#: https://x@spam.example.org captures 'x@spam.example.org' as the
+#: host — a one-character bypass of any blocklist equi-join. The
+#: `(?:userinfo@)?` group consumes the credential part so the capture
+#: is always the real host; host chars stop at '/', ':', '@',
+#: whitespace, or quote.
+URL_PATTERN = r"https?://[^\s/\"']+[^\s\"']*"
+URL_HOST_PATTERN = r"https?://(?:[^\s/:@\"']+@)?([^\s/:@\"']+)"
 
 
 def extract_url_domains(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

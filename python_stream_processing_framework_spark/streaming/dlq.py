@@ -228,32 +228,38 @@ def _replay_distributed(df: DataFrame, target_dir: str) -> int:
     """Executor-side DLQ re-emission: drop the DLQ metadata columns,
     write one JSON-lines file per non-empty partition into the topic
     dir with `Stream.emit`'s atomic write-then-rename, return only the
-    summed row count to the driver. Requires the broker dir to be a
-    shared filesystem — the file broker's standing assumption."""
-    clean = df.drop(*[c for c in df.columns if c in DLQ_METADATA_KEYS])
+    summed row count to the driver. File names are DETERMINISTIC
+    WITHIN one replay job — a per-invocation token chosen once on the
+    driver plus the partition index — so a task retry or speculative
+    duplicate attempt overwrites its own file via rename instead of
+    delivering the partition twice (the `_write_batch_jsonl`
+    idempotency contract), while two successive replay invocations
+    never collide. Requires the broker dir to be a shared filesystem
+    — the file broker's standing assumption."""
+    import uuid as _uuid
 
-    def write_partition(rows_iter):
+    clean = df.drop(*[c for c in df.columns if c in DLQ_METADATA_KEYS])
+    job_token = _uuid.uuid4().hex[:12]  # driver-side: stable across task retries
+
+    def write_partition(idx, rows_iter):
         import json as _json
         import os
-        import uuid as _uuid
 
+        name = f"replay-{job_token}-p{idx:05d}"
+        tmp_path = os.path.join(target_dir, f".{name}.tmp")
         n = 0
         out = None
-        tmp_path = None
         for row in rows_iter:
             if out is None:
-                tmp_path = os.path.join(target_dir, f".batch-{_uuid.uuid4().hex}.tmp")
                 out = open(tmp_path, "w")
             out.write(_json.dumps(row.asDict(recursive=True), default=str) + "\n")
             n += 1
         if out is not None:
             out.close()
-            base = os.path.basename(tmp_path)
-            final = os.path.join(target_dir, base[1:].removesuffix(".tmp") + ".json")
-            os.rename(tmp_path, final)
+            os.rename(tmp_path, os.path.join(target_dir, name + ".json"))
         yield n
 
-    return sum(clean.rdd.mapPartitions(write_partition).collect())
+    return sum(clean.rdd.mapPartitionsWithIndex(write_partition).collect())
 
 
 class IdempotentSink:

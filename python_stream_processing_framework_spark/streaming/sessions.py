@@ -233,6 +233,7 @@ def sessionize_stream(
     inside Spark's allowed lateness, so dropping them silently would
     recreate the reference bug this module exists to fix).
     """
+    grace_ms = grace_ms or None  # 0 = no grace window = plain mode
     if grace_ms is not None:
         if watermark_delay is None:
             raise ValueError("grace_ms requires watermark_delay")
@@ -306,13 +307,20 @@ def _delay_to_ms(spec: str) -> int:
 
 
 def _split_stragglers(
-    events: pd.DataFrame, c_last: int | None, gap_ms: int
+    events: pd.DataFrame, c_start: int | None, c_last: int | None, gap_ms: int
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """(stragglers-for-tombstone, rest). A row belongs to the closed
-    session iff it would have merged into it: ts <= closed.last + gap."""
+    session iff it WOULD HAVE merged into it had it arrived on time:
+    within gap of either boundary — ts <= closed.last + gap AND
+    ts >= closed.start - gap. The lower bound is load-bearing: an
+    ancient event (or a straggler of an OLDER closed session after a
+    tombstone replacement) must not be attributed to this session's
+    boundaries; it falls through to the normal fold instead."""
     if c_last is None or events.empty:
         return events.iloc[0:0], events
-    mask = events["_ts_ms"] <= c_last + gap_ms
+    mask = (events["_ts_ms"] <= c_last + gap_ms) & (
+        events["_ts_ms"] >= c_start - gap_ms
+    )
     return events[mask], events[~mask]
 
 
@@ -403,7 +411,7 @@ def _sessionize_grace(
             events = pd.concat(chunks, ignore_index=True)
             # Stragglers match the tombstone AS OF batch start — before
             # any session this batch closes replaces it.
-            stragglers, rest = _split_stragglers(events, c_last, gap_ms)
+            stragglers, rest = _split_stragglers(events, c_start, c_last, gap_ms)
             for ev in stragglers.sort_values("_ts_ms").to_dict("records"):
                 rows.append(late_row(ev, c_start, c_last))
             closed, o_start, o_last, o_n, st = _fold_batch(
@@ -463,6 +471,7 @@ def sessionize_stream_tws(
     (`spark.sql.streaming.stateStore.providerClass`); raises
     RuntimeError naming whichever is missing.
     """
+    grace_ms = grace_ms or None  # 0 = no grace window = plain mode
     if grace_ms is not None and watermark_delay is None:
         raise ValueError("grace_ms requires watermark_delay")
     if not HAS_TWS:
@@ -617,7 +626,7 @@ def _sessionize_grace_tws(
             c_start, c_last = (tomb[0], tomb[1]) if tomb is not None else (None, None)
 
             events = pd.concat(list(rows), ignore_index=True)
-            stragglers, rest = _split_stragglers(events, c_last, gap_ms)
+            stragglers, rest = _split_stragglers(events, c_start, c_last, gap_ms)
             for ev in stragglers.sort_values("_ts_ms").to_dict("records"):
                 yield self._row(
                     key[0], "late", c_start, c_last + gap_ms, 1,

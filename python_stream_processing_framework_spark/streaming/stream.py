@@ -654,7 +654,7 @@ class Stream:
             ts, F.col(ts).cast("timestamp")
         )
         delay_ms = opts["watermark_delay_ms"]
-        grace_ms = opts.get("grace_ms")
+        grace_ms = opts.get("grace_ms") or None  # 0 = no grace = plain
         sessions = sessionize_stream(
             src,
             opts["key_field"],
@@ -672,37 +672,45 @@ class Stream:
         def write_sessions(batch: DataFrame, batch_id: int) -> None:
             # Distributed + idempotent per batch_id, like the other
             # facade sinks: a foreachBatch retry rewrites its own files.
-            if batch.isEmpty():
-                return
             if grace_ms is None:
+                if batch.isEmpty():
+                    return
                 _write_batch_jsonl(batch, sink_dir, batch_id)
                 return
             # grace mode: split the kind discriminator — sessions keep
             # the 5-column contract; stragglers land in the -late topic
-            # as event payload + attribution metadata columns.
-            _write_batch_jsonl(
-                batch.filter(F.col("kind") == "session").select(
-                    key,
-                    "session_start_ms",
-                    "session_end_ms",
-                    "n_events",
-                    F.col("payload_json").alias("state_json"),
-                ),
-                sink_dir,
-                batch_id,
-            )
-            _write_batch_jsonl(
-                batch.filter(F.col("kind") == "late").select(
-                    key,
-                    F.col("ts_ms").alias("_ts_ms"),
-                    F.col("session_start_ms").alias("_session_start_ms"),
-                    F.col("session_end_ms").alias("_session_end_ms"),
-                    F.col("payload_json").alias("_event_json"),
-                ),
-                late_dir,
-                batch_id,
-                tag="-late",
-            )
+            # as event payload + attribution metadata columns. Persist
+            # like _start_router's split-write: without it the stateful
+            # micro-batch plan would re-execute per branch.
+            batch.persist()
+            try:
+                if batch.isEmpty():
+                    return
+                _write_batch_jsonl(
+                    batch.filter(F.col("kind") == "session").select(
+                        key,
+                        "session_start_ms",
+                        "session_end_ms",
+                        "n_events",
+                        F.col("payload_json").alias("state_json"),
+                    ),
+                    sink_dir,
+                    batch_id,
+                )
+                _write_batch_jsonl(
+                    batch.filter(F.col("kind") == "late").select(
+                        key,
+                        F.col("ts_ms").alias("_ts_ms"),
+                        F.col("session_start_ms").alias("_session_start_ms"),
+                        F.col("session_end_ms").alias("_session_end_ms"),
+                        F.col("payload_json").alias("_event_json"),
+                    ),
+                    late_dir,
+                    batch_id,
+                    tag="-late",
+                )
+            finally:
+                batch.unpersist()
 
         return (
             sessions.writeStream.foreachBatch(write_sessions)

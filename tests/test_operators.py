@@ -531,3 +531,22 @@ def test_url_domains_and_blocklist(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_url_userinfo_cannot_bypass_blocklist(spark):
+    """https://x@spam.example.org must extract host spam.example.org
+    (not 'x@spam.example.org'), else a one-character userinfo prefix
+    evades the blocklist equi-join."""
+    from python_stream_processing_framework_spark.operators.text import (
+        extract_url_domains,
+        filter_url_blocklist,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "link https://x@spam.example.org/payload here")],
+        ["doc_id", "text"],
+    )
+    hosts = [r["domain"] for r in extract_url_domains(df, "doc_id", "text").collect()]
+    assert hosts == ["spam.example.org"]
+    bl = spark.createDataFrame([("spam.example.org",)], ["domain"])
+    assert filter_url_blocklist(df, "doc_id", "text", bl).count() == 0

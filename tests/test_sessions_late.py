@@ -409,3 +409,48 @@ def test_grace_sessions_exactly_once_across_crash_replay(spark, tmp_path):
     # exactly once each, despite every row-bearing batch being replayed
     assert sessions == [("u", 10_000, 19_000, 2)]
     assert lates == [("u", 13_000, 10_000, 19_000)]
+
+
+def test_ancient_event_not_misattributed_to_tombstone(spark, stream):
+    """The straggler match has a LOWER bound too: an event far older
+    than the closed session (outside gap of its start) would never
+    have merged into it, so it must NOT be emitted as that session's
+    late row — it falls through to the normal fold instead."""
+    # numbers chosen so the session CLOSES (spark wm 111.5-62 = 49.5
+    # passes the grace-shifted close boundary 104+5-60 = 49) while the
+    # ancient event at t=50 still survives the grace-delayed late-row
+    # filter (50 >= 49.5's predecessor) — yet sits far outside gap of
+    # the closed session's start (50 < 100-5).
+    stream.sessionize(
+        "s",
+        EVENT_SCHEMA,
+        key_field="key",
+        gap_ms=5_000,
+        fold=_make_sum_fold(),
+        watermark_delay_ms=2_000,
+        grace_ms=60_000,
+    )
+    stream.emit(
+        "s",
+        {"key": "u", "timestamp": 100.0, "value": 1.0},
+        {"key": "u", "timestamp": 104.0, "value": 2.0},
+        {"key": "v", "timestamp": 111.5, "value": 9.0},  # closes u via timer
+    )
+    stream.run_until_idle()
+    assert ("u", 100_000, 109_000, 2, 3.0) in _sessions(stream)
+
+    # ancient event: 50s BEFORE the closed session started
+    stream.emit("s", {"key": "u", "timestamp": 50.0, "value": 7.0})
+    stream.run_until_idle()
+    assert _lates(stream) == []  # NOT attributed to [100s, 109s)
+    # it folded normally instead: a (closed-or-open) session at 50s
+    # exists once everything flushes
+    stream.emit("s", {"key": "w", "timestamp": 1000.0, "value": 0.0})
+    stream.run_until_idle()
+    assert ("u", 50_000, 55_000, 1, 7.0) in _sessions(stream)
+    # a legit straggler within gap of the REPLACED-BY-NOTHING window
+    # still works: nothing else changed
+    assert [s for s in _sessions(stream) if s[0] == "u"] == [
+        ("u", 50_000, 55_000, 1, 7.0),
+        ("u", 100_000, 109_000, 2, 3.0),
+    ]
