@@ -204,6 +204,34 @@ def search(data: str, query: str, k: int) -> None:
         print("no documents matched the query")
 
 
+def trim(broker: str, topic: str, keep_files: int) -> None:
+    """Retention: delete the topic's oldest emit-files beyond the
+    newest `keep_files` — the file-broker analog of the reference's
+    XADD maxlen stream trimming (pspf/connectors/valkey.py:292).
+
+    Deleting OLD files is safe for consumers: a running query's file
+    source ignores already-committed files that disappear, and a new
+    consumer simply sees less history (exactly XTRIM semantics). The
+    unsafe operation — rewriting/compacting files in place — is
+    deliberately not offered: the file source tracks files by name,
+    so a compacted file would re-deliver its rows as new data.
+    """
+    d = Path(broker) / topic
+    files = sorted(
+        (p for p in d.glob("*.json*") if p.is_file()),
+        key=lambda p: p.stat().st_mtime,
+    )
+    doomed = files[:-keep_files] if keep_files > 0 else files
+    n_rows = 0
+    for f in doomed:
+        n_rows += sum(1 for _ in f.open())
+        f.unlink()
+    print(
+        f"trimmed {len(doomed)} files ({n_rows} messages) from {topic}; "
+        f"{len(files) - len(doomed)} files kept"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="pspf-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -228,6 +256,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--broker", required=True)
     p.add_argument("--topic", required=True)
     p.add_argument("--group", required=True)
+    p = sub.add_parser("trim")
+    p.add_argument("--broker", required=True)
+    p.add_argument("--topic", required=True)
+    p.add_argument(
+        "--keep", type=int, required=True,
+        help="newest emit-files to keep (XTRIM/maxlen analog)",
+    )
     sub.add_parser("backends")
     p = sub.add_parser("search")
     p.add_argument("--data", required=True, help="sf dir or documents parquet")
@@ -251,6 +286,8 @@ def main(argv: list[str] | None = None) -> None:
         groups(args.broker, args.topic)
     elif args.cmd == "reset":
         reset(args.broker, args.topic, args.group)
+    elif args.cmd == "trim":
+        trim(args.broker, args.topic, args.keep)
     elif args.cmd == "search":
         search(args.data, args.query, args.k)
     elif args.cmd == "backends":

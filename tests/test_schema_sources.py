@@ -320,3 +320,31 @@ def test_prometheus_exposition_escapes_labels():
     assert 'query="win\\\\10m \\"hot\\"\\nline"' in text
     assert 'id="id\\"1"' in text
     assert "\nline" not in text.replace("\\n", "")  # no raw newline inside a label
+
+
+def test_cli_trim_retention(tmp_path, capsys):
+    """`trim --keep N` deletes the oldest emit-files beyond N (the
+    XTRIM/maxlen analog), counting deleted messages; newer files and
+    a running consumer's semantics are untouched (old-file deletion is
+    the safe direction for the file source)."""
+    import os
+    import time as _time
+
+    from python_stream_processing_framework_spark import cli
+
+    topic = tmp_path / "broker" / "events"
+    topic.mkdir(parents=True)
+    for i in range(5):
+        f = topic / f"msg-{i}.json"
+        f.write_text('{"n": %d}\n{"n": %d}\n' % (i, i))
+        # distinct mtimes so oldest-first ordering is deterministic
+        t = _time.time() - (10 - i)
+        os.utime(f, (t, t))
+
+    cli.main(["trim", "--broker", str(tmp_path / "broker"),
+              "--topic", "events", "--keep", "2"])
+    out = capsys.readouterr().out
+    assert "trimmed 3 files (6 messages)" in out and "2 files kept" in out
+    assert sorted(p.name for p in topic.glob("*.json")) == [
+        "msg-3.json", "msg-4.json",
+    ]
