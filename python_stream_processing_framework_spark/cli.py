@@ -216,15 +216,20 @@ def trim(broker: str, topic: str, keep_files: int) -> None:
     deliberately not offered: the file source tracks files by name,
     so a compacted file would re-deliver its rows as new data.
     """
+    if keep_files < 0:
+        raise SystemExit("trim: --keep must be >= 0 (0 = drop all history)")
     d = Path(broker) / topic
+    # *.json is THE topic contract (emit, the file source, replay all
+    # use it); a looser glob would delete and miscount files consumers
+    # never saw.
     files = sorted(
-        (p for p in d.glob("*.json*") if p.is_file()),
+        (p for p in d.glob("*.json") if p.is_file()),
         key=lambda p: p.stat().st_mtime,
     )
     doomed = files[:-keep_files] if keep_files > 0 else files
     n_rows = 0
     for f in doomed:
-        n_rows += sum(1 for _ in f.open())
+        n_rows += len(f.read_text().splitlines())
         f.unlink()
     print(
         f"trimmed {len(doomed)} files ({n_rows} messages) from {topic}; "

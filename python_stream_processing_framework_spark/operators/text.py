@@ -275,15 +275,18 @@ def redact_pii(
 
 
 #: URL + capture-group-for-host written in the same dual-engine
-#: subset (non-capturing groups are valid Java regex AND RE2). The
-#: optional userinfo prefix is load-bearing: without it, a URL like
-#: https://x@spam.example.org captures 'x@spam.example.org' as the
-#: host — a one-character bypass of any blocklist equi-join. The
-#: `(?:userinfo@)?` group consumes the credential part so the capture
-#: is always the real host; host chars stop at '/', ':', '@',
-#: whitespace, or quote.
+#: subset (non-capturing groups are valid Java regex AND RE2),
+#: following RFC-3986 authority parsing: the authority ends at the
+#: first '/', '?' or '#', and the host is what follows the LAST '@'
+#: inside it (browsers parse userinfo the same way). The greedy
+#: `(?:[^\s/?#"']*@)?` userinfo group is load-bearing: without it,
+#: https://x@spam.example.org captures 'x@spam.example.org' — and a
+#: lazier class would still let 'u:p@' or 'a@b@' prefixes smuggle a
+#: blocklisted host past the equi-join. Because the group cannot
+#: cross '/', '?' or '#', an '@' in the query string
+#: (https://spam.example.org?a@x) cannot displace the real host.
 URL_PATTERN = r"https?://[^\s/\"']+[^\s\"']*"
-URL_HOST_PATTERN = r"https?://(?:[^\s/:@\"']+@)?([^\s/:@\"']+)"
+URL_HOST_PATTERN = r"https?://(?:[^\s/?#\"']*@)?([^\s/:@?#\"']+)"
 
 
 def extract_url_domains(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

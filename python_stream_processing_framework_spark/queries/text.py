@@ -285,7 +285,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts AS (
       SELECT doc_id,
              lower(unnest(regexp_extract_all(
-               text, 'https?://(?:[^\\s/:@"'']+@)?([^\\s/:@"'']+)', 1)))
+               text, 'https?://(?:[^\\s/?#"'']*@)?([^\\s/:@?#"'']+)', 1)))
                AS domain
       FROM built)
     SELECT domain,

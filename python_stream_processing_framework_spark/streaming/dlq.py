@@ -244,9 +244,18 @@ def _replay_distributed(df: DataFrame, target_dir: str) -> int:
     def write_partition(idx, rows_iter):
         import json as _json
         import os
+        import uuid as _uuid2
 
+        # FINAL name deterministic per (job, partition) — a retry's
+        # rename atomically replaces the prior attempt's file, never
+        # appends. TMP name unique PER ATTEMPT: concurrent attempts
+        # (speculation, zombie task) must not share an inode, or
+        # their writes interleave and one's rename publishes the
+        # other's half-written data.
         name = f"replay-{job_token}-p{idx:05d}"
-        tmp_path = os.path.join(target_dir, f".{name}.tmp")
+        tmp_path = os.path.join(
+            target_dir, f".{name}.{_uuid2.uuid4().hex[:8]}.tmp"
+        )
         n = 0
         out = None
         for row in rows_iter:

@@ -324,6 +324,26 @@ def _split_stragglers(
     return events[mask], events[~mask]
 
 
+def _split_orphans(
+    events: pd.DataFrame, o_start: int | None, gap_ms: int
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(orphans, foldable). When an OPEN session exists, a row more
+    than gap BEFORE its start can neither merge into it nor start a
+    coherent earlier session (the fold's state is already past it) —
+    handing it to `_fold_batch` would MERGE it into the unrelated open
+    session, because the fold's `t - last <= gap` test is trivially
+    true for any past timestamp. Such rows are captured as
+    UNATTRIBUTED late rows (null session boundaries) instead — the
+    reference's plain -late routing, minus the attribution a matching
+    tombstone would have provided. Without an open session the fold
+    handles old rows correctly (they start their own session), so
+    everything stays foldable."""
+    if o_start is None or events.empty:
+        return events.iloc[0:0], events
+    mask = events["_ts_ms"] < o_start - gap_ms
+    return events[mask], events[~mask]
+
+
 def _sessionize_grace(
     df: DataFrame,
     key_col: str,
@@ -372,8 +392,11 @@ def _sessionize_grace(
         def flush(rows):
             if rows:
                 pdf = pd.DataFrame(rows, columns=[f.name for f in out.fields])
-                # None-or-int mix must be nullable Int64, not object
-                pdf["ts_ms"] = pd.array(pdf["ts_ms"], dtype="Int64")
+                # None-or-int mixes must be nullable Int64, not object
+                # (ts_ms is null on session rows; the session columns
+                # are null on unattributed late rows)
+                for c in ("session_start_ms", "session_end_ms", "n_events", "ts_ms"):
+                    pdf[c] = pd.array(pdf[c], dtype="Int64")
                 yield pdf
 
         wm = state.getCurrentWatermarkMs()
@@ -414,6 +437,11 @@ def _sessionize_grace(
             stragglers, rest = _split_stragglers(events, c_start, c_last, gap_ms)
             for ev in stragglers.sort_values("_ts_ms").to_dict("records"):
                 rows.append(late_row(ev, c_start, c_last))
+            orphans, rest = _split_orphans(rest, o_start, gap_ms)
+            for ev in orphans.sort_values("_ts_ms").to_dict("records"):
+                rows.append(
+                    row("late", None, None, 1, int(ev["_ts_ms"]), _late_payload(ev))
+                )
             closed, o_start, o_last, o_n, st = _fold_batch(
                 rest, "_ts_ms", fold, init, o_start, o_last, o_n, st, gap_ms
             )
@@ -582,13 +610,15 @@ def _sessionize_grace_tws(
             self._tomb = handle.getValueState("tomb", _TOMB_SCHEMA)
 
         def _row(self, key, kind, start, end, n, ts_ms, payload):
+            # nullable Int64 throughout: ts_ms is null on session rows,
+            # the session columns are null on unattributed late rows
             return pd.DataFrame(
                 {
                     key_col: [key],
                     "kind": [kind],
-                    "session_start_ms": [start],
-                    "session_end_ms": [end],
-                    "n_events": [n],
+                    "session_start_ms": pd.array([start], dtype="Int64"),
+                    "session_end_ms": pd.array([end], dtype="Int64"),
+                    "n_events": pd.array([n], dtype="Int64"),
                     "ts_ms": pd.array([ts_ms], dtype="Int64"),
                     "payload_json": [payload],
                 }
@@ -630,6 +660,12 @@ def _sessionize_grace_tws(
             for ev in stragglers.sort_values("_ts_ms").to_dict("records"):
                 yield self._row(
                     key[0], "late", c_start, c_last + gap_ms, 1,
+                    int(ev["_ts_ms"]), _late_payload(ev),
+                )
+            orphans, rest = _split_orphans(rest, start, gap_ms)
+            for ev in orphans.sort_values("_ts_ms").to_dict("records"):
+                yield self._row(
+                    key[0], "late", None, None, 1,
                     int(ev["_ts_ms"]), _late_payload(ev),
                 )
             closed, start, last, n, st = _fold_batch(

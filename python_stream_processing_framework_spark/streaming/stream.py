@@ -82,9 +82,14 @@ def _write_batch_jsonl(
     def write_partition(idx, rows_iter):
         import json as _json
         import os
+        import uuid as _uuid
 
+        # FINAL name deterministic per (batch_id, partition); TMP name
+        # unique per ATTEMPT — concurrent attempts (speculation,
+        # zombie task) sharing one tmp inode would interleave writes
+        # and publish torn data via the other attempt's rename.
         name = f"batch-{batch_id:012d}{tag}-p{idx:05d}"
-        tmp = os.path.join(sink_dir, f".{name}.tmp")
+        tmp = os.path.join(sink_dir, f".{name}.{_uuid.uuid4().hex[:8]}.tmp")
         out = None
         for row in rows_iter:
             if out is None:

@@ -550,3 +550,28 @@ def test_url_userinfo_cannot_bypass_blocklist(spark):
     assert hosts == ["spam.example.org"]
     bl = spark.createDataFrame([("spam.example.org",)], ["domain"])
     assert filter_url_blocklist(df, "doc_id", "text", bl).count() == 0
+
+
+def test_url_authority_parsing_resists_bypass_variants(spark):
+    """RFC-3986 authority semantics: host = what follows the LAST '@'
+    before the first '/', '?' or '#'. Each row is a bypass attempt the
+    naive patterns fell for."""
+    from python_stream_processing_framework_spark.operators.text import (
+        extract_url_domains,
+    )
+
+    cases = [
+        (1, "https://x@spam.example.org/p", "spam.example.org"),
+        (2, "https://u:p@spam.example.org/p", "spam.example.org"),
+        (3, "https://a@b@spam.example.org/p", "spam.example.org"),
+        (4, "https://spam.example.org?a@x", "spam.example.org"),
+        (5, "https://spam.example.org#a@x", "spam.example.org"),
+        (6, "https://spam.example.org:8080/p", "spam.example.org"),
+        (7, "https://spam.example.org", "spam.example.org"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in extract_url_domains(df, "doc_id", "text").collect()
+    }
+    assert got == {i: want for i, _, want in cases}

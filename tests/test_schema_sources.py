@@ -348,3 +348,14 @@ def test_cli_trim_retention(tmp_path, capsys):
     assert sorted(p.name for p in topic.glob("*.json")) == [
         "msg-3.json", "msg-4.json",
     ]
+
+
+def test_cli_trim_rejects_negative_keep(tmp_path):
+    import pytest as _pytest
+
+    from python_stream_processing_framework_spark import cli
+
+    (tmp_path / "broker" / "events").mkdir(parents=True)
+    with _pytest.raises(SystemExit, match="must be >= 0"):
+        cli.main(["trim", "--broker", str(tmp_path / "broker"),
+                  "--topic", "events", "--keep", "-1"])

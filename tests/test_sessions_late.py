@@ -454,3 +454,46 @@ def test_ancient_event_not_misattributed_to_tombstone(spark, stream):
         ("u", 50_000, 55_000, 1, 7.0),
         ("u", 100_000, 109_000, 2, 3.0),
     ]
+
+
+def test_ancient_event_with_open_session_captured_unattributed(spark, stream):
+    """An ancient event arriving while a NEWER session is open can
+    neither merge into it (it predates the open session's start by
+    more than gap) nor retroactively start its own session (the fold
+    state is already past it) — it must be captured as an
+    UNATTRIBUTED late row, never folded into the open session."""
+    stream.sessionize(
+        "s",
+        EVENT_SCHEMA,
+        key_field="key",
+        gap_ms=5_000,
+        fold=_make_sum_fold(),
+        watermark_delay_ms=2_000,
+        grace_ms=60_000,
+    )
+    stream.emit(
+        "s",
+        {"key": "u", "timestamp": 100.0, "value": 1.0},
+        {"key": "u", "timestamp": 104.0, "value": 2.0},
+        {"key": "v", "timestamp": 111.5, "value": 9.0},
+    )
+    stream.run_until_idle()  # closes u's [100,109) via timer
+    stream.emit("s", {"key": "u", "timestamp": 110.0, "value": 4.0})
+    stream.run_until_idle()  # u has an OPEN session at 110s now
+
+    stream.emit("s", {"key": "u", "timestamp": 50.0, "value": 7.0})
+    stream.run_until_idle()
+    lates = _lates(stream)
+    assert len(lates) == 1
+    key, ts_ms, s_start, s_end, event = lates[0]
+    assert (key, ts_ms) == ("u", 50_000)
+    assert s_start is None and s_end is None  # unattributed
+    assert event["value"] == 7.0
+
+    # the open session was NOT corrupted: close it and check contents
+    stream.emit("s", {"key": "w", "timestamp": 1000.0, "value": 0.0})
+    stream.run_until_idle()
+    assert ("u", 110_000, 115_000, 1, 4.0) in _sessions(stream)
+    assert not any(  # and no phantom session at 50s
+        s[0] == "u" and s[1] == 50_000 for s in _sessions(stream)
+    )
