@@ -58,3 +58,18 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an array<double> column: x / ||x||.
+
+    The standard pre-step before ANN indexing — on unit vectors,
+    cosine similarity IS the dot product, so the cheaper `dot` can
+    replace `cosine` everywhere downstream (and IVF/PQ train on the
+    normalized space they will query in). The zero vector has no
+    direction: its norm is nulled (`nullif`) so the result is an
+    array of nulls rather than NaNs, which comparisons and
+    aggregations then ignore instead of poisoning.
+    """
+    norm = F.nullif(l2_norm(a), F.lit(0.0))
+    return F.transform(a, lambda x: x / norm)

@@ -458,3 +458,48 @@ def int8_mips_topk(
         )
     )
     return scored.orderBy(F.col("dot_q").desc(), F.col(id_col)).limit(k)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    *,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean embedding per group.
+
+    The two standard shapes of embedding aggregation in a corpus
+    pipeline: chunk embeddings -> one document embedding (group by
+    doc), and document embeddings -> a domain/source centroid (group
+    by domain — the input to centroid-based semantic mixture or
+    drift monitoring).
+
+    Shape: posexplode + groupBy(group, pos) + avg, then rebuild the
+    array sorted by position — the same dimension-agnostic layout the
+    IVF centroid build uses (one shuffle keyed on (group, pos), never
+    `dim` separate aggregates, which stalls Catalyst past ~100 dims).
+    Rows with null/empty vectors are dropped. Note the per-(group,
+    pos) float sum is shuffle-order-dependent in the last ulp, like
+    any distributed mean — fine for pooling, not for bit-exact
+    oracles.
+    """
+    exploded = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(*group_cols, F.posexplode(vec_col).alias("_i", "_x"))
+        .groupBy(*group_cols, "_i")
+        .agg(F.avg("_x").alias("_m"))
+    )
+    return (
+        exploded.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_i", "_m"))
+            ).alias("_parts"),
+            F.count(F.lit(1)).alias("_dim"),
+        )
+        .select(
+            *group_cols,
+            F.expr("transform(_parts, p -> p._m)").alias(out_col),
+        )
+    )

@@ -49,7 +49,10 @@ the expressiveness named timers exist for; the canonical form emulates
 them with one timeout slot set to the earliest pending boundary and
 re-armed on fire. Output schema changes in grace mode (a `kind`
 discriminator + `ts_ms` + `payload_json`); with `grace_ms=None` both
-functions emit the original 5-column contract unchanged.
+functions emit the original 5-column contract unchanged. A straggler
+matching no tombstone that arrives behind an OPEN session (more than
+gap before its start) is captured with NULL session boundaries — see
+`_split_orphans` for why folding it would corrupt the open session.
 
 Scale shape (both): one shuffle on the key into the stateful exchange;
 state per key is O(1) (the active session's fold accumulator, not the

@@ -575,3 +575,57 @@ def test_url_authority_parsing_resists_bypass_variants(spark):
         for r in extract_url_domains(df, "doc_id", "text").collect()
     }
     assert got == {i: want for i, _, want in cases}
+
+
+def test_l2_normalize_and_mean_pool(spark):
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.functions.vectors import (
+        dot,
+        l2_normalize,
+    )
+    from python_stream_processing_framework_spark.operators.similarity import (
+        mean_pool,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [3.0, 4.0]), ("z", [0.0, 0.0])], ["id", "embedding"]
+    )
+    rows = {
+        r["id"]: r["u"]
+        for r in df.select(
+            "id", l2_normalize(F.col("embedding")).alias("u")
+        ).collect()
+    }
+    assert rows["a"] == [0.6, 0.8]
+    # zero vector nulls out instead of NaN-poisoning downstream aggs
+    assert rows["z"] == [None, None]
+    # on unit vectors cosine IS the dot product
+    unit = df.filter("id = 'a'").select(
+        dot(
+            l2_normalize(F.col("embedding")), l2_normalize(F.col("embedding"))
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert abs(unit - 1.0) < 1e-12
+
+    # chunk -> doc pooling: exact means on exactly-representable values
+    chunks = spark.createDataFrame(
+        [
+            ("d1", [1.0, 2.0]),
+            ("d1", [3.0, 6.0]),
+            ("d2", [4.0, 0.0]),
+            ("d3", None),
+        ],
+        ["doc", "embedding"],
+    )
+    pooled = {
+        r["doc"]: r["embedding"]
+        for r in mean_pool(chunks, ["doc"]).collect()
+    }
+    assert pooled == {"d1": [2.0, 4.0], "d2": [4.0, 0.0]}  # d3 dropped
+    # dimension-agnostic single-shuffle shape: one exchange on
+    # (group, pos) + the final per-group rebuild
+    plan = (
+        mean_pool(chunks, ["doc"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2
