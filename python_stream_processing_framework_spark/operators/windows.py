@@ -107,10 +107,11 @@ def split_late(
     late when its window END is strictly before the watermark
     (`end < current_watermark`, pspf/stream.py:402), and late
     events are routed to a `{topic}-late` stream instead of silently
-    dropped (pspf/stream.py:391-413). In streaming, the same split runs
-    inside foreachBatch against the query's checkpointed watermark (see
-    streaming/dlq.py); this batch shape derives the watermark with a
-    broadcast scalar aggregate — no driver collect.
+    dropped (pspf/stream.py:391-413). In streaming, the same rule runs
+    as `Stream.window(late_topic=...)`'s companion router query
+    against a checkpointed high-watermark (streaming/stream.py
+    `_start_late_router`); this batch shape derives the watermark with
+    a broadcast scalar aggregate — no driver collect.
     """
     wm = df.agg(
         (F.max(F.unix_micros(F.col(ts_col))) - F.lit(_duration_us(delay))).alias("wm_us")

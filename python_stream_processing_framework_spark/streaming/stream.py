@@ -363,6 +363,7 @@ class Stream:
         watermark_delay_ms: int = 0,
         sink_topic: str | None = None,
         group: str | None = None,
+        late_topic: str | None = None,
     ) -> None:
         """Register a keyed event-time windowed aggregation (reference
         @stream.window / Stream.aggregate, pspf/stream.py:106-118,
@@ -370,6 +371,18 @@ class Stream:
         `{topic}-agg`, or `{topic}-agg-N` for additional windows on the
         same topic) in update-ish semantics via foreachBatch; events
         later than the watermark are dropped by Spark's bookkeeping.
+
+        `late_topic` turns the silent drop into the reference's
+        `-late` routing (pspf/stream.py:402-413): a companion
+        stateless query on the same topic classifies each event
+        against a checkpointed high-watermark (max event time minus
+        the delay, committed per batch_id so retries classify
+        identically) and writes events whose latest relevant window
+        end is behind it to `late_topic` as JSON. Pass e.g.
+        `f"{topic}-late"`. The two queries keep independent — but
+        identically defined — watermarks over the same topic, like
+        the reference's per-handler watermarks; classifications can
+        differ only transiently at a batch boundary.
         """
         n_windows = sum(
             1 for s in self._subscriptions if s.kind == "window" and s.topic == topic
@@ -377,6 +390,8 @@ class Stream:
         suffix = "" if n_windows == 0 else f"-{n_windows}"
         g = group or f"window-{topic}{suffix}"
         self._claim(topic, g)
+        if late_topic:  # the companion router gets its own checkpoint
+            self._claim(topic, f"{g}--late")
         self._subscriptions.append(
             _Subscription(
                 kind="window",
@@ -390,6 +405,7 @@ class Stream:
                     "aggs": aggs,
                     "watermark_delay_ms": watermark_delay_ms,
                     "sink_topic": sink_topic or f"{topic}-agg{suffix}",
+                    "late_topic": late_topic,
                     "group": g,
                 },
             )
@@ -637,12 +653,80 @@ class Stream:
                 str(sink_dir)
             )
 
-        return (
+        agg_q = (
             agged.writeStream.foreachBatch(write_agg)
             .outputMode(mode)
             .option(
                 "checkpointLocation",
                 str(self.checkpoints / f"{sub.topic}-{opts['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not opts.get("late_topic"):
+            return agg_q
+        return [agg_q, self._start_late_router(sub)]
+
+    def _start_late_router(self, sub: _Subscription):
+        """Companion query for Stream.window(late_topic=...): route
+        events whose latest relevant window end is behind the
+        checkpointed high-watermark to the `-late` topic (reference
+        pspf/stream.py:402-413) instead of the agg query's silent
+        drop. Stateless except for a tiny watermark record keyed by
+        batch_id: classification always uses the watermark as it
+        stood BEFORE the batch (Spark's own late-filter semantics),
+        and a foreachBatch retry of the same batch_id reads the same
+        'before' value, so the late set — and the idempotent
+        per-batch_id files it writes — are identical across retries.
+        """
+        import json as _json
+
+        from python_stream_processing_framework_spark.streaming.windows import (
+            late_cutoff_end_ms,
+        )
+
+        opts = sub.options
+        spec: WindowSpec = opts["window"]
+        ts = opts["ts_field"]
+        delay_ms = opts["watermark_delay_ms"]
+        g = f"{opts['group']}--late"
+        src = self.stream_topic(sub.topic, sub.schema).withColumn(
+            "_ts_ms", F.unix_millis(F.col(ts).cast("timestamp"))
+        )
+        late_dir = str(self.topic_dir(opts["late_topic"]))
+        wm_path = self.checkpoints / f"{sub.topic}-{g}-wm.json"
+
+        def route_late(batch: DataFrame, batch_id: int) -> None:
+            state = {"bid": -1, "before": 0, "after": 0}
+            if wm_path.exists():
+                state = _json.loads(wm_path.read_text())
+            wm = state["before"] if batch_id == state["bid"] else state["after"]
+            batch.persist()
+            try:
+                if batch.isEmpty():
+                    return
+                _write_batch_jsonl(
+                    batch.filter(
+                        late_cutoff_end_ms(spec, F.col("_ts_ms")) < F.lit(wm)
+                    ).drop("_ts_ms"),
+                    late_dir,
+                    batch_id,
+                )
+                mx = batch.agg(F.max("_ts_ms").alias("m")).collect()[0]["m"]
+                after = max(wm, (mx or 0) - delay_ms)
+                tmp = wm_path.with_suffix(".tmp")
+                tmp.write_text(
+                    _json.dumps({"bid": batch_id, "before": wm, "after": after})
+                )
+                tmp.rename(wm_path)  # atomic: readers never see a torn record
+            finally:
+                batch.unpersist()
+
+        return (
+            src.writeStream.foreachBatch(route_late)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{g}"),
             )
             .trigger(availableNow=True)
             .start()

@@ -68,3 +68,27 @@ class SessionWindow:
 
 
 WindowSpec = TumblingWindow | SlidingWindow | SessionWindow
+
+
+def late_cutoff_end_ms(spec: WindowSpec, ts_ms_col: Column) -> Column:
+    """The LATEST window end (epoch ms) an event at `ts_ms_col` can
+    affect — the reference's lateness rule (`window end < current
+    watermark` routes to `-late`, pspf/stream.py:402) needs this
+    per-row, BEFORE any aggregation:
+
+    - tumbling: its one window's end;
+    - sliding: the end of the NEWEST window containing the event (if
+      even that window is behind the watermark, the event can affect
+      nothing live);
+    - session: the event's own singleton-session end (ts + gap) — the
+      boundary the grace-tombstone sessionizer also uses.
+    """
+    if isinstance(spec, TumblingWindow):
+        return (
+            F.floor(ts_ms_col / spec.size_ms) * spec.size_ms + spec.size_ms
+        ).cast("long")
+    if isinstance(spec, SlidingWindow):
+        return (
+            F.floor(ts_ms_col / spec.slide_ms) * spec.slide_ms + spec.size_ms
+        ).cast("long")
+    return (ts_ms_col + spec.gap_ms).cast("long")

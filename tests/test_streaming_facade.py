@@ -602,3 +602,46 @@ def test_windowed_agg_with_watermark_append_mode(spark, stream):
     }
     assert out2[("u", 0)] == (5.0, 1)  # unchanged
     assert out2[("u", 100_000_000)] == (1.0, 1)  # [100,110) finalized by 200s
+
+
+def test_window_late_topic_routes_instead_of_silent_drop(spark, stream):
+    """Stream.window(late_topic=...): events behind the checkpointed
+    high-watermark land in the -late topic (the reference's routing,
+    pspf/stream.py:402-413) while the agg query still drops them from
+    the aggregate; on-time events route nowhere; re-running without
+    new data duplicates nothing."""
+    stream.window(
+        "t",
+        TumblingWindow(10_000),
+        EVENT_SCHEMA,
+        key_field="key",
+        aggs={"total": F.sum("value")},
+        watermark_delay_ms=2_000,
+        late_topic="t-late",
+    )
+    stream.emit(
+        "t",
+        {"key": "u", "timestamp": 5.0, "value": 1.0},
+        {"key": "u", "timestamp": 100.0, "value": 2.0},  # wm -> 98s
+    )
+    stream.run_until_idle()
+    late_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("timestamp", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    assert stream.read_topic("t-late", late_schema).count() == 0  # first batch: wm was 0
+
+    # window [0,10)s ended long before wm=98s: late, routed
+    stream.emit("t", {"key": "u", "timestamp": 7.0, "value": 9.0})
+    # window [100,110)s is still open at wm=98s: on time, not routed
+    stream.emit("t", {"key": "u", "timestamp": 105.0, "value": 4.0})
+    stream.run_until_idle()
+    lates = stream.read_topic("t-late", late_schema).collect()
+    assert [(r["key"], r["timestamp"], r["value"]) for r in lates] == [
+        ("u", 7.0, 9.0)
+    ]
+    stream.run_until_idle()  # no new data: nothing may duplicate
+    assert stream.read_topic("t-late", late_schema).count() == 1
