@@ -629,3 +629,40 @@ def test_l2_normalize_and_mean_pool(spark):
         mean_pool(chunks, ["doc"])._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 2
+
+
+def test_late_cutoff_end_ms_all_specs(spark):
+    """The per-row lateness boundary used by Stream.window(late_topic):
+    tumbling = own window end; sliding = NEWEST containing window's
+    end; session = ts + gap. Checked against hand arithmetic."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.streaming.windows import (
+        SessionWindow,
+        SlidingWindow,
+        TumblingWindow,
+        late_cutoff_end_ms,
+    )
+
+    df = spark.createDataFrame([(0,), (9_999,), (10_000,), (25_500,)], ["ts_ms"])
+
+    def cutoffs(spec):
+        return [
+            r["c"]
+            for r in df.select(
+                late_cutoff_end_ms(spec, F.col("ts_ms")).alias("c")
+            ).orderBy("ts_ms").collect()
+        ]
+
+    # tumbling 10s: ends at the next boundary
+    assert cutoffs(TumblingWindow(10_000)) == [10_000, 10_000, 20_000, 30_000]
+    # sliding 10s every 5s: newest window containing ts starts at
+    # floor(ts/5000)*5000 and ends size later
+    assert cutoffs(SlidingWindow(10_000, 5_000)) == [
+        10_000,  # newest window [5000?..] no: floor(0/5000)*5000+10000
+        15_000,  # floor(9999/5000)=1 -> 5000+10000
+        20_000,  # floor(10000/5000)=2 -> 10000+10000
+        35_000,  # floor(25500/5000)=5 -> 25000+10000
+    ]
+    # session gap 5s: the event's own singleton-session end
+    assert cutoffs(SessionWindow(5_000)) == [5_000, 14_999, 15_000, 30_500]
