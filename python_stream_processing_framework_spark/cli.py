@@ -222,9 +222,12 @@ def trim(broker: str, topic: str, keep_files: int) -> None:
     # *.json is THE topic contract (emit, the file source, replay all
     # use it); a looser glob would delete and miscount files consumers
     # never saw.
+    # Tie-break equal mtimes (coarse-mtime filesystems, same-tick writes)
+    # by name so oldest-first is deterministic and a newer file is never
+    # deleted while an older sibling is kept.
     files = sorted(
         (p for p in d.glob("*.json") if p.is_file()),
-        key=lambda p: p.stat().st_mtime,
+        key=lambda p: (p.stat().st_mtime, p.name),
     )
     doomed = files[:-keep_files] if keep_files > 0 else files
     n_rows = 0

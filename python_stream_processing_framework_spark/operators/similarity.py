@@ -496,7 +496,6 @@ def mean_pool(
             F.array_sort(
                 F.collect_list(F.struct("_i", "_m"))
             ).alias("_parts"),
-            F.count(F.lit(1)).alias("_dim"),
         )
         .select(
             *group_cols,

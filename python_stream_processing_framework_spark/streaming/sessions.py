@@ -406,7 +406,10 @@ def _sessionize_grace(
         if state.hasTimedOut:
             o_start, o_last, o_n, o_state, c_start, c_last, c_n = state.get
             rows = []
-            if c_last is not None and wm >= c_last + gap_ms:
+            # Strict >: Spark's late-row filter still ADMITS events with
+            # ts == watermark, so a straggler with ts exactly c_last+gap
+            # can arrive while wm == c_last+gap; GC only once wm passes it.
+            if c_last is not None and wm > c_last + gap_ms:
                 c_start = c_last = c_n = None  # no straggler can arrive now
             if o_last is not None and wm >= o_last + gap_ms - grace_ms:
                 # business watermark (wm + grace) passed last + gap: close
@@ -685,7 +688,9 @@ def _sessionize_grace_tws(
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             wm = timerValues.getCurrentWatermarkInMs()
             tomb = self._tomb.get()
-            if tomb is not None and wm >= tomb[1] + gap_ms:
+            # Strict >, matching the applyInPandasWithState path: an event
+            # with ts == tomb_last+gap is still admitted at wm == that value.
+            if tomb is not None and wm > tomb[1] + gap_ms:
                 self._tomb.clear()
             cur = self._sess.get()
             if cur is not None and wm >= cur[1] + gap_ms - grace_ms:

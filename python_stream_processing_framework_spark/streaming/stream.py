@@ -383,6 +383,14 @@ class Stream:
         identically defined — watermarks over the same topic, like
         the reference's per-handler watermarks; classifications can
         differ only transiently at a batch boundary.
+
+        Sliding-window divergence: an event is routed to `late_topic`
+        only when its NEWEST containing window has already closed. The
+        reference emits a `-late` copy for EACH closed window, so an
+        event that is late for older slides but still feeds a live one
+        produces no `-late` record here (it is counted in the live
+        window instead). Expect lower `-late` volume than the
+        reference for sliding windows; tumbling/session volumes match.
         """
         n_windows = sum(
             1 for s in self._subscriptions if s.kind == "window" and s.topic == topic
