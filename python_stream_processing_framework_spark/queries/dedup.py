@@ -344,3 +344,56 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup_corpus(corpus, pairs, "doc_id")
     clean = decontaminate(kept, heldout, "doc_id", "text", threshold=0.5)
     return clean.select("doc_id")
+
+
+@query(
+    "ngram_decontaminate",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split#'), 1, 15))::BIGINT
+               % 20 AS bucket
+      FROM documents),
+    corpus AS (SELECT doc_id, text FROM base WHERE bucket != 0),
+    heldout AS (SELECT doc_id, text FROM base WHERE bucket = 0),
+    cg AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS g
+             FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+                   FROM corpus),
+                  unnest(range(1, len(toks) - 11)) AS u(i)
+             WHERE len(toks) >= 13) x),
+    hg AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS g
+             FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+                   FROM heldout),
+                  unnest(range(1, len(toks) - 11)) AS u(i)
+             WHERE len(toks) >= 13) x),
+    flagged AS (SELECT DISTINCT cg.doc_id FROM cg JOIN hg USING (g))
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+    doc="The strict exact-13-gram decontamination rule (the published "
+    "GPT-3/Gopher-style pass run ALONGSIDE fuzzy dedup): hash-split "
+    "documents 95/5 into corpus and held-out, then drop every training "
+    "doc sharing ANY exact 13-token span with held-out data "
+    "(operators/dedup.ngram_decontaminate) — catches a benchmark "
+    "string embedded in an otherwise-unrelated page, which whole-doc "
+    "Jaccard (corpus_decontaminate) structurally misses. Scale shape: "
+    "per-doc DISTINCT md5 13-gram hashes are map-only JVM expressions; "
+    "the benchmark-sized held-out side broadcasts, so the corpus never "
+    "shuffles. Oracle mirrors the gram hashing with DuckDB list "
+    "lambdas and the drop with NOT IN.",
+)
+def ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.functions.hashing import hash60
+    from python_stream_processing_framework_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#split#"))) % 20
+    corpus = documents.filter(bucket != 0)
+    heldout = documents.filter(bucket == 0)
+    return ngram_decontaminate(corpus, heldout, "doc_id", "text", n=13).select(
+        "doc_id"
+    )

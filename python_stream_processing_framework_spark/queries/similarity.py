@@ -15,6 +15,7 @@ candidate sets.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.catalog import load
 from python_stream_processing_framework_spark.operators.similarity import (
@@ -292,4 +293,68 @@ def int8_mips_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broadcast the k-row top-k side; the quantized store is the big side.
     return stats.join(F.broadcast(topk), "vec_id").select(
         "vec_id", "dot_q", "q_min", "q_max", "q_sum", "scale_ppb"
+    )
+
+
+@query(
+    "pooled_retrieval",
+    f"""
+    WITH c AS (
+      SELECT vec_id // 5 AS doc_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings),
+    m AS (
+      SELECT doc_id, i, CAST(sum(qv[i]) AS DOUBLE) / count(*) AS mu
+      FROM c, unnest(range(1, 65)) AS t(i)
+      GROUP BY doc_id, i),
+    p AS (SELECT doc_id, list(mu ORDER BY i) AS pv FROM m GROUP BY doc_id),
+    u AS (
+      SELECT doc_id,
+             list_transform(pv, x -> x / nullif({_NORM.format(a='pv')}, 0.0))
+               AS v
+      FROM p),
+    qv2 AS (SELECT v AS q FROM u WHERE doc_id = 0),
+    scored AS (
+      SELECT doc_id,
+             round({_DOT.format(a='v', b='q')} /
+                   ({_NORM.format(a='v')} * {_NORM.format(a='q')}), 6)
+               AS cos_sim
+      FROM u, qv2 WHERE doc_id != 0)
+    SELECT doc_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, doc_id LIMIT 10
+    """,
+    doc="The chunk->document retrieval chain: 5 consecutive chunk "
+    "embeddings per document are mean-pooled (operators/similarity."
+    "mean_pool), unit-normalized (functions/vectors.l2_normalize), and "
+    "the pooled doc-0 vector retrieves the cosine top-10 documents "
+    "(cosine_topk) — the standard shape for long-document retrieval "
+    "where chunks are embedded separately. Oracle-exact: components "
+    "quantize to int64 (floor(x*2^20+0.5), the LSH family's "
+    "quantizer) BEFORE pooling, so the distributed per-dimension mean "
+    "is an order-free integer sum divided by a count — identical "
+    "doubles in both engines — and the normalize/cosine folds mirror "
+    "the sequential list_reduce order the other cosine oracles pin.",
+)
+def pooled_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.functions.vectors import (
+        l2_normalize,
+    )
+    from python_stream_processing_framework_spark.operators.similarity import (
+        mean_pool,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    chunks = embeddings.select(
+        F.expr("vec_id div 5").alias("doc_id"),
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
+        ).alias("qv"),
+    )
+    pooled = mean_pool(chunks, ["doc_id"], "qv", out_col="pv")
+    unit = pooled.select("doc_id", l2_normalize(F.col("pv")).alias("embedding"))
+    return cosine_topk(unit, query_id=0, id_col="doc_id", k=10).select(
+        "doc_id", "cos_sim"
     )
