@@ -109,6 +109,7 @@ def main() -> None:
         "corpus_pipeline": _corpus_pipeline_bench(spark, sf_dir),
         "corpus_pipeline_10x": _corpus_pipeline_10x_bench(spark),
         "pq_dim64": _pq_bench(spark),
+        "ivfpq_query_only": _ivfpq_query_only_bench(spark, sf_dir),
     }
 
     total = round(sum(timings.values()), 3)
@@ -713,6 +714,81 @@ def _pq_bench(spark) -> dict:
         "m": 8,
         "k_codes": 32,
         "top10_same_cluster": all(r["vec_id"] % 25 == 123 % 25 for r in top),
+    }
+
+
+def _ivfpq_query_only_bench(spark, sf_dir: str) -> dict:
+    """IVF-PQ with training split from serving. The catalog row
+    `ann_ivfpq_topk` deliberately re-trains its codebook every
+    execution so the DuckDB oracle can replay Lloyd bit-exactly —
+    which makes its catalog timing a TRAIN-step wall (~97% of it), not
+    the query latency a deployment sees. A 100x deployment trains
+    once offline and serves from persisted artifacts, so this extra
+    measures that path: train + encode + persist codebook/codes/cells
+    to parquet ONCE (reported separately), then time only the
+    codes-only query (coarse probe over per-cell code histograms +
+    ADC scan of the probed cells, both reading the parquet artifacts)
+    min-of-3 with a warm-up pass, matching the catalog methodology."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivfpq-serve-")
+    try:
+        t0 = _t.perf_counter()
+        # same m/k/iters as the ann_ivfpq_topk catalog row
+        cb = pq_train(embeddings, m=8, k=16, iters=2)
+        enc = pq_encode(embeddings.filter(F.col("vec_id") != 0), cb)
+        cb.write.mode("overwrite").parquet(f"{tmp}/codebook")
+        enc.write.mode("overwrite").parquet(f"{tmp}/codes")
+        embeddings.select("vec_id", "label").write.mode("overwrite").parquet(
+            f"{tmp}/cells"
+        )
+        train_s = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        spark.catalog.clearCache()
+
+        # the query vector arrives with the request — not timed
+        qv = (
+            embeddings.filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>"))
+            .first()[0]
+        )
+        cb2 = spark.read.parquet(f"{tmp}/codebook")
+        enc2 = spark.read.parquet(f"{tmp}/codes")
+        cells2 = spark.read.parquet(f"{tmp}/cells")
+
+        def one_query() -> float:
+            t0 = _t.perf_counter()
+            ivfpq_topk(
+                enc2, cb2, cells2, qv, id_col="vec_id",
+                cell_col="label", k=10, n_probe=3,
+            ).collect()
+            return _t.perf_counter() - t0
+
+        one_query()  # warm-up (JIT/codegen), uncounted
+        samples = [one_query() for _ in range(3)]
+        n_codes = enc2.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "train_encode_persist_s": train_s,
+        "query_only_s": round(min(samples), 3),
+        "n_code_rows": n_codes,
+        "m": 8,
+        "k_codes": 16,
+        "n_probe": 3,
+        "methodology": "persisted codebook/codes/cells; warmup then min-of-3",
     }
 
 
