@@ -25,6 +25,7 @@ from __future__ import annotations
 import inspect
 import json
 import time
+import uuid
 from collections.abc import Callable
 from pathlib import Path
 
@@ -62,6 +63,9 @@ def handle_batch_with_retries(
     tracer=None,
     distribute: bool = False,
     distribute_partitions: int | None = None,
+    collect_failure_cap: int = 10_000,
+    spill_dirs: tuple[str, str] | None = None,
+    job_token: str | None = None,
 ) -> None:
     """Run the handler per message with reference retry/DLQ flow.
 
@@ -90,6 +94,22 @@ def handle_batch_with_retries(
     keeps retried messages in the group's PEL, invisible to other
     consumer groups, and re-emitting to the shared topic would
     duplicate them for every other subscriber.
+
+    Poison-batch bound (distribute mode): failure-only driver traffic
+    is the design, but a batch where ~100% of rows fail would
+    otherwise degenerate to a full collect. With ``spill_dirs``
+    (retry_dir, dlq_dir) set, each partition returns at most
+    ``collect_failure_cap // n_partitions`` failures to the driver and
+    routes the overflow ITSELF — the same attempt-count rule, the same
+    `_error`/`_original_stream`/`_original_msg_id`/`_moved_timestamp`
+    metadata — writing one JSON-lines file per (job, partition) into
+    the retry/DLQ topic dirs with emit's write-then-rename visibility.
+    ``job_token`` (the facade passes the batch_id) makes the spill
+    file names deterministic, so a task retry or a foreachBatch re-run
+    overwrites its own spill instead of duplicating it. Spilled
+    records bypass the driver entirely (no tracer re-inject — they
+    keep whatever `traceparent` they already carry). Without
+    ``spill_dirs`` the full-collect contract is unchanged.
     """
     import contextlib
 
@@ -121,16 +141,67 @@ def handle_batch_with_retries(
         if distribute_partitions:
             batch = batch.repartition(distribute_partitions)
 
-        def run_partition(rows_iter):
+        rdd = batch.rdd
+        cap_per_part = max(
+            1, collect_failure_cap // max(1, rdd.getNumPartitions())
+        )
+        spill = spill_dirs
+        token = job_token or uuid.uuid4().hex[:12]
+        _topic, _max_retries = topic, max_retries
+
+        def run_partition(idx, rows_iter):
+            import json as _json
+            import os as _os
+            import time as _time
+            import uuid as _uuid
+
+            failures = []
             for row in rows_iter:
                 event = row.asDict(recursive=True)
                 try:
                     call(event)
                 except Exception as exc:  # noqa: BLE001 — route to retry/DLQ
-                    yield {**event, "_handler_error": str(exc)}
+                    failures.append({**event, "_handler_error": str(exc)})
+            head, overflow = failures[:cap_per_part], failures[cap_per_part:]
+            if overflow and spill is not None:
+                retry_dir, dlq_dir = spill
+                retries_l, dead_l = [], []
+                for f in overflow:
+                    err = f.pop("_handler_error")
+                    attempt = int(f.get("_attempt") or 0)
+                    if attempt + 1 > _max_retries:
+                        dead_l.append(
+                            {
+                                **f,
+                                "_error": err,
+                                "_original_stream": _topic,
+                                "_original_msg_id": f.get("event_id"),
+                                "_moved_timestamp": _time.time(),
+                            }
+                        )
+                    else:
+                        retries_l.append({**f, "_attempt": attempt + 1})
+                for rows_l, d in ((retries_l, retry_dir), (dead_l, dlq_dir)):
+                    if not rows_l:
+                        continue
+                    # deterministic FINAL name per (job, partition):
+                    # retries/re-runs overwrite via rename; tmp name
+                    # unique per attempt (see _replay_distributed)
+                    _os.makedirs(d, exist_ok=True)
+                    name = f"spill-{token}-p{idx:05d}"
+                    tmp = _os.path.join(
+                        d, f".{name}.{_uuid.uuid4().hex[:8]}.tmp"
+                    )
+                    with open(tmp, "w") as out:
+                        for r in rows_l:
+                            out.write(_json.dumps(r, default=str) + "\n")
+                    _os.rename(tmp, _os.path.join(d, name + ".json"))
+            elif overflow:
+                head = failures  # no spill target: full-collect contract
+            yield from head
 
-        # executors run every handler; only failures travel back
-        for failed in batch.rdd.mapPartitions(run_partition).collect():
+        # executors run every handler; only capped failures travel back
+        for failed in rdd.mapPartitionsWithIndex(run_partition).collect():
             err = failed.pop("_handler_error")
             route_failure(failed, err)
     else:

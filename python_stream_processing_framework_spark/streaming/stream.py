@@ -252,6 +252,7 @@ class Stream:
         max_files_per_trigger: int | None = None,
         distribute: bool = False,
         distribute_partitions: int | None = None,
+        collect_failure_cap: int = 10_000,
     ) -> Callable[[Callable], Callable]:
         """Register a per-message handler (reference @stream.subscribe,
         pspf/stream.py:94-104). The handler is called once per message
@@ -287,6 +288,12 @@ class Stream:
         manually), but does not open a span around each call — the
         tracer object is not shipped to executors. The driver-serial
         default remains the reference-parity ordering mode.
+
+        ``collect_failure_cap`` bounds distribute-mode driver traffic:
+        at most ~cap failed rows per micro-batch return to the driver;
+        a poison batch's overflow is routed to the retry/DLQ topics
+        executor-side with identical `_error` metadata
+        (handle_batch_with_retries spill contract).
         """
         topics = [topic] if isinstance(topic, str) else list(topic)
 
@@ -344,6 +351,7 @@ class Stream:
                             "max_files_per_trigger": max_files_per_trigger,
                             "distribute": distribute,
                             "distribute_partitions": distribute_partitions,
+                            "collect_failure_cap": collect_failure_cap,
                         },
                     )
                 )
@@ -607,6 +615,19 @@ class Stream:
                 tracer=stream_self.tracer,
                 distribute=distribute,
                 distribute_partitions=sub.options.get("distribute_partitions"),
+                # poison-batch bound: failures beyond the cap spill to
+                # the retry/DLQ topic dirs executor-side; batch_id keys
+                # the spill names so re-runs overwrite, not duplicate
+                collect_failure_cap=sub.options.get(
+                    "collect_failure_cap", 10_000
+                ),
+                spill_dirs=(
+                    str(stream_self.topic_dir(retry_topic)),
+                    str(stream_self.topic_dir(f"{sub.topic}-dlq")),
+                ),
+                # group-qualified: two groups on one topic share the
+                # DLQ dir and have independent batch_id sequences
+                job_token=f"{group}-b{batch_id}",
             )
 
         queries = []

@@ -645,3 +645,145 @@ def test_window_late_topic_routes_instead_of_silent_drop(spark, stream):
     ]
     stream.run_until_idle()  # no new data: nothing may duplicate
     assert stream.read_topic("t-late", late_schema).count() == 1
+
+
+def test_distributed_subscribe_poison_batch_bounded_collect(spark, stream):
+    """A poison batch (100% of rows failing) must not degenerate to a
+    full driver collect (the r5 blemish at dlq.py distribute mode).
+    With collect_failure_cap=8 over 4 partitions, each partition
+    returns at most 2 failures to the driver and routes its overflow
+    ITSELF: spill files (executor-written, deterministic names) carry
+    the bulk of the retry/DLQ volume, and the COMPLETE poison set
+    still lands in the DLQ exactly once with full `_error` metadata."""
+    n, cap = 40, 8
+
+    @stream.subscribe(
+        "poison",
+        EVENT_SCHEMA,
+        max_retries=1,
+        group="pg",
+        distribute=True,
+        distribute_partitions=4,
+        collect_failure_cap=cap,
+    )
+    def handle(event):
+        raise ValueError("poison pill")
+
+    stream.emit(
+        "poison",
+        *[
+            {"event_id": f"p{i}", "key": "k", "timestamp": float(i), "value": 1.0}
+            for i in range(n)
+        ],
+    )
+    stream.run_until_idle(rounds=4)
+
+    dlq_schema = StructType(
+        EVENT_SCHEMA.fields
+        + [
+            StructField("_error", StringType()),
+            StructField("_original_stream", StringType()),
+            StructField("_original_msg_id", StringType()),
+            StructField("_moved_timestamp", DoubleType()),
+        ]
+    )
+    rows = stream.read_topic("poison-dlq", dlq_schema).collect()
+    # complete: every poison message dead-lettered exactly once
+    assert sorted(r["event_id"] for r in rows) == sorted(
+        f"p{i}" for i in range(n)
+    )
+    for r in rows:
+        assert "poison pill" in r["_error"]
+        assert r["_original_stream"] == "poison"
+        assert r["_original_msg_id"] == r["event_id"]
+        assert r["_attempt"] == 1
+
+    # bounded driver traffic: the retry leg (batch 1, all 40 fail at
+    # attempt 0) and the DLQ leg (batch 2, all 40 fail at attempt 1)
+    # each shipped at most `cap` rows through the driver; the rest
+    # travelled in executor-written spill files.
+    retry_spills = list(stream.topic_dir("poison--retry--pg").glob("spill-*.json"))
+    dlq_spills = list(stream.topic_dir("poison-dlq").glob("spill-*.json"))
+    assert retry_spills and dlq_spills, "overflow must spill executor-side"
+    spilled_retry = sum(len(f.read_text().splitlines()) for f in retry_spills)
+    spilled_dlq = sum(len(f.read_text().splitlines()) for f in dlq_spills)
+    assert n - spilled_retry <= cap
+    assert n - spilled_dlq <= cap
+
+
+def test_two_pipelines_one_session_confs_untouched(spark, tmp_path):
+    """Two facade pipelines CONCURRENT on one session (route fan-out +
+    windowed agg run in the same start round) interleaved with the
+    plan-local-width batch operator (connected_components): results
+    stay correct and NO session conf is mutated afterwards — the
+    conf-mutation bug class ADVICE r4 found by inspection, now pinned
+    by a test."""
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+    from python_stream_processing_framework_spark.operators.routing import Router
+
+    watched = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.session.timeZone",
+        )
+    }
+    stream = Stream(spark, str(tmp_path / "broker2"))
+
+    router = (
+        Router()
+        .add_route(F.col("value") >= 100, "big_ev")
+        .default_route("small_ev")
+    )
+    stream.route("mixed", EVENT_SCHEMA, router)
+    stream.window(
+        "beats",
+        TumblingWindow(10_000),
+        EVENT_SCHEMA,
+        key_field="key",
+        aggs={"total": F.sum("value"), "n": F.count(F.lit(1))},
+    )
+    stream.emit(
+        "mixed",
+        {"event_id": "m1", "key": "a", "timestamp": 1.0, "value": 150.0},
+        {"event_id": "m2", "key": "a", "timestamp": 2.0, "value": 5.0},
+    )
+    stream.emit(
+        "beats",
+        {"event_id": "b1", "key": "u", "timestamp": 1.0, "value": 5.0},
+        {"event_id": "b2", "key": "u", "timestamp": 2.0, "value": 7.0},
+    )
+    # round 1: the route query and the window query start together and
+    # run concurrently on this one session
+    stream.run_until_idle()
+
+    # interleave the iterative batch operator with live facade state:
+    # its loop width must stay plan-local, never a session conf
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    comp = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    # round 2: drain anything re-emitted; both pipelines idle cleanly
+    stream.emit(
+        "mixed",
+        {"event_id": "m3", "key": "c", "timestamp": 3.0, "value": 999.0},
+    )
+    stream.run_until_idle()
+
+    big = stream.read_topic("big_ev", EVENT_SCHEMA).collect()
+    small = stream.read_topic("small_ev", EVENT_SCHEMA).collect()
+    assert sorted(r["event_id"] for r in big) == ["m1", "m3"]
+    assert [r["event_id"] for r in small] == ["m2"]
+    aggs = stream.read_topic("beats-agg", AGG_SCHEMA).collect()
+    assert {r["key"]: (r["total"], r["n"]) for r in aggs} == {"u": (12.0, 2)}
+
+    after = {k: spark.conf.get(k) for k in watched}
+    assert after == watched
