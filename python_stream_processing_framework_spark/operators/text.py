@@ -209,11 +209,49 @@ def fingerprint(
 #: (a@555-123-4567.example.com) must not re-match as phone/IP spans.
 #: (An all-numeric host like a.b@203.0.113.7 is NOT an email under
 #: the letters-TLD rule — its IP still redacts, by design.)
+#: ipv6 (full uncompressed 8-group form — `::` compression needs
+#: alternation bushes that stop being obviously identical across
+#: engines; compressed forms are a documented recall gap) sits before
+#: ipv4 for order hygiene, though their alphabets can't overlap (the
+#: full form has no dots).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv6", r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
 )
+
+#: Credit-card CANDIDATE spans (16 digits in 4-groups, one optional
+#: separator each — the dominant written form). A candidate only
+#: counts/redacts if it passes the Luhn checksum (`_luhn_ok`), which
+#: is what keeps 16-digit order numbers and the like out of the
+#: redaction — the standard false-positive gate. Handled outside
+#: PII_PATTERNS because the Luhn gate needs per-match logic
+#: (extract-all -> filter -> literal-replace fold), not a bare
+#: regexp_replace; the 3-3-4 phone pattern and the 4-4-4-4 groups
+#: here cannot match the same span, so order between them is moot.
+CCARD_PATTERN = r"\b\d{4}[-. ]?\d{4}[-. ]?\d{4}[-. ]?\d{4}\b"
+
+
+def _luhn_ok(card: Column) -> Column:
+    """Luhn checksum over a candidate card string (separators allowed)
+    as a pure column expression: strip separators, walk the digits
+    right-to-left doubling every second one (9-fold the carries), and
+    accept when the sum is a multiple of 10. Sequential index fold —
+    the DuckDB oracle mirrors it with the same range/substr/CASE
+    arithmetic, so the accept set is engine-identical."""
+    d = F.regexp_replace(card, "[-. ]", "")
+    rev = F.reverse(d)
+
+    def step(acc: Column, i: Column) -> Column:
+        x = rev.substr(i, F.lit(1)).cast("int")
+        dbl = x * 2
+        return acc + F.when(
+            i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(x)
+
+    total = F.aggregate(F.sequence(F.lit(1), F.length(d)), F.lit(0), step)
+    return total % 10 == 0
 
 
 def pii_stats(
@@ -223,27 +261,43 @@ def pii_stats(
     *,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-document PII occurrence counts (email / ipv4 / phone).
+    """Per-document PII occurrence counts (email / ipv6 / ipv4 /
+    phone / Luhn-valid credit card).
 
-    Output: id, n_email, n_ipv4, n_phone, n_pii (plus any
-    `keep_cols`, carried through so a downstream `redact_pii` can
-    chain onto the SAME projection instead of re-joining on the id —
-    one map-only select, no shuffle). Counts are independent per
-    pattern (no masking between categories — that is `redact_pii`'s
-    job, where order matters). Pure `regexp_count` column
-    expressions: map-only, codegen'd, no shuffle — the shape of a
-    100 TB scrubbing pre-pass that decides which documents need the
-    (more expensive) redaction write at all.
+    Output: id, n_email, n_ipv6, n_ipv4, n_phone, n_ccard, n_pii
+    (plus any `keep_cols`, carried through so a downstream
+    `redact_pii` can chain onto the SAME projection instead of
+    re-joining on the id — one map-only select, no shuffle). Counts
+    are independent per pattern ON THE ORIGINAL TEXT (no masking
+    between categories — that is `redact_pii`'s job, where order
+    matters); n_ccard counts only candidates that pass the Luhn gate.
+    Pure column expressions (regexp_count + an extract/filter fold
+    for the card check): map-only, codegen'd, no shuffle — the shape
+    of a 100 TB scrubbing pre-pass that decides which documents need
+    the (more expensive) redaction write at all.
     """
     counts = [
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
         for name, pat in PII_PATTERNS
     ]
-    out = df.select(F.col(id_col), *counts, *[F.col(c) for c in keep_cols])
-    total = None
+    n_ccard = (
+        F.size(
+            F.filter(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(CCARD_PATTERN), F.lit(0)
+                ),
+                _luhn_ok,
+            )
+        )
+        .cast("bigint")
+        .alias("n_ccard")
+    )
+    out = df.select(
+        F.col(id_col), *counts, n_ccard, *[F.col(c) for c in keep_cols]
+    )
+    total = F.col("n_ccard")
     for name, _ in PII_PATTERNS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else (total + c)
+        total = total + F.col(f"n_{name}")
     return out.withColumn("n_pii", total)
 
 
@@ -254,20 +308,35 @@ def redact_pii(
     output_col: str | None = None,
     token_format: str = "[{name}]",
 ) -> DataFrame:
-    """Replace PII spans with category tokens (`[EMAIL]`, `[IPV4]`,
-    `[PHONE]`) — the scrubbing pass itself.
+    """Replace PII spans with category tokens (`[EMAIL]`, `[CCARD]`,
+    `[IPV6]`, `[IPV4]`, `[PHONE]`) — the scrubbing pass itself.
 
-    Patterns apply in the fixed `PII_PATTERNS` order (emails first so
-    host-part digits never half-match as IPs/phones); each
-    `regexp_replace` replaces ALL occurrences. Deterministic: the
-    same fixed order + global-replace semantics reproduce in any
-    regex engine (DuckDB needs the 'g' flag for the same behavior).
-    Map-only column expression; `output_col` defaults to replacing
-    `text_col` in place.
+    Fixed application order: email first (host-part digits must never
+    half-match as IPs/phones), then the Luhn-gated credit-card fold
+    (extracted from the EMAIL-REDACTED text, so a card-digit local
+    part inside an email can't be double-hit), then the remaining
+    `PII_PATTERNS`. Each `regexp_replace` replaces ALL occurrences;
+    the card step literal-replaces each Luhn-valid candidate in match
+    order (candidates failing Luhn stay untouched — the
+    false-positive gate). Deterministic: the same fixed order +
+    global-replace + left-to-right fold semantics reproduce in any
+    regex engine (DuckDB needs the 'g' flag, and mirrors the fold
+    with list_prepend + list_reduce). Map-only column expression;
+    `output_col` defaults to replacing `text_col` in place.
     """
     out_col = output_col or text_col
-    expr = F.col(text_col)
-    for name, pat in PII_PATTERNS:
+    name0, pat0 = PII_PATTERNS[0]  # email — first by contract
+    expr = F.regexp_replace(
+        F.col(text_col), pat0, token_format.format(name=name0.upper())
+    )
+    ccard_token = F.lit(token_format.format(name="CCARD"))
+    valid = F.filter(
+        F.regexp_extract_all(expr, F.lit(CCARD_PATTERN), F.lit(0)), _luhn_ok
+    )
+    expr = F.aggregate(
+        valid, expr, lambda acc, c: F.replace(acc, c, ccard_token)
+    )
+    for name, pat in PII_PATTERNS[1:]:
         expr = F.regexp_replace(
             expr, pat, token_format.format(name=name.upper())
         )

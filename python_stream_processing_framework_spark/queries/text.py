@@ -201,32 +201,76 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deterministically plants an email, a phone, and an IPv4 per doc
 #: from table columns — detection/redaction then has non-trivial
 #: matches whose spans both engines must agree on exactly.
+#: The r6 extension plants a full-form IPv6 (last hextet varies per
+#: doc; decimal digits are valid hex) and a credit card that
+#: ALTERNATES Luhn validity: even doc_ids carry 4111-1111-1111-1111
+#: (valid -> must redact), odd ones 4111 1111 1111 1112 (fails Luhn
+#: -> must survive VERBATIM in the redacted string, proving the gate).
 _PII_BUILT_SQL = (
     "'contact user' || CAST(doc_id AS VARCHAR) || '@' || source"
     " || '.com or 555-'"
     " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'"
     " || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')"
     " || ' srv 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
-    " || CAST(doc_id * 3 % 256 AS VARCHAR) || ' ' || substr(text, 1, 80)"
+    " || CAST(doc_id * 3 % 256 AS VARCHAR)"
+    " || ' v6 2001:0db8:85a3:0000:0000:8a2e:0370:'"
+    " || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')"
+    " || ' card ' || CASE WHEN doc_id % 2 = 0 THEN '4111-1111-1111-1111'"
+    "                     ELSE '4111 1111 1111 1112' END"
+    " || ' ' || substr(text, 1, 80)"
 )
 
 
+def _luhn_sql(var: str) -> str:
+    """DuckDB mirror of operators/text._luhn_ok: same strip, same
+    reversed index walk, same doubling CASE arithmetic."""
+    d = f"regexp_replace({var}, '[-. ]', '', 'g')"
+    x = f"CAST(substr(reverse({d}), i, 1) AS INT)"
+    return (
+        f"(list_sum(list_transform(range(1, len({d}) + 1),"
+        f" i -> CASE WHEN i % 2 = 0"
+        f" THEN CASE WHEN {x} * 2 > 9 THEN {x} * 2 - 9 ELSE {x} * 2 END"
+        f" ELSE {x} END)) % 10 = 0)"
+    )
+
+
 def _pii_oracle() -> str:
+    from python_stream_processing_framework_spark.operators.text import (
+        CCARD_PATTERN,
+    )
+
     counts = ",\n           ".join(
         f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
         for name, pat in PII_PATTERNS
     )
-    red = "text"
-    for name, pat in PII_PATTERNS:
+    ccard_count = (
+        f"CAST(len(list_filter(regexp_extract_all(text, '{CCARD_PATTERN}'),"
+        f" c -> {_luhn_sql('c')})) AS BIGINT) AS n_ccard"
+    )
+    name0, pat0 = PII_PATTERNS[0]  # email first, matching redact_pii
+    red = f"regexp_replace(text, '{pat0}', '[{name0.upper()}]', 'g')"
+    # Luhn-gated literal-replace fold over the email-redacted text:
+    # list_prepend seeds list_reduce's accumulator (DuckDB has no
+    # explicit init), mirroring F.aggregate(valid, init, replace).
+    red = (
+        f"list_reduce(list_prepend({red},"
+        f" list_filter(regexp_extract_all({red}, '{CCARD_PATTERN}'),"
+        f" c -> {_luhn_sql('c')})),"
+        f" (acc, c) -> replace(acc, c, '[CCARD]'))"
+    )
+    for name, pat in PII_PATTERNS[1:]:
         red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
-    total = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    total = " + ".join(
+        ["n_ccard"] + [f"n_{name}" for name, _ in PII_PATTERNS]
+    )
     return f"""
     WITH built AS (SELECT doc_id, {_PII_BUILT_SQL} AS text FROM documents),
     c AS (SELECT doc_id,
            {counts},
+           {ccard_count},
            {red} AS redacted
           FROM built)
-    SELECT doc_id, n_email, n_ipv4, n_phone,
+    SELECT doc_id, n_email, n_ipv6, n_ipv4, n_phone, n_ccard,
            CAST({total} AS BIGINT) AS n_pii, redacted
     FROM c
     """
@@ -235,11 +279,14 @@ def _pii_oracle() -> str:
 @query(
     "pii_redaction",
     _pii_oracle(),
-    doc="PII scrubbing pass: per-doc email/IPv4/phone counts "
-    "(regexp_count, map-only) + category-token redaction in the fixed "
-    "PII_PATTERNS order. Patterns live in the common Java-regex/RE2 "
-    "subset, so both engines agree on every span; the redacted STRING "
-    "itself is value-compared, not just the counts.",
+    doc="PII scrubbing pass: per-doc email/IPv6/IPv4/phone/credit-card "
+    "counts (regexp_count + a Luhn extract-filter fold, map-only) + "
+    "category-token redaction in the fixed order email -> Luhn-gated "
+    "card fold -> ipv6 -> ipv4 -> phone. Patterns live in the common "
+    "Java-regex/RE2 subset, so both engines agree on every span; the "
+    "redacted STRING itself is value-compared, not just the counts — "
+    "including that Luhn-INVALID card numbers survive verbatim (odd "
+    "doc_ids plant one), pinning the false-positive gate.",
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
@@ -258,6 +305,12 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".0."),
             (F.col("doc_id") * 3 % 256).cast("string"),
+            F.lit(" v6 2001:0db8:85a3:0000:0000:8a2e:0370:"),
+            F.lpad((F.col("doc_id") * 13 % 10000).cast("string"), 4, "0"),
+            F.lit(" card "),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("4111-1111-1111-1111")
+            ).otherwise(F.lit("4111 1111 1111 1112")),
             F.lit(" "),
             F.substring(F.col("text"), 1, 80),
         ).alias("text"),

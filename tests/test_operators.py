@@ -467,12 +467,18 @@ def test_pii_stats_and_redaction_crafted(spark):
             (2, "host a@555-123-4567.example.com stays one email"),
             (3, "clean text, no identifiers at all"),
             (4, "two mails x@y.co z@w.io and 999.999.999.999"),
+            (5, "pay 4111-1111-1111-1111 not 4111 1111 1111 1112 ok"),
+            (6, "addr fe80:0000:0000:0000:0202:b3ff:fe1e:8329 up"),
         ],
         ["doc_id", "text"],
     )
     stats = {r["doc_id"]: r for r in pii_stats(df, "doc_id", "text").collect()}
     assert (stats[1]["n_email"], stats[1]["n_ipv4"], stats[1]["n_phone"]) == (1, 1, 1)
     assert stats[1]["n_pii"] == 3
+    # Luhn gate: the valid card counts, the checksum-failing one doesn't
+    assert stats[5]["n_ccard"] == 1
+    assert stats[5]["n_pii"] == 1
+    assert stats[6]["n_ipv6"] == 1 and stats[6]["n_ipv4"] == 0
     # digits inside a matched email host must NOT also count... stats
     # counts are per-pattern independent (redaction order resolves the
     # overlap); the phone IS present as a span:
@@ -490,6 +496,9 @@ def test_pii_stats_and_redaction_crafted(spark):
     assert red[2] == "host [EMAIL] stays one email"
     assert red[3] == df.collect()[2]["text"]
     assert "[EMAIL]" in red[4] and "[IPV4]" in red[4]
+    # valid card redacted; Luhn-invalid survives verbatim
+    assert red[5] == "pay [CCARD] not 4111 1111 1111 1112 ok"
+    assert red[6] == "addr [IPV6] up"
 
 
 def test_url_domains_and_blocklist(spark):

@@ -220,16 +220,40 @@ def test_redact_pii_idempotent_and_matches_python_re(spark, texts):
     import re
 
     from python_stream_processing_framework_spark.operators.text import (
+        CCARD_PATTERN,
         PII_PATTERNS,
         pii_stats,
         redact_pii,
     )
+
+    def luhn(c: str) -> bool:
+        ds = [int(ch) for ch in re.sub(r"[-. ]", "", c)][::-1]
+        return (
+            sum(
+                d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+                for i, d in enumerate(ds)
+            )
+            % 10
+            == 0
+        )
+
+    def py_redact(t: str) -> str:
+        name0, p0 = PII_PATTERNS[0]
+        out = re.sub(p0, f"[{name0.upper()}]", t)
+        # the Luhn-gated literal-replace fold, in match order
+        for c in re.findall(CCARD_PATTERN, out):
+            if luhn(c):
+                out = out.replace(c, "[CCARD]")
+        for name, p in PII_PATTERNS[1:]:
+            out = re.sub(p, f"[{name.upper()}]", out)
+        return out
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     got_stats = {
         r["doc_id"]: tuple(r[f"n_{n}"] for n, _ in PII_PATTERNS)
+        + (r["n_ccard"],)
         for r in pii_stats(df, "doc_id", "text").collect()
     }
     once = {
@@ -242,10 +266,10 @@ def test_redact_pii_idempotent_and_matches_python_re(spark, texts):
         for r in redact_pii(red_df, "text", output_col="red").collect()
     }
     for i, t in enumerate(texts):
-        expect_counts = tuple(len(re.findall(p, t)) for _, p in PII_PATTERNS)
-        expect_red = t
-        for name, p in PII_PATTERNS:
-            expect_red = re.sub(p, f"[{name.upper()}]", expect_red)
+        expect_counts = tuple(
+            len(re.findall(p, t)) for _, p in PII_PATTERNS
+        ) + (sum(1 for c in re.findall(CCARD_PATTERN, t) if luhn(c)),)
+        expect_red = py_redact(t)
         assert got_stats[i] == expect_counts, (t, got_stats[i], expect_counts)
         assert once[i] == expect_red, (t, once[i], expect_red)
         assert twice[i] == once[i], (t, once[i], twice[i])
