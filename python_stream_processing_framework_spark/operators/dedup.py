@@ -820,7 +820,15 @@ def ngram_decontaminate(
     """Drop training docs sharing any exact n-gram with held-out data
     (see ngram_overlap_hits). The strict companion to `decontaminate`
     — production pipelines run BOTH: Jaccard for near-copies, exact
-    n-gram for embedded benchmark strings."""
+    n-gram for embedded benchmark strings.
+
+    The flagged id set is broadcast explicitly: it is bounded by the
+    docs matching benchmark-sized held-out grams (compact longs even
+    in bad cases), and without the hint the anti-join plans as a
+    sort-merge that shuffles the ENTIRE corpus on id — the one thing
+    this operator promises not to do. With it, both joins in the
+    chain build on the small side and the corpus stays map-side end
+    to end."""
     hits = ngram_overlap_hits(corpus, heldout, id_col, text_col, n=n)
     flagged = hits.select(F.col("id_corpus").alias(id_col)).distinct()
-    return corpus.join(flagged, id_col, "left_anti")
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

@@ -244,3 +244,32 @@ def test_url_domains_distinct_agg_exchanges_only(spark):
     assert count_exchanges(df) == 2
     cols = read_schema_columns(df, "documents.parquet")
     assert set(cols) == {"doc_id", "lang", "source"}
+
+
+def test_ngram_decontaminate_corpus_never_shuffles(spark):
+    """The exact-13-gram rule's scale promise, machine-checked: the
+    benchmark-sized held-out grams broadcast into the gram join AND
+    the flagged-id set broadcasts into the anti-join, so the corpus
+    side is never exchanged — the ONLY hash exchange in the plan is
+    the DISTINCT over flagged ids (tiny). A dropped broadcast turns
+    the anti-join into a sort-merge that shuffles the whole corpus."""
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("ngram_decontaminate", spark)
+    text = plan_text(df)
+    assert text.count("BroadcastHashJoin") >= 2, text[:1500]
+    assert "SortMergeJoin" not in text
+    assert count_exchanges(df) <= 1
+
+
+def test_pooled_retrieval_broadcast_query_take_ordered(spark):
+    """Pooling shuffles on (doc, dim) then doc — the unavoidable agg
+    exchanges — but retrieval itself keeps the cosine_topk shape: the
+    single pooled query vector rides a broadcast and top-k compiles
+    to TakeOrderedAndProject, never a full sort or corpus shuffle."""
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("pooled_retrieval", spark)
+    text = plan_text(df)
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "TakeOrderedAndProject" in text
