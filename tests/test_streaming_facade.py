@@ -787,3 +787,60 @@ def test_two_pipelines_one_session_confs_untouched(spark, tmp_path):
 
     after = {k: spark.conf.get(k) for k in watched}
     assert after == watched
+
+
+def test_spill_rerun_overwrites_not_duplicates(spark, tmp_path):
+    """The spill contract under foreachBatch re-runs: processing the
+    SAME batch twice with the same job_token (what the facade passes —
+    group + batch_id) rewrites the same per-partition spill files via
+    rename instead of appending new ones, so the DLQ leg holds each
+    overflowed message exactly once."""
+    import json
+
+    from python_stream_processing_framework_spark.streaming.dlq import (
+        handle_batch_with_retries,
+    )
+
+    retry_dir, dlq_dir = tmp_path / "retry", tmp_path / "dlq"
+    n, cap = 20, 4
+    batch = spark.createDataFrame(
+        [(f"e{i}", 1) for i in range(n)], "event_id string, _attempt long"
+    )
+    emitted: list[tuple[str, int]] = []
+
+    def emit(topic, *events):
+        emitted.append((topic, len(events)))
+        return [e.get("event_id") for e in events]
+
+    def handler(ev):
+        raise ValueError("always fails")
+
+    for _ in range(2):  # the same micro-batch, re-processed
+        handle_batch_with_retries(
+            batch,
+            handler=handler,
+            topic="t",
+            max_retries=1,  # _attempt=1 -> everything goes to the DLQ leg
+            emit=emit,
+            distribute=True,
+            distribute_partitions=4,
+            collect_failure_cap=cap,
+            spill_dirs=(str(retry_dir), str(dlq_dir)),
+            job_token="g-b7",
+        )
+
+    files = sorted(dlq_dir.glob("spill-*.json"))
+    spilled = [
+        json.loads(line)["event_id"]
+        for f in files
+        for line in f.read_text().splitlines()
+    ]
+    # re-run overwrote, never appended: every spilled id unique
+    assert len(spilled) == len(set(spilled)), sorted(spilled)
+    # per run: driver leg got at most cap rows, spill carried the rest
+    per_run_driver = [m for t, m in emitted if t == "t-dlq"]
+    assert len(per_run_driver) == 2 and all(m <= cap for m in per_run_driver)
+    assert len(spilled) + per_run_driver[0] == n
+    # nothing was retry-eligible (attempt already at max), so the
+    # retry leg must have spilled nothing
+    assert not retry_dir.exists() or not list(retry_dir.glob("*"))
