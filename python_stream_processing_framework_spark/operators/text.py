@@ -343,6 +343,66 @@ def redact_pii(
     return df.withColumn(out_col, expr)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into (optionally overlapping) token-window
+    chunks — the step in front of embedding models with bounded
+    context, whose output `mean_pool` later re-aggregates chunk
+    embeddings back to one document vector (the pooled_retrieval
+    chain run forward).
+
+    Output: one row per chunk — (id, chunk_id, n_chunk_tokens,
+    chunk_text). Chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens) with stride = chunk_tokens - overlap; a doc of n
+    tokens yields ceil((n - overlap) / stride) chunks (1 when n <=
+    chunk_tokens), so consecutive chunks share exactly `overlap`
+    tokens and the final partial chunk keeps the tail. Docs whose
+    text tokenizes to nothing are dropped.
+
+    Scale shape: one map-side projection + posexplode — the chunk
+    fan-out happens where the data lives, no shuffle; chunk rows are
+    |corpus| x (1/stride) of the token volume, the same row-budget an
+    embedding job must pay anyway. Tokenization is the module's
+    whitespace `tokens_expr`; swap a BPE tokenizer in via mapInPandas
+    when chunk budgets must be model-exact.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens, got "
+            f"{overlap} vs {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    n = F.size("_toks")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    slice_expr = (
+        f"slice(_toks, chunk_id * {stride} + 1, {chunk_tokens})"
+    )
+    return (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        # a blank doc tokenizes to [''] under split-on-space: drop it
+        .filter((n > 0) & ~((n == 1) & (F.element_at("_toks", 1) == "")))
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(F.expr(slice_expr)).cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.expr(slice_expr)).alias("chunk_text"),
+        )
+    )
+
+
 #: URL + capture-group-for-host written in the same dual-engine
 #: subset (non-capturing groups are valid Java regex AND RE2),
 #: following RFC-3986 authority parsing: the authority ends at the

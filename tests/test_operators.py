@@ -675,3 +675,57 @@ def test_late_cutoff_end_ms_all_specs(spark):
     ]
     # session gap 5s: the event's own singleton-session end
     assert cutoffs(SessionWindow(5_000)) == [5_000, 14_999, 15_000, 30_500]
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "a b c"),  # shorter than a chunk: exactly one
+            (3, ""),  # blank: dropped entirely
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=4, overlap=1
+        ).collect()
+    )
+    # stride 3 over 10 tokens -> ceil(9/3)=3 chunks at starts 0/3/6;
+    # consecutive chunks share exactly `overlap` tokens and the union
+    # covers every token
+    assert rows == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (2, 0, 3, "a b c"),
+    ]
+
+
+def test_chunk_documents_tail_and_validation(spark):
+    import pytest as _pytest
+
+    from python_stream_processing_framework_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11)))], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"])
+        for r in chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=4, overlap=1
+        ).collect()
+    )
+    # 11 tokens -> starts 0/3/6/9; the final PARTIAL chunk keeps the
+    # tail (2 tokens), never silently truncates it
+    assert rows == [(0, 4), (1, 4), (2, 4), (3, 2)]
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
