@@ -93,18 +93,13 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
-@query(
-    "sample_fixed_n",
-    f"""
-    SELECT doc_id, lang, n_chars
-    FROM documents
-    ORDER BY {_duck_hash('doc_id', 's1')}, doc_id
-    LIMIT 50
-    """,
-    doc="Deterministic fixed-size sample: the 50 docs with smallest "
-    "id hash. Compiles to TakeOrderedAndProject (per-partition local "
-    "top-n, n-row merge) — no global sort, no full collect.",
-)
+# sample_fixed_n was rotated out of the 50-entry registry in round 6
+# for the doc_chunks query: both of its verified surfaces remain
+# driver-pinned elsewhere — the md5-derived deterministic hash
+# ordering by stratified_sample_docs/split_summary (same _duck_hash
+# family) and the TakeOrderedAndProject top-n plan by
+# bm25_topk/cosine_topk/shipping_priority (plan-pinned in
+# tests/test_plans.py). The operator sample_exact_n stays unit-tested.
 def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return sample_exact_n(documents, "doc_id", 50, seed="s1").select(

@@ -379,3 +379,42 @@ def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         )
     )
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents),
+    ok AS (
+      SELECT * FROM t
+      WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = '')),
+    n AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 8) / 24.0) AS INT) END AS nc
+      FROM ok)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+    FROM n, unnest(range(0, nc)) AS u(i)
+    """,
+    doc="Document chunking (operators/text.chunk_documents): 32-token "
+    "windows with 8-token overlap (stride 24), final partial chunk "
+    "keeps the tail, blank docs drop — the step in front of "
+    "bounded-context embedding models, whose output pooled_retrieval "
+    "re-aggregates. One map-side projection + explode, no shuffle "
+    "(plan-pinned); the oracle replays the slice arithmetic with "
+    "DuckDB list slicing and the chunk TEXT itself is value-compared.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        chunk_documents,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        documents, "doc_id", "text", chunk_tokens=32, overlap=8
+    )

@@ -273,3 +273,13 @@ def test_pooled_retrieval_broadcast_query_take_ordered(spark):
     text = plan_text(df)
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     assert "TakeOrderedAndProject" in text
+
+
+def test_doc_chunks_map_only_no_shuffle(spark):
+    """Chunking is a map-side projection + explode: the fan-out
+    happens where the data lives. Any Exchange here means the chunker
+    started shuffling the corpus before the embedding job even ran."""
+    df = q("doc_chunks", spark)
+    assert count_exchanges(df) == 0
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
