@@ -300,3 +300,45 @@ def test_extract_url_domains_matches_python_re(spark, texts):
     for i, t in enumerate(texts):
         expect = [m.lower() for m in re.findall(URL_HOST_PATTERN, t)]
         assert sorted(got[i]) == sorted(expect), (t, got[i], expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=60),
+    chunk_tokens=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=11),
+)
+def test_chunk_documents_coverage_properties(spark, n_tokens, chunk_tokens, overlap):
+    """Invariants for any (n, chunk, overlap) with overlap < chunk:
+    chunks tile the doc left to right at the exact stride, consecutive
+    chunks share exactly `overlap` tokens (except a shorter tail),
+    every token appears in at least one chunk, and concatenating the
+    stride-prefix of each chunk plus the last chunk reconstructs the
+    document."""
+    from hypothesis import assume
+
+    from python_stream_processing_framework_spark.operators.text import (
+        chunk_documents,
+    )
+
+    assume(overlap < chunk_tokens)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"].split(" "))
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    )
+    stride = chunk_tokens - overlap
+    assert [cid for cid, _ in rows] == list(range(len(rows)))
+    covered = []
+    for cid, chunk in rows:
+        assert chunk == toks[cid * stride : cid * stride + chunk_tokens]
+        covered.extend(range(cid * stride, cid * stride + len(chunk)))
+    assert set(covered) == set(range(n_tokens))  # no token lost
+    # reconstruct: stride-prefixes of all but the last chunk + last chunk
+    rebuilt = [
+        t for cid, chunk in rows[:-1] for t in chunk[:stride]
+    ] + rows[-1][1]
+    assert rebuilt == toks
