@@ -2,8 +2,9 @@
 
     quality filter -> PII scrub -> near-dup detection (MinHash+LSH)
     -> cluster collapse (connected components) -> deterministic
-    train/val/test split -> decontaminate train against val/test ->
-    exact-quota domain mixture -> sequence packing -> shard plan ->
+    train/val/test split -> decontaminate train against val/test
+    (Jaccard + exact 13-gram) -> exact-quota domain mixture ->
+    token-window chunking -> sequence packing -> shard plan ->
     audit stats
 
 Every step is the scale-path operator (bucketed equi-joins, map-only
@@ -43,6 +44,7 @@ from python_stream_processing_framework_spark.operators.mixture import (
 )
 from python_stream_processing_framework_spark.operators.sampling import hash_split
 from python_stream_processing_framework_spark.operators.text import (
+    chunk_documents,
     pii_stats,
     quality_stats,
     redact_pii,
@@ -123,10 +125,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     n4 = mixed.count()
 
-    # 7. pack the mixed train split into 512-token training sequences
-    train = mixed.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    # 7. chunk docs longer than the per-chunk budget, then pack chunks
+    # into 512-token training sequences — chunking first means packing
+    # can never meet an oversized document (n_oversized must be 0)
+    chunks = chunk_documents(
+        mixed, "doc_id", "text", chunk_tokens=64, overlap=0
+    )
+    n5 = chunks.count()
+    train = chunks.select(
+        F.concat_ws(":", "doc_id", "chunk_id").alias("doc_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
     )
     packed = materialize(pack_sequences(train, max_tokens=512, num_groups=16))
     audit = packing_stats(packed, max_tokens=512).collect()[0]
@@ -149,10 +157,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"-> {n4} after mixture"
     )
     print(
-        f"train packing: {audit['n_documents']} docs -> "
+        f"train packing: {n4} docs -> {n5} chunks -> "
         f"{audit['n_sequences']} sequences, mean fill "
         f"{audit['mean_fill']:.1%}, oversized {audit['n_oversized']}"
     )
+    assert audit["n_oversized"] == 0  # chunking guarantees this
     sizes = sorted(r["total_size"] for r in shards)
     print(f"shards: {len(shards)}, token-size min {sizes[0]} max {sizes[-1]}")
     assert audit["n_overfull_bugs"] == 0
