@@ -372,6 +372,7 @@ class Stream:
         sink_topic: str | None = None,
         group: str | None = None,
         late_topic: str | None = None,
+        late_per_window: bool = False,
     ) -> None:
         """Register a keyed event-time windowed aggregation (reference
         @stream.window / Stream.aggregate, pspf/stream.py:106-118,
@@ -392,13 +393,18 @@ class Stream:
         the reference's per-handler watermarks; classifications can
         differ only transiently at a batch boundary.
 
-        Sliding-window divergence: an event is routed to `late_topic`
-        only when its NEWEST containing window has already closed. The
-        reference emits a `-late` copy for EACH closed window, so an
-        event that is late for older slides but still feeds a live one
-        produces no `-late` record here (it is counted in the live
-        window instead). Expect lower `-late` volume than the
-        reference for sliding windows; tumbling/session volumes match.
+        Sliding-window divergence (default): an event is routed to
+        `late_topic` only when its NEWEST containing window has
+        already closed. The reference emits a `-late` copy for EACH
+        closed window, so an event that is late for older slides but
+        still feeds a live one produces no `-late` record here (it is
+        counted in the live window instead). Expect lower `-late`
+        volume than the reference for sliding windows;
+        tumbling/session volumes match. Pass
+        ``late_per_window=True`` for reference-identical volume: one
+        raw-event copy per closed containing window (the reference
+        re-emits `raw_data` per late window, pspf/stream.py:401-413),
+        including for events that still feed a live window.
         """
         n_windows = sum(
             1 for s in self._subscriptions if s.kind == "window" and s.topic == topic
@@ -422,6 +428,7 @@ class Stream:
                     "watermark_delay_ms": watermark_delay_ms,
                     "sink_topic": sink_topic or f"{topic}-agg{suffix}",
                     "late_topic": late_topic,
+                    "late_per_window": late_per_window,
                     "group": g,
                 },
             )
@@ -711,6 +718,7 @@ class Stream:
         import json as _json
 
         from python_stream_processing_framework_spark.streaming.windows import (
+            SlidingWindow,
             late_cutoff_end_ms,
         )
 
@@ -725,6 +733,38 @@ class Stream:
         late_dir = str(self.topic_dir(opts["late_topic"]))
         wm_path = self.checkpoints / f"{sub.topic}-{g}-wm.json"
 
+        per_window = bool(opts.get("late_per_window"))
+
+        def late_rows(batch: DataFrame, wm: int) -> DataFrame:
+            if not per_window or not isinstance(spec, SlidingWindow):
+                # default rule: late iff even the NEWEST containing
+                # window has closed (0/1 copies; for tumbling/session
+                # per-window and newest-window coincide)
+                return batch.filter(
+                    late_cutoff_end_ms(spec, F.col("_ts_ms")) < F.lit(wm)
+                ).drop("_ts_ms")
+            # reference-identical: one copy per CLOSED containing
+            # window. Aligned starts s of windows containing ts span
+            # (ts - size, ts]; late ones additionally have
+            # s + size < wm, i.e. s <= wm - size - 1. Count with two
+            # floor-divisions (double division is exact for ms
+            # magnitudes; `div` would truncate negatives the wrong way).
+            size, slide = spec.size_ms, spec.slide_ms
+            hi = F.least(F.col("_ts_ms"), F.lit(wm - size - 1))
+            n_late = F.greatest(
+                F.lit(0).cast("long"),
+                (
+                    F.floor(hi / F.lit(float(slide)))
+                    - F.floor((F.col("_ts_ms") - size) / F.lit(float(slide)))
+                ).cast("long"),
+            )
+            return (
+                batch.withColumn("_n_late", n_late)
+                .filter(F.col("_n_late") > 0)
+                .withColumn("_i", F.explode(F.expr("sequence(1, _n_late)")))
+                .drop("_n_late", "_i", "_ts_ms")
+            )
+
         def route_late(batch: DataFrame, batch_id: int) -> None:
             state = {"bid": -1, "before": 0, "after": 0}
             if wm_path.exists():
@@ -734,13 +774,7 @@ class Stream:
             try:
                 if batch.isEmpty():
                     return
-                _write_batch_jsonl(
-                    batch.filter(
-                        late_cutoff_end_ms(spec, F.col("_ts_ms")) < F.lit(wm)
-                    ).drop("_ts_ms"),
-                    late_dir,
-                    batch_id,
-                )
+                _write_batch_jsonl(late_rows(batch, wm), late_dir, batch_id)
                 mx = batch.agg(F.max("_ts_ms").alias("m")).collect()[0]["m"]
                 after = max(wm, (mx or 0) - delay_ms)
                 tmp = wm_path.with_suffix(".tmp")

@@ -844,3 +844,47 @@ def test_spill_rerun_overwrites_not_duplicates(spark, tmp_path):
     # nothing was retry-eligible (attempt already at max), so the
     # retry leg must have spilled nothing
     assert not retry_dir.exists() or not list(retry_dir.glob("*"))
+
+
+def test_sliding_late_per_window_reference_volume(spark, tmp_path):
+    """late_per_window=True restores the reference's per-window -late
+    volume for sliding windows (one raw-event copy per CLOSED
+    containing window, pspf/stream.py:401-413): an event late only
+    for its older slide emits ONE copy while still feeding the live
+    window; an event late for both slides emits TWO."""
+    from python_stream_processing_framework_spark.streaming import SlidingWindow
+
+    stream = Stream(spark, str(tmp_path / "broker-lpw"))
+    stream.window(
+        "sl",
+        SlidingWindow(10_000, 5_000),
+        EVENT_SCHEMA,
+        key_field="key",
+        aggs={"total": F.sum("value")},
+        watermark_delay_ms=2_000,
+        late_topic="sl-late",
+        late_per_window=True,
+    )
+    stream.emit("sl", {"key": "u", "timestamp": 100.0, "value": 1.0})
+    stream.run_until_idle()  # wm -> 98s
+
+    # t=91s: windows [85,95) closed (< wm) and [90,100) live -> 1 copy
+    stream.emit("sl", {"key": "u", "timestamp": 91.0, "value": 2.0})
+    # t=7s: windows [0,10) and [5,15) both closed -> 2 copies
+    stream.emit("sl", {"key": "u", "timestamp": 7.0, "value": 3.0})
+    # t=96s: windows [90,100) and [95,105) both live -> 0 copies
+    stream.emit("sl", {"key": "u", "timestamp": 96.0, "value": 4.0})
+    stream.run_until_idle()
+
+    late_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("timestamp", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    lates = sorted(
+        (r["timestamp"], r["value"])
+        for r in stream.read_topic("sl-late", late_schema).collect()
+    )
+    assert lates == [(7.0, 3.0), (7.0, 3.0), (91.0, 2.0)]
