@@ -740,7 +740,13 @@ def decontaminate(
         corpus, heldout, id_col, text_col, threshold=threshold, **lsh_kwargs
     )
     contaminated = hits.select(F.col("id_left").alias(id_col)).distinct()
-    return corpus.join(contaminated, id_col, "left_anti")
+    # Explicit broadcast, like ngram_decontaminate: the contaminated
+    # set is bounded by docs near-duplicating benchmark-sized held-out
+    # data, and without the hint the static plan is a sort-merge anti
+    # join that shuffles the whole corpus on id. (dedup_corpus's loser
+    # anti-join deliberately stays SMJ+AQE — ITS removal mass scales
+    # with the corpus under real duplicate fractions.)
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
 def ngram_overlap_hits(
