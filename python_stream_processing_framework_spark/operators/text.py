@@ -343,6 +343,110 @@ def redact_pii(
     return df.withColumn(out_col, expr)
 
 
+#: The stop words whose PRESENCE (>= 2 distinct) the Gopher rule set
+#: requires — a crude but published English-document signal.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-filter rule battery (Rae et al.
+    2021 §A1.1; also the FineWeb/Dolma baseline set) as per-rule
+    booleans plus the conjunction — the standard pre-filter a web
+    corpus runs BEFORE paying for dedup.
+
+    Output: id, n_words, plus one boolean per rule — ok_word_count
+    (count in [min,max]), ok_mean_word_len (mean length in [3,10]),
+    ok_symbol_ratio (#/ellipsis per word < 0.1), ok_bullet_lines
+    (< 90% of lines bullet-started), ok_ellipsis_lines (< 30% of
+    lines ellipsis-ended), ok_alpha_words (>= 80% of words contain a
+    letter), ok_stopwords (>= 2 distinct Gopher stop words present) —
+    and `gopher_pass` (all of them). Keeping the per-rule flags
+    (rather than just the verdict) is deliberate: corpus reports
+    always break rejections down by rule.
+
+    Scale shape: row-local JVM expressions only (splits + higher-order
+    functions), map-only, no Python, no shuffle — same contract as
+    quality_stats. Thresholds are keyword-tunable; defaults are the
+    published constants. Documents that tokenize to nothing fail
+    ok_word_count rather than being dropped (the filter REPORTS, the
+    caller decides).
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    # exact integer char sum / one division at the end — engine-stable
+    sum_len = F.expr(
+        f"aggregate(split(trim({text_col}), ' '), 0L, (a, w) -> a + length(w))"
+    )
+    mean_len = sum_len.cast("double") / n_words
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens_expr(text_col)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "ok_symbol_ratio": (
+            (n_hash + n_ellipsis).cast("double") / n_words
+        )
+        < max_symbol_word_ratio,
+        "ok_bullet_lines": (
+            bullet_lines.cast("double") / n_lines
+        )
+        < max_bullet_line_frac,
+        "ok_ellipsis_lines": (
+            ellipsis_lines.cast("double") / n_lines
+        )
+        < max_ellipsis_line_frac,
+        "ok_alpha_words": (
+            alpha_words.cast("double") / n_words
+        )
+        >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stop_hits,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        *[
+            F.coalesce(c, F.lit(False)).alias(name)
+            for name, c in flags.items()
+        ],
+    )
+    verdict = None
+    for name in flags:
+        verdict = F.col(name) if verdict is None else (verdict & F.col(name))
+    return out.withColumn("gopher_pass", verdict)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -729,3 +729,122 @@ def test_chunk_documents_tail_and_validation(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_gopher_quality_flags_rules(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = (
+        "the quick brown fox and the lazy dog have fun with words that "
+        "flow along nicely today because nothing here trips any rule "
+    ) * 3  # ~66 words, stopword-rich, no bullets/symbols
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, "too short to pass the word count"),
+            (3, "\n".join("- bullet line item here" for _ in range(10))),
+            (4, ("#tag " * 60).strip()),
+            (5, (("123 456 " * 30).strip())),
+            (6, ("zzz qqq xxx vvv www " * 12).strip()),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["ok_word_count"] is False and got[2]["gopher_pass"] is False
+    assert got[3]["ok_bullet_lines"] is False  # 100% bullet lines
+    assert got[4]["ok_symbol_ratio"] is False  # one '#' per word
+    assert got[5]["ok_alpha_words"] is False  # no letters at all
+    assert got[6]["ok_stopwords"] is False  # no Gopher stop words
+    # per-rule flags are reported, not silently folded: the schema
+    # carries one boolean per published rule plus the conjunction
+    assert {k for k in got[1] if k.startswith("ok_")} == {
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords",
+    }
+
+
+def test_gopher_quality_flags_duckdb_replay(spark):
+    """Independent DuckDB replay of the full rule battery on the real
+    documents table — the same dual-engine discipline as the catalog
+    oracles, kept in-test because the registry is capped at 50."""
+    import duckdb
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+    from tests.conftest import SF_SMOKE
+
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    got = sorted(
+        tuple(r) for r in gopher_quality_flags(docs, "doc_id", "text")
+        .select(
+            "doc_id", "n_words", "ok_word_count", "ok_mean_word_len",
+            "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+            "ok_alpha_words", "ok_stopwords", "gopher_pass",
+        )
+        .collect()
+    )
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(trim(text), ' ') AS words,
+                     string_split(text, chr(10)) AS lines,
+                     string_split(trim(lower(text)), ' ') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                len(words) BETWEEN 50 AND 100000 AS ok_word_count,
+                CAST(list_sum(list_transform(words, w -> length(w)))
+                     AS DOUBLE) / len(words) BETWEEN 3.0 AND 10.0
+                  AS ok_mean_word_len,
+                CAST(length(text) - length(replace(text, '#', ''))
+                     + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                     AS DOUBLE) / len(words) < 0.1 AS ok_symbol_ratio,
+                CAST(len(list_filter(lines,
+                       l -> regexp_matches(ltrim(l), '^[-*•]')))
+                     AS DOUBLE) / len(lines) < 0.9 AS ok_bullet_lines,
+                CAST(len(list_filter(lines,
+                       l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                     AS DOUBLE) / len(lines) < 0.3 AS ok_ellipsis_lines,
+                CAST(len(list_filter(words,
+                       w -> regexp_matches(w, '[A-Za-z]')))
+                     AS DOUBLE) / len(words) >= 0.8 AS ok_alpha_words,
+                len(list_intersect(list_distinct(toks), [{stops}])) >= 2
+                  AS ok_stopwords
+              FROM t)
+            SELECT doc_id, n_words,
+                   coalesce(ok_word_count, FALSE),
+                   coalesce(ok_mean_word_len, FALSE),
+                   coalesce(ok_symbol_ratio, FALSE),
+                   coalesce(ok_bullet_lines, FALSE),
+                   coalesce(ok_ellipsis_lines, FALSE),
+                   coalesce(ok_alpha_words, FALSE),
+                   coalesce(ok_stopwords, FALSE),
+                   coalesce(ok_word_count AND ok_mean_word_len
+                     AND ok_symbol_ratio AND ok_bullet_lines
+                     AND ok_ellipsis_lines AND ok_alpha_words
+                     AND ok_stopwords, FALSE)
+            FROM c
+            """
+        ).fetchall()
+    )
+    assert got == expect
