@@ -45,6 +45,7 @@ from python_stream_processing_framework_spark.operators.mixture import (
 from python_stream_processing_framework_spark.operators.sampling import hash_split
 from python_stream_processing_framework_spark.operators.text import (
     chunk_documents,
+    gopher_quality_flags,
     pii_stats,
     quality_stats,
     redact_pii,
@@ -66,6 +67,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "doc_id",
     )
     n1 = good.count()
+
+    # 1a. Gopher rule audit (REPORT, not gate — this synthetic corpus
+    # is word soup, so the English stop-word rule rejects everything;
+    # a real web corpus gates on gopher_pass). Per-rule counts are
+    # what a corpus report shows.
+    gopher = gopher_quality_flags(good, "doc_id", "text")
+    rule_cols = [c for c in gopher.columns if c.startswith("ok_")]
+    rej = gopher.agg(
+        *[F.sum((~F.col(c)).cast("long")).alias(c) for c in rule_cols]
+    ).collect()[0]
+    worst = max(rule_cols, key=lambda c: rej[c])
+    print(
+        "gopher audit: rejections by rule "
+        + ", ".join(f"{c[3:]}={rej[c]}" for c in rule_cols)
+        + f" (dominant: {worst[3:]})"
+    )
 
     # 1b. PII scrub BEFORE dedup: redaction tokens normalize spans
     # that would otherwise make near-identical docs differ (two copies
