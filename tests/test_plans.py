@@ -283,3 +283,32 @@ def test_doc_chunks_map_only_no_shuffle(spark):
     assert count_exchanges(df) == 0
     cols = read_schema_columns(df, "documents.parquet")
     assert set(cols) == {"doc_id", "text"}
+
+
+def test_decontaminate_anti_joins_broadcast(spark):
+    """Both decontamination operators' final anti-joins must build on
+    the (held-out-bounded) flagged side — a dropped broadcast hint
+    regresses to a sort-merge that shuffles the whole corpus on id."""
+    from python_stream_processing_framework_spark.operators.dedup import (
+        decontaminate,
+        ngram_decontaminate,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body text number {i} with shared words") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    heldout = spark.createDataFrame(
+        [(100, "doc body text number 7 with shared words")], ["doc_id", "text"]
+    )
+    # Only the ANTI-join is pinned: the inner band join stays
+    # AQE-driven on purpose (in incremental-dedup usage the right
+    # side IS the big corpus, where a forced broadcast is the bug).
+    for out in (
+        decontaminate(corpus, heldout, "doc_id", "text"),
+        ngram_decontaminate(corpus, heldout, "doc_id", "text", n=3),
+    ):
+        t = plan_text(out)
+        assert "SortMergeJoin LeftAnti" not in t, t[:1200]
+        assert "BroadcastHashJoin" in t
