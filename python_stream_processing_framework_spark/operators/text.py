@@ -10,6 +10,7 @@ Arrow-batched pandas UDF; these heuristics are the JVM-fast tier.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -341,6 +342,119 @@ def redact_pii(
             expr, pat, token_format.format(name=name.upper())
         )
     return df.withColumn(out_col, expr)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    *,
+    form: str = "NFKC",
+    lowercase: bool = False,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column — the hygiene pass run BEFORE
+    hashing/dedup so byte-different renderings of the same content
+    (ligatures, full-width forms, combining vs precomposed accents,
+    zero-width joiners) collapse to one canonical form and stop
+    defeating exact/MinHash dedup.
+
+    Steps, in order: unicodedata.normalize(form) (NFKC default — the
+    compatibility fold corpus pipelines use), optional lowercase,
+    strip C0/C1 control chars and zero-width code points
+    (keeping \\n and \\t), collapse runs of whitespace to one space
+    and trim. Nulls pass through.
+
+    Unicode normalization has no JVM-expression form, so this is the
+    sanctioned Arrow path: one pandas UDF over the column, map-only,
+    no shuffle. Deterministic for a given Python unicodedata table
+    (pin the Python minor version across the cluster, which Spark
+    already requires).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    _form, _lower = form, lowercase
+    _strip, _collapse = strip_control, collapse_whitespace
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import re as _re
+        import unicodedata as _ud
+
+        # C0 (minus tab/newline/CR) + DEL + C1 + zero-width/bidi + BOM
+        ctrl = _re.compile(
+            "[\u0000-\u0008\u000b\u000c\u000e-\u001f"
+            "\u007f-\u009f\u200b-\u200f\u2060\ufeff]"
+        )
+        ws = _re.compile(r"\s+")
+
+        def one(t):
+            if t is None:
+                return None
+            t = _ud.normalize(_form, t)
+            if _lower:
+                t = t.lower()
+            if _strip:
+                t = ctrl.sub("", t)
+            if _collapse:
+                t = ws.sub(" ", t).strip()
+            return t
+
+        return s.map(one)
+
+    return df.withColumn(output_col or text_col, _norm(F.col(text_col)))
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap
+    repetition/quality proxy corpus pipelines (Dolma-style) threshold
+    on: near-random text sits near 1.0 compressed/raw, boilerplate
+    and template spam compress far below it, and degenerate repeats
+    approach 0.
+
+    Output: id, n_bytes_raw (UTF-8), n_bytes_zlib, compression_ratio
+    (zlib/raw; null for empty docs). Arrow pandas UDF (zlib has no
+    JVM-expression form), map-only. Thresholding is the caller's
+    policy — like gopher_quality_flags this REPORTS. Exact compressed
+    sizes depend on the zlib build, so tests assert behavioral bounds
+    (repeats « prose < random), not byte counts.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    _level = level
+
+    @pandas_udf("struct<n_bytes_raw: bigint, n_bytes_zlib: bigint>")
+    def _sizes(s: pd.Series) -> pd.DataFrame:
+        import zlib as _z
+
+        raw, comp = [], []
+        for t in s:
+            if t is None:
+                raw.append(None)
+                comp.append(None)
+            else:
+                b = t.encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(_z.compress(b, _level)))
+        return pd.DataFrame({"n_bytes_raw": raw, "n_bytes_zlib": comp})
+
+    sized = df.select(F.col(id_col), _sizes(F.col(text_col)).alias("_s"))
+    return sized.select(
+        id_col,
+        F.col("_s.n_bytes_raw").alias("n_bytes_raw"),
+        F.col("_s.n_bytes_zlib").alias("n_bytes_zlib"),
+        (
+            F.col("_s.n_bytes_zlib").cast("double")
+            / F.nullif(F.col("_s.n_bytes_raw"), F.lit(0)).cast("double")
+        ).alias("compression_ratio"),
+    )
 
 
 #: The stop words whose PRESENCE (>= 2 distinct) the Gopher rule set

@@ -848,3 +848,77 @@ def test_gopher_quality_flags_duckdb_replay(spark):
         ).fetchall()
     )
     assert got == expect
+
+
+def test_normalize_text_unicode_folding(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cafe\u0301 vs caf\u00e9"),  # combining vs precomposed
+            (2, "\ufb01le \uff46\uff55\uff4c\uff4c"),  # ligature + full-width
+            (3, "zero\u200bwidth\u200d joined\ufeff"),
+            (4, "tabs\tand\nnewlines \u0007  kept"),  # bell stripped
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(docs, "text").collect()
+    }
+    # NFKC: combining accent composes; ligature/full-width fold to ASCII
+    assert got[1] == "caf\u00e9 vs caf\u00e9"
+    assert got[2] == "file full"
+    # zero-width and BOM stripped entirely
+    assert got[3] == "zerowidth joined"
+    # control char gone; whitespace runs collapsed to single spaces
+    assert got[4] == "tabs and newlines kept"
+    assert got[5] is None
+    # idempotent: normalizing normalized text is a no-op
+    again = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(normalize_text(docs, "text"), "text").collect()
+    }
+    assert again == got
+    # dedup motivation: byte-different renderings now compare equal
+    assert got[1].split(" ")[0] == got[1].split(" ")[2]
+
+
+def test_compression_ratio_orders_quality(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        compression_ratio,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rand_txt = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly on the plain and every sentence adds "
+        "a little new information to the document "
+    ) * 5
+    repeats = "spam ham " * 400
+    docs = spark.createDataFrame(
+        [(1, rand_txt), (2, prose), (3, repeats), (4, ""), (5, None)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in compression_ratio(docs, "doc_id", "text").collect()
+    }
+    # the documented ordering: repeats << prose < random
+    assert got[3]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[2]["compression_ratio"] < got[1]["compression_ratio"]
+    assert got[3]["compression_ratio"] < 0.05
+    assert got[1]["compression_ratio"] > 0.5
+    # raw sizes exact; empty/null degrade to null ratio, not a crash
+    assert got[2]["n_bytes_raw"] == len(prose.encode())
+    assert got[4]["compression_ratio"] is None
+    assert got[5]["n_bytes_raw"] is None
