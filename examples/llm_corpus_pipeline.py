@@ -46,6 +46,7 @@ from python_stream_processing_framework_spark.operators.sampling import hash_spl
 from python_stream_processing_framework_spark.operators.text import (
     chunk_documents,
     gopher_quality_flags,
+    normalize_text,
     pii_stats,
     quality_stats,
     redact_pii,
@@ -88,6 +89,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # that would otherwise make near-identical docs differ (two copies
     # of a page with different tracking emails dedup after scrubbing,
     # not before). Map-only regex pass; the counts are the audit.
+    # 1b-pre. unicode-normalize FIRST: byte-different renderings of
+    # the same content (ligatures, full-width forms, combining
+    # accents, zero-width chars) must collapse to one canonical form
+    # or they defeat both exact and MinHash dedup below — and NFKC
+    # folds full-width digits, so the PII regexes that follow match
+    # more. Order is also load-bearing mechanically: the UDF's input
+    # must be a plain column (see normalize_text's composition
+    # constraint), so it runs before redact_pii's lambda folds.
+    good = normalize_text(good, "text")
     n_pii = (
         pii_stats(good, "doc_id", "text")
         .agg(F.sum("n_pii").alias("s"))

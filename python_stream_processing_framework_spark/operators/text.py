@@ -371,6 +371,18 @@ def normalize_text(
     no shuffle. Deterministic for a given Python unicodedata table
     (pin the Python minor version across the cluster, which Spark
     already requires).
+
+    Composition constraint (test-pinned): the UDF's INPUT must be a
+    plain column, not an expression containing higher-order-function
+    lambdas — Spark cannot extract a Python UDF whose input embeds a
+    LambdaFunction (redact_pii's Luhn fold is one), and the plan dies
+    with INTERNAL_ERROR "Cannot generate code for expression" at the
+    first downstream use. Either run normalize_text FIRST (usually
+    the better order anyway: NFKC folds full-width digits so PII
+    regexes match more) or put a stage boundary UNDER it —
+    `normalize_text(materialize(lambda_heavy_df), ...)`. A boundary
+    ABOVE the composed expression does not help; the bad projection
+    is already inside it.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -922,3 +922,29 @@ def test_compression_ratio_orders_quality(spark):
     assert got[2]["n_bytes_raw"] == len(prose.encode())
     assert got[4]["compression_ratio"] is None
     assert got[5]["n_bytes_raw"] is None
+
+
+def test_normalize_text_composition_constraint(spark):
+    """Pin the documented constraint: normalize over a plain column
+    composes with downstream JVM expressions (normalize-first order),
+    while applying the UDF on top of a lambda-heavy expression chain
+    (redact_pii's Luhn fold) fails plan generation with Spark's
+    INTERNAL_ERROR — so a regression that silently reorders the
+    example's stages fails loudly here instead."""
+    import pytest as _pytest
+    from pyspark.sql.utils import CapturedException
+
+    from python_stream_processing_framework_spark.operators.text import (
+        normalize_text,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"mail a{i}@x.com data") for i in range(20)], ["doc_id", "text"]
+    )
+    good = redact_pii(normalize_text(df, "text"), "text")
+    assert good.groupBy(F.md5("text")).count().count() >= 1
+
+    bad = normalize_text(redact_pii(df, "text"), "text")
+    with _pytest.raises(Exception, match="INTERNAL_ERROR|Cannot generate"):
+        bad.groupBy(F.md5("text")).count().count()
