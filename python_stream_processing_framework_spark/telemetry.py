@@ -11,6 +11,7 @@ scraping `snapshot()`.
 
 from __future__ import annotations
 
+import logging as _logging
 import threading
 from typing import Any
 
@@ -190,3 +191,64 @@ class W3CTracer:
                 self._current = prev
 
         return _cm()
+
+
+class JsonLogFormatter(_logging.Formatter):
+    """Structured one-JSON-object-per-record log formatter — parity
+    with the reference's JSON logging surface (pspf/utils/logging.py:
+    26-55: timestamp/level/logger/message/module/line/pid + contextual
+    extras + exception text), re-implemented for driver AND executor
+    processes (pid disambiguates them in a merged stream; Spark's own
+    log4j JSON template covers the JVM side, this covers Python).
+
+    Fields passed via ``logger.info(..., extra={...})`` are merged at
+    the top level; non-serializable values degrade via ``str`` rather
+    than raising inside a log call.
+    """
+
+    _STD = frozenset(
+        vars(
+            _logging.LogRecord("", 0, "", 0, "", (), None)
+        ).keys()
+    ) | {"message", "asctime", "taskName"}
+
+    def format(self, record: _logging.LogRecord) -> str:
+        import json as _json
+        import os as _os
+        from datetime import datetime as _dt
+        from datetime import timezone as _tz
+
+        out: dict[str, Any] = {
+            "timestamp": _dt.now(_tz.utc).isoformat(),
+            "level": record.levelname,
+            "logger": record.name,
+            "message": record.getMessage(),
+            "module": record.module,
+            "line": record.lineno,
+            "pid": _os.getpid(),
+        }
+        for k, v in record.__dict__.items():
+            if k not in self._STD and not k.startswith("_"):
+                out[k] = v
+        if record.exc_info:
+            out["exc_info"] = self.formatException(record.exc_info)
+        return _json.dumps(out, default=str)
+
+
+def configure_json_logging(
+    logger_name: str = "pspf_spark",
+    level: int = _logging.INFO,
+    stream=None,
+) -> _logging.Logger:
+    """Attach a JsonLogFormatter handler to ``logger_name`` (idempotent
+    — an existing JSON handler is reused, so repeated calls from
+    retried tasks never stack duplicate handlers)."""
+    logger = _logging.getLogger(logger_name)
+    logger.setLevel(level)
+    for h in logger.handlers:
+        if isinstance(h.formatter, JsonLogFormatter):
+            return logger
+    handler = _logging.StreamHandler(stream)
+    handler.setFormatter(JsonLogFormatter())
+    logger.addHandler(handler)
+    return logger

@@ -117,3 +117,44 @@ def test_max_files_per_trigger_backpressure(spark, tmp_path):
 
     (sub,) = [s for s in st._subscriptions if s.options.get("group") == "slow"]
     assert sub.options["max_files_per_trigger"] == 2
+
+
+def test_json_log_formatter_fields_and_extras():
+    """Structured-logging parity (reference pspf/utils/logging.py +
+    tests/test_rc1_features.py test_json_logging_format): every record
+    renders as one valid JSON object with the required fields, extras
+    merge at top level, exceptions serialize as text, and
+    configure_json_logging is idempotent."""
+    import io
+    import json
+    import logging
+
+    from python_stream_processing_framework_spark.telemetry import (
+        JsonLogFormatter,
+        configure_json_logging,
+    )
+
+    fmt = JsonLogFormatter()
+    rec = logging.LogRecord(
+        name="pspf_spark.test", level=logging.INFO, pathname="x.py",
+        lineno=10, msg="Test %s", args=("message",), exc_info=None,
+    )
+    data = json.loads(fmt.format(rec))
+    assert data["message"] == "Test message"
+    assert data["level"] == "INFO"
+    assert data["logger"] == "pspf_spark.test"
+    assert data["line"] == 10
+    assert isinstance(data["pid"], int) and "timestamp" in data
+
+    buf = io.StringIO()
+    logger = configure_json_logging("pspf_spark.t2", stream=buf)
+    logger2 = configure_json_logging("pspf_spark.t2", stream=buf)
+    assert logger is logger2 and len(logger.handlers) == 1  # idempotent
+    try:
+        raise ValueError("boom")
+    except ValueError:
+        logger.exception("failed", extra={"topic": "orders", "batch_id": 7})
+    line = json.loads(buf.getvalue().strip())
+    assert line["topic"] == "orders" and line["batch_id"] == 7
+    assert "ValueError: boom" in line["exc_info"]
+    assert line["level"] == "ERROR"
