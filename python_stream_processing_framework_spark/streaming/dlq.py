@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import inspect
 import json
+import logging
 import time
 import uuid
 from collections.abc import Callable
@@ -32,6 +33,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 
 from python_stream_processing_framework_spark.streaming.context import Context
+
+#: Reliability-event log (pair with telemetry.configure_json_logging
+#: for the reference's structured JSON stream). Logged with extras,
+#: never message-interpolated payloads — events themselves stay in
+#: the topic files.
+logger = logging.getLogger("pspf_spark.reliability")
 
 
 def _arity_call(handler: Callable, ctx: Context | None):
@@ -226,8 +233,16 @@ def handle_batch_with_retries(
                 route_failure(event, str(exc))
     if retries:
         emit(retry_topic or topic, *retries)
+        logger.info(
+            "retrying failed messages",
+            extra={"topic": topic, "n_retried": len(retries)},
+        )
     if dead:
         emit(f"{topic}-dlq", *dead)
+        logger.warning(
+            "moved messages to DLQ",
+            extra={"topic": topic, "n_dead": len(dead)},
+        )
 
 
 # The metadata the DLQ path itself attaches — the ONLY keys replay may
@@ -292,6 +307,15 @@ def replay_dead_letters(
     if purge:
         for f in files:
             f.unlink()
+    logger.info(
+        "replayed dead letters",
+        extra={
+            "topic": topic,
+            "n_replayed": n,
+            "distributed": bool(distributed),
+            "purged": bool(purge),
+        },
+    )
     return n
 
 

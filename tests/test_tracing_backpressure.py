@@ -158,3 +158,32 @@ def test_json_log_formatter_fields_and_extras():
     assert line["topic"] == "orders" and line["batch_id"] == 7
     assert "ValueError: boom" in line["exc_info"]
     assert line["level"] == "ERROR"
+
+
+def test_reliability_events_logged_with_extras(spark, caplog):
+    """The retry/DLQ paths emit structured reliability events (counts
+    as extras, payloads never interpolated) on the pspf_spark
+    .reliability logger — what configure_json_logging turns into the
+    reference's JSON log stream."""
+    import logging
+
+    from python_stream_processing_framework_spark.streaming.dlq import (
+        handle_batch_with_retries,
+    )
+
+    batch = spark.createDataFrame(
+        [("e1", 0), ("e2", 2)], "event_id string, _attempt long"
+    )
+    def handler(ev):
+        raise ValueError("nope")
+
+    with caplog.at_level(logging.INFO, logger="pspf_spark.reliability"):
+        handle_batch_with_retries(
+            batch, handler=handler, topic="t9", max_retries=2,
+            emit=lambda topic, *ev: [e.get("event_id") for e in ev],
+        )
+    by_msg = {r.message: r for r in caplog.records}
+    assert by_msg["retrying failed messages"].n_retried == 1
+    assert by_msg["retrying failed messages"].topic == "t9"
+    assert by_msg["moved messages to DLQ"].n_dead == 1
+    assert by_msg["moved messages to DLQ"].levelname == "WARNING"
