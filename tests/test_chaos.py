@@ -135,3 +135,64 @@ def test_chaos_kill_restart_zero_lag_exact_sums(spark, tmp_path):
     st2.run_until_idle()
     assert probe_applied == []
     assert len(effects.read_text().splitlines()) == emitted
+
+
+def test_spill_survives_crash_between_spill_and_driver_emit(spark, tmp_path):
+    """Crash-point chaos for the poison-batch spill path: attempt 1
+    writes the executor-side spill files, then the driver dies BEFORE
+    its own capped emission (the batch never commits). The replay
+    (same job token, as foreachBatch would) re-runs handlers and
+    overwrites the same spill files via rename — afterwards the DLQ
+    holds every failed message exactly once: spilled rows from the
+    idempotent files plus driver rows emitted exactly once."""
+    import json
+
+    from python_stream_processing_framework_spark.streaming.dlq import (
+        handle_batch_with_retries,
+    )
+
+    retry_dir, dlq_dir = tmp_path / "r", tmp_path / "d"
+    n, cap = 24, 4
+    batch = spark.createDataFrame(
+        [(f"e{i}", 1) for i in range(n)], "event_id string, _attempt long"
+    )
+    emitted: list[str] = []
+    attempts = {"n": 0}
+
+    def flaky_emit(topic, *events):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("driver crash before emit")
+        emitted.extend(e["event_id"] for e in events)
+        return [e["event_id"] for e in events]
+
+    def handler(ev):
+        raise ValueError("poison")
+
+    kwargs = dict(
+        handler=handler, topic="t", max_retries=1, emit=flaky_emit,
+        distribute=True, distribute_partitions=4,
+        collect_failure_cap=cap,
+        spill_dirs=(str(retry_dir), str(dlq_dir)), job_token="g-b3",
+    )
+    try:
+        handle_batch_with_retries(batch, **kwargs)
+        raise AssertionError("first attempt must crash")
+    except RuntimeError:
+        pass
+    # spills from the crashed attempt are already on disk
+    pre = sorted(p.name for p in dlq_dir.glob("spill-*.json"))
+    assert pre
+    handle_batch_with_retries(batch, **kwargs)  # the replay
+
+    files = sorted(dlq_dir.glob("spill-*.json"))
+    assert sorted(p.name for p in files) == pre  # overwritten, not added
+    spilled = [
+        json.loads(line)["event_id"]
+        for f in files
+        for line in f.read_text().splitlines()
+    ]
+    assert len(spilled) == len(set(spilled))
+    # driver rows emitted exactly once (the crashed attempt emitted 0)
+    assert len(emitted) == len(set(emitted)) <= cap
+    assert sorted(spilled + emitted) == sorted(f"e{i}" for i in range(n))
