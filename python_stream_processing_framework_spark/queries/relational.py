@@ -369,19 +369,13 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (DataFrame.pivot) is Spark-native, not engine code.
 
 
-@query(
-    "orders_enriched",
-    """
-    SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
-    FROM orders
-      JOIN customer ON c_custkey = o_custkey
-      JOIN nation ON n_nationkey = c_nationkey
-      JOIN region ON r_regionkey = n_regionkey
-    WHERE r_name = 'EUROPE' AND o_orderstatus = 'O' AND o_totalprice > 50000
-    """,
-    doc="Star-join enrichment: broadcast dims, filter + column pruning "
-    "pushed to the fact scan.",
-)
+# orders_enriched was rotated out of the 50-entry registry in round 6
+# for the gopher_rules query: its broadcast-dim star-enrichment plan
+# shape stays multiply pinned — region_revenue's oracle drives the
+# same dims chain with 4 broadcasts, and test_orders_enriched_
+# broadcasts keeps asserting THIS function's plan directly (the
+# forecast_revenue precedent: the function remains the plan probe
+# after leaving the registry).
 def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer, nation, region = load(
         spark, sf_dir, "orders", "customer", "nation", "region"

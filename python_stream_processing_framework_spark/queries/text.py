@@ -418,3 +418,76 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         documents, "doc_id", "text", chunk_tokens=32, overlap=8
     )
+
+
+def _gopher_oracle() -> str:
+    from python_stream_processing_framework_spark.operators.text import (
+        GOPHER_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(trim(text), ' ') AS words,
+             string_split(text, chr(10)) AS lines,
+             {_TOKS} AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        len(words) BETWEEN 50 AND 100000 AS ok_word_count,
+        CAST(list_sum(list_transform(words, w -> length(w)))
+             AS DOUBLE) / len(words) BETWEEN 3.0 AND 10.0
+          AS ok_mean_word_len,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+             AS DOUBLE) / len(words) < 0.1 AS ok_symbol_ratio,
+        CAST(len(list_filter(lines,
+               l -> regexp_matches(ltrim(l), '^[-*•]')))
+             AS DOUBLE) / len(lines) < 0.9 AS ok_bullet_lines,
+        CAST(len(list_filter(lines,
+               l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+             AS DOUBLE) / len(lines) < 0.3 AS ok_ellipsis_lines,
+        CAST(len(list_filter(words,
+               w -> regexp_matches(w, '[A-Za-z]')))
+             AS DOUBLE) / len(words) >= 0.8 AS ok_alpha_words,
+        len(list_intersect(list_distinct(toks), [{stops}])) >= 2
+          AS ok_stopwords
+      FROM t)
+    SELECT doc_id, n_words,
+           coalesce(ok_word_count, FALSE) AS ok_word_count,
+           coalesce(ok_mean_word_len, FALSE) AS ok_mean_word_len,
+           coalesce(ok_symbol_ratio, FALSE) AS ok_symbol_ratio,
+           coalesce(ok_bullet_lines, FALSE) AS ok_bullet_lines,
+           coalesce(ok_ellipsis_lines, FALSE) AS ok_ellipsis_lines,
+           coalesce(ok_alpha_words, FALSE) AS ok_alpha_words,
+           coalesce(ok_stopwords, FALSE) AS ok_stopwords,
+           coalesce(ok_word_count AND ok_mean_word_len
+             AND ok_symbol_ratio AND ok_bullet_lines
+             AND ok_ellipsis_lines AND ok_alpha_words
+             AND ok_stopwords, FALSE) AS gopher_pass
+    FROM c
+    """
+
+
+@query(
+    "gopher_rules",
+    _gopher_oracle(),
+    doc="The published Gopher document-filter rule battery (operators/"
+    "text.gopher_quality_flags): word-count and mean-word-length "
+    "bounds, #/ellipsis symbol-to-word ratio, bullet-started and "
+    "ellipsis-ended line fractions, alpha-word fraction, stop-word "
+    "presence — per-rule booleans plus the conjunction, all row-local "
+    "JVM expressions (map-only). Corpus reports break rejections down "
+    "by rule, which is why the flags are not pre-folded. On this "
+    "synthetic word-soup corpus the stop-word rule rejects everything "
+    "— the per-rule columns are what the oracle value-compares.",
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return gopher_quality_flags(documents, "doc_id", "text")

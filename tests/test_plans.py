@@ -81,7 +81,13 @@ def test_star_join_broadcasts_dims_fact_stays_streamed(spark):
 
 
 def test_orders_enriched_broadcasts(spark):
-    df = q("orders_enriched", spark)
+    # left the driver registry in r6 (rationale at the definition)
+    # but remains the broadcast-enrichment plan probe
+    from python_stream_processing_framework_spark.queries.relational import (
+        orders_enriched,
+    )
+
+    df = orders_enriched(spark, SF_SMOKE)
     assert_broadcast_join(df, min_count=2)
     assert_no_cartesian(df)
     assert_pushed_filters(df, "EqualTo(o_orderstatus,O)")
