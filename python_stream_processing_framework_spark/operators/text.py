@@ -14,7 +14,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from python_stream_processing_framework_spark.operators.dedup import tokens_expr
+from python_stream_processing_framework_spark.operators.dedup import (
+    shingles_expr,
+    tokens_expr,
+)
 
 #: Default stopword list for the quality heuristic (tiny on purpose —
 #: a ratio feature, not linguistics).
@@ -693,3 +696,113 @@ def filter_url_blocklist(
         .distinct()
     )
     return df.join(flagged, id_col, "left_anti")
+
+
+#: GPT-2-style pre-tokenizer (Radford et al. 2019, the regex every
+#: BPE vocabulary since has inherited), restricted to the dual-engine
+#: subset: contraction suffixes, letter runs, digit runs, and
+#: non-space-non-alnum runs. Two deliberate deviations from the
+#: original, both forced by RE2 (the DuckDB oracle engine): the
+#: trailing-space lookahead `\s+(?!\S)` is dropped (RE2 has no
+#: lookaround), and `\s` is spelled as an explicit ASCII class
+#: because Java's `\s` includes \x0B while RE2's does not. Leftmost-
+#: first alternation semantics agree between java.util.regex and
+#: RE2's Perl mode, so the SAME string tokenizes identically in both
+#: engines (pinned over the full documents table in tests).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)|[\p{L}]+|[\p{N}]+|[^ \t\n\r\f\p{L}\p{N}]+"
+)
+
+_CONTRACTION_FULL = r"^'(?:s|t|re|ve|m|ll|d)$"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting the way an LLM-data pipeline budgets it: a
+    BPE-ish regex pre-tokenization pass next to the plain whitespace
+    count.
+
+    Output per document: id, n_ws_tokens (whitespace tokens — the
+    number quality_stats and the Gopher rules reason about),
+    n_bpe_tokens (pre-tokenizer matches — the number a token-budget
+    planner wants, since each pre-token maps to >=1 BPE piece),
+    n_word_tokens / n_num_tokens / n_contraction_tokens /
+    n_punct_tokens (the pre-token classes; punct is the exact
+    remainder), and n_chars (total characters). All-integer output —
+    ratios are one division away and left to the caller so the row
+    stays engine-exact.
+
+    Scale shape: row-local JVM regex + higher-order filters, map-only,
+    no Python, no shuffle — a 100-TB corpus pays exactly one scan.
+    A model-exact tokenizer (tiktoken et al.) slots in as an
+    Arrow-batched mapInPandas with this same output schema.
+    """
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)
+    )
+    n_word = F.size(F.filter(toks, lambda x: x.rlike(r"^[\p{L}]+$")))
+    n_num = F.size(F.filter(toks, lambda x: x.rlike(r"^[\p{N}]+$")))
+    n_contr = F.size(F.filter(toks, lambda x: x.rlike(_CONTRACTION_FULL)))
+    out = df.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("bigint").alias("n_ws_tokens"),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        n_word.cast("bigint").alias("n_word_tokens"),
+        n_num.cast("bigint").alias("n_num_tokens"),
+        n_contr.cast("bigint").alias("n_contraction_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    )
+    return out.withColumn(
+        "n_punct_tokens",
+        (
+            F.col("n_bpe_tokens")
+            - F.col("n_word_tokens")
+            - F.col("n_num_tokens")
+            - F.col("n_contraction_tokens")
+        ).cast("bigint"),
+    )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    top_k: int = 25,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate mining: the word n-grams that appear
+    in the most documents.
+
+    The standard diagnostic before writing removal rules — cookie
+    banners, nav bars, and license footers surface as n-grams with
+    anomalous document frequency (the C4/FineWeb reports both lead
+    with this table). Counts DOCUMENT frequency (each doc contributes
+    each distinct gram once), so a single doc repeating a phrase
+    can't fake corpus-wide boilerplate.
+
+    Output: ngram, doc_freq — the top_k by (doc_freq DESC, ngram) —
+    the tie-break makes the cut deterministic.
+
+    Scale shape: gram generation is a map-side projection (explode
+    where the data lives); the groupBy count gets map-side partial
+    aggregation, so the single shuffle carries one row per distinct
+    (partition, gram) — bounded by vocabulary, not corpus size; the
+    top-k is TakeOrderedAndProject (no global sort). `min_df` prunes
+    the singleton-gram tail (the vast majority of grams) before the
+    ordering.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = (
+        df.select(tokens_expr(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(F.explode(shingles_expr("_toks", n)).alias("ngram"))
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+        .limit(top_k)
+    )

@@ -170,3 +170,40 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         enc, cb, cells, qv, id_col="vec_id", cell_col="label", k=10, n_probe=3
     )
+
+
+@query(
+    "kmeans_clusters",
+    f"""
+    WITH {_pq_ctes(1, 8, 2, 64)},
+    assign AS (SELECT vec_id, code AS cluster FROM enc),
+    sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM assign GROUP BY cluster)
+    SELECT a.vec_id, a.cluster, s.cluster_size
+    FROM assign a JOIN sizes s USING (cluster)
+    """,
+    doc="Full-vector deterministic k-means over the embedding corpus "
+    "— the cluster step under semantic curation (SemDeDup's cluster-"
+    "then-dedup, cluster-balanced mixing, per-cluster sampling). "
+    "Reuses the PQ Lloyd trainer with m=1 (one subspace = whole "
+    "vector, k=8, 2 rounds): hash-smallest seeding, integer-exact "
+    "means, Arrow-batched matmul assignment against the broadcast "
+    "codebook — each round is ONE full-data job. Output is every "
+    "vector's (cluster, cluster_size) assignment; the oracle replays "
+    "seeding, both Lloyd rounds, and the final assignment bit-exactly "
+    "in SQL (the operators/pq.py integer-quantized distance "
+    "contract).",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    cb = pq_train(embeddings, m=1, k=8, iters=2)
+    enc = pq_encode(embeddings, cb)
+    assign = enc.select(
+        "vec_id", F.element_at("codes", 1).alias("cluster")
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )

@@ -491,3 +491,91 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load(spark, sf_dir, "documents")
     return gopher_quality_flags(documents, "doc_id", "text")
+
+
+def _bpe_oracle() -> str:
+    from python_stream_processing_framework_spark.operators.text import (
+        BPE_PRETOKEN_PATTERN,
+    )
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    contr = r"^''(?:s|t|re|ve|m|ll|d)$"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '{pat}') AS btoks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+             CAST(len(btoks) AS BIGINT) AS n_bpe_tokens,
+             CAST(len(list_filter(btoks,
+               x -> regexp_matches(x, '^[\\p{{L}}]+$'))) AS BIGINT)
+               AS n_word_tokens,
+             CAST(len(list_filter(btoks,
+               x -> regexp_matches(x, '^[\\p{{N}}]+$'))) AS BIGINT)
+               AS n_num_tokens,
+             CAST(len(list_filter(btoks,
+               x -> regexp_matches(x, '{contr}'))) AS BIGINT)
+               AS n_contraction_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM t)
+    SELECT *,
+           n_bpe_tokens - n_word_tokens - n_num_tokens
+             - n_contraction_tokens AS n_punct_tokens
+    FROM c
+    """
+
+
+@query(
+    "token_counts",
+    _bpe_oracle(),
+    doc="Token counting for LLM budget planning (operators/"
+    "text.bpe_token_stats): whitespace-token count next to a "
+    "GPT-2-style regex pre-tokenization (contraction suffixes, "
+    "letter runs, digit runs, punctuation runs — the RE2-safe "
+    "subset of the published pattern) with per-class counts. "
+    "All-integer output, map-only single scan; the oracle runs "
+    "the identical pattern through DuckDB's RE2 — leftmost-first "
+    "alternation agrees between engines, pinned over the whole "
+    "documents table.",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        bpe_token_stats,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return bpe_token_stats(documents, "doc_id", "text")
+
+
+@query(
+    "frequent_ngrams",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    g AS (SELECT unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+            AS ngram
+          FROM t WHERE len(toks) >= 3)
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM g GROUP BY ngram
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_freq DESC, ngram LIMIT 25
+    """,
+    doc="Boilerplate mining (operators/text.frequent_ngrams): the 25 "
+    "word trigrams present in the most documents (document frequency "
+    "— each doc votes once per distinct gram). The table C4/FineWeb-"
+    "style corpus reports lead with, and the input to boilerplate-"
+    "removal rules. Map-side gram explode, partial-agg'd groupBy "
+    "(shuffle bounded by vocabulary, not corpus), min_df prune, "
+    "TakeOrderedAndProject top-k with a deterministic (doc_freq "
+    "DESC, ngram) tie-break.",
+)
+def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        frequent_ngrams,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return frequent_ngrams(documents, "doc_id", "text", n=3, top_k=25, min_df=2)

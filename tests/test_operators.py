@@ -948,3 +948,87 @@ def test_normalize_text_composition_constraint(spark):
     bad = normalize_text(redact_pii(df, "text"), "text")
     with _pytest.raises(Exception, match="INTERNAL_ERROR|Cannot generate"):
         bad.groupBy(F.md5("text")).count().count()
+
+
+def test_bpe_token_stats_crafted(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        bpe_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 letter-runs, 1 number-run, 1 contraction, 2 punct runs
+            (1, "It's over 9000!! ok then"),
+            (2, ""),
+            (3, "a-b c"),  # letters a,b,c + one '-' punct run
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in bpe_token_stats(docs, "doc_id", "text").collect()
+    }
+    r1 = rows[1]
+    assert r1["n_word_tokens"] == 4  # It, over, ok, then
+    assert r1["n_num_tokens"] == 1  # 9000
+    assert r1["n_contraction_tokens"] == 1  # 's
+    assert r1["n_punct_tokens"] == 1  # !!
+    assert r1["n_bpe_tokens"] == 7
+    assert r1["n_ws_tokens"] == 5
+    assert r1["n_chars"] == len("It's over 9000!! ok then")
+    r2 = rows[2]
+    assert r2["n_bpe_tokens"] == 0 and r2["n_punct_tokens"] == 0
+    r3 = rows[3]
+    assert r3["n_word_tokens"] == 3
+    assert r3["n_punct_tokens"] == 1
+    assert r3["n_bpe_tokens"] == 4
+
+
+def test_frequent_ngrams_doc_freq_and_tiebreak(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        frequent_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c" appears in docs 1,2,3; repeated within doc 1 —
+            # doc frequency must count it 3, not 4
+            (1, "a b c x a b c"),
+            (2, "a b c y"),
+            (3, "z a b c"),
+            # "b c x" in docs 1 only -> pruned by min_df=2
+            (4, "p q r"),
+            (5, "p q r"),
+        ],
+        "doc_id int, text string",
+    )
+    out = frequent_ngrams(
+        docs, "doc_id", "text", n=3, top_k=10, min_df=2
+    ).collect()
+    got = [(r["ngram"], r["doc_freq"]) for r in out]
+    assert got[0] == ("a b c", 3)
+    # tie at df=2: lexicographic ngram order breaks it
+    assert got[1:] == [("p q r", 2)]
+    # short docs: n=3 over a 2-token doc contributes nothing, no error
+    short = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    assert frequent_ngrams(short, "doc_id", "text", n=3, top_k=5, min_df=1).count() == 0
+
+
+def test_kmeans_clusters_partition_property(spark):
+    from python_stream_processing_framework_spark.queries.pq import (
+        kmeans_clusters,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = kmeans_clusters(spark, SF_SMOKE).collect()
+    total = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    )
+    # every vector assigned exactly once
+    assert len(out) == total
+    assert len({r["vec_id"] for r in out}) == total
+    # cluster_size is consistent with the actual assignment
+    from collections import Counter
+
+    sizes = Counter(r["cluster"] for r in out)
+    for r in out:
+        assert r["cluster_size"] == sizes[r["cluster"]]

@@ -318,3 +318,30 @@ def test_decontaminate_anti_joins_broadcast(spark):
         t = plan_text(out)
         assert "SortMergeJoin LeftAnti" not in t, t[:1200]
         assert "BroadcastHashJoin" in t
+
+
+def test_token_counts_map_only_pruned(spark):
+    """token_counts is a pure scan->project pass: one regex
+    pre-tokenization + higher-order filters, all row-local. Any
+    Exchange here means someone re-joined the class counts; the scan
+    must read only (doc_id, text)."""
+    df = q("token_counts", spark)
+    assert count_exchanges(df) == 0
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
+
+
+def test_frequent_ngrams_single_exchange_take_ordered(spark):
+    """frequent_ngrams' scale contract: gram explode is map-side, the
+    doc-frequency count is the plan's ONLY exchange (map-side partial
+    agg bounds it by vocabulary), and the top-k is
+    TakeOrderedAndProject — never a global Sort."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("frequent_ngrams", spark)
+    assert count_exchanges(df) == 1
+    text = plan_text(df)
+    assert ") TakeOrderedAndProject" in text
+    assert ") Sort" not in text
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"text"}
