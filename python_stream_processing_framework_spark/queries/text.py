@@ -579,3 +579,56 @@ def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load(spark, sf_dir, "documents")
     return frequent_ngrams(documents, "doc_id", "text", n=3, top_k=25, min_df=2)
+
+
+@query(
+    "quality_classifier",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, (lang = 'en') AS y, {_TOKS} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, y, unnest(list_distinct(toks)) AS token FROM lab),
+    w AS (
+      SELECT token,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+      FROM tok GROUP BY token),
+    wm AS (
+      SELECT token,
+             (n_pos + 1) * 1000000 // (n_pos + n_neg + 2) AS w_micro
+      FROM w),
+    s AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             SUM(wm.w_micro) AS sw
+      FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM lab) t
+      JOIN wm USING (token)
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_matched,
+           CAST(sw // n_matched AS BIGINT) AS score_micro
+    FROM s
+    """,
+    doc="Classifier-based quality scoring (operators/classifier.py) — "
+    "the DCLM/FineWeb-Edu filter pattern: train token weights from a "
+    "weak label in ONE explode+groupBy pass (here: lang='en' as the "
+    "positive class, a stand-in for any rule-battery or seed-set "
+    "signal), then score every document as the integer mean "
+    "positive-class posterior of its distinct tokens via a BROADCAST "
+    "join (the corpus never shuffles). All-integer micro-unit "
+    "arithmetic — no logs, no float sums — so the oracle replays "
+    "train AND score bit-exactly. (The synthetic corpus's lang "
+    "column does not control its words, so scores here cluster near "
+    "neutral — the row validates the exact train+score pipeline; "
+    "class separation under a signal-bearing label is unit-tested "
+    "on a crafted corpus.)",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.classifier import (
+        classifier_score,
+        classifier_train,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    labeled = documents.withColumn("_is_en", F.col("lang") == "en")
+    weights = classifier_train(labeled, "doc_id", "text", "_is_en")
+    return classifier_score(documents, weights, "doc_id", "text")

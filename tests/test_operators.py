@@ -1032,3 +1032,86 @@ def test_kmeans_clusters_partition_property(spark):
     sizes = Counter(r["cluster"] for r in out)
     for r in out:
         assert r["cluster_size"] == sizes[r["cluster"]]
+
+
+def test_classifier_train_weights_crafted(spark):
+    from python_stream_processing_framework_spark.operators.classifier import (
+        classifier_score,
+        classifier_train,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good stuff", True),  # presence: good counted once
+            (2, "good other", True),
+            (3, "bad stuff", False),
+            (4, "bad other", False),
+        ],
+        "doc_id int, text string, y boolean",
+    )
+    w = {
+        r["token"]: r
+        for r in classifier_train(docs, "doc_id", "text", "y").collect()
+    }
+    # 'good': 2 pos, 0 neg -> (2+1)*1e6 DIV 4 = 750000
+    assert (w["good"]["n_pos"], w["good"]["n_neg"]) == (2, 0)
+    assert w["good"]["w_micro"] == 750_000
+    # 'bad': 0 pos, 2 neg -> 1e6 DIV 4 = 250000
+    assert w["bad"]["w_micro"] == 250_000
+    # 'stuff'/'other': 1 each -> exactly neutral
+    assert w["stuff"]["w_micro"] == 500_000
+    assert w["other"]["w_micro"] == 500_000
+
+    scored = {
+        r["doc_id"]: r
+        for r in classifier_score(
+            docs, classifier_train(docs, "doc_id", "text", "y"), "doc_id", "text"
+        ).collect()
+    }
+    # doc 1: tokens good, stuff -> (750000 + 500000) DIV 2
+    assert scored[1]["n_matched"] == 2
+    assert scored[1]["score_micro"] == 625_000
+    assert scored[3]["score_micro"] == 375_000
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        classifier_train(docs, "doc_id", "text", "y", smoothing=0)
+
+
+def test_classifier_separates_when_label_has_signal(spark):
+    """When the weak label correlates with vocabulary, the scorer
+    must separate the classes by a wide margin — the mean-posterior
+    score carries real signal, not just plumbing. (The driver-catalog
+    row scores the synthetic corpus, whose `lang` column does NOT
+    control the words — there the oracle validates exactness; signal
+    is validated here, on a corpus that has some.)"""
+    import random
+
+    from python_stream_processing_framework_spark.operators.classifier import (
+        classifier_score,
+        classifier_train,
+    )
+
+    rng = random.Random(7)
+    pos_vocab = [f"p{i}" for i in range(30)]
+    neg_vocab = [f"n{i}" for i in range(30)]
+    shared = [f"s{i}" for i in range(20)]
+    rows = []
+    for i in range(120):
+        y = i % 2 == 0
+        own = pos_vocab if y else neg_vocab
+        toks = rng.choices(own, k=12) + rng.choices(shared, k=8)
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks), y))
+    docs = spark.createDataFrame(rows, "doc_id int, text string, y boolean")
+    scored = classifier_score(
+        docs, classifier_train(docs, "doc_id", "text", "y"), "doc_id", "text"
+    ).join(docs.select("doc_id", "y"), "doc_id")
+    out = scored.collect()
+    pos = [r["score_micro"] for r in out if r["y"]]
+    neg = [r["score_micro"] for r in out if not r["y"]]
+    assert len(pos) == 60 and len(neg) == 60
+    # class vocabularies are near-exclusive: every pos doc must beat
+    # every neg doc, not just on average
+    assert min(pos) > max(neg)
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 200_000

@@ -345,3 +345,17 @@ def test_frequent_ngrams_single_exchange_take_ordered(spark):
     assert ") Sort" not in text
     cols = read_schema_columns(df, "documents.parquet")
     assert set(cols) == {"text"}
+
+
+def test_quality_classifier_broadcast_weights(spark):
+    """The scorer's scale contract: the weight table broadcasts into
+    the token join — the corpus-side token stream is never exchanged
+    by the join (its only shuffles are the two aggregations: the
+    vocabulary count and the per-doc mean)."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("quality_classifier", spark)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+    assert_no_cartesian(df)
