@@ -42,6 +42,10 @@ from python_stream_processing_framework_spark.operators.mixture import (
     domain_mixture,
     shard_stats,
 )
+from python_stream_processing_framework_spark.operators.classifier import (
+    classifier_score,
+    classifier_train,
+)
 from python_stream_processing_framework_spark.operators.sampling import hash_split
 from python_stream_processing_framework_spark.operators.text import (
     chunk_documents,
@@ -83,6 +87,36 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "gopher audit: rejections by rule "
         + ", ".join(f"{c[3:]}={rej[c]}" for c in rule_cols)
         + f" (dominant: {worst[3:]})"
+    )
+
+    # 1a'. classifier scoring (REPORT, like the Gopher audit): train
+    # token weights on a weak label — here "above-median heuristic
+    # quality", standing in for the seed set a real pipeline has —
+    # and score every doc as the mean token posterior. A production
+    # run gates on the score (keep the top of the distribution, the
+    # DCLM/FineWeb-Edu move); on word soup the distribution is what
+    # the report shows. Training's shuffle is vocabulary-bounded and
+    # scoring broadcasts the weights, so this stage adds no
+    # corpus-side exchange.
+    med = quality.agg(
+        F.expr("approx_percentile(quality_score, 0.5)")
+    ).collect()[0][0]
+    labeled = good.join(
+        quality.select("doc_id", "quality_score"), "doc_id"
+    ).withColumn("_y", F.col("quality_score") > med)
+    scored = classifier_score(
+        labeled,
+        classifier_train(labeled, "doc_id", "text", "_y"),
+        "doc_id",
+        "text",
+    )
+    cstats = scored.agg(
+        F.min("score_micro"), F.avg("score_micro"), F.max("score_micro")
+    ).collect()[0]
+    print(
+        f"classifier audit: score_micro min {cstats[0]} "
+        f"mean {cstats[1]:.0f} max {cstats[2]} (weak label: "
+        f"quality_score > {med:.3f})"
     )
 
     # 1b. PII scrub BEFORE dedup: redaction tokens normalize spans
