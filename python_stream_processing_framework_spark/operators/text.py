@@ -806,3 +806,51 @@ def frequent_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
         .limit(top_k)
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    grams,
+    *,
+    replacement: str = " ",
+) -> DataFrame:
+    """Delete mined boilerplate phrases from every document — the
+    removal half of the mine -> remove loop `frequent_ngrams` opens
+    (C4's "three-sentence spans seen more than once" rule, FineWeb's
+    boilerplate line filters — same shape: a SMALL list of phrases
+    with anomalous document frequency, applied corpus-wide).
+
+    ``grams`` is either the DataFrame `frequent_ngrams` returns
+    (column ``ngram``, optionally ``doc_freq``) or a plain list of
+    strings. A gram DataFrame is collected to the driver — bounded
+    by construction (a mined boilerplate list is top-k, thousands at
+    most) — and applied in (doc_freq DESC, ngram) order so the fold
+    is deterministic; a list is applied in the order given. Each
+    occurrence is replaced literally (no regex) with ``replacement``.
+
+    Scale shape: the removal itself is a pure map-only column fold —
+    one `replace` per gram, chained left-to-right, no shuffle, no
+    Python. The phrase list rides into executors inside the plan
+    (literals), the corpus is scanned once.
+    """
+    from functools import reduce
+
+    if isinstance(grams, DataFrame):
+        cols = grams.columns
+        if "doc_freq" in cols:
+            rows = grams.orderBy(
+                F.col("doc_freq").desc(), F.col("ngram")
+            ).collect()
+        else:
+            rows = grams.orderBy("ngram").collect()
+        phrases = [r["ngram"] for r in rows]
+    else:
+        phrases = list(grams)
+    folded = reduce(
+        lambda acc, g: F.replace(acc, F.lit(g), F.lit(replacement)),
+        phrases,
+        F.col(text_col),
+    )
+    return df.withColumn(text_col, folded)

@@ -632,3 +632,48 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = documents.withColumn("_is_en", F.col("lang") == "en")
     weights = classifier_train(labeled, "doc_id", "text", "_is_en")
     return classifier_score(documents, weights, "doc_id", "text")
+
+
+@query(
+    "boilerplate_removal",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    g AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+          FROM (SELECT unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                  AS ngram
+                FROM t WHERE len(toks) >= 3) z
+          GROUP BY ngram HAVING COUNT(*) >= 2
+          ORDER BY doc_freq DESC, ngram LIMIT 10),
+    gl AS (SELECT list(ngram ORDER BY doc_freq DESC, ngram) AS grams
+           FROM g)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(text, coalesce((SELECT grams FROM gl), [])),
+             (acc, x) -> replace(acc, x, ' ')) AS text
+    FROM documents
+    """,
+    doc="The mine -> remove boilerplate loop closed (operators/"
+    "text.frequent_ngrams -> remove_boilerplate): mine the 10 "
+    "highest-document-frequency trigrams, then delete every literal "
+    "occurrence corpus-wide (the C4/FineWeb hygiene move). The mined "
+    "list is driver-bounded top-k; the removal is a map-only literal "
+    "replace fold in (doc_freq DESC, ngram) order — deterministic, "
+    "no regex, no shuffle — which the oracle replays with the "
+    "identical fold via list_reduce. The rewritten TEXT is "
+    "value-compared.",
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        frequent_ngrams,
+        remove_boilerplate,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    mined = frequent_ngrams(
+        documents, "doc_id", "text", n=3, top_k=10, min_df=2
+    )
+    return remove_boilerplate(documents, "doc_id", "text", mined).select(
+        "doc_id", "text"
+    )

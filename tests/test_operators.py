@@ -1115,3 +1115,39 @@ def test_classifier_separates_when_label_has_signal(spark):
     # every neg doc, not just on average
     assert min(pos) > max(neg)
     assert sum(pos) / len(pos) > sum(neg) / len(neg) + 200_000
+
+
+def test_remove_boilerplate_mine_then_remove(spark):
+    from python_stream_processing_framework_spark.operators.text import (
+        frequent_ngrams,
+        remove_boilerplate,
+    )
+
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner} welcome to my page"),
+            (2, f"real content here {banner}"),
+            (3, f"{banner} and more text"),
+            (4, "no banner in this one"),
+        ],
+        "doc_id int, text string",
+    )
+    mined = frequent_ngrams(docs, "doc_id", "text", n=3, top_k=5, min_df=3)
+    grams = [r["ngram"] for r in mined.collect()]
+    assert banner in grams
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(docs, "doc_id", "text", mined).collect()
+    }
+    for i in (1, 2, 3):
+        assert banner not in out[i]
+    # non-boilerplate content survives
+    assert "welcome to my page" in out[1]
+    assert "real content here" in out[2]
+    assert out[4] == "no banner in this one"
+    # plain-list input applies in the order given
+    out2 = remove_boilerplate(
+        docs, "doc_id", "text", [banner], replacement=""
+    ).collect()
+    assert all(banner not in r["text"] for r in out2)

@@ -359,3 +359,14 @@ def test_quality_classifier_broadcast_weights(spark):
     assert "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text
     assert_no_cartesian(df)
+
+
+def test_boilerplate_removal_map_only(spark):
+    """remove_boilerplate's scale contract: the mined phrase list is
+    collected at build time (bounded top-k) and the removal itself is
+    a pure scan->project literal-replace fold — zero exchanges in the
+    final plan."""
+    df = q("boilerplate_removal", spark)
+    assert count_exchanges(df) == 0
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
