@@ -26,6 +26,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     packing,
     mixture,
     retrieval,
+    bpe,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

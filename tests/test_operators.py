@@ -1151,3 +1151,85 @@ def test_remove_boilerplate_mine_then_remove(spark):
         docs, "doc_id", "text", [banner], replacement=""
     ).collect()
     assert all(banner not in r["text"] for r in out2)
+
+
+def _bpe_corpus(spark):
+    rows, i = [], 0
+    for w, n in [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]:
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_bpe_train_classic_example(spark):
+    """The Sennrich et al. running example, hand-computed: low x5,
+    lower x2, newest x6, widest x3."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    merges = bpe_train(_bpe_corpus(spark), "text", n_merges=5).collect()
+    got = [(r["merge_idx"], r["left"], r["right"], r["pair_count"]) for r in merges]
+    # (e,s) 9 from newest+widest; (es,t) 9; then l/lo chains at 7;
+    # (e,w) 6 from newest ('w e' was consumed by nothing; 'e w'
+    # survives in 'n e w ...' until round 4)
+    assert got == [
+        (0, "e", "s", 9),
+        (1, "es", "t", 9),
+        (2, "l", "o", 7),
+        (3, "lo", "w", 7),
+        (4, "e", "w", 6),
+    ]
+    seg = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in bpe_segment_counts(
+            _bpe_corpus(spark), "doc_id", "text",
+            [(l, r) for _, l, r, _ in got],
+        ).collect()
+    }
+    # low -> [low] (1); lower -> [low,e,r] (3); newest -> [n,ew,est]
+    # (3); widest -> [w,i,d,est] (4)
+    assert seg[0] == (1, 1)  # a 'low' doc
+    assert seg[5] == (1, 3)  # a 'lower' doc
+    assert seg[7] == (1, 3)  # a 'newest' doc
+    assert seg[13] == (1, 4)  # a 'widest' doc
+
+
+def test_bpe_greedy_left_and_consecutive(spark):
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_segment_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "abab")], "doc_id int, text string"
+    )
+    seg = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_segment_counts(
+            docs, "doc_id", "text", [("a", "a"), ("a", "b"), ("ab", "ab")]
+        ).collect()
+    }
+    # 'a a a' under (a,a): greedy-left -> 'aa a' = 2 pieces
+    assert seg[1] == 2
+    # 'a b a b' under (a,b): BOTH occurrences merge in one pass
+    # (leading-space pattern), then (ab,ab) fuses them -> 1 piece
+    assert seg[2] == 1
+
+
+def test_bpe_train_early_stop_degenerate(spark):
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_train,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id int, text string"
+    )
+    # one merge fuses the only word to a single symbol; further
+    # rounds find no pairs and must stop, not error
+    merges = bpe_train(docs, "text", n_merges=5).collect()
+    assert [(r["left"], r["right"]) for r in merges] == [("a", "b")]
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(docs, "text", n_merges=0)

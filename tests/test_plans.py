@@ -370,3 +370,13 @@ def test_boilerplate_removal_map_only(spark):
     assert count_exchanges(df) == 0
     cols = read_schema_columns(df, "documents.parquet")
     assert set(cols) == {"doc_id", "text"}
+
+
+def test_bpe_token_counts_map_only(spark):
+    """Applying learned merges is a pure scan->project pass: the
+    merge chain is literals in the plan (training ran at build time
+    on the vocabulary table, not in this plan). Zero exchanges."""
+    df = q("bpe_token_counts", spark)
+    assert count_exchanges(df) == 0
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
