@@ -342,3 +342,85 @@ def test_chunk_documents_coverage_properties(spark, n_tokens, chunk_tokens, over
         t for cid, chunk in rows[:-1] for t in chunk[:stride]
     ] + rows[-1][1]
     assert rebuilt == toks
+
+
+def _ref_bpe(words, n_merges):
+    """Pure-Python reference BPE (Sennrich et al. 2016): word-frequency
+    table, greedy-leftmost merge application, (count DESC, pair ASC)
+    tie-break — the semantics operators/bpe.py distributes."""
+    from collections import Counter
+
+    wf = Counter(words)
+    vocab = {tuple(w): c for w, c in wf.items()}
+    merges = []
+    for i in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), total = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((i, l, r, total))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(1, 4),
+)
+def test_bpe_matches_reference_implementation(spark, words, n_merges):
+    """Distributed BPE == sequential reference BPE on the same corpus:
+    identical merge table (order, pairs, counts) AND identical per-doc
+    piece counts. The tiny 'ab' alphabet maximizes tie and
+    overlapping-pair pressure (aa/ab/ba/bb collisions every round)."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    got_merges = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, "text", n_merges=n_merges).collect()
+    ]
+    want_merges, _ = _ref_bpe(words, n_merges)
+    assert got_merges == want_merges
+
+    pairs = [(l, r) for _, l, r, _ in want_merges]
+    got_seg = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_segment_counts(docs, "doc_id", "text", pairs).collect()
+    }
+    for i, w in enumerate(words):
+        syms = list(w)
+        for l, r in pairs:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        assert got_seg[i] == len(syms), (w, pairs)
