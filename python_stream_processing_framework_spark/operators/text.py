@@ -815,6 +815,8 @@ def remove_boilerplate(
     grams,
     *,
     replacement: str = " ",
+    engine: str = "auto",
+    expr_limit: int = 1_000,
 ) -> DataFrame:
     """Delete mined boilerplate phrases from every document — the
     removal half of the mine -> remove loop `frequent_ngrams` opens
@@ -830,10 +832,19 @@ def remove_boilerplate(
     is deterministic; a list is applied in the order given. Each
     occurrence is replaced literally (no regex) with ``replacement``.
 
-    Scale shape: the removal itself is a pure map-only column fold —
-    one `replace` per gram, chained left-to-right, no shuffle, no
-    Python. The phrase list rides into executors inside the plan
-    (literals), the corpus is scanned once.
+    Scale shape: both engines are map-only single scans with
+    IDENTICAL results (a left-to-right fold of literal replaces):
+
+    - ``engine='expr'``: one JVM `replace` per gram chained in the
+      plan — whole-stage codegen, no Python. The right path for the
+      usual top-k-sized lists, but Catalyst expression trees don't
+      scale to six-figure chain depth.
+    - ``engine='python'``: one Arrow-batched `mapInPandas` stage
+      folding the same phrase list (shipped via a tracked broadcast)
+      per batch — flat in phrase count where the expression tree is
+      not, at the cost of leaving codegen.
+    - ``engine='auto'`` (default): 'expr' up to ``expr_limit``
+      phrases, 'python' beyond.
     """
     from functools import reduce
 
@@ -848,9 +859,36 @@ def remove_boilerplate(
         phrases = [r["ngram"] for r in rows]
     else:
         phrases = list(grams)
-    folded = reduce(
-        lambda acc, g: F.replace(acc, F.lit(g), F.lit(replacement)),
-        phrases,
-        F.col(text_col),
+    if engine == "auto":
+        engine = "expr" if len(phrases) <= expr_limit else "python"
+    if engine == "expr":
+        folded = reduce(
+            lambda acc, g: F.replace(acc, F.lit(g), F.lit(replacement)),
+            phrases,
+            F.col(text_col),
+        )
+        return df.withColumn(text_col, folded)
+    if engine != "python":
+        raise ValueError(f"engine must be auto|expr|python, got {engine!r}")
+
+    from collections.abc import Iterator
+
+    from python_stream_processing_framework_spark.operators.common import (
+        track_broadcast,
     )
-    return df.withColumn(text_col, folded)
+
+    bc = df.sparkSession.sparkContext.broadcast(phrases)
+    track_broadcast(bc)
+    schema = df.schema
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ps = bc.value
+        for pdf in batches:
+            s = pdf[text_col]
+            for p in ps:
+                s = s.str.replace(p, replacement, regex=False)
+            out = pdf.copy()
+            out[text_col] = s
+            yield out
+
+    return df.mapInPandas(fold, schema)

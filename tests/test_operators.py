@@ -1153,6 +1153,49 @@ def test_remove_boilerplate_mine_then_remove(spark):
     assert all(banner not in r["text"] for r in out2)
 
 
+def test_remove_boilerplate_python_engine_matches_expr(spark):
+    """The Arrow fold ('python') and the codegen fold ('expr') are the
+    same left-to-right literal replace — byte-identical outputs,
+    including the overlap-sensitive case where an earlier replacement
+    creates or destroys a later phrase's match site."""
+    from python_stream_processing_framework_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaab the aab quick ab fox"),
+            (2, "click here click here to unsubscribe"),
+            (3, "nothing matches"),
+            (4, "abab overlap abba cases aabb"),
+        ],
+        "doc_id int, text string",
+    )
+    # order matters: removing "aa" first turns "aaab" -> " b" paths
+    phrases = ["aa", "ab", "click here", "unsubscribe"]
+    expected = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            docs, "doc_id", "text", phrases, engine="expr"
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            docs, "doc_id", "text", phrases, engine="python"
+        ).collect()
+    }
+    assert got == expected
+    # auto switches to python above expr_limit and still agrees
+    auto = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            docs, "doc_id", "text", phrases, expr_limit=2
+        ).collect()
+    }
+    assert auto == expected
+
+
 def _bpe_corpus(spark):
     rows, i = [], 0
     for w, n in [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]:
