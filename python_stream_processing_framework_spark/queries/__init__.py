@@ -27,6 +27,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     mixture,
     retrieval,
     bpe,
+    lm,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

@@ -1,0 +1,89 @@
+"""Bigram-LM perplexity scoring (operators/lm.py): hand-computed
+smoothed probabilities, empty-doc handling, and the CCNet keep-rule.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from python_stream_processing_framework_spark.operators.lm import (
+    lm_filter,
+    score_bigram_lm,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def lm_model(spark):
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id int, text string"
+    )
+    bigrams, contexts, v = train_bigram_lm(train, "doc_id", "text")
+    return train, bigrams, contexts, v
+
+
+def test_train_counts_and_vocab(lm_model):
+    _, bigrams, contexts, v = lm_model
+    assert v == 2  # {a, b}; BOS is not vocabulary
+    big = {(r["ctx"], r["w"]): r["c"] for r in bigrams.collect()}
+    assert big == {("<s>", "a"): 2.0, ("a", "b"): 2.0}
+    ctx = {r["ctx"]: r["cc"] for r in contexts.collect()}
+    assert ctx == {"<s>": 2.0, "a": 2.0}
+
+
+def test_score_matches_hand_computation(spark, lm_model):
+    _, bigrams, contexts, v = lm_model
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "c"), (12, "z q"), (13, "")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_lp"])
+        for r in score_bigram_lm(
+            docs, bigrams, contexts, v, "doc_id", "text", add_k=0.5
+        ).collect()
+    }
+    # k=0.5, V+1=3 => denom adds 1.5
+    seen = math.log(2.5 / 3.5)  # c(ctx,w)=2 over c(ctx)=2
+    unseen_w = math.log(0.5 / 3.5)  # known ctx <s>, unseen word
+    unseen_ctx = math.log(0.5 / 1.5)  # unseen ctx z: uniform floor
+    assert out[10] == (2, round((seen + seen) / 2, 6))
+    assert out[11] == (1, round(unseen_w, 6))
+    assert out[12] == (2, round((unseen_w + unseen_ctx) / 2, 6))
+    # empty doc keeps its row: zero tokens, NULL score
+    assert out[13] == (0, None)
+
+
+def test_lm_filter_keep_rule(spark, lm_model):
+    _, bigrams, contexts, v = lm_model
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "c"), (13, "")], "doc_id int, text string"
+    )
+    scored = score_bigram_lm(
+        docs, bigrams, contexts, v, "doc_id", "text", add_k=0.5
+    )
+    # threshold between the in-distribution doc and the junk doc
+    thr = (math.log(2.5 / 3.5) + math.log(0.5 / 3.5)) / 2
+    kept = sorted(
+        r["doc_id"]
+        for r in lm_filter(docs, scored, "doc_id", min_avg_lp=thr).collect()
+    )
+    # the fluent doc survives; the OOV doc and the NULL-scored empty
+    # doc are both dropped
+    assert kept == [10]
+
+
+def test_unseen_context_hits_uniform_floor(spark, lm_model):
+    """A fully-unseen bigram in an unseen context scores exactly
+    ln(k / (k * (V+1))) = -ln(V+1): the uniform fallback."""
+    _, bigrams, contexts, v = lm_model
+    docs = spark.createDataFrame([(20, "z q")], "doc_id int, text string")
+    row = score_bigram_lm(
+        docs, bigrams, contexts, v, "doc_id", "text", add_k=0.5
+    ).collect()[0]
+    floor = -math.log(v + 1)
+    # second token's lp is the floor; first is unseen-word-known-ctx
+    expected = (math.log(0.5 / 3.5) + floor) / 2
+    assert row["avg_lp"] == round(expected, 6)
