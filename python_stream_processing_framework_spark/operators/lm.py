@@ -39,14 +39,15 @@ Scale shape:
   the 1-row vocabulary-size scalar (the same bounded-metadata
   contract as retrieval.bm25's (N, avgdl)).
 
-Determinism (oracle contract): each per-document sum of token
-log-probs folds in POSITION order — array_sort(collect_list(
-struct(pos, lp))) then a left fold seeded with 0.0 — so the double
-summation has a fixed association order any engine reproduces.
-Every count enters the probability as an exact-integer-valued DOUBLE
-and the division/ln expression shape is mirrored verbatim in the
-DuckDB oracle; the final 6dp round absorbs sub-ulp libm drift
-(retrieval.py's established contract).
+Determinism (oracle contract): each token's log-prob is quantized to
+integer NANO-units (round(lp * 1e9) as BIGINT — the functions/
+exact.py "integer cents" pattern) so the per-document sum is an
+order-free exact integer sum: Spark gets map-side partial
+aggregation and a narrow shuffle, and any engine reproduces the sum
+bit-exact regardless of association order. Every count enters the
+probability as an exact-integer-valued DOUBLE, the division/ln
+expression shape is mirrored verbatim in the DuckDB oracle, and the
+final 6dp round is computed from the nano sum identically in both.
 """
 
 from __future__ import annotations
@@ -61,40 +62,32 @@ from python_stream_processing_framework_spark.operators.retrieval import tokeniz
 BOS = "<s>"
 
 
-def _padded_tokens(df: DataFrame, text_col: str):
-    """Tokenize and prepend BOS; returns (padded_array, n_tokens)."""
+def _bigram_pairs(text_col: str):
+    """Array of (ctx, w) structs: the bigram predicting each token.
+
+    BOS itself is never a predicted word, only a context. Built as
+    zip_with over two slices of the padded array so the generator
+    emits ONLY the pair structs — an explode over position indices
+    would carry the whole padded token array into every output row
+    and re-index it there, which dominated the scoring scan's cost.
+    Zero-token documents yield an empty array (slice of length 0).
+    """
     toks = tokenize_expr(F.col(text_col))
     padded = F.concat(F.array(F.lit(BOS)), toks)
-    return padded, F.size(toks)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(padded, 1, n),
+        F.slice(padded, 2, n),
+        lambda a, b: F.struct(a.alias("ctx"), b.alias("w")),
+    )
 
 
 def _bigram_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per (doc, position): the bigram (ctx, w) at each token.
-
-    Positions are 1-based over the REAL tokens (BOS itself is never a
-    predicted word, only a context). Zero-token documents produce no
-    rows — sequence() would count DOWN from (2, 1), so the guard is
-    semantics, not just hygiene.
-    """
-    padded, n = _padded_tokens(df, text_col)
-    pos = F.when(n >= 1, F.sequence(F.lit(2), F.size(padded))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return (
-        df.select(
-            F.col(id_col),
-            n.cast("long").alias("n_tokens"),
-            padded.alias("_p"),
-            F.explode(pos).alias("_i"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("_i") - F.lit(1)).alias("pos"),
-            F.col("_p")[F.col("_i") - 2].alias("ctx"),
-            F.col("_p")[F.col("_i") - 1].alias("w"),
-        )
-    )
+    """One row per real token: the bigram (ctx, w) predicting it.
+    Zero-token documents produce no rows."""
+    return df.select(
+        F.col(id_col), F.explode(_bigram_pairs(text_col)).alias("_pr")
+    ).select(id_col, "_pr.ctx", "_pr.w")
 
 
 def train_bigram_lm(
@@ -111,19 +104,21 @@ def train_bigram_lm(
     and ``vocab_size`` is the exact number of distinct training
     tokens (BOS excluded), the one scalar this trainer collects.
     """
+    from python_stream_processing_framework_spark.operators.common import materialize
+
     grams = _bigram_explode(train_df, id_col, text_col)
-    bigrams = grams.groupBy("ctx", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
-    # marginal from the count table, not a second corpus scan
-    contexts = bigrams.groupBy("ctx").agg(F.sum("c").alias("cc"))
-    vocab_size = (
-        train_df.select(
-            F.explode(tokenize_expr(F.col(text_col))).alias("t")
+    # ONE corpus scan total: the materialized count table feeds the
+    # context marginals, the vocabulary size, AND both scoring joins.
+    bigrams = materialize(
+        grams.groupBy("ctx", "w").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
         )
-        .agg(F.countDistinct("t").alias("v"))
-        .collect()[0]["v"]
     )
+    contexts = bigrams.groupBy("ctx").agg(F.sum("c").alias("cc"))
+    # every training token has a predecessor (BOS for the first), so
+    # the distinct `w` values ARE the vocabulary — a count over the
+    # cached vocab-bounded table, not a second corpus scan
+    vocab_size = bigrams.select("w").distinct().count()
     return bigrams, contexts, int(vocab_size)
 
 
@@ -144,48 +139,51 @@ def score_bigram_lm(
     (a filter must decide their fate explicitly, not lose them).
     Lower avg_lp = higher perplexity = less like the training corpus.
     """
-    ev = _bigram_explode(df, id_col, text_col)
+    # explode_outer keeps zero-token documents as one NULL-pair row,
+    # so ONE corpus scan yields both the per-token log-probs and the
+    # token counts (count of non-null pairs) — no second base scan,
+    # no join back, no anti-join recomputing the aggregation.
+    ev = df.select(
+        F.col(id_col), F.explode_outer(_bigram_pairs(text_col)).alias("_pr")
+    ).select(
+        id_col, F.col("_pr.ctx").alias("ctx"), F.col("_pr.w").alias("w")
+    )
     denom_k = F.lit(float(add_k)) * F.lit(float(vocab_size + 1))
+    # Determinism WITHOUT a positional fold: quantize each token's
+    # log-prob to integer nano-units (the functions/exact.py "integer
+    # cents" pattern, same as similarity.py's int8 path) so the
+    # per-document sum is an order-free exact BIGINT sum — Spark gets
+    # map-side partial aggregation and a narrow shuffle instead of a
+    # per-doc struct sort, and any engine reproduces it bit-exact.
     lp = (
         ev.join(bigrams, ["ctx", "w"], "left")
         .join(contexts, ["ctx"], "left")
         .select(
             id_col,
-            "n_tokens",
-            "pos",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(float(add_k)))
-                / (F.coalesce(F.col("cc"), F.lit(0.0)) + denom_k)
-            ).alias("lp"),
+            F.when(
+                F.col("w").isNotNull(),
+                F.round(
+                    F.log(
+                        (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.lit(float(add_k))
+                        )
+                        / (F.coalesce(F.col("cc"), F.lit(0.0)) + denom_k)
+                    )
+                    * F.lit(1e9)
+                ).cast("bigint"),
+            ).alias("lp_nano"),
         )
     )
-    summed = lp.groupBy(id_col).agg(
-        F.first("n_tokens").alias("n_tokens"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "lp"))),
-                lambda s: s["lp"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("_sum"),
+    return lp.groupBy(id_col).agg(
+        F.count("lp_nano").alias("n_tokens"),
+        F.round(
+            F.sum("lp_nano").cast("double")
+            / F.lit(1e9)
+            / F.count("lp_nano"),
+            6,
+        ).alias("avg_lp"),
     )
-    scored = summed.select(
-        id_col,
-        "n_tokens",
-        F.round(F.col("_sum") / F.col("n_tokens"), 6).alias("avg_lp"),
-    )
-    # zero-token docs never enter the explode; re-attach them with NULL
-    empties = (
-        df.select(F.col(id_col))
-        .join(scored.select(id_col), [id_col], "left_anti")
-        .select(
-            id_col,
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(None).cast("double").alias("avg_lp"),
-        )
-    )
-    return scored.unionByName(empties)
 
 
 def lm_filter(

@@ -4,9 +4,10 @@ The oracle replays the full train + score pipeline (operators/lm.py)
 in DuckDB: same tokenizer (whitespace-run split of trimmed lowercase,
 zero tokens for blank text), same BOS padding, the same 80% training
 split (doc_id % 5 < 4), identical add-0.5 smoothing over an exact
-(V + 1) denominator, and the same POSITION-ordered left fold seeded
-with 0.0 for each document's log-prob sum — so the 6dp-rounded mean
-log-probs compare bit-exact (retrieval.py's determinism contract).
+(V + 1) denominator, and the same nano-unit quantization
+(round(lp * 1e9) AS BIGINT) whose integer sum is order-free — so the
+6dp-rounded mean log-probs compare bit-exact with no fold-order
+coupling at all (similarity.py's integer-cents contract).
 """
 
 from __future__ import annotations
@@ -45,26 +46,21 @@ _ORACLE = f"""
       SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
       FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 5 < 4)),
     ev AS (
-      SELECT doc_id, n, i - 1 AS pos, p[i-1] AS ctx, p[i] AS w
+      SELECT doc_id, p[i-1] AS ctx, p[i] AS w
       FROM pad, unnest(range(2, len(p) + 1)) AS u(i)),
     lp AS (
-      SELECT doc_id, n, pos,
-             ln((coalesce(b.c, 0.0) + {_ADD_K})
-                / (coalesce(x.cc, 0.0) + {_ADD_K} * (v + 1.0))) AS lp
+      SELECT doc_id,
+             CAST(round(ln((coalesce(b.c, 0.0) + {_ADD_K})
+                           / (coalesce(x.cc, 0.0) + {_ADD_K} * (v + 1.0)))
+                        * 1e9) AS BIGINT) AS lp_nano
       FROM ev
       LEFT JOIN big b USING (ctx, w)
       LEFT JOIN ctxc x USING (ctx)
       CROSS JOIN voc),
-    agg AS (
-      SELECT doc_id, any_value(n) AS n_tokens,
-             list_reduce(
-               list_prepend(0.0, list_transform(
-                 list_sort(list(struct_pack(pos := pos, lp := lp))),
-                 s -> s.lp)),
-               (acc, x) -> acc + x) AS s
-      FROM lp GROUP BY doc_id)
-    SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_lp
-    FROM agg
+    agg AS (SELECT doc_id, sum(lp_nano) AS s FROM lp GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens,
+           round(CAST(s AS DOUBLE) / 1e9 / n, 6) AS avg_lp
+    FROM pad LEFT JOIN agg USING (doc_id)
     ORDER BY avg_lp ASC, doc_id LIMIT 25
     """
 
@@ -76,9 +72,10 @@ _ORACLE = f"""
     "train add-0.5-smoothed bigram counts on the 80% split "
     "(doc_id % 5 < 4), score EVERY document's mean token log-prob, "
     "return the 25 most-surprising documents. One training scan + "
-    "one scoring scan + two count-table equi-joins; the only collect "
-    "is the 1-row vocab-size scalar. Oracle replays tokenizer, BOS, "
-    "counts, smoothing, and the position-ordered sum fold bit-exact.",
+    "one scoring scan + two count-table equi-joins; nothing "
+    "corpus-sized reaches the driver. Oracle replays tokenizer, BOS, "
+    "counts, smoothing, and the nano-quantized order-free sum "
+    "bit-exact.",
 )
 def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")

@@ -15,6 +15,13 @@ from python_stream_processing_framework_spark.operators.lm import (
 )
 
 
+def _avg_lp(*lps):
+    """Reference computation: nano-quantized order-free sum, then the
+    6dp-rounded mean — exactly the operator's arithmetic."""
+    s = sum(round(lp * 1e9) for lp in lps)
+    return round(s / 1e9 / len(lps), 6)
+
+
 @pytest.fixture(scope="module")
 def lm_model(spark):
     train = spark.createDataFrame(
@@ -49,9 +56,9 @@ def test_score_matches_hand_computation(spark, lm_model):
     seen = math.log(2.5 / 3.5)  # c(ctx,w)=2 over c(ctx)=2
     unseen_w = math.log(0.5 / 3.5)  # known ctx <s>, unseen word
     unseen_ctx = math.log(0.5 / 1.5)  # unseen ctx z: uniform floor
-    assert out[10] == (2, round((seen + seen) / 2, 6))
-    assert out[11] == (1, round(unseen_w, 6))
-    assert out[12] == (2, round((unseen_w + unseen_ctx) / 2, 6))
+    assert out[10] == (2, _avg_lp(seen, seen))
+    assert out[11] == (1, _avg_lp(unseen_w))
+    assert out[12] == (2, _avg_lp(unseen_w, unseen_ctx))
     # empty doc keeps its row: zero tokens, NULL score
     assert out[13] == (0, None)
 
@@ -85,5 +92,4 @@ def test_unseen_context_hits_uniform_floor(spark, lm_model):
     ).collect()[0]
     floor = -math.log(v + 1)
     # second token's lp is the floor; first is unseen-word-known-ctx
-    expected = (math.log(0.5 / 3.5) + floor) / 2
-    assert row["avg_lp"] == round(expected, 6)
+    assert row["avg_lp"] == _avg_lp(math.log(0.5 / 3.5), floor)
