@@ -1,0 +1,183 @@
+"""Repeated-span masking — exact-substring dedup within a corpus.
+
+Beyond-reference capability (SURVEY §2.7 charter): "Deduplicating
+Training Data Makes Language Models Better" (Lee et al. 2021)
+deduplicates at the SUBSTRING level — a boilerplate paragraph pasted
+into thousands of otherwise-distinct pages survives whole-doc and
+near-dup passes (dedup.py) but still memorizes. Their ExactSubstr
+tool builds a suffix array; the distributed approximation every
+Spark-era pipeline uses instead is fixed-length n-gram matching:
+flag every n-token window whose exact content occurs >= min_count
+times corpus-wide, merge overlapping flagged windows into maximal
+spans, and delete those spans from each document. n=50 tokens is the
+paper's span floor; the default here follows the 13-token
+decontamination window (dedup.ngram_overlap_hits) so the two exact
+passes share a gram shape.
+
+Scale shape:
+
+- gram explode is the unavoidable |tokens| row fan-out, but each row
+  is (id, start, hash60) — a 60-bit md5-prefix BIGINT (functions/
+  hashing.py), not the gram text, so the count shuffle is narrow.
+  The count is a groupBy with map-side partial aggregation; a
+  boilerplate gram repeated 1e6 times arrives at its reducer as
+  per-partition partials, never raw rows.
+- the flag join is an equi-join on the hash whose build side has ONE
+  row per repeated gram; probe-side hot keys are AQE skew-split
+  shuffle traffic, never a cartesian.
+- span merging is the classic gaps-and-islands window (running max
+  of span end per doc ordered by start) — one shuffle on the doc id,
+  O(flagged spans) rows.
+- document rebuild is map-only: per-doc merged spans collect into a
+  bounded array (<= |tokens| / 1 entries, in practice a handful) and
+  a JVM higher-order filter drops covered token positions. The
+  corpus text itself is scanned twice (gram pass + rebuild pass) and
+  shuffled never.
+
+60-bit hashing note: gram identity is the md5-prefix hash, so ~1e9
+distinct grams carry a ~3% chance of ONE colliding pair corpus-wide
+(a false span flag on unrelated text). The suffix-array tool is
+exact; this is the standard distributed trade and the hash width is
+the engine-portable ceiling (signed int64, functions/hashing.py).
+
+Tokenizer: the dedup family's (split on single space of trimmed
+lowercase, dedup.tokens_expr) — output text is that token stream
+re-joined, the same canonical form the dedup operators compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.operators.dedup import tokens_expr
+
+
+def _gram_spans(toks_df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, start, g) from a frame with a ``_toks`` array column: one
+    row per n-token window, g = hash60 of the space-joined gram.
+    Positions are 1-based; docs shorter than n yield no rows (the
+    size guard prevents sequence() descending)."""
+    return toks_df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"if(size(_toks) < {n}, array(),"
+                f" transform(sequence(1, size(_toks) - {n} + 1),"
+                f"  i -> struct(i AS start,"
+                f"   CAST(conv(substring(md5(array_join(slice(_toks, i, {n}), ' ')),"
+                f"        1, 15), 16, 10) AS BIGINT) AS g)))"
+            )
+        ).alias("_pr"),
+    ).select(id_col, "_pr.start", "_pr.g")
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated spans per document.
+
+    Returns (id, span_start, span_end): 1-based inclusive token
+    ranges covering every n-token window whose exact content occurs
+    at least ``min_count`` times corpus-wide (occurrences, not
+    documents — a doc repeating its own paragraph counts, as in the
+    suffix-array formulation). Overlapping or adjacent flagged
+    windows merge into one span.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    # the gram scan runs twice (once under the count, once under the
+    # flag join) — recomputing a map-side scan is the right trade
+    # against caching a corpus-sized gram table
+    grams = _gram_spans(toks, id_col, n)
+    repeated = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("g")
+    )
+    flagged = grams.join(repeated, "g").select(
+        id_col,
+        F.col("start"),
+        (F.col("start") + F.lit(n - 1)).alias("end"),
+    )
+    # gaps-and-islands: a window starts a new span iff it begins past
+    # the running max end + 1 (adjacent windows merge — the deletion
+    # regions would touch anyway)
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.select(
+        id_col,
+        "start",
+        "end",
+        F.when(
+            prev_end.isNull() | (F.col("start") > prev_end + 1), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_brk"),
+    ).select(
+        id_col,
+        "start",
+        "end",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    return islands.groupBy(id_col, "_isl").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def mask_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Delete repeated spans from every document.
+
+    Returns (id, text, n_tokens, n_removed): the canonical token
+    stream with every repeated span's tokens removed and re-joined
+    with single spaces, the pre-mask token count, and how many tokens
+    were deleted. Documents with no repeated spans pass through with
+    n_removed = 0 (and their text still canonicalized — the operator
+    is a projection of the token stream either way).
+    """
+    spans = repeated_spans(df, id_col, text_col, n=n, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    rebuilt = toks.join(per_doc, [id_col], "left").select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.coalesce(F.col("_spans"), F.array().cast(
+            "array<struct<span_start:int,span_end:int>>"
+        )).alias("_spans"),
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_toks"),
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            F.col("_spans"),
+            lambda s: (p["i"] >= s["span_start"]) & (p["i"] <= s["span_end"]),
+        ),
+    )
+    return rebuilt.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda p: p["t"]), " ").alias(text_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

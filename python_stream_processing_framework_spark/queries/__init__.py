@@ -28,6 +28,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     retrieval,
     bpe,
     lm,
+    spans,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]

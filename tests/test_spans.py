@@ -1,0 +1,86 @@
+"""Repeated-span masking (operators/spans.py): hand-checked span
+merging, cross-doc and self-repeats, and rebuild invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from python_stream_processing_framework_spark.operators.spans import (
+    mask_repeated_spans,
+    repeated_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e x1 y1 z1"),
+            (2, "p q a b c d e r s"),
+            (3, "unique tokens only here now"),
+            (4, "m m m m m m m m"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_overlapping_windows_merge_to_maximal_spans(corpus):
+    spans = sorted(
+        tuple(r) for r in repeated_spans(corpus, n=3, min_count=2).collect()
+    )
+    # "a b c d e" = three overlapping repeated 3-grams -> ONE span of
+    # 5 tokens in each doc; doc 4's self-repeating windows merge to
+    # the whole doc (occurrences count, not distinct docs)
+    assert spans == [(1, 1, 5), (2, 3, 7), (4, 1, 8)]
+
+
+def test_mask_deletes_spans_keeps_rest(corpus):
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in mask_repeated_spans(corpus, n=3, min_count=2).collect()
+    }
+    assert out[1] == ("x1 y1 z1", 8, 5)
+    assert out[2] == ("p q r s", 9, 5)
+    # untouched doc passes through canonicalized with n_removed=0
+    assert out[3] == ("unique tokens only here now", 5, 0)
+    # a fully-boilerplate doc masks to empty, not to a missing row
+    assert out[4] == ("", 8, 8)
+
+
+def test_min_count_three_spares_pairs(corpus):
+    spans = repeated_spans(corpus, n=3, min_count=3).collect()
+    # "a b c" etc. occur only twice; only doc 4's self-repeat (6
+    # occurrences of "m m m") survives the higher threshold
+    assert sorted(tuple(r) for r in spans) == [(4, 1, 8)]
+
+
+def test_short_docs_never_flag(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id int, text string"
+    )
+    assert repeated_spans(docs, n=3, min_count=2).count() == 0
+    out = mask_repeated_spans(docs, n=3, min_count=2).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_disjoint_repeats_stay_separate_spans(spark):
+    # the shared 3-gram appears at both ends of doc 1 with unique
+    # filler between: two islands, not one doc-wide span
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c u1 u2 u3 u4 a b c"),
+            (2, "a b c"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = sorted(
+        tuple(r) for r in repeated_spans(docs, n=3, min_count=2).collect()
+    )
+    assert spans == [(1, 1, 3), (1, 8, 10), (2, 1, 3)]
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in mask_repeated_spans(docs, n=3, min_count=2).collect()
+    }
+    assert out[1] == ("u1 u2 u3 u4", 6)
+    assert out[2] == ("", 3)
