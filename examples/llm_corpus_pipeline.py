@@ -1,11 +1,12 @@
 """End-to-end LLM training-data pipeline on the documents table:
 
-    quality filter -> PII scrub -> near-dup detection (MinHash+LSH)
-    -> cluster collapse (connected components) -> deterministic
-    train/val/test split -> decontaminate train against val/test
-    (Jaccard + exact 13-gram) -> exact-quota domain mixture ->
-    token-window chunking -> sequence packing -> shard plan ->
-    audit stats
+    quality filter -> LM-perplexity audit -> PII scrub -> near-dup
+    detection (MinHash+LSH) -> cluster collapse (connected
+    components) -> deterministic train/val/test split ->
+    decontaminate train against val/test (Jaccard + exact 13-gram)
+    -> repeated-span masking (exact-substring dedup) -> exact-quota
+    domain mixture -> token-window chunking -> sequence packing ->
+    shard plan -> audit stats
 
 Every step is the scale-path operator (bucketed equi-joins, map-only
 hashing, two-phase quota selection, grouped greedy packing) — no
@@ -46,7 +47,14 @@ from python_stream_processing_framework_spark.operators.classifier import (
     classifier_score,
     classifier_train,
 )
+from python_stream_processing_framework_spark.operators.lm import (
+    score_bigram_lm,
+    train_bigram_lm,
+)
 from python_stream_processing_framework_spark.operators.sampling import hash_split
+from python_stream_processing_framework_spark.operators.spans import (
+    mask_repeated_spans,
+)
 from python_stream_processing_framework_spark.operators.text import (
     chunk_documents,
     gopher_quality_flags,
@@ -119,6 +127,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"quality_score > {med:.3f})"
     )
 
+    # 1a''. LM-perplexity audit (REPORT, the CCNet filter's scorer):
+    # train an add-k bigram LM on the quality-passing corpus and
+    # score every doc's mean token log-prob. A production pipeline
+    # trains on a TRUSTED reference corpus and gates or buckets on
+    # the score; on word soup the distribution is the report. One
+    # training scan + one scoring scan, count tables vocab-bounded.
+    bigrams, contexts, vsz = train_bigram_lm(good, "doc_id", "text")
+    lm_scores = score_bigram_lm(
+        good, bigrams, contexts, vsz, "doc_id", "text"
+    )
+    lstats = lm_scores.agg(
+        F.min("avg_lp"), F.avg("avg_lp"), F.max("avg_lp")
+    ).collect()[0]
+    print(
+        f"lm audit: vocab {vsz}, avg_lp min {lstats[0]:.3f} "
+        f"mean {lstats[1]:.3f} max {lstats[2]:.3f} "
+        "(gate: keep avg_lp above a trusted-corpus floor)"
+    )
+
     # 1b. PII scrub BEFORE dedup: redaction tokens normalize spans
     # that would otherwise make near-identical docs differ (two copies
     # of a page with different tracking emails dedup after scrubbing,
@@ -173,6 +200,28 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         )
     )
     n3 = clean_train.count()
+
+    # 5b. exact-substring dedup WITHIN train (Lee et al.): delete
+    # 13-token spans occurring >= 2 times across the training set —
+    # boilerplate paragraphs that survive whole-doc near-dup because
+    # their host pages differ. Runs after decontamination (masking
+    # first would change the grams the decontamination rules hash)
+    # and before mixture (quota counts should reflect real content).
+    masked = mask_repeated_spans(
+        clean_train, "doc_id", "text", n=13, min_count=2
+    )
+    n_span_tokens = masked.agg(F.sum("n_removed")).collect()[0][0]
+    clean_train = clean_train.drop("text").join(
+        masked.filter(F.col("n_removed") < F.col("n_tokens")).select(
+            "doc_id", "text"
+        ),
+        "doc_id",
+    )
+    n3b = clean_train.count()
+    print(
+        f"span masking: {n_span_tokens} repeated-span tokens deleted, "
+        f"{n3 - n3b} all-boilerplate docs dropped"
+    )
 
     # 6. hit the target language mixture with EXACT per-stratum quotas
     # (overweight en; stratified_sample would only give expected
