@@ -380,3 +380,46 @@ def test_bpe_token_counts_map_only(spark):
     assert count_exchanges(df) == 0
     cols = read_schema_columns(df, "documents.parquet")
     assert set(cols) == {"doc_id", "text"}
+
+
+def test_lm_doc_scores_broadcast_counts_take_ordered(spark):
+    """The LM scorer's scale contract: both count-table joins build
+    on the (cached, vocab-bounded) count side — never a sort-merge
+    that would exchange the corpus-side token stream — and the
+    top-25 is TakeOrderedAndProject, not a global Sort. The scan
+    reads only (doc_id, text)."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("lm_doc_scores", spark)
+    text = plan_text(df)
+    assert "SortMergeJoin" not in text
+    assert text.count("BroadcastHashJoin") >= 2
+    assert ") TakeOrderedAndProject" in text
+    assert ") Sort" not in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
+    release_caches()
+
+
+def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
+    """Span masking's scale contract: exactly TWO exchanges — the
+    gram-occurrence count (map-side partials on BIGINT hashes) and
+    the island window's hash partitioning on the doc id, which the
+    island-merge groupBy AND the per-doc span collection both reuse
+    (id is a prefix of their grouping keys). The flag join and the
+    rebuild join build on the small side; the corpus text is never
+    exchanged here."""
+    df = q("repeated_span_mask", spark)
+    assert count_exchanges(df) == 2
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    text = plan_text(df)
+    assert "SortMergeJoin" not in text
+    assert ") TakeOrderedAndProject" in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
