@@ -29,6 +29,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     bpe,
     lm,
     spans,
+    semdedup,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec"]
