@@ -45,6 +45,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     double_from: int = 2,
+    driver_threshold_edges: int = 100_000,
 ) -> DataFrame:
     """Label every node of an undirected edge list with its component.
 
@@ -53,6 +54,17 @@ def connected_components(
     canonical-doc selection (keep `node == component`) is reproducible
     across runs and engines. Only nodes that appear in `edges` are
     returned; isolated nodes are trivially their own component.
+
+    Small-graph fast path: when the symmetric distinct edge count is
+    at most ``driver_threshold_edges`` (default 100k rows — a few MB
+    of id pairs, the same bounded-metadata contract as the DLQ replay
+    threshold), the edges collect once and a driver union-find labels
+    them in one pass — identical min-id labels, none of the iterative
+    path's per-round job overhead, which DOMINATES wall time for the
+    near-dup graphs real corpora produce (pairs are a tiny fraction
+    of the corpus). Past the threshold the distributed propagation
+    below runs unchanged; pass ``driver_threshold_edges=0`` to force
+    it (tests do, to keep the loop covered).
 
     Raises ValueError if the propagation has not converged after
     `max_iter` rounds (component ids would be an unconverged snapshot,
@@ -107,6 +119,40 @@ def connected_components(
     # frame
     try:
         n_edges = sym.count()  # also materializes the persist
+        if n_edges <= driver_threshold_edges:
+            from pyspark.sql.types import StructField, StructType
+
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in sym.collect():
+                a, b = row["s"], row["d"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # smaller root stays root => every root is its
+                    # component's MINIMUM id, matching the propagation
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            ntype = edges.schema[src].dataType
+            return spark.createDataFrame(
+                [(n, find(n)) for n in sorted(parent)],
+                StructType(
+                    [
+                        StructField("node", ntype, False),
+                        StructField("component", ntype, False),
+                    ]
+                ),
+            )
         loop_width = max(1, min(session_width, n_edges // 25_000 + 1))
         labels = labels_ck = truncate(
             sym.select(F.col("s").alias("node"))

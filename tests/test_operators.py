@@ -207,9 +207,12 @@ def test_spread_noop_on_wide_input(spark):
     )
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_connected_components_chain_and_islands(spark, threshold):
     """A 6-node path (diameter 5, forces multiple propagation rounds),
-    a triangle, and a lone pair must each collapse to their min id."""
+    a triangle, and a lone pair must each collapse to their min id —
+    on BOTH paths: the driver union-find (threshold default) and the
+    distributed propagation (threshold 0)."""
     from python_stream_processing_framework_spark.operators.graph import (
         connected_components,
     )
@@ -220,7 +223,12 @@ def test_connected_components_chain_and_islands(spark):
          (20, 21), (21, 22), (20, 22), (31, 30)],
         ["src", "dst"],
     )
-    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, driver_threshold_edges=threshold
+        ).collect()
+    }
     assert got == {
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
         20: 20, 21: 20, 22: 20,
@@ -244,8 +252,13 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
         edges = spark.createDataFrame(
             [(10, 11), (11, 12), (20, 21)], ["src", "dst"]
         )
+        # threshold 0: the driver fast path writes no checkpoints —
+        # this test pins the DISTRIBUTED loop's durable truncation
         got = {
-            r["node"]: r["component"] for r in connected_components(edges).collect()
+            r["node"]: r["component"]
+            for r in connected_components(
+                edges, driver_threshold_edges=0
+            ).collect()
         }
         assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
         # durable snapshots actually landed on disk
@@ -264,8 +277,9 @@ def test_connected_components_unconverged_raises(spark):
     import pytest
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    # driver union-find always converges; force the iterative path
     with pytest.raises(ValueError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, driver_threshold_edges=0)
 
 
 def test_hash_split_partition_invariant(spark):
@@ -1276,3 +1290,35 @@ def test_bpe_train_early_stop_degenerate(spark):
     assert [(r["left"], r["right"]) for r in merges] == [("a", "b")]
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_train(docs, "text", n_merges=0)
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    """Driver union-find and distributed propagation must emit
+    IDENTICAL labels — pinned on a pseudo-random graph with chains,
+    merged clusters, and self-contained islands."""
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    rows = []
+    for i in range(400):
+        a = (i * 7919) % 300
+        b = (i * 104729 + 17) % 300
+        if a != b:
+            rows.append((a, b))
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    # the sparse modular graph has long tendrils; the propagation is
+    # ~diameter-bound (near-dup graphs are near-cliques and converge
+    # in a few rounds — this is the adversarial shape), so give the
+    # distributed path headroom
+    slow = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, driver_threshold_edges=0, max_iter=60
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
