@@ -84,3 +84,51 @@ def test_disjoint_repeats_stay_separate_spans(spark):
     }
     assert out[1] == ("u1 u2 u3 u4", 6)
     assert out[2] == ("", 3)
+
+
+def test_mask_matches_sequential_reference(spark):
+    """Property pin: the distributed pipeline equals a direct
+    sequential implementation (count n-gram occurrences, flag, merge
+    overlapping windows, delete) on a seeded pseudo-random corpus
+    with heavy gram collisions (tiny vocabulary)."""
+    import random
+
+    rng = random.Random(20240814)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18))))
+        for i in range(40)
+    ]
+    n, min_count = 3, 2
+
+    # sequential reference
+    from collections import Counter
+
+    toks = {i: t.strip().lower().split(" ") for i, t in docs}
+    counts = Counter(
+        tuple(ts[j : j + n])
+        for ts in toks.values()
+        if len(ts) >= n
+        for j in range(len(ts) - n + 1)
+    )
+    expected = {}
+    for i, ts in toks.items():
+        covered = set()
+        for j in range(max(0, len(ts) - n + 1)):
+            if len(ts) >= n and counts[tuple(ts[j : j + n])] >= min_count:
+                covered.update(range(j, j + n))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        expected[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+
+    from python_stream_processing_framework_spark.operators.spans import (
+        mask_repeated_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in mask_repeated_spans(
+            df, n=n, min_count=min_count
+        ).collect()
+    }
+    assert got == expected
