@@ -268,3 +268,66 @@ def shard_stats(
     if size_col is not None:
         aggs.append(F.sum(F.col(size_col)).cast("bigint").alias("total_size"))
     return assigned.groupBy(shard_col).agg(*aggs)
+
+
+def temperature_weights(counts: dict[str, int], tau: float) -> dict[str, float]:
+    """mT5-style temperature-scaled sampling weights: w_s ∝ n_s^tau.
+
+    tau < 1 UP-weights low-resource strata (tau=1 is proportional
+    sampling, tau=0 uniform) — the published multilingual sampling
+    rule (T5/mT5/XLM-R). Feed the result to `domain_mixture`.
+
+    Determinism contract: pow() is the one libm call, so each raw
+    weight quantizes to integer parts-per-1e12 via floor(x*1e12+0.5)
+    (the module-wide half-up rule) before normalizing; the final
+    weight is a single division of two exactly-representable int64s
+    (< 2^53 — holds to ~1e15 weight units; far past any real stratum
+    histogram), which any engine reproduces bit-for-bit. A 1-ulp pow
+    drift would need to land within 1e-12 of a rounding boundary to
+    change a weight — measure-zero, the retrieval.py ln precedent.
+
+    Zero-count strata carry no weight (they cannot supply rows;
+    including them would clamp every quota to 0).
+    """
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    units = {
+        s: int(math.floor(float(n) ** tau * 1e12 + 0.5))
+        for s, n in counts.items()
+        if n > 0
+    }
+    if not units:
+        raise ValueError("temperature_weights needs at least one non-empty stratum")
+    total = sum(units.values())
+    return {s: u / total for s, u in units.items()}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    tau: float,
+    id_col: str,
+    *,
+    seed: str = "",
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Temperature-scaled exact-quota mixture over OBSERVED strata.
+
+    Computes the stratum histogram (one strata-bounded aggregation),
+    derives `temperature_weights`, and runs `domain_mixture` — so the
+    output realizes the n^tau mixture with exact per-stratum counts
+    and hash-deterministic membership. Two passes over the input plus
+    domain_mixture's own histogram pass; materialize expensive
+    upstream plans first (domain_mixture's snapshot caveat applies
+    here doubly).
+    """
+    counts = {
+        r[strata_col]: r["_n"]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    weights = temperature_weights(counts, tau)
+    return domain_mixture(
+        df, strata_col, weights, id_col, seed=seed, bucket_bits=bucket_bits
+    )

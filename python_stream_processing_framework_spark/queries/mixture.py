@@ -123,3 +123,47 @@ def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents, "n_chars", [150.0, 300.0], "doc_id", seed="curr"
     )
     return ordered.select("doc_id", "curr_phase", "curr_key")
+
+
+_H_TEMP = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#temp'), 1, 15))::BIGINT"
+)
+
+
+@query(
+    "temperature_mixture",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         u AS (
+           SELECT lang, n,
+                  CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1e12 + 0.5)
+                       AS BIGINT) AS uu
+           FROM c),
+         ws AS (SELECT CAST(sum(uu) AS DOUBLE) AS total FROM u),
+         w AS (SELECT lang, n, CAST(uu AS DOUBLE) / total AS wt FROM u, ws),
+         t AS (SELECT CAST(floor(min(n / wt)) AS BIGINT) AS t FROM w),
+         q AS (SELECT lang, CAST(floor(wt * t) AS BIGINT) AS quota FROM w, t),
+         ranked AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY {_H_TEMP}, doc_id) AS rn
+           FROM documents)
+    SELECT doc_id, lang FROM ranked JOIN q USING (lang) WHERE rn <= quota
+    """,
+    doc="Temperature-scaled mixture (operators/mixture."
+    "temperature_mixture; the mT5/XLM-R sampling rule): weights "
+    "w_lang ∝ n_lang^0.5 over the OBSERVED language histogram — "
+    "tau=0.5 up-weights low-resource languages — then the exact-quota "
+    "two-phase selection. Raw pow weights quantize to integer "
+    "parts-per-1e12 before one exact int64/int64 division, so the "
+    "oracle reproduces every weight, T, quota, and hash-ordered "
+    "member bit-for-bit.",
+)
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.mixture import (
+        temperature_mixture,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    kept = temperature_mixture(documents, "lang", 0.5, "doc_id", seed="temp")
+    return kept.select("doc_id", "lang")

@@ -139,3 +139,54 @@ def test_domain_mixture_int_strata(spark):
         for r in kept.groupBy("label").agg(F.count("*").alias("n")).collect()
     }
     assert got == {s: q for s, q in expected.items() if q > 0}
+
+
+def test_temperature_weights_properties():
+    import math
+
+    from python_stream_processing_framework_spark.operators.mixture import (
+        temperature_weights,
+    )
+
+    counts = {"en": 900, "de": 100, "fr": 0}
+    # tau=1: proportional (zero-count strata excluded)
+    w1 = temperature_weights(counts, 1.0)
+    assert set(w1) == {"en", "de"}
+    assert abs(w1["en"] - 0.9) < 1e-9 and abs(w1["de"] - 0.1) < 1e-9
+    # tau=0: uniform over non-empty strata
+    w0 = temperature_weights(counts, 0.0)
+    assert abs(w0["en"] - 0.5) < 1e-12 and abs(w0["de"] - 0.5) < 1e-12
+    # tau=0.5 sits between: low-resource de is UP-weighted vs
+    # proportional, still below uniform
+    wh = temperature_weights(counts, 0.5)
+    assert w1["de"] < wh["de"] < w0["de"]
+    assert abs(sum(wh.values()) - 1.0) < 1e-9
+    # exact quantization rule: floor(n^tau * 1e12 + 0.5) units
+    u_en = math.floor(900**0.5 * 1e12 + 0.5)
+    u_de = math.floor(100**0.5 * 1e12 + 0.5)
+    assert wh["en"] == u_en / (u_en + u_de)
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        temperature_weights({"x": 0}, 0.5)
+    with pytest.raises(ValueError, match="tau"):
+        temperature_weights(counts, -1.0)
+
+
+def test_temperature_mixture_upweights_low_resource(spark):
+    from python_stream_processing_framework_spark.operators.mixture import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 1600 else "small") for i in range(1700)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    kept = temperature_mixture(df, "lang", 0.5, "doc_id", seed="t")
+    got = {r["lang"]: 0 for r in kept.collect()}
+    for r in kept.collect():
+        got[r["lang"]] += 1
+    # proportional share of small = 100/1700 ~ 5.9%; at tau=0.5 the
+    # weight share is 10/(40+10) = 20%, and small (binding stratum)
+    # is taken in full
+    assert got["small"] == 100
+    frac = got["small"] / (got["small"] + got["big"])
+    assert 0.19 < frac <= 0.21
