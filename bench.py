@@ -110,6 +110,7 @@ def main() -> None:
         "corpus_pipeline_10x": _corpus_pipeline_10x_bench(spark),
         "pq_dim64": _pq_bench(spark),
         "ivfpq_query_only": _ivfpq_query_only_bench(spark, sf_dir),
+        "semdedup_20k": _semdedup_scale_bench(spark),
     }
 
     total = round(sum(timings.values()), 3)
@@ -423,6 +424,59 @@ def _components_scale_bench(spark) -> dict:
     wall = round(_t.perf_counter() - t0, 3)
     spark.catalog.clearCache()
     return {"wall_s": wall, "n_edges": n_edges, "n_components": n_components}
+
+
+def _semdedup_scale_bench(spark) -> dict:
+    """SemDeDup at 20k vectors / dim 64 / k=32 (10x the catalog
+    query's vector count, 4x its cluster count): every 5th vector is
+    an exact scaled copy of its predecessor (cosine 1.0), so the
+    eps-graph carries ~4k planted duplicate pairs. Pins the
+    cluster-bucketed shape: per-cluster blocked matmuls, no pair
+    self-join, and the keep-rule dropping exactly the planted
+    copies."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.semdedup import semdedup
+
+    from python_stream_processing_framework_spark.functions.vectors import (
+        l2_normalize,
+    )
+
+    # md5-mixed components (a linear congruence would alias directions
+    # across ids and manufacture bogus near-dups); every 5th vector
+    # copies its predecessor's direction at 2x scale = exact cos 1.0.
+    # L2-normalized before clustering — the paper's practice, and the
+    # reason scaled copies land in the SAME k-means cluster. The
+    # generator is persisted OUTSIDE the timed window (md5 synthesis
+    # is test rigging, not the operator under test).
+    vecs = spark.range(0, 20_000).select(
+        F.col("id").alias("vec_id"),
+        l2_normalize(
+            F.expr(
+                "transform(sequence(1, 64), d ->"
+                " (cast(conv(substring(md5(concat("
+                "    cast(id - cast(id % 5 = 0 as int) as string), '#',"
+                "    cast(d as string))), 1, 7), 16, 10) as double)"
+                "  / 268435455.0 - 0.5)"
+                " * (1 + cast(id % 5 = 0 as int)))"
+            )
+        ).alias("embedding"),
+    ).persist()
+    vecs.count()
+    t0 = _t.perf_counter()
+    out = semdedup(vecs, k=32, iters=2, eps=0.99)
+    dropped = out.filter(~F.col("keep")).count()
+    wall = round(_t.perf_counter() - t0, 3)
+    vecs.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "wall_s": wall,
+        "n_vectors": 20_000,
+        "k": 32,
+        "dropped": dropped,
+    }
 
 
 def _corpus_pipeline_bench(spark, sf_dir: str) -> dict:

@@ -34,6 +34,13 @@ Scale shape:
 - duplicate groups are connected components over the eps-graph
   (graph.connected_components — iterative, counts-only driver
   traffic); the keep-rule is one window over components.
+
+L2-NORMALIZE EMBEDDINGS UPSTREAM (functions.vectors.l2_normalize —
+the paper's practice): clustering is L2 k-means, so scale variants
+of one direction land in different clusters un-normalized and their
+cosine-duplicate pair is never examined (bucketing recall loss, the
+same class as any ANN miss). On unit vectors L2 k-means is
+spherical k-means and cosine neighbors share cells.
 """
 
 from __future__ import annotations
