@@ -9,17 +9,22 @@ table (two small shuffles: pair count + argmax), never on the corpus
 again. That is the published shape — reference BPE trainers operate
 on word counts, not raw text — distributed.
 
-Determinism contract: symbol sequences are space-delimited strings;
-a merge of pair (l, r) is the literal replacement
-``' l r' -> ' lr'`` (leading-space pattern). Left-to-right
-non-overlapping replacement gives the standard greedy-leftmost BPE
-application ('a a a' under (a,a) -> 'aa a'), and because the
-trailing space is NOT part of the pattern, consecutive occurrences
-(' a b a b ') all merge in one pass. String replacement and the
-(count DESC, left, right) argmax tie-break behave identically in
-Spark and DuckDB, so the whole training loop unrolls into SQL CTEs
-bit-exactly (queries/bpe.py), the same way the PQ Lloyd trainer
-does.
+Determinism contract: symbol sequences are DOUBLE-space-delimited
+strings with single-space ends (`' a  b  c '`); a merge of pair
+(l, r) is the literal replacement ``' l  r ' -> ' lr '``. The
+2-char separators make every match block-aligned on BOTH sides —
+a one-sided delimiter is subtly wrong when one symbol is a string
+prefix of another (`' a ab'` contains `' a a'`: the leading-space
+form merged across the symbol boundary; caught by the hypothesis
+parity test against sequential BPE) — while left-to-right
+non-overlapping replacement still gives the standard
+greedy-leftmost application (`' a  a  a '` under (a,a) ->
+`' aa  a '`; runs of any length pair off left-to-right because
+consumed matches end on the first char of the next separator).
+String replacement and the (count DESC, left, right) argmax
+tie-break behave identically in Spark and DuckDB, so the whole
+training loop unrolls into SQL CTEs bit-exactly (queries/bpe.py),
+the same way the PQ Lloyd trainer does.
 """
 
 from __future__ import annotations
@@ -35,10 +40,11 @@ MERGES_SCHEMA = "merge_idx int, left string, right string, pair_count bigint"
 
 
 def _seq_expr(word: Column) -> Column:
-    """Initial symbol sequence of a word: characters joined by single
-    spaces, with ONE leading space (the merge-pattern anchor)."""
+    """Initial symbol sequence of a word: characters joined by DOUBLE
+    spaces with single-space ends (the block-aligned merge-pattern
+    anchors — see the module docstring)."""
     chars = F.regexp_extract_all(word, F.lit("."), F.lit(0))
-    return F.concat(F.lit(" "), F.array_join(chars, " "))
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
 
 
 def _pairs_expr(syms: Column) -> Column:
@@ -100,7 +106,7 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     prev = vocab
     for i in range(n_merges):
-        syms = F.split(F.trim(F.col("seq")), " ")
+        syms = F.split(F.trim(F.col("seq")), "  ")
         best = (
             prev.select(F.explode(_pairs_expr(syms)).alias("pair"), "cnt")
             .groupBy("pair")
@@ -126,8 +132,8 @@ def bpe_train(
                 "seq",
                 F.replace(
                     F.col("seq"),
-                    F.lit(f" {left} {right}"),
-                    F.lit(f" {left}{right}"),
+                    F.lit(f" {left}  {right} "),
+                    F.lit(f" {left}{right} "),
                 ),
             )
         )
@@ -170,9 +176,9 @@ def bpe_segment_counts(
         acc = _seq_expr(word)
         for left, right in pairs:
             acc = F.replace(
-                acc, F.lit(f" {left} {right}"), F.lit(f" {left}{right}")
+                acc, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
             )
-        return F.size(F.split(F.trim(acc), " ")).cast("bigint")
+        return F.size(F.split(F.trim(acc), "  ")).cast("bigint")
 
     words = tokens_expr(text_col)
     return df.select(

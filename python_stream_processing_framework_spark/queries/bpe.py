@@ -2,7 +2,7 @@
 
 The oracle unrolls the ENTIRE training loop in SQL — the word-
 frequency pass, then per round: weighted adjacent-pair count, the
-(count DESC, left, right) argmax, and the literal leading-space
+(count DESC, left, right) argmax, and the literal block-aligned
 merge rewrite — exactly the way queries/pq.py unrolls Lloyd rounds.
 That is possible because operators/bpe.py defines every step over
 engine-portable primitives: integer counts, binary-collation string
@@ -38,8 +38,8 @@ def _bpe_ctes(n_merges: int) -> str:
     wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
            FROM (SELECT unnest({_TOKS}) AS word FROM documents) z
            GROUP BY word),
-    v0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
-                    AS seq,
+    v0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+                    || ' ' AS seq,
                   cnt
            FROM wf)"""
     ]
@@ -50,14 +50,14 @@ def _bpe_ctes(n_merges: int) -> str:
              FROM (SELECT cnt,
                           unnest(list_transform(range(1, len(syms)),
                             i -> [syms[i], syms[i+1]])) AS pr
-                   FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms
+                   FROM (SELECT cnt, string_split(trim(seq), '  ') AS syms
                          FROM v{r}) z) zz
              GROUP BY 1, 2),
     b{r} AS MATERIALIZED (SELECT l, r_, total FROM p{r}
              ORDER BY total DESC, l, r_ LIMIT 1),
     v{r + 1} AS MATERIALIZED (SELECT replace(seq,
-                   ' ' || (SELECT l FROM b{r}) || ' ' || (SELECT r_ FROM b{r}),
-                   ' ' || (SELECT l FROM b{r}) || (SELECT r_ FROM b{r})) AS seq,
+                   ' ' || (SELECT l FROM b{r}) || '  ' || (SELECT r_ FROM b{r}) || ' ',
+                   ' ' || (SELECT l FROM b{r}) || (SELECT r_ FROM b{r}) || ' ') AS seq,
                  cnt FROM v{r})"""
         )
     return ",".join(parts)
@@ -81,7 +81,7 @@ def _merges_union(n_merges: int) -> str:
     "operators/bpe.py): ONE corpus pass collapses the text to a "
     "word-frequency table, then each of the 8 merge rounds runs two "
     "vocabulary-bounded shuffles (weighted adjacent-pair count + "
-    "deterministic argmax) and a literal leading-space rewrite — the "
+    "deterministic argmax) and a literal block-aligned rewrite — the "
     "corpus is never touched again. The oracle unrolls all 8 rounds "
     "in SQL and value-compares the full merge table (order, pairs, "
     "counts).",
@@ -97,8 +97,8 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_bpe_ctes(_N_MERGES)},
     mm AS ({_merges_union(_N_MERGES)}),
     pat AS (SELECT list(
-              ' ' || "left" || ' ' || "right" || chr(31) ||
-              ' ' || "left" || "right"
+              ' ' || "left" || '  ' || "right" || ' ' || chr(31) ||
+              ' ' || "left" || "right" || ' '
               ORDER BY merge_idx) AS ps
             FROM mm)
     SELECT doc_id,
@@ -107,11 +107,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split(trim(
                list_reduce(
                  list_prepend(
-                   ' ' || array_to_string(regexp_extract_all(w, '.'), ' '),
+                   ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                       || ' ',
                    ps),
                  (acc, p) -> replace(acc, split_part(p, chr(31), 1),
                                      split_part(p, chr(31), 2)))),
-               ' ')))) AS BIGINT) AS n_pieces
+               '  ')))) AS BIGINT) AS n_pieces
     FROM (SELECT doc_id, {_TOKS} AS words FROM documents) d, pat
     """,
     doc="Apply the learned BPE merges back to the corpus and count "
