@@ -424,3 +424,78 @@ def test_bpe_matches_reference_implementation(spark, words, n_merges):
                     j += 1
             syms = out
         assert got_seg[i] == len(syms), (w, pairs)
+
+
+def _ref_bigram_lm(train_words_per_doc, score_words_per_doc, add_k=0.5):
+    """Sequential reference of operators/lm.py: bigram counts with a
+    BOS context, add-k smoothing over (V+1), nano-quantized sums."""
+    import math
+    from collections import Counter
+
+    big, ctx, vocab = Counter(), Counter(), set()
+    for toks in train_words_per_doc:
+        vocab.update(toks)
+        prev = "<s>"
+        for w in toks:
+            big[(prev, w)] += 1
+            ctx[prev] += 1
+            prev = w
+    v = len(vocab)
+    out = []
+    for toks in score_words_per_doc:
+        nanos, prev = 0, "<s>"
+        for w in toks:
+            lp = math.log(
+                (big.get((prev, w), 0) + add_k)
+                / (ctx.get(prev, 0) + add_k * (v + 1))
+            )
+            nanos += round(lp * 1e9)
+            prev = w
+        n = len(toks)
+        out.append((n, round(nanos / 1e9 / n, 6) if n else None))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="xyz", min_size=1, max_size=3),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_lm_matches_reference_implementation(spark, docs):
+    """Distributed bigram-LM train+score == a sequential reference on
+    the same corpus (80/20 split by index parity stand-in: train on
+    docs with even index). The tiny alphabet maximizes context
+    collisions; empty docs pin the NULL-score row."""
+    from python_stream_processing_framework_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    bigrams, contexts, v = train_bigram_lm(train, "doc_id", "text")
+
+    # tokenize like the operator: whitespace-run split, blank -> []
+    def toks_of(t):
+        t = t.strip().lower()
+        return t.split() if t else []
+
+    train_toks = [toks_of(t) for i, t in rows if i % 2 == 0]
+    all_toks = [toks_of(t) for _, t in rows]
+    assert v == len({w for ts in train_toks for w in ts})
+    want = _ref_bigram_lm(train_toks, all_toks)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_lp"])
+        for r in score_bigram_lm(
+            df, bigrams, contexts, v, "doc_id", "text"
+        ).collect()
+    }
+    assert got == {i: w for i, w in enumerate(want)}
