@@ -77,41 +77,12 @@ def cluster_assign(
     return assign, cb
 
 
-def semdedup(
-    embeddings: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 8,
-    iters: int = 2,
-    eps: float = 0.7,
+def _quantized_sigs(
+    embeddings: DataFrame, assign: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Full SemDeDup pass.
-
-    Returns one row per vector: (id, cluster, dup_group,
-    centroid_sim, keep) where ``dup_group`` is the duplicate-group label (the minimum
-    member id; singletons label themselves), ``centroid_sim`` is the
-    6dp cosine to the assigned cluster centroid, and ``keep`` marks
-    the group member with the LOWEST centroid similarity (ties to
-    the smaller id) — the paper's keep-rule. Filter ``keep`` to
-    materialize the deduplicated corpus.
-    """
-    spark = embeddings.sparkSession
-    assign, cb = cluster_assign(
-        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
-    )
-
-    # centroid matrix: k x dim quantized ints — bounded driver
-    # metadata (same contract as the PQ codebook collect)
-    cb_rows = cb.collect()
-    cent = {
-        int(r["code"]): np.floor(
-            np.asarray(r["centroid"], dtype=np.float64) * 1e6 + 0.5
-        ).astype(np.int64)
-        for r in cb_rows
-    }
-    cent_n2 = {c: int((v * v).sum()) for c, v in cent.items()}
-    bc = spark.sparkContext.broadcast((cent, cent_n2))
+    """(id, q, nq2, cluster): 1e-6-quantized int64 vectors as packed
+    little-endian binary plus their exact squared norm, joined with
+    cluster assignments."""
 
     @pandas_udf("q binary, nq2 bigint")
     def _quant(v: pd.Series) -> pd.DataFrame:
@@ -124,32 +95,26 @@ def semdedup(
             n2s.append(int((xq * xq).sum()))
         return pd.DataFrame({"q": qs, "nq2": n2s})
 
-    @pandas_udf("double")
-    def _cent_sim(q: pd.Series, nq2: pd.Series, cluster: pd.Series) -> pd.Series:
-        cent_m, n2_m = bc.value
-        out = np.empty(len(q), dtype=np.float64)
-        for i, (buf, n2, c) in enumerate(zip(q.values, nq2.values, cluster.values)):
-            xq = np.frombuffer(buf, dtype="<i8")
-            cv = cent_m[int(c)]
-            out[i] = float(xq @ cv) / np.sqrt(float(n2) * float(n2_m[int(c)]))
-        return pd.Series(out)
-
-    sigs = (
+    return (
         embeddings.select(F.col(id_col), _quant(F.col(vec_col)).alias("_s"))
         .select(id_col, F.col("_s.q").alias("q"), F.col("_s.nq2").alias("nq2"))
         .join(assign, [id_col])
     )
 
-    # Within-cluster pairs as ONE per-cluster matmul (applyInPandas),
-    # not a self-join: a pair-join would shuffle |cluster|²/2 rows
-    # each carrying two full vectors, where the group form shuffles
-    # each vector ONCE and emits only near-threshold pairs. This is
-    # also the published algorithm's shape — per-cluster dense
-    # similarity, embarrassingly parallel across clusters. The UDF
-    # prefilters at eps - 1e-6 (strictly wider than any 6dp-rounding
-    # boundary); the EXACT predicate — round(cos, 6) >= eps on the
-    # same double — applies JVM-side below, so the emitted superset
-    # never changes the result.
+
+def _pair_frame(sigs: DataFrame, id_col: str, eps: float) -> DataFrame:
+    """Within-cluster duplicate pairs at cosine >= eps.
+
+    ONE per-cluster matmul (applyInPandas), not a self-join: a
+    pair-join would shuffle |cluster|²/2 rows each carrying two full
+    vectors, where the group form shuffles each vector ONCE and
+    emits only near-threshold pairs. This is also the published
+    algorithm's shape — per-cluster dense similarity, embarrassingly
+    parallel across clusters. The UDF prefilters at eps - 1e-6
+    (strictly wider than any 6dp-rounding boundary); the EXACT
+    predicate — round(cos, 6) >= eps on the same double — applies
+    JVM-side after, so the emitted superset never changes the
+    result."""
     raw_eps = float(eps) - 1e-6
 
     def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -188,7 +153,7 @@ def semdedup(
             {"id_a": ids[r], "id_b": ids[c], "cos_sim": v}
         )
 
-    pairs = (
+    return (
         sigs.select(id_col, "cluster", "q", "nq2")
         .groupBy("cluster")
         .applyInPandas(_cluster_pairs, "id_a bigint, id_b bigint, cos_sim double")
@@ -197,6 +162,73 @@ def semdedup(
         )
         .filter(F.col("cos_sim") >= float(eps))
     )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    assign: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.7,
+) -> DataFrame:
+    """Within-cluster duplicate pairs (id_a, id_b, cos_sim) at
+    cosine >= eps, given `cluster_assign` output — the eps-graph
+    SemDeDup groups over, exposed for pipelines that want the pair
+    evidence itself (audits, threshold sweeps)."""
+    return _pair_frame(
+        _quantized_sigs(embeddings, assign, id_col, vec_col), id_col, eps
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    eps: float = 0.7,
+) -> DataFrame:
+    """Full SemDeDup pass.
+
+    Returns one row per vector: (id, cluster, dup_group,
+    centroid_sim, keep) where ``dup_group`` is the duplicate-group label (the minimum
+    member id; singletons label themselves), ``centroid_sim`` is the
+    6dp cosine to the assigned cluster centroid, and ``keep`` marks
+    the group member with the LOWEST centroid similarity (ties to
+    the smaller id) — the paper's keep-rule. Filter ``keep`` to
+    materialize the deduplicated corpus.
+    """
+    spark = embeddings.sparkSession
+    assign, cb = cluster_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+
+    # centroid matrix: k x dim quantized ints — bounded driver
+    # metadata (same contract as the PQ codebook collect)
+    cb_rows = cb.collect()
+    cent = {
+        int(r["code"]): np.floor(
+            np.asarray(r["centroid"], dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in cb_rows
+    }
+    cent_n2 = {c: int((v * v).sum()) for c, v in cent.items()}
+    bc = spark.sparkContext.broadcast((cent, cent_n2))
+
+    @pandas_udf("double")
+    def _cent_sim(q: pd.Series, nq2: pd.Series, cluster: pd.Series) -> pd.Series:
+        cent_m, n2_m = bc.value
+        out = np.empty(len(q), dtype=np.float64)
+        for i, (buf, n2, c) in enumerate(zip(q.values, nq2.values, cluster.values)):
+            xq = np.frombuffer(buf, dtype="<i8")
+            cv = cent_m[int(c)]
+            out[i] = float(xq @ cv) / np.sqrt(float(n2) * float(n2_m[int(c)]))
+        return pd.Series(out)
+
+    sigs = _quantized_sigs(embeddings, assign, id_col, vec_col)
+    pairs = _pair_frame(sigs, id_col, eps)
     labels = connected_components(pairs, "id_a", "id_b")
 
     scored = sigs.select(

@@ -423,3 +423,40 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert_no_cartesian(df)
     cols = read_schema_columns(df, "documents.parquet")
     assert set(cols) == {"doc_id", "text"}
+
+
+def test_semdedup_cluster_bucketed_pairs(spark):
+    """SemDeDup's scale contract. The eps-graph subtree executes
+    eagerly inside connected_components (its pair frame is consumed
+    at build time), so the returned plan covers the scoring half:
+    pin no-cartesian, no sort-merge join, and the (vec_id, embedding)
+    scan pruning there — and pin the PAIR half structurally by
+    asserting the per-cluster applyInPandas stage
+    (FlatMapGroupsInPandas) in the pair frame the operator builds
+    internally, reconstructed through its public pieces."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    # full plan: no cartesian, pruned scan (the id-keyed joins plan
+    # as SMJ statically and AQE broadcasts the small sides at run
+    # time — not pinned here)
+    df = q("semdedup_prune", spark)
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "embeddings.parquet")
+    assert set(cols) == {"vec_id", "embedding"}
+
+    # the pair half, via the public pair builder
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.semdedup import (
+        cluster_assign,
+        semdedup_pairs,
+    )
+
+    (emb,) = load(spark, SF_SMOKE, "embeddings")
+    assign, _ = cluster_assign(emb, k=4, iters=1)
+    ptext = plan_text(semdedup_pairs(emb, assign, eps=0.5))
+    assert "FlatMapGroupsInPandas" in ptext
+    assert "CartesianProduct" not in ptext
+    release_caches()
