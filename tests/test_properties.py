@@ -499,3 +499,53 @@ def test_lm_matches_reference_implementation(spark, docs):
         ).collect()
     }
     assert got == {i: w for i, w in enumerate(want)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_rows=st.integers(5, 120),
+    n_strata=st.integers(1, 4),
+    seed=st.text(alphabet="abc", min_size=0, max_size=3),
+    bucket_bits=st.integers(1, 10),
+)
+def test_domain_mixture_membership_matches_reference(
+    spark, n_rows, n_strata, seed, bucket_bits
+):
+    """The two-phase distributed selection (bucket histogram + cutoff
+    bucket rank) must keep EXACTLY the quota-smallest hash60(id#seed)
+    rows per stratum — pinned against a direct reference across
+    bucket widths (bucket_bits=1 maximizes cutoff-boundary traffic)."""
+    import hashlib
+    import math
+
+    from python_stream_processing_framework_spark.operators.mixture import (
+        domain_mixture,
+        mixture_quotas,
+    )
+
+    strata = [f"s{i}" for i in range(n_strata)]
+    weights = {s: 1.0 / n_strata for s in strata}
+    rows = [(i, strata[(i * 7) % n_strata]) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+
+    def h60(i):
+        return int(hashlib.md5(f"{i}#{seed}".encode()).hexdigest()[:15], 16)
+
+    counts = {}
+    for i, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    quotas = mixture_quotas(counts, weights)
+    want = set()
+    for s in strata:
+        members = sorted(
+            (h60(i), i) for i, ss in rows if ss == s
+        )[: quotas[s]]
+        want.update(i for _, i in members)
+
+    got = {
+        r["doc_id"]
+        for r in domain_mixture(
+            df, "lang", weights, "doc_id", seed=seed, bucket_bits=bucket_bits
+        ).collect()
+    }
+    assert got == want
