@@ -8,8 +8,9 @@ buckets documents by perplexity. The reference engine
 (/root/reference/pspf) has no text statistics at all; this module
 supplies the train + score pair Spark-first.
 
-Model: an add-k-smoothed bigram LM over whitespace tokens with a BOS
-marker::
+Model: an add-k-smoothed n-gram LM (default bigram; ``n`` raises the
+order — contexts become space-joined (n-1)-token windows, same shape
+throughout) over whitespace tokens with BOS markers::
 
     lp(w | ctx) = ln( (c(ctx, w) + k) / (c(ctx) + k * (V + 1)) )
 
@@ -62,32 +63,88 @@ from python_stream_processing_framework_spark.operators.retrieval import tokeniz
 BOS = "<s>"
 
 
-def _bigram_pairs(text_col: str):
-    """Array of (ctx, w) structs: the bigram predicting each token.
+def _ngram_pairs(text_col: str, n: int):
+    """Array of (ctx, w) structs: the (n-1)-token context predicting
+    each token. ``ctx`` is the space-joined window (tokens contain no
+    whitespace — the tokenizer splits on it — so the join is
+    unambiguous); the first tokens see n-1 BOS markers.
 
-    BOS itself is never a predicted word, only a context. Built as
-    zip_with over two slices of the padded array so the generator
-    emits ONLY the pair structs — an explode over position indices
-    would carry the whole padded token array into every output row
-    and re-index it there, which dominated the scoring scan's cost.
-    Zero-token documents yield an empty array (slice of length 0).
+    BOS itself is never a predicted word, only context. Built so the
+    generator emits ONLY the pair structs — an explode over position
+    indices would carry the whole padded token array into every
+    output row and re-index it there, which dominated the scoring
+    scan's cost. Zero-token documents yield an empty array.
     """
     toks = tokenize_expr(F.col(text_col))
-    padded = F.concat(F.array(F.lit(BOS)), toks)
-    n = F.size(toks)
-    return F.zip_with(
-        F.slice(padded, 1, n),
-        F.slice(padded, 2, n),
-        lambda a, b: F.struct(a.alias("ctx"), b.alias("w")),
+    padded = F.concat(F.array(*[F.lit(BOS)] * (n - 1)), toks)
+    ntok = F.size(toks)
+    if n == 2:
+        # fast path: two slices zipped, no per-element re-slicing
+        return F.zip_with(
+            F.slice(padded, 1, ntok),
+            F.slice(padded, 2, ntok),
+            lambda a, b: F.struct(a.alias("ctx"), b.alias("w")),
+        )
+    pos = F.when(ntok >= 1, F.sequence(F.lit(1), ntok)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        pos,
+        lambda i: F.struct(
+            F.array_join(F.slice(padded, i, n - 1), " ").alias("ctx"),
+            F.element_at(padded, i + F.lit(n - 1)).alias("w"),
+        ),
     )
 
 
-def _bigram_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per real token: the bigram (ctx, w) predicting it.
+def _ngram_explode(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One row per real token: the (ctx, w) n-gram predicting it.
     Zero-token documents produce no rows."""
     return df.select(
-        F.col(id_col), F.explode(_bigram_pairs(text_col)).alias("_pr")
+        F.col(id_col), F.explode(_ngram_pairs(text_col, n)).alias("_pr")
     ).select(id_col, "_pr.ctx", "_pr.w")
+
+
+def train_ngram_lm(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count n-grams over a training corpus (default bigram).
+
+    Returns ``(ngram_counts, context_counts, vocab_size)``:
+    ``ngram_counts`` has columns (ctx, w, c) where ``ctx`` is the
+    space-joined (n-1)-token context, ``context_counts`` (ctx, cc) —
+    both counts as exact-integer-valued DOUBLE so the smoothed
+    division is bit-reproducible in any engine — and ``vocab_size``
+    is the exact number of distinct training tokens (BOS excluded),
+    the one scalar this trainer collects. Count-table size is
+    bounded by OBSERVED n-grams (Zipf-tiny vs the corpus; grows with
+    n, the usual n-gram-LM trade).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    from python_stream_processing_framework_spark.operators.common import materialize
+
+    grams = _ngram_explode(train_df, id_col, text_col, n)
+    # ONE corpus scan total: the materialized count table feeds the
+    # context marginals, the vocabulary size, AND both scoring joins.
+    ngrams = materialize(
+        grams.groupBy("ctx", "w").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
+    )
+    contexts = ngrams.groupBy("ctx").agg(F.sum("c").alias("cc"))
+    # every training token is predicted exactly once (BOS pads the
+    # first contexts), so the distinct `w` values ARE the vocabulary
+    # — a count over the cached vocab-bounded table, not a second
+    # corpus scan
+    vocab_size = ngrams.select("w").distinct().count()
+    return ngrams, contexts, int(vocab_size)
 
 
 def train_bigram_lm(
@@ -95,56 +152,38 @@ def train_bigram_lm(
     id_col: str,
     text_col: str,
 ) -> tuple[DataFrame, DataFrame, int]:
-    """Count bigrams over a training corpus.
-
-    Returns ``(bigram_counts, context_counts, vocab_size)``:
-    ``bigram_counts`` has columns (ctx, w, c), ``context_counts``
-    (ctx, cc) — both counts as exact-integer-valued DOUBLE so the
-    smoothed division is bit-reproducible in any engine —
-    and ``vocab_size`` is the exact number of distinct training
-    tokens (BOS excluded), the one scalar this trainer collects.
-    """
-    from python_stream_processing_framework_spark.operators.common import materialize
-
-    grams = _bigram_explode(train_df, id_col, text_col)
-    # ONE corpus scan total: the materialized count table feeds the
-    # context marginals, the vocabulary size, AND both scoring joins.
-    bigrams = materialize(
-        grams.groupBy("ctx", "w").agg(
-            F.count(F.lit(1)).cast("double").alias("c")
-        )
-    )
-    contexts = bigrams.groupBy("ctx").agg(F.sum("c").alias("cc"))
-    # every training token has a predecessor (BOS for the first), so
-    # the distinct `w` values ARE the vocabulary — a count over the
-    # cached vocab-bounded table, not a second corpus scan
-    vocab_size = bigrams.select("w").distinct().count()
-    return bigrams, contexts, int(vocab_size)
+    """Bigram convenience form of `train_ngram_lm` (n=2)."""
+    return train_ngram_lm(train_df, id_col, text_col, n=2)
 
 
-def score_bigram_lm(
+def score_ngram_lm(
     df: DataFrame,
-    bigrams: DataFrame,
+    ngrams: DataFrame,
     contexts: DataFrame,
     vocab_size: int,
     id_col: str,
     text_col: str,
     *,
     add_k: float = 0.5,
+    n: int = 2,
 ) -> DataFrame:
     """Mean token log-probability per document under the trained LM.
 
-    Returns (id_col, n_tokens, avg_lp) with avg_lp rounded to 6dp;
+    ``n`` must match the order the counts were trained at. Returns
+    (id_col, n_tokens, avg_lp) with avg_lp rounded to 6dp;
     zero-token documents keep a row with n_tokens=0 and NULL avg_lp
     (a filter must decide their fate explicitly, not lose them).
     Lower avg_lp = higher perplexity = less like the training corpus.
     """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
     # explode_outer keeps zero-token documents as one NULL-pair row,
     # so ONE corpus scan yields both the per-token log-probs and the
     # token counts (count of non-null pairs) — no second base scan,
     # no join back, no anti-join recomputing the aggregation.
     ev = df.select(
-        F.col(id_col), F.explode_outer(_bigram_pairs(text_col)).alias("_pr")
+        F.col(id_col),
+        F.explode_outer(_ngram_pairs(text_col, n)).alias("_pr"),
     ).select(
         id_col, F.col("_pr.ctx").alias("ctx"), F.col("_pr.w").alias("w")
     )
@@ -156,7 +195,7 @@ def score_bigram_lm(
     # map-side partial aggregation and a narrow shuffle instead of a
     # per-doc struct sort, and any engine reproduces it bit-exact.
     lp = (
-        ev.join(bigrams, ["ctx", "w"], "left")
+        ev.join(ngrams, ["ctx", "w"], "left")
         .join(contexts, ["ctx"], "left")
         .select(
             id_col,
@@ -183,6 +222,23 @@ def score_bigram_lm(
             / F.count("lp_nano"),
             6,
         ).alias("avg_lp"),
+    )
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    id_col: str,
+    text_col: str,
+    *,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Bigram convenience form of `score_ngram_lm` (n=2)."""
+    return score_ngram_lm(
+        df, bigrams, contexts, vocab_size, id_col, text_col,
+        add_k=add_k, n=2,
     )
 
 

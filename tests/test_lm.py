@@ -93,3 +93,37 @@ def test_unseen_context_hits_uniform_floor(spark, lm_model):
     floor = -math.log(v + 1)
     # second token's lp is the floor; first is unseen-word-known-ctx
     assert row["avg_lp"] == _avg_lp(math.log(0.5 / 3.5), floor)
+
+
+def test_trigram_order(spark):
+    """n=3: contexts are 2-token windows with double-BOS padding —
+    hand-computed on a corpus where bigram and trigram scores
+    differ."""
+    from python_stream_processing_framework_spark.operators.lm import (
+        score_ngram_lm,
+        train_ngram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id int, text string"
+    )
+    ngrams, contexts, v = train_ngram_lm(train, "doc_id", "text", n=3)
+    assert v == 4  # {a, b, c, d}
+    big = {(r["ctx"], r["w"]): r["c"] for r in ngrams.collect()}
+    assert big == {
+        ("<s> <s>", "a"): 2.0,
+        ("<s> a", "b"): 2.0,
+        ("a b", "c"): 1.0,
+        ("a b", "d"): 1.0,
+    }
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id int, text string")
+    row = score_ngram_lm(
+        docs, ngrams, contexts, v, "doc_id", "text", add_k=0.5, n=3
+    ).collect()[0]
+    # k=0.5, V+1=5 => denom adds 2.5
+    lps = [
+        math.log(2.5 / 4.5),  # a | <s> <s>   (2+0.5)/(2+2.5)
+        math.log(2.5 / 4.5),  # b | <s> a
+        math.log(1.5 / 4.5),  # c | a b       (1+0.5)/(2+2.5)
+    ]
+    assert (row["n_tokens"], row["avg_lp"]) == (3, _avg_lp(*lps))

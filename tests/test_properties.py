@@ -426,33 +426,36 @@ def test_bpe_matches_reference_implementation(spark, words, n_merges):
         assert got_seg[i] == len(syms), (w, pairs)
 
 
-def _ref_bigram_lm(train_words_per_doc, score_words_per_doc, add_k=0.5):
-    """Sequential reference of operators/lm.py: bigram counts with a
-    BOS context, add-k smoothing over (V+1), nano-quantized sums."""
+def _ref_ngram_lm(train_words_per_doc, score_words_per_doc, n=2, add_k=0.5):
+    """Sequential reference of operators/lm.py: n-gram counts with
+    (n-1) BOS contexts, add-k smoothing over (V+1), nano-quantized
+    sums."""
     import math
     from collections import Counter
+
+    def grams(toks):
+        padded = ["<s>"] * (n - 1) + list(toks)
+        for i in range(len(toks)):
+            yield " ".join(padded[i : i + n - 1]), padded[i + n - 1]
 
     big, ctx, vocab = Counter(), Counter(), set()
     for toks in train_words_per_doc:
         vocab.update(toks)
-        prev = "<s>"
-        for w in toks:
-            big[(prev, w)] += 1
-            ctx[prev] += 1
-            prev = w
+        for c, w in grams(toks):
+            big[(c, w)] += 1
+            ctx[c] += 1
     v = len(vocab)
     out = []
     for toks in score_words_per_doc:
-        nanos, prev = 0, "<s>"
-        for w in toks:
+        nanos = 0
+        for c, w in grams(toks):
             lp = math.log(
-                (big.get((prev, w), 0) + add_k)
-                / (ctx.get(prev, 0) + add_k * (v + 1))
+                (big.get((c, w), 0) + add_k)
+                / (ctx.get(c, 0) + add_k * (v + 1))
             )
             nanos += round(lp * 1e9)
-            prev = w
-        n = len(toks)
-        out.append((n, round(nanos / 1e9 / n, 6) if n else None))
+        nt = len(toks)
+        out.append((nt, round(nanos / 1e9 / nt, 6) if nt else None))
     return out
 
 
@@ -466,22 +469,23 @@ def _ref_bigram_lm(train_words_per_doc, score_words_per_doc, add_k=0.5):
         ),
         min_size=1,
         max_size=10,
-    )
+    ),
+    n=st.integers(2, 3),
 )
-def test_lm_matches_reference_implementation(spark, docs):
+def test_lm_matches_reference_implementation(spark, docs, n):
     """Distributed bigram-LM train+score == a sequential reference on
     the same corpus (80/20 split by index parity stand-in: train on
     docs with even index). The tiny alphabet maximizes context
     collisions; empty docs pin the NULL-score row."""
     from python_stream_processing_framework_spark.operators.lm import (
-        score_bigram_lm,
-        train_bigram_lm,
+        score_ngram_lm,
+        train_ngram_lm,
     )
 
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     train = df.filter(F.col("doc_id") % 2 == 0)
-    bigrams, contexts, v = train_bigram_lm(train, "doc_id", "text")
+    ngrams, contexts, v = train_ngram_lm(train, "doc_id", "text", n=n)
 
     # tokenize like the operator: whitespace-run split, blank -> []
     def toks_of(t):
@@ -491,11 +495,11 @@ def test_lm_matches_reference_implementation(spark, docs):
     train_toks = [toks_of(t) for i, t in rows if i % 2 == 0]
     all_toks = [toks_of(t) for _, t in rows]
     assert v == len({w for ts in train_toks for w in ts})
-    want = _ref_bigram_lm(train_toks, all_toks)
+    want = _ref_ngram_lm(train_toks, all_toks, n=n)
     got = {
         r["doc_id"]: (r["n_tokens"], r["avg_lp"])
-        for r in score_bigram_lm(
-            df, bigrams, contexts, v, "doc_id", "text"
+        for r in score_ngram_lm(
+            df, ngrams, contexts, v, "doc_id", "text", n=n
         ).collect()
     }
     assert got == {i: w for i, w in enumerate(want)}
