@@ -69,6 +69,38 @@ def test_rows_only_queries_run(spark, name):
     assert len(sdf.schema.fields) > 0
 
 
+def test_driver_cap_curation():
+    """Pin the registry curation contract: insertion order is the
+    driver's CORRECTNESS selection order, so every query NOT in
+    OUTSIDE_DRIVER_CAP must sit inside the first DRIVER_CAP slots,
+    the declared outside-cap set must be exactly the tail, and every
+    outside-cap query still carries an exact oracle (verified above)."""
+    from python_stream_processing_framework_spark.queries import (
+        DRIVER_CAP,
+        OUTSIDE_DRIVER_CAP,
+    )
+
+    names = list(QUERY_REGISTRY)
+    assert len(names[:DRIVER_CAP]) == DRIVER_CAP
+    assert set(names[DRIVER_CAP:]) == set(OUTSIDE_DRIVER_CAP)
+    flagships = {
+        "bpe_merges",
+        "bpe_token_counts",
+        "lm_doc_scores",
+        "repeated_span_mask",
+        "semdedup_prune",
+        "temperature_mixture",
+        "bm25_topk",
+        "packing_assignments",
+        "domain_mixture",
+        "shard_plan",
+        "curriculum_order",
+    }
+    assert flagships <= set(names[:DRIVER_CAP])
+    for name in OUTSIDE_DRIVER_CAP:
+        assert QUERY_REGISTRY[name].oracle, f"{name} outside cap needs an oracle"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 
