@@ -111,6 +111,7 @@ def main() -> None:
         "pq_dim64": _pq_bench(spark),
         "ivfpq_query_only": _ivfpq_query_only_bench(spark, sf_dir),
         "semdedup_20k": _semdedup_scale_bench(spark),
+        "bpe_256_merges": _bpe_batched_bench(spark, sf_dir),
     }
 
     total = round(sum(timings.values()), 3)
@@ -843,6 +844,45 @@ def _ivfpq_query_only_bench(spark, sf_dir: str) -> dict:
         "k_codes": 16,
         "n_probe": 3,
         "methodology": "persisted codebook/codes/cells; warmup then min-of-3",
+    }
+
+
+def _bpe_batched_bench(spark, sf_dir: str) -> dict:
+    """Real-vocabulary BPE training cost: 256 merges over the
+    documents corpus. Sequential training is one driver round-trip
+    (2 vocab-bounded shuffles + a 1-row argmax) PER MERGE — the
+    catalog's n_merges=8 hides that the loop is the scale knob.
+    batch=16 selects the top symbol-disjoint 16 pairs per round, so
+    256 merges take ~16 rounds instead of 256. Reported side by side
+    with a 32-merge sequential run's per-merge rate to show the
+    per-merge cost drop; segmentation-quality parity is pinned by
+    tests/test_properties.py."""
+    import time as _t
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.bpe import bpe_train
+
+    (documents,) = load(spark, sf_dir, "documents")
+    t0 = _t.perf_counter()
+    seq = bpe_train(documents, "text", n_merges=32, batch=1)
+    n_seq = seq.count()
+    seq_s = round(_t.perf_counter() - t0, 3)
+    release_caches()
+    spark.catalog.clearCache()
+    t0 = _t.perf_counter()
+    batched = bpe_train(documents, "text", n_merges=256, batch=16)
+    n_batched = batched.count()
+    batched_s = round(_t.perf_counter() - t0, 3)
+    release_caches()
+    spark.catalog.clearCache()
+    return {
+        "sequential_32_s": seq_s,
+        "sequential_merges": n_seq,
+        "sequential_s_per_merge": round(seq_s / max(n_seq, 1), 4),
+        "batched_256_s": batched_s,
+        "batched_merges": n_batched,
+        "batched_s_per_merge": round(batched_s / max(n_batched, 1), 4),
+        "batch": 16,
     }
 
 

@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from python_stream_processing_framework_spark.operators.common import materialize
 from python_stream_processing_framework_spark.operators.dedup import tokens_expr
 
 #: Schema of the learned merge table.
@@ -78,6 +77,7 @@ def bpe_train(
     text_col: str,
     *,
     n_merges: int = 8,
+    batch: int = 1,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -88,26 +88,67 @@ def bpe_train(
     deterministic), rewrite the vocabulary with the merge. Training
     stops early if no pair remains (every word fused to one symbol).
 
+    ``batch > 1`` is the distributed-vocabulary-training shape: each
+    round greedily selects up to ``batch`` pairs from the count
+    ranking such that no selected pair shares a symbol with a
+    higher-ranked selected pair (and no pair's symbol equals a
+    higher-ranked selection's MERGED token — that token can gain new
+    occurrences mid-round, which would make its measured count
+    stale). Symbol-disjoint merges commute: merging (a, b) only
+    creates/destroys adjacencies touching ``a`` or ``b``, so every
+    selected pair's count and every selected pattern's match set are
+    EXACTLY what the round measured, and the chained rewrite applies
+    each merge precisely as if it ran alone. The learned table can
+    differ from sequential BPE (sequential re-ranks after every
+    merge); the hypothesis test pins segmentation-quality parity.
+    ``batch=1`` is bit-identical to the published sequential
+    algorithm and is what the SQL oracle replays.
+
     Scale shape: after `word_frequency_table`'s single corpus pass,
-    each round is two vocabulary-bounded shuffles plus a 1-row
-    argmax collect; the vocabulary is re-materialized per round (the
-    PQ-trainer pattern — one full pass per round, nothing replayed)
-    and each round's cache is released as soon as the next is built.
-    Driver traffic: one (pair, count) row per round.
+    each round is two vocabulary-bounded shuffles plus a bounded
+    (``3*batch + 8``-row) top-k collect; the vocabulary is
+    re-checkpointed per round — lineage truncation, NOT just caching,
+    because an iterative rewrite chain grows the analyzed plan and
+    per-round planning cost compounds — and each round's blocks are
+    released as soon as the next is built. Driver round-trips are
+    O(n_merges / batch), the knob that makes a real 32k-merge
+    vocabulary ~2k Spark jobs instead of ~64k.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    vocab = materialize(
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    spark = df.sparkSession
+    durable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _truncate(d: DataFrame) -> DataFrame:
+        # Lineage truncation per round (the operators/graph.py:86
+        # pattern). persist() alone is NOT enough: each round's plan
+        # chains on the previous round's full ANALYZED plan, and
+        # per-round analysis cost compounds — measured ~2x per round
+        # past round 9 (~20 s/round by round 15) with plain
+        # materialize(). Checkpointing makes every round's input a
+        # leaf, holding per-round cost flat.
+        return d.checkpoint(eager=True) if durable else d.localCheckpoint(eager=True)
+
+    def _release(d: DataFrame) -> None:
+        # localCheckpoint storage is an internal LogicalRDD persist
+        # that DataFrame.unpersist cannot reach; best-effort free.
+        try:
+            d._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 - freeing a dead round is best-effort
+            pass
+
+    merges: list[tuple[int, str, str, int]] = []
+    prev = _truncate(
         word_frequency_table(df, text_col).select(
             _seq_expr(F.col("word")).alias("seq"), F.col("cnt")
         )
     )
-    spark = df.sparkSession
-    merges: list[tuple[int, str, str, int]] = []
-    prev = vocab
-    for i in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
         syms = F.split(F.trim(F.col("seq")), "  ")
-        best = (
+        top = (
             prev.select(F.explode(_pairs_expr(syms)).alias("pair"), "cnt")
             .groupBy("pair")
             .agg(F.sum("cnt").alias("total"))
@@ -120,28 +161,39 @@ def bpe_train(
                 "total",
             )
             .orderBy(F.col("total").desc(), F.col("l"), F.col("r"))
-            .limit(1)
+            # overfetch so conflicts rarely starve a round; anything
+            # skipped is re-ranked (fresh counts) next round
+            .limit(want if want == 1 else 3 * want + 8)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        left, right = best[0]["l"], best[0]["r"]
-        merges.append((i, left, right, int(best[0]["total"])))
-        nxt = materialize(
-            prev.withColumn(
-                "seq",
-                F.replace(
-                    F.col("seq"),
-                    F.lit(f" {left}  {right} "),
-                    F.lit(f" {left}{right} "),
-                ),
+        used: set[str] = set()
+        selected: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(selected) == want:
+                break
+            left, right = row["l"], row["r"]
+            if left in used or right in used:
+                continue
+            selected.append((left, right, int(row["total"])))
+            used.update((left, right, left + right))
+        # the top-ranked pair is always conflict-free, so every
+        # round selects >= 1 merge and the loop terminates
+        rewritten = F.col("seq")
+        for i, (left, right, total) in enumerate(selected):
+            merges.append((len(merges), left, right, total))
+            rewritten = F.replace(
+                rewritten,
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
             )
-        )
-        # the new round's cache is eagerly populated; the previous
-        # round's blocks are dead — release them now, not at the end
-        prev.unpersist()
+        nxt = _truncate(prev.withColumn("seq", rewritten))
+        # the new round's checkpoint is eager; the previous round's
+        # blocks are dead — release them now, not at the end
+        _release(prev)
         prev = nxt
-    prev.unpersist()
+    _release(prev)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 

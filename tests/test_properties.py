@@ -426,6 +426,63 @@ def test_bpe_matches_reference_implementation(spark, words, n_merges):
         assert got_seg[i] == len(syms), (w, pairs)
 
 
+def _apply_merges(word, pairs):
+    """Greedy-leftmost application of a merge chain (the
+    bpe_segment_counts semantics), returning the piece count."""
+    syms = list(word)
+    for l, r in pairs:
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                out.append(l + r)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return len(syms)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=8,
+        max_size=24,
+    ),
+)
+def test_bpe_batched_segmentation_quality_parity(spark, words):
+    """Batched BPE (symbol-disjoint top-m per round) must compress the
+    corpus essentially as well as sequential BPE at the same merge
+    budget: total pieces within 25% + 4 of the sequential reference,
+    and never worse than unmerged characters. (The merge TABLES may
+    differ — sequential re-ranks after every merge — so this pins
+    segmentation quality, the property that matters for a tokenizer.)"""
+    from python_stream_processing_framework_spark.operators.bpe import bpe_train
+
+    n_merges = 64
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    batched = sorted(
+        (
+            (r["merge_idx"], r["left"], r["right"])
+            for r in bpe_train(docs, "text", n_merges=n_merges, batch=8).collect()
+        )
+    )
+    batched_pairs = [(l, r) for _, l, r in batched]
+    _, seq_vocab = _ref_bpe(words, n_merges)
+    seq_pieces = sum(len(syms) * c for syms, c in seq_vocab.items())
+    batched_pieces = sum(_apply_merges(w, batched_pairs) for w in words)
+    char_pieces = sum(len(w) for w in words)
+    assert batched_pieces <= char_pieces
+    assert batched_pieces <= seq_pieces * 1.25 + 4, (
+        batched_pieces,
+        seq_pieces,
+        batched_pairs,
+    )
+
+
 def _ref_ngram_lm(train_words_per_doc, score_words_per_doc, n=2, add_k=0.5):
     """Sequential reference of operators/lm.py: n-gram counts with
     (n-1) BOS contexts, add-k smoothing over (V+1), nano-quantized
