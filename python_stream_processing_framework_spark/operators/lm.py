@@ -78,22 +78,22 @@ def _ngram_pairs(text_col: str, n: int):
     toks = tokenize_expr(F.col(text_col))
     padded = F.concat(F.array(*[F.lit(BOS)] * (n - 1)), toks)
     ntok = F.size(toks)
-    if n == 2:
-        # fast path: two slices zipped, no per-element re-slicing
-        return F.zip_with(
-            F.slice(padded, 1, ntok),
-            F.slice(padded, 2, ntok),
-            lambda a, b: F.struct(a.alias("ctx"), b.alias("w")),
+    # n shifted slices zipped progressively: element i of slice j is
+    # padded[i+j-1], so folding slices 1..n-1 with a space-concat
+    # builds every (n-1)-token context and slice n supplies the
+    # predicted word — O(n * len) per document. (A transform over
+    # position indices re-evaluated `padded` and re-sliced it INSIDE
+    # the per-element lambda — O(len^2) per document, measured ~6x
+    # the whole-query wall at n=3/sf0.1.)
+    ctx = F.slice(padded, 1, ntok)
+    for j in range(2, n):
+        ctx = F.zip_with(
+            ctx, F.slice(padded, j, ntok), lambda a, b: F.concat_ws(" ", a, b)
         )
-    pos = F.when(ntok >= 1, F.sequence(F.lit(1), ntok)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        pos,
-        lambda i: F.struct(
-            F.array_join(F.slice(padded, i, n - 1), " ").alias("ctx"),
-            F.element_at(padded, i + F.lit(n - 1)).alias("w"),
-        ),
+    return F.zip_with(
+        ctx,
+        F.slice(padded, n, ntok),
+        lambda a, b: F.struct(a.alias("ctx"), b.alias("w")),
     )
 
 
@@ -113,6 +113,7 @@ def train_ngram_lm(
     text_col: str,
     *,
     n: int = 2,
+    min_count: int = 1,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Count n-grams over a training corpus (default bigram).
 
@@ -122,28 +123,44 @@ def train_ngram_lm(
     both counts as exact-integer-valued DOUBLE so the smoothed
     division is bit-reproducible in any engine — and ``vocab_size``
     is the exact number of distinct training tokens (BOS excluded),
-    the one scalar this trainer collects. Count-table size is
-    bounded by OBSERVED n-grams (Zipf-tiny vs the corpus; grows with
-    n, the usual n-gram-LM trade).
+    the one scalar this trainer collects.
+
+    ``min_count > 1`` prunes n-grams observed fewer times (one
+    filter over the count table — the knob that keeps the table
+    vocab-bounded at n >= 3 over web text, where singleton n-grams
+    are the overwhelming tail). Context marginals are computed from
+    the PRUNED table, so every surviving (ctx, w) probability stays
+    <= 1 and the pruned mass falls into the add-k unseen slot —
+    exactly what scoring assumes. ``vocab_size`` is counted BEFORE
+    pruning: the vocabulary is a property of the corpus, and
+    shrinking the smoothing denominator because rare n-grams were
+    pruned would overweight every survivor.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     from python_stream_processing_framework_spark.operators.common import materialize
 
     grams = _ngram_explode(train_df, id_col, text_col, n)
     # ONE corpus scan total: the materialized count table feeds the
     # context marginals, the vocabulary size, AND both scoring joins.
-    ngrams = materialize(
+    counted = materialize(
         grams.groupBy("ctx", "w").agg(
             F.count(F.lit(1)).cast("double").alias("c")
         )
+    )
+    ngrams = (
+        counted
+        if min_count == 1
+        else counted.filter(F.col("c") >= F.lit(float(min_count)))
     )
     contexts = ngrams.groupBy("ctx").agg(F.sum("c").alias("cc"))
     # every training token is predicted exactly once (BOS pads the
     # first contexts), so the distinct `w` values ARE the vocabulary
     # — a count over the cached vocab-bounded table, not a second
     # corpus scan
-    vocab_size = ngrams.select("w").distinct().count()
+    vocab_size = counted.select("w").distinct().count()
     return ngrams, contexts, int(vocab_size)
 
 
@@ -151,9 +168,11 @@ def train_bigram_lm(
     train_df: DataFrame,
     id_col: str,
     text_col: str,
+    *,
+    min_count: int = 1,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Bigram convenience form of `train_ngram_lm` (n=2)."""
-    return train_ngram_lm(train_df, id_col, text_col, n=2)
+    return train_ngram_lm(train_df, id_col, text_col, n=2, min_count=min_count)
 
 
 def score_ngram_lm(
@@ -239,6 +258,182 @@ def score_bigram_lm(
     return score_ngram_lm(
         df, bigrams, contexts, vocab_size, id_col, text_col,
         add_k=add_k, n=2,
+    )
+
+
+def _ctx_suffix(ctx, n: int, k: int):
+    """Order-k context from the full (n-1)-token context: its last
+    (k-1) tokens. The full context ALWAYS has exactly n-1 tokens
+    (BOS padding guarantees it), so the slice is position-stable.
+    Order 1 has the empty context."""
+    if k == 1:
+        return F.lit("")
+    if k == n:
+        return ctx
+    return F.array_join(F.slice(F.split(ctx, " "), n - k + 1, k - 1), " ")
+
+
+def train_backoff_lm(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_count: int = 1,
+) -> tuple[dict[int, tuple[DataFrame, DataFrame]], int, int]:
+    """Count tables for stupid-backoff scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation") at every order
+    1..n, from ONE corpus scan.
+
+    Returns ``(orders, vocab_size, total_tokens)`` where
+    ``orders[k] = (ngrams_k, contexts_k)`` — (ctx, w, c) and
+    (ctx, cc) with order-k contexts (k-1 space-joined tokens; order
+    1's context is the empty string). Every lower order is DERIVED
+    from the top-order count table by suffix aggregation — each
+    token is predicted exactly once in the BOS-padded top table, so
+    marginalizing full contexts onto their (k-1)-token suffix reproduces
+    the exact order-k counts — vocabulary-bounded shuffles, never a
+    second corpus pass. ``min_count`` prunes each order's table
+    independently AFTER aggregation (counts stay exact; pruned mass
+    backs off to the lower order, which is the whole point).
+    ``total_tokens`` is the exact training-token count (the unigram
+    denominator).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from python_stream_processing_framework_spark.operators.common import materialize
+
+    grams = _ngram_explode(train_df, id_col, text_col, n)
+    top = materialize(
+        grams.groupBy("ctx", "w").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
+    )
+    scalars = top.agg(
+        F.count_distinct("w").alias("v"), F.sum("c").alias("nn")
+    ).collect()[0]
+    # a zero-token training corpus yields NULL aggregates, not zero
+    vocab_size = int(scalars["v"] or 0)
+    total_tokens = int(scalars["nn"] or 0)
+
+    orders: dict[int, tuple[DataFrame, DataFrame]] = {}
+    for k in range(1, n + 1):
+        counts_k = (
+            top
+            if k == n
+            else (
+                top.select(
+                    _ctx_suffix(F.col("ctx"), n, k).alias("ctx"), "w", "c"
+                )
+                .groupBy("ctx", "w")
+                .agg(F.sum("c").alias("c"))
+            )
+        )
+        if min_count > 1:
+            counts_k = counts_k.filter(F.col("c") >= F.lit(float(min_count)))
+        contexts_k = counts_k.groupBy("ctx").agg(F.sum("c").alias("cc"))
+        orders[k] = (counts_k, contexts_k)
+    return orders, vocab_size, total_tokens
+
+
+def score_backoff_lm(
+    df: DataFrame,
+    orders: dict[int, tuple[DataFrame, DataFrame]],
+    vocab_size: int,
+    total_tokens: int,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    alpha: float = 0.4,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Mean token log-score per document under stupid backoff.
+
+    Per token: the relative frequency at the highest order whose
+    (ctx, w) survives in the count tables, discounted by
+    ``alpha`` per backed-off order::
+
+        S(w | ctx_k) = c_k(ctx_k, w) / cc_k(ctx_k)       if c_k > 0
+                     = alpha * S(w | ctx_{k-1})           otherwise
+
+    with an add-k-smoothed unigram base so unseen words stay finite:
+    ``(c_1(w) + add_k) / (N + add_k * (V + 1))``. Scores are not
+    normalized probabilities — that is the published trade for
+    web-scale counts, and document RANKING is what the filter uses.
+
+    Output schema matches `score_ngram_lm`: (id, n_tokens, avg_lp),
+    zero-token documents keep a NULL-avg_lp row. One corpus scan;
+    per-order left equi-joins against vocabulary-bounded count
+    tables (broadcast at test SF, shuffle-hash at 100 TB); the same
+    nano-unit BIGINT quantization makes the per-doc sum order-free
+    exact, so DuckDB replays bit-exact.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    ev = df.select(
+        F.col(id_col),
+        F.explode_outer(_ngram_pairs(text_col, n)).alias("_pr"),
+    ).select(
+        id_col, F.col("_pr.ctx").alias("ctx"), F.col("_pr.w").alias("w")
+    )
+    for k in range(2, n + 1):
+        ev = ev.withColumn(f"_ctx{k}", _ctx_suffix(F.col("ctx"), n, k))
+    joined = ev
+    for k in range(n, 1, -1):
+        ngrams_k, contexts_k = orders[k]
+        joined = joined.join(
+            ngrams_k.select(
+                F.col("ctx").alias(f"_ctx{k}"),
+                F.col("w"),
+                F.col("c").alias(f"_c{k}"),
+            ),
+            [f"_ctx{k}", "w"],
+            "left",
+        ).join(
+            contexts_k.select(
+                F.col("ctx").alias(f"_ctx{k}"), F.col("cc").alias(f"_cc{k}")
+            ),
+            [f"_ctx{k}"],
+            "left",
+        )
+    unigrams, _ = orders[1]
+    joined = joined.join(
+        unigrams.select("w", F.col("c").alias("_c1")), ["w"], "left"
+    )
+    ln_alpha = F.log(F.lit(float(alpha)))
+    base = F.log(
+        (F.coalesce(F.col("_c1"), F.lit(0.0)) + F.lit(float(add_k)))
+        / (
+            F.lit(float(total_tokens))
+            + F.lit(float(add_k)) * F.lit(float(vocab_size + 1))
+        )
+    ) + F.lit(float(n - 1)) * ln_alpha
+    lp_expr = base
+    # build the cascade bottom-up so order n ends outermost
+    for k in range(2, n + 1):
+        lp_expr = F.when(
+            F.col(f"_c{k}").isNotNull(),
+            F.log(F.col(f"_c{k}") / F.col(f"_cc{k}"))
+            + F.lit(float(n - k)) * ln_alpha,
+        ).otherwise(lp_expr)
+    lp = joined.select(
+        id_col,
+        F.when(
+            F.col("w").isNotNull(),
+            F.round(lp_expr * F.lit(1e9)).cast("bigint"),
+        ).alias("lp_nano"),
+    )
+    return lp.groupBy(id_col).agg(
+        F.count("lp_nano").alias("n_tokens"),
+        F.round(
+            F.sum("lp_nano").cast("double")
+            / F.lit(1e9)
+            / F.count("lp_nano"),
+            6,
+        ).alias("avg_lp"),
     )
 
 

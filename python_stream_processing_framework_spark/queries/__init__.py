@@ -72,6 +72,9 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # int8-quantized scoring pinned by ann_ivfpq_topk's ADC path,
     # TakeOrdered top-k by pooled_retrieval
     "int8_mips_topk",
+    # IVF coarse quantize + cell-probe prune is the front half of
+    # ann_ivfpq_topk (r7 rotation making room for lm_backoff_scores)
+    "ann_ivf_topk",
 )
 
 DRIVER_CAP = 50

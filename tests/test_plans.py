@@ -405,6 +405,30 @@ def test_lm_doc_scores_broadcast_counts_take_ordered(spark):
     release_caches()
 
 
+def test_lm_backoff_scores_broadcast_counts_take_ordered(spark):
+    """Stupid-backoff scoring pays one corpus scan + per-order joins
+    whose build sides are the vocab-bounded count tables: every join
+    must build on the count side (no sort-merge exchanging the
+    token stream), the top-25 is TakeOrderedAndProject, and the scan
+    reads only (doc_id, text)."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("lm_backoff_scores", spark)
+    text = plan_text(df)
+    assert "SortMergeJoin" not in text
+    # trigram+bigram pair and context joins + the unigram join
+    assert text.count("BroadcastHashJoin") >= 5
+    assert ") TakeOrderedAndProject" in text
+    assert ") Sort" not in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
+    release_caches()
+
+
 def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     """Span masking's scale contract: exactly TWO exchanges — the
     gram-occurrence count (map-side partials on BIGINT hashes) and

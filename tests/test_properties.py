@@ -562,6 +562,112 @@ def test_lm_matches_reference_implementation(spark, docs, n):
     assert got == {i: w for i, w in enumerate(want)}
 
 
+def _ref_backoff_lm(
+    train_toks, score_toks, n=3, min_count=1, alpha=0.4, add_k=0.5
+):
+    """Sequential reference of train_backoff_lm/score_backoff_lm:
+    count all orders directly from the corpus, prune each order
+    independently, cascade highest-surviving-order relative
+    frequency with alpha per backed-off order, add-k unigram base."""
+    import math
+    from collections import Counter
+
+    counts = {k: Counter() for k in range(1, n + 1)}
+    vocab, total = set(), 0
+    for toks in train_toks:
+        vocab.update(toks)
+        total += len(toks)
+        padded = ["<s>"] * (n - 1) + list(toks)
+        for i in range(len(toks)):
+            w = padded[i + n - 1]
+            for k in range(1, n + 1):
+                ctx = " ".join(padded[i + n - k : i + n - 1])
+                counts[k][(ctx, w)] += 1
+    pruned = {
+        k: {kw: c for kw, c in counts[k].items() if c >= min_count}
+        for k in counts
+    }
+    ctxs = {k: Counter() for k in counts}
+    for k, tab in pruned.items():
+        for (ctx, _w), c in tab.items():
+            ctxs[k][ctx] += c
+    v = len(vocab)
+    out = []
+    for toks in score_toks:
+        padded = ["<s>"] * (n - 1) + list(toks)
+        nanos = 0
+        for i in range(len(toks)):
+            w = padded[i + n - 1]
+            lp = None
+            for k in range(n, 1, -1):
+                ctx = " ".join(padded[i + n - k : i + n - 1])
+                if (ctx, w) in pruned[k]:
+                    lp = math.log(
+                        pruned[k][(ctx, w)] / ctxs[k][ctx]
+                    ) + (n - k) * math.log(alpha)
+                    break
+            if lp is None:
+                lp = math.log(
+                    (pruned[1].get(("", w), 0) + add_k)
+                    / (total + add_k * (v + 1))
+                ) + (n - 1) * math.log(alpha)
+            nanos += round(lp * 1e9)
+        nt = len(toks)
+        out.append((nt, round(nanos / 1e9 / nt, 6) if nt else None))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="xyz", min_size=1, max_size=3),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    n=st.integers(2, 3),
+    min_count=st.integers(1, 2),
+)
+def test_backoff_lm_matches_reference_implementation(
+    spark, docs, n, min_count
+):
+    """Distributed stupid-backoff train+score == a sequential
+    reference that counts every order directly from the corpus —
+    this also pins the marginalize-the-top-table derivation against
+    direct counting, at both min_count=1 and with pruning."""
+    from python_stream_processing_framework_spark.operators.lm import (
+        score_backoff_lm,
+        train_backoff_lm,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    orders, v, nn = train_backoff_lm(
+        train, "doc_id", "text", n=n, min_count=min_count
+    )
+
+    def toks_of(t):
+        t = t.strip().lower()
+        return t.split() if t else []
+
+    train_toks = [toks_of(t) for i, t in rows if i % 2 == 0]
+    all_toks = [toks_of(t) for _, t in rows]
+    assert v == len({w for ts in train_toks for w in ts})
+    assert nn == sum(len(ts) for ts in train_toks)
+    want = _ref_backoff_lm(train_toks, all_toks, n=n, min_count=min_count)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_lp"])
+        for r in score_backoff_lm(
+            df, orders, v, nn, "doc_id", "text", n=n
+        ).collect()
+    }
+    assert got == {i: w for i, w in enumerate(want)}
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     n_rows=st.integers(5, 120),
