@@ -112,6 +112,7 @@ def main() -> None:
         "ivfpq_query_only": _ivfpq_query_only_bench(spark, sf_dir),
         "semdedup_20k": _semdedup_scale_bench(spark),
         "bpe_256_merges": _bpe_batched_bench(spark, sf_dir),
+        "semdedup_100k": _semdedup_100k_bench(spark),
     }
 
     total = round(sum(timings.values()), 3)
@@ -844,6 +845,61 @@ def _ivfpq_query_only_bench(spark, sf_dir: str) -> dict:
         "k_codes": 16,
         "n_probe": 3,
         "methodology": "persisted codebook/codes/cells; warmup then min-of-3",
+    }
+
+
+def _semdedup_100k_bench(spark) -> dict:
+    """SemDeDup at 100k vectors / dim 64 under the r7 auto-k rule
+    (k=None -> ceil(n/4096)=25 clusters) with the giant-cluster
+    pairing cap armed at 4x the target size. Same planted-duplicate
+    generator as the 20k bench (every 5th vector an exact scaled
+    copy); reports the realized max cluster size so skew is visible
+    next to the wall time."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.functions.vectors import (
+        l2_normalize,
+    )
+    from python_stream_processing_framework_spark.operators.semdedup import (
+        cluster_assign,
+        semdedup,
+    )
+
+    n = 100_000
+    vecs = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        l2_normalize(
+            F.expr(
+                "transform(sequence(1, 64), d ->"
+                " (cast(conv(substring(md5(concat("
+                "    cast(id - cast(id % 5 = 0 as int) as string), '#',"
+                "    cast(d as string))), 1, 7), 16, 10) as double)"
+                "  / 268435455.0 - 0.5)"
+                " * (1 + cast(id % 5 = 0 as int)))"
+            )
+        ).alias("embedding"),
+    ).persist()
+    vecs.count()
+    t0 = _t.perf_counter()
+    out = semdedup(vecs, k=None, iters=2, eps=0.99, max_cluster_size=16_384)
+    dropped = out.filter(~F.col("keep")).count()
+    wall = round(_t.perf_counter() - t0, 3)
+    assign, _cb = cluster_assign(vecs, k=None, iters=2)
+    sizes = assign.groupBy("cluster").count()
+    agg = sizes.agg(
+        F.max("count").alias("mx"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    vecs.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "wall_s": wall,
+        "n_vectors": n,
+        "k_auto": int(agg["k"]),
+        "max_cluster_size_seen": int(agg["mx"]),
+        "pair_cap": 16_384,
+        "dropped": dropped,
     }
 
 

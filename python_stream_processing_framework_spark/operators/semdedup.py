@@ -57,19 +57,41 @@ from python_stream_processing_framework_spark.operators.graph import (
 from python_stream_processing_framework_spark.operators.pq import pq_encode, pq_train
 
 
+#: Default cluster-size target for auto-k: the paper raises k with
+#: corpus size to keep |cluster| ~ n/k bounded; 4096 keeps the
+#: per-cluster matmul ~16M dots — comfortably one task's work.
+TARGET_CLUSTER_SIZE = 4096
+
+
+def auto_k(n_vectors: int, target_cluster_size: int = TARGET_CLUSTER_SIZE) -> int:
+    """The SemDeDup k-scaling rule: enough clusters that the EXPECTED
+    cluster holds ~target_cluster_size vectors, floored at 8 so tiny
+    inputs still bucket."""
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
+    return max(8, -(-int(n_vectors) // int(target_cluster_size)))
+
+
 def cluster_assign(
     embeddings: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
 ) -> tuple[DataFrame, DataFrame]:
     """K-means step: returns (assignments, codebook).
 
     Assignments are (id, cluster); the codebook is the pq_train m=1
     frame (_sub, code, centroid). Deterministic end to end (hash
-    seeding, integer-exact means, ties to the smaller code)."""
+    seeding, integer-exact means, ties to the smaller code).
+    ``k=None`` applies the paper's scaling rule via `auto_k` — one
+    bounded count() job to size the corpus."""
+    if k is None:
+        k = auto_k(embeddings.count(), target_cluster_size)
     cb = pq_train(embeddings, vec_col=vec_col, id_col=id_col, m=1, k=k, iters=iters)
     assign = pq_encode(embeddings, cb, vec_col=vec_col, id_col=id_col).select(
         F.col(id_col), F.element_at("codes", 1).alias("cluster")
@@ -102,7 +124,12 @@ def _quantized_sigs(
     )
 
 
-def _pair_frame(sigs: DataFrame, id_col: str, eps: float) -> DataFrame:
+def _pair_frame(
+    sigs: DataFrame,
+    id_col: str,
+    eps: float,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
     """Within-cluster duplicate pairs at cosine >= eps.
 
     ONE per-cluster matmul (applyInPandas), not a self-join: a
@@ -114,11 +141,26 @@ def _pair_frame(sigs: DataFrame, id_col: str, eps: float) -> DataFrame:
     (strictly wider than any 6dp-rounding boundary); the EXACT
     predicate — round(cos, 6) >= eps on the same double — applies
     JVM-side after, so the emitted superset never changes the
-    result."""
+    result.
+
+    ``max_cluster_size`` is the giant-cluster guard (the
+    dedup._cap_band_buckets analog): a pathological cluster —
+    k too small for the corpus, or a dense point mass — pays
+    O(|cluster|²) pair work in one task. When set, only the first
+    ``max_cluster_size`` members in id order participate in pairing
+    (deterministic across partitionings); members beyond the cap
+    keep their rows downstream but contribute no pairs — a
+    documented recall trade, NOT silent truncation. The principled
+    fix is raising k (auto_k); the cap bounds the damage when the
+    data defeats the clustering."""
     raw_eps = float(eps) - 1e-6
+    cap = int(max_cluster_size) if max_cluster_size else 0
 
     def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        if cap and n > cap:
+            pdf = pdf.sort_values(id_col, kind="mergesort").iloc[:cap]
+            n = cap
         if n < 2:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"),
@@ -171,13 +213,18 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eps: float = 0.7,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Within-cluster duplicate pairs (id_a, id_b, cos_sim) at
     cosine >= eps, given `cluster_assign` output — the eps-graph
     SemDeDup groups over, exposed for pipelines that want the pair
-    evidence itself (audits, threshold sweeps)."""
+    evidence itself (audits, threshold sweeps). See `_pair_frame`
+    for the ``max_cluster_size`` giant-cluster guard."""
     return _pair_frame(
-        _quantized_sigs(embeddings, assign, id_col, vec_col), id_col, eps
+        _quantized_sigs(embeddings, assign, id_col, vec_col),
+        id_col,
+        eps,
+        max_cluster_size,
     )
 
 
@@ -186,9 +233,11 @@ def semdedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     eps: float = 0.7,
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Full SemDeDup pass.
 
@@ -199,10 +248,20 @@ def semdedup(
     the group member with the LOWEST centroid similarity (ties to
     the smaller id) — the paper's keep-rule. Filter ``keep`` to
     materialize the deduplicated corpus.
+
+    ``k=None`` sizes the clustering by the paper's scaling rule
+    (`auto_k`: ~target_cluster_size vectors per expected cluster);
+    ``max_cluster_size`` bounds the O(|cluster|²) pair work of a
+    pathological cluster (see `_pair_frame`).
     """
     spark = embeddings.sparkSession
     assign, cb = cluster_assign(
-        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        iters=iters,
+        target_cluster_size=target_cluster_size,
     )
 
     # centroid matrix: k x dim quantized ints — bounded driver
@@ -228,7 +287,7 @@ def semdedup(
         return pd.Series(out)
 
     sigs = _quantized_sigs(embeddings, assign, id_col, vec_col)
-    pairs = _pair_frame(sigs, id_col, eps)
+    pairs = _pair_frame(sigs, id_col, eps, max_cluster_size)
     labels = connected_components(pairs, "id_a", "id_b")
 
     scored = sigs.select(

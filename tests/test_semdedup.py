@@ -91,3 +91,60 @@ def test_keep_filter_yields_dedup_corpus(crafted):
     # one per family + both singletons = 4 rows
     assert len(kept) == 4
     assert 5 in kept and 6 in kept
+
+
+def test_auto_k_formula_and_none(crafted):
+    from python_stream_processing_framework_spark.operators.semdedup import auto_k
+
+    assert auto_k(0) == 8
+    assert auto_k(100) == 8          # floor
+    assert auto_k(4096 * 8) == 8     # exactly at the floor boundary
+    assert auto_k(4096 * 8 + 1) == 9
+    assert auto_k(100_000) == 25     # ceil(100000/4096)
+    assert auto_k(100, target_cluster_size=10) == 10
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        auto_k(10, target_cluster_size=0)
+    # k=None end-to-end: 7 vectors -> auto_k floors at 8; result is
+    # identical to the explicit k=8 run (the rule is just a default)
+    got = sorted(tuple(r) for r in semdedup(crafted, k=None, eps=0.99).collect())
+    want = sorted(tuple(r) for r in semdedup(crafted, k=8, eps=0.99).collect())
+    assert got == want
+
+
+def test_max_cluster_size_caps_pairing_deterministically(spark):
+    """A planted duplicate pair BEYOND the id-ordered cap emits no
+    pair under the guard (documented recall trade) but every vector
+    keeps its output row; uncapped finds it; the capped result is
+    identical across input partitionings."""
+    from python_stream_processing_framework_spark.operators.semdedup import (
+        semdedup_pairs,
+    )
+
+    # one cluster's worth of near-orthogonal vectors, with ids 90/91
+    # an exact duplicate pair sitting past the cap boundary
+    rows = [(i, _mk([1.0, float(i % 7) * 0.1, 0.3, 0.1], 1.0)) for i in range(6)]
+    rows += [
+        (90, _mk([0.2, 0.9, -0.4, 0.5], 1.0)),
+        (91, _mk([0.2, 0.9, -0.4, 0.5], 2.0)),  # dup of 90
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assign = emb.select("vec_id", (emb.vec_id * 0).cast("int").alias("cluster"))
+
+    uncapped = semdedup_pairs(emb, assign, eps=0.999)
+    assert [(r["id_a"], r["id_b"]) for r in uncapped.collect()] == [(90, 91)]
+
+    capped = semdedup_pairs(emb, assign, eps=0.999, max_cluster_size=6)
+    assert capped.count() == 0
+
+    # cap high enough to include one dup member but not both: still
+    # no pair (91 is outside), and repartitioning cannot change that
+    capped7 = semdedup_pairs(emb, assign, eps=0.999, max_cluster_size=7)
+    capped7_rep = semdedup_pairs(
+        emb.repartition(5), assign, eps=0.999, max_cluster_size=7
+    )
+    assert capped7.count() == 0 and capped7_rep.count() == 0
+
+    # the full semdedup pass under the cap: rows for ALL vectors
+    out = semdedup(emb, k=8, eps=0.999, max_cluster_size=6)
+    assert out.count() == 8
+    assert out.filter("keep").count() == 8  # no pair -> everything kept
