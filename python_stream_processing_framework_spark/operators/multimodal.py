@@ -74,16 +74,32 @@ def decode_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     *,
-    decode_stub: Literal["fake", "raise"] = "fake",
+    decode_stub: Literal["fake", "raise", "pil"] = "fake",
 ) -> DataFrame:
     """Decode binary payloads to typed image metadata via mapInPandas.
 
     Arrow-batched: each partition streams in as pandas DataFrames; the
-    decoder touches bytes column-wise, never the driver. The fake
-    decoder derives (width, height, channels) deterministically from
-    the payload md5 — replace `_decode_one` with a real codec call to
-    productionize; nothing else changes.
+    decoder touches bytes column-wise, never the driver.
+
+    ``decode_stub`` picks the codec: ``"pil"`` is the real decoder
+    (optional-import Pillow — checked eagerly on the driver so a
+    missing codec fails at plan time, not per-task; width/height/
+    channels from the actual image header, decode errors surface as
+    the task failure they are). ``"fake"`` (default — this container
+    ships no image libs) derives the metadata deterministically from
+    the payload md5, keeping every Spark-side contract (schema,
+    batching, partitioning) production-shaped. ``"raise"`` documents
+    the hole loudly.
     """
+    if decode_stub == "pil":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "decode_stub='pil' needs Pillow installed on driver and "
+                "executors (pip install Pillow); use decode_stub='fake' "
+                "for codec-free environments"
+            ) from exc
 
     def _decode_one(payload: bytes) -> tuple[int, int, int, str]:
         if decode_stub == "raise":
@@ -92,6 +108,13 @@ def decode_images(
                 "plug PIL/cv2 here"
             )
         digest = hashlib.md5(payload).hexdigest()
+        if decode_stub == "pil":
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, len(im.getbands()), digest
         width = 64 + int(digest[:4], 16) % 1920
         height = 64 + int(digest[4:8], 16) % 1080
         channels = 1 + int(digest[8], 16) % 4

@@ -130,6 +130,41 @@ def test_decode_stub_raise_mode(spark):
         decode_images(payloads, decode_stub="raise").collect()
 
 
+def test_decode_stub_pil_missing_is_loud(spark):
+    """Without Pillow, decode_stub='pil' must fail at PLAN time on
+    the driver with an actionable message — not per-task."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; the loud-failure path is moot")
+    except ImportError:
+        pass
+    docs = spark.createDataFrame([(1, "hi")], ["doc_id", "text"])
+    payloads = binarize(docs, "doc_id", "text")
+    with pytest.raises(ImportError, match="Pillow"):
+        decode_images(payloads, decode_stub="pil")
+
+
+# a valid 1x1 red RGB PNG, byte-for-byte (header + IHDR + IDAT + IEND)
+_PNG_1PX = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+    "53de0000000c4944415408d763f8cfc000000301010018dd8db00000000049"
+    "454e44ae426082"
+)
+
+
+def test_decode_stub_pil_real_png(spark):
+    """With Pillow present (env-gated, like the broker e2e tests),
+    decode_stub='pil' reads real dimensions from a real PNG."""
+    pytest.importorskip("PIL")
+    payloads = spark.createDataFrame(
+        [(1, bytearray(_PNG_1PX))], "doc_id bigint, payload binary"
+    )
+    meta = decode_images(payloads, decode_stub="pil").collect()[0]
+    assert (meta["width"], meta["height"], meta["channels"]) == (1, 1, 3)
+    assert meta["n_bytes"] == len(_PNG_1PX)
+
+
 def test_portable_hash_helpers(spark):
     """hash60/hash28_mod are the Column-level forms of the md5-derived
     hashes the operators inline in SQL lambdas; pin their values against
