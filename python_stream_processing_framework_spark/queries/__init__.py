@@ -39,6 +39,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     lm,
     spans,
     semdedup,
+    dsir,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -75,6 +76,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # IVF coarse quantize + cell-probe prune is the front half of
     # ann_ivfpq_topk (r7 rotation making room for lm_backoff_scores)
     "ann_ivf_topk",
+    # array-HOF fold machinery pinned by bm25_topk's sorted-fold
+    # scoring; the map-only single-scan text-stats shape by
+    # text_quality/gopher_rules/lang_id (r7 rotation making room
+    # for dsir_select)
+    "repetition_stats",
 )
 
 DRIVER_CAP = 50

@@ -405,6 +405,25 @@ def test_lm_doc_scores_broadcast_counts_take_ordered(spark):
     release_caches()
 
 
+def test_dsir_select_broadcast_ratios_take_ordered(spark):
+    """DSIR's scale contract: the score join builds on the
+    n_buckets-bounded ratio table (broadcast, never a sort-merge
+    exchanging the feature stream), the selection is
+    TakeOrderedAndProject (no global Sort), and the scan reads only
+    (doc_id, text)."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("dsir_select", spark)
+    text = plan_text(df)
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
+    assert ") TakeOrderedAndProject" in text
+    assert ") Sort" not in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
+
+
 def test_lm_backoff_scores_broadcast_counts_take_ordered(spark):
     """Stupid-backoff scoring pays one corpus scan + per-order joins
     whose build sides are the vocab-bounded count tables: every join
