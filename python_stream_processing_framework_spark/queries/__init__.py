@@ -40,6 +40,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     spans,
     semdedup,
     dsir,
+    paragraphs,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -81,6 +82,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # text_quality/gopher_rules/lang_id (r7 rotation making room
     # for dsir_select)
     "repetition_stats",
+    # sign-bit pigeonhole band-bucket pair generation is pinned by
+    # cosine_lsh_pairs (the embedding-side sign-LSH), text n-gram
+    # hashing by ngram_jaccard_pairs (r7 rotation making room for
+    # paragraph_dedup, the CCNet paragraph pass)
+    "simhash_pairs",
 )
 
 DRIVER_CAP = 50

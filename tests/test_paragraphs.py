@@ -1,0 +1,101 @@
+"""Paragraph dedup (operators/paragraphs.py): CCNet keep-first
+semantics, scopes, normalization, blank handling, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_stream_processing_framework_spark.operators.paragraphs import (
+    dedup_paragraphs,
+    split_paragraphs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Doc 1 carries the banner twice (self-repeat); docs 2 and 3
+    repeat it once each; doc 3 also repeats doc 2's body. Doc 4 is
+    clean; doc 5 is blank lines only."""
+    rows = [
+        (1, "subscribe now\nalpha beta gamma\nsubscribe now"),
+        (2, "shared body text\nSubscribe Now \ndelta epsilon"),
+        (3, "shared body text\nsubscribe now"),
+        (4, "unique page\n\nanother unique paragraph"),
+        (5, "\n\n"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_split_paragraphs_positions_and_blanks(docs):
+    got = {
+        (r["doc_id"], r["idx"]): r["para"]
+        for r in split_paragraphs(docs).collect()
+    }
+    # doc 4's blank middle segment is dropped but original positions
+    # are preserved
+    assert got[(4, 1)] == "unique page"
+    assert got[(4, 3)] == "another unique paragraph"
+    assert (4, 2) not in got
+    assert not any(k[0] == 5 for k in got)
+    # trimming happens before anything else
+    assert got[(2, 2)] == "Subscribe Now"
+
+
+def test_corpus_dedup_keeps_canonical_first(docs):
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    # doc 1 owns the canonical banner (lowest (id, idx)); its own
+    # repeat at idx 3 and every later occurrence (case/space
+    # variations included — the hash is on lower(trim)) are dropped
+    assert out[1]["text"] == "subscribe now\nalpha beta gamma"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["text"] == "shared body text\ndelta epsilon"
+    assert out[2]["n_removed"] == 1
+    # doc 3 loses both paragraphs: body to doc 2, banner to doc 1
+    assert out[3]["text"] == ""
+    assert out[3]["n_removed"] == 2
+    assert out[4]["n_removed"] == 0
+    assert out[4]["text"] == "unique page\nanother unique paragraph"
+    assert out[5]["text"] == ""
+    assert out[5]["n_paras"] == 0 and out[5]["n_removed"] == 0
+
+
+def test_doc_scope_only_within_document(docs):
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs, scope="doc").collect()}
+    # doc 1's self-repeat goes; cross-doc repeats survive
+    assert out[1]["n_removed"] == 1
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text"] == "shared body text\nsubscribe now"
+    with pytest.raises(ValueError, match="scope"):
+        dedup_paragraphs(docs, scope="bogus")
+
+
+def test_min_count_threshold(docs):
+    # min_count=3: only groups with >= 3 occurrences dedup — the
+    # banner (4 occurrences) does, the shared body (2) does not
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs, min_count=3).collect()}
+    assert out[1]["n_removed"] == 1
+    assert out[2]["n_removed"] == 1  # its banner copy
+    assert out[3]["n_removed"] == 1  # banner only; body survives
+    assert out[3]["text"] == "shared body text"
+
+
+def test_partition_invariance(docs):
+    a = sorted(tuple(r) for r in dedup_paragraphs(docs).collect())
+    b = sorted(
+        tuple(r) for r in dedup_paragraphs(docs.repartition(7)).collect()
+    )
+    assert a == b
+
+
+def test_custom_separator_is_literal(spark):
+    # "||" must not be parsed as a regex alternation (which would
+    # split between every character)
+    df = spark.createDataFrame(
+        [(1, "a b||c d||a b"), (2, "c d||x y")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df, sep="||").collect()}
+    assert out[1]["text"] == "a b||c d"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["text"] == "x y"

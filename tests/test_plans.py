@@ -468,6 +468,26 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_paragraph_dedup_narrow_shuffles_text_unexchanged(spark):
+    """Paragraph dedup's scale contract: the dedup decision travels
+    as (id, idx, hash60) BIGINT rows — the canonical-first groupBy
+    and the per-doc removed-index groupBy are the only logical
+    shuffles — while the corpus text stays map-side (the rebuild
+    LEFT-joins the small removed-arrays side onto the scan; at smoke
+    scale every join broadcasts, and the occurrence join's build side
+    is the distinct-paragraph table that AQE may legitimately
+    sort-merge at 100 TB — still narrow rows, never text)."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("paragraph_dedup", spark)
+    text = plan_text(df)
+    assert "SortMergeJoin" not in text
+    assert ") TakeOrderedAndProject" in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text", "source"}
+
+
 def test_semdedup_cluster_bucketed_pairs(spark):
     """SemDeDup's scale contract. The eps-graph subtree executes
     eagerly inside connected_components (its pair frame is consumed
