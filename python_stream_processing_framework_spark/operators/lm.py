@@ -453,3 +453,82 @@ def lm_filter(
     are id-width."""
     keep = scored.filter(F.col("avg_lp") >= F.lit(float(min_avg_lp))).select(id_col)
     return df.join(keep, [id_col], "left_semi")
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str = "avg_lp",
+    *,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail partitioning by per-group score terciles.
+
+    CCNet's final step buckets each language's documents into three
+    equal-mass perplexity bands (head = least surprising, the cleanest
+    third). This is NOT an NTILE window over the corpus — a per-group
+    global sort funnels each language through one reducer at web
+    scale. Instead the cutoffs are exact order statistics computed on
+    the DISTINCT-quantized-score histogram (a table bounded by
+    distinct 6dp score values, not corpus rows): cut i is the smallest
+    score whose cumulative count reaches ceil(i * n / B). Assignment
+    is then a map-side CASE against the broadcast per-group threshold
+    table (one row per group). Tied scores land in the same bucket by
+    construction — the rule is a pure function of the score, so it is
+    engine- and partitioning-independent.
+
+    Returns the non-NULL-score rows of ``scored`` plus
+    ``score_micro`` (the round(score * 1e6) BIGINT the rule is
+    computed on — exact, oracle-friendly) and ``bucket``
+    ('tail' < 'middle' < 'head' ascending score for the default 3;
+    'b1'..'bB' otherwise). NULL scores are excluded — the caller
+    decides zero-evidence documents explicitly.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    b = int(n_buckets)
+    s = scored.filter(F.col(score_col).isNotNull()).withColumn(
+        "score_micro", F.round(F.col(score_col) * F.lit(1e6)).cast("bigint")
+    )
+    hist = s.groupBy(group_col, "score_micro").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("score_micro")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        F.col("score_micro"),
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    thr = cum.groupBy(group_col).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.expr(f"CAST((_n * {i} + {b - 1}) DIV {b} AS BIGINT)"),
+                    F.col("score_micro"),
+                )
+            ).alias(f"_t{i}")
+            for i in range(1, b)
+        ]
+    )
+    labels = (
+        ["tail", "middle", "head"]
+        if b == 3
+        else [f"b{i}" for i in range(1, b + 1)]
+    )
+    bucket = F.when(F.col("score_micro") <= F.col("_t1"), F.lit(labels[0]))
+    for i in range(2, b):
+        bucket = bucket.when(
+            F.col("score_micro") <= F.col(f"_t{i}"), F.lit(labels[i - 1])
+        )
+    bucket = bucket.otherwise(F.lit(labels[b - 1]))
+    out = s.join(F.broadcast(thr), [group_col])
+    return out.select(*s.columns, bucket.alias("bucket"))

@@ -41,6 +41,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     semdedup,
     dsir,
     paragraphs,
+    ccnet,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -87,6 +88,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # hashing by ngram_jaccard_pairs (r7 rotation making room for
     # paragraph_dedup, the CCNet paragraph pass)
     "simhash_pairs",
+    # the F.window tumbling aggregation path is the slide=width
+    # degenerate case of sliding_window_stats, and late_data_counts
+    # builds its tumbling windows + late split on the same machinery
+    # (r7 rotation making room for ccnet_buckets)
+    "tumbling_window_sum",
 )
 
 DRIVER_CAP = 50

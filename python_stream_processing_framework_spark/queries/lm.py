@@ -36,8 +36,13 @@ _ADD_K = 0.5
 _MIN_COUNT = 2
 _ALPHA = 0.4
 
-_ORACLE = f"""
-    WITH tok AS (
+# Shared CTE core: tokenizer -> BOS pad -> pruned bigram counts ->
+# smoothing -> nano-quantized per-doc sums -> `scored`(doc_id,
+# n_tokens, avg_lp). Embedded verbatim by `lm_doc_scores` and by
+# queries/ccnet.py's tercile-bucket oracle so the two replays can
+# never drift.
+BIGRAM_SCORED_CTES = f"""
+    tok AS (
       SELECT doc_id,
              CASE WHEN trim(lower(text)) = ''
                   THEN CAST([] AS VARCHAR[])
@@ -70,10 +75,16 @@ _ORACLE = f"""
       LEFT JOIN big b USING (ctx, w)
       LEFT JOIN ctxc x USING (ctx)
       CROSS JOIN voc),
-    agg AS (SELECT doc_id, sum(lp_nano) AS s FROM lp GROUP BY doc_id)
-    SELECT doc_id, n AS n_tokens,
-           round(CAST(s AS DOUBLE) / 1e9 / n, 6) AS avg_lp
-    FROM pad LEFT JOIN agg USING (doc_id)
+    agg AS (SELECT doc_id, sum(lp_nano) AS s FROM lp GROUP BY doc_id),
+    scored AS (
+      SELECT doc_id, n AS n_tokens,
+             round(CAST(s AS DOUBLE) / 1e9 / n, 6) AS avg_lp
+      FROM pad LEFT JOIN agg USING (doc_id))
+    """
+
+_ORACLE = f"""
+    WITH {BIGRAM_SCORED_CTES}
+    SELECT doc_id, n_tokens, avg_lp FROM scored
     ORDER BY avg_lp ASC, doc_id LIMIT 25
     """
 

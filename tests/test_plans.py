@@ -468,6 +468,24 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_ccnet_buckets_histogram_window_broadcast_thresholds(spark):
+    """CCNet bucketing's scale contract: the tercile window sorts the
+    DISTINCT-quantized-score histogram, never the corpus (the only
+    Window/Sort input is a post-aggregate frame), the per-language
+    threshold table joins back broadcast, and the scoring scan reads
+    only (doc_id, text) — lang rides a separate 2-column scan, never
+    widening the text pass."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("ccnet_buckets", spark)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
+
+
 def test_paragraph_dedup_narrow_shuffles_text_unexchanged(spark):
     """Paragraph dedup's scale contract: the dedup decision travels
     as (id, idx, hash60) BIGINT rows — the canonical-first groupBy
