@@ -42,6 +42,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     dsir,
     paragraphs,
     ccnet,
+    html,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -93,6 +94,12 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # builds its tumbling windows + late split on the same machinery
     # (r7 rotation making room for ccnet_buckets)
     "tumbling_window_sum",
+    # EXISTS/IN semi-join machinery is pinned by corpus_decontaminate
+    # and ngram_decontaminate's broadcast anti/semi-joins, the
+    # orders-side join+agg SQL surface by region_revenue and
+    # top_orders_per_customer (r7 rotation making room for
+    # html_extract)
+    "order_priority_semi",
 )
 
 DRIVER_CAP = 50

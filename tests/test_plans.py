@@ -468,6 +468,17 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_html_extract_map_only_no_shuffle(spark):
+    """HTML extraction is a pure JVM regexp projection: zero
+    exchanges, zero Python, and the scan reads only what the page
+    builder needs."""
+    df = q("html_extract", spark)
+    assert count_exchanges(df) == 0
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text", "source"}
+
+
 def test_ccnet_buckets_histogram_window_broadcast_thresholds(spark):
     """CCNet bucketing's scale contract: the tercile window sorts the
     DISTINCT-quantized-score histogram, never the corpus (the only
