@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.functions.hashing import hash28_mod
+from python_stream_processing_framework_spark.operators.common import materialize
 from python_stream_processing_framework_spark.operators.retrieval import tokenize_expr
 from python_stream_processing_framework_spark.operators.sampling import (
     HASH_SPACE,
@@ -109,8 +110,9 @@ def dsir_log_ratios(
     with add-k smoothing over the ``B = n_buckets`` feature space;
     ``unseen_lr_nano`` is the same expression at ct=cr=0 — the
     constant a scored document's bucket falls back to when neither
-    corpus observed it. Two bounded collects (the corpus totals);
-    the ratio table is <= n_buckets rows by construction."""
+    corpus observed it. The corpus totals marginalize from the
+    materialized count table (ONE bounded collect over <= n_buckets
+    rows); the ratio table is <= n_buckets rows by construction."""
     # union-then-aggregate, NOT a full-outer join of the two count
     # tables: a full outer cannot broadcast and plants a sort-merge
     # join in the plan; the tagged union reaches the same (ct, cr)
@@ -126,11 +128,16 @@ def dsir_log_ratios(
             F.col("cnt").alias("_rc"),
         )
     )
-    counts = unioned.groupBy("bucket").agg(
-        F.sum("_tc").alias("ct"), F.sum("_rc").alias("cr")
+    # materialize the <= n_buckets-row count table once: the corpus
+    # totals marginalize FROM it (one bounded collect), instead of two
+    # extra featurize scans re-running the corpus explode per total
+    counts = materialize(
+        unioned.groupBy("bucket").agg(
+            F.sum("_tc").alias("ct"), F.sum("_rc").alias("cr")
+        )
     )
-    tt = int(target_features.agg(F.sum("cnt")).collect()[0][0] or 0)
-    tr = int(raw_features.agg(F.sum("cnt")).collect()[0][0] or 0)
+    row = counts.agg(F.sum("ct"), F.sum("cr")).collect()[0]
+    tt, tr = int(row[0] or 0), int(row[1] or 0)
     a = float(add_k)
     denom_t = float(tt) + a * float(n_buckets)
     denom_r = float(tr) + a * float(n_buckets)
