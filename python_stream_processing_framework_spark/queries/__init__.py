@@ -43,6 +43,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     paragraphs,
     ccnet,
     html,
+    urls,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -100,6 +101,12 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # top_orders_per_customer (r7 rotation making room for
     # html_extract)
     "order_priority_semi",
+    # the exact-hash dedup core runs inside dedup_minhash_lsh
+    # (collapse_exact_dups) and corpus_decontaminate's composed
+    # dedup->components->decontaminate chain; url_dedup exercises the
+    # same groupBy-min keep-first shape (r7 rotation making room for
+    # url_dedup)
+    "dedup_exact",
 )
 
 DRIVER_CAP = 50

@@ -468,6 +468,17 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_url_dedup_single_narrow_exchange(spark):
+    """URL dedup's scale contract: canonicalization is map-side; the
+    only exchange is the canonical-key groupBy with map-side partial
+    min/count (short strings, never page content)."""
+    df = q("url_dedup", spark)
+    assert count_exchanges(df) == 1
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id"}
+
+
 def test_html_extract_map_only_no_shuffle(spark):
     """HTML extraction is a pure JVM regexp projection: zero
     exchanges, zero Python, and the scan reads only what the page
