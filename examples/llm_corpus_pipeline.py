@@ -1,6 +1,7 @@
 """End-to-end LLM training-data pipeline on the documents table:
 
-    quality filter -> LM-perplexity audit -> PII scrub -> near-dup
+    quality filter -> LM-perplexity audit -> CCNet head/middle/tail
+    bands -> DSIR target selection -> PII scrub -> near-dup
     detection (MinHash+LSH) -> cluster collapse (connected
     components) -> deterministic train/val/test split ->
     decontaminate train against val/test (Jaccard + exact 13-gram)
@@ -47,7 +48,14 @@ from python_stream_processing_framework_spark.operators.classifier import (
     classifier_score,
     classifier_train,
 )
+from python_stream_processing_framework_spark.operators.dsir import (
+    dsir_log_ratios,
+    dsir_scores,
+    dsir_select,
+    hashed_ngram_features,
+)
 from python_stream_processing_framework_spark.operators.lm import (
+    perplexity_buckets,
     score_bigram_lm,
     train_bigram_lm,
 )
@@ -144,6 +152,49 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"lm audit: vocab {vsz}, avg_lp min {lstats[0]:.3f} "
         f"mean {lstats[1]:.3f} max {lstats[2]:.3f} "
         "(gate: keep avg_lp above a trusted-corpus floor)"
+    )
+
+    # 1a'''. CCNet head/middle/tail: per-language equal-mass
+    # perplexity bands over the LM scores (exact order-statistic
+    # cutoffs on the score histogram — never a per-language global
+    # sort). A production pipeline keeps head+middle or reweights by
+    # band; the per-(lang, bucket) counts are the report.
+    bands = perplexity_buckets(
+        lm_scores.filter(F.col("n_tokens") >= 1).join(
+            good.select("doc_id", "lang"), "doc_id"
+        ),
+        "lang",
+        "avg_lp",
+    )
+    band_counts = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in bands.groupBy("lang", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    heads = sum(v for (_, b), v in band_counts.items() if b == "head")
+    tails = sum(v for (_, b), v in band_counts.items() if b == "tail")
+    print(f"ccnet bands: {heads} head / {tails} tail across "
+          f"{len({k for k, _ in band_counts})} languages")
+
+    # 1a''''. DSIR target selection (REPORT): score how much every
+    # non-English doc resembles the English subcorpus under hashed
+    # unigram+bigram bucket models, then Gumbel-top-k select — the
+    # published recipe for mining target-like data from a raw pool.
+    # Model/ratio tables are <= n_buckets rows (broadcast by
+    # construction); selection is a TakeOrdered, no global sort.
+    target = good.filter(F.col("lang") == "en")
+    pool = good.filter(F.col("lang") != "en")
+    tf = hashed_ngram_features(target, "doc_id", "text")
+    rf = hashed_ngram_features(pool, "doc_id", "text")
+    ratios, unseen = dsir_log_ratios(tf, rf)
+    dsir_scored = dsir_scores(pool, ratios, unseen, "doc_id", "text")
+    picked = dsir_select(dsir_scored, "doc_id", n=25, seed="pipeline")
+    wstats = picked.agg(F.min("log_weight"), F.max("log_weight")).collect()[0]
+    print(
+        f"dsir: selected 25 of {pool.count()} pool docs resembling "
+        f"the en target (log-weight range {wstats[0]:.3f} "
+        f"to {wstats[1]:.3f})"
     )
 
     # 1b. PII scrub BEFORE dedup: redaction tokens normalize spans
