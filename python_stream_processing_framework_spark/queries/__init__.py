@@ -44,6 +44,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     ccnet,
     html,
     urls,
+    sketch,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -107,6 +108,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # same groupBy-min keep-first shape (r7 rotation making room for
     # url_dedup)
     "dedup_exact",
+    # TPC-H Q3's join+agg+TakeOrdered shapes are each pinned
+    # elsewhere: the dim-broadcast join chain by region_revenue, the
+    # per-key agg + top-k cut by top_orders_per_customer and
+    # pricing_summary (r7 rotation making room for cm_heavy_hitters)
+    "shipping_priority",
 )
 
 DRIVER_CAP = 50

@@ -468,6 +468,23 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_cm_heavy_hitters_broadcast_sketch_take_ordered(spark):
+    """Count-min's scale contract: the sketch side of the estimate
+    join is broadcast (<= depth*width rows by construction), the
+    top-k cut is TakeOrderedAndProject (no global sort), and the
+    corpus scan reads only the text column."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("cm_heavy_hitters", spark)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+    assert ") TakeOrderedAndProject" in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"text"}
+
+
 def test_url_dedup_single_narrow_exchange(spark):
     """URL dedup's scale contract: canonicalization is map-side; the
     only exchange is the canonical-key groupBy with map-side partial
