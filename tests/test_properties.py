@@ -716,3 +716,103 @@ def test_domain_mixture_membership_matches_reference(
         ).collect()
     }
     assert got == want
+
+
+WORD = st.sampled_from(["alpha", "beta", "Gamma", "DELTA", "x"])
+PARA = st.lists(WORD, min_size=0, max_size=4).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(PARA, min_size=0, max_size=5).map("\n".join),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_paragraph_dedup_matches_sequential(spark, docs):
+    """dedup_paragraphs (corpus scope, min_count=2) vs a direct
+    sequential keep-first implementation."""
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        dedup_paragraphs,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    seen: set[str] = set()
+    want = {}
+    for i, d in rows:
+        kept, n_paras, n_removed = [], 0, 0
+        for seg in d.split("\n"):
+            para = seg.strip()
+            if para == "":
+                continue
+            n_paras += 1
+            key = para.lower()
+            if key in seen:
+                n_removed += 1
+            else:
+                seen.add(key)
+                kept.append(para)
+        want[i] = ("\n".join(kept), n_paras, n_removed)
+    # sequential first-seen == lowest (id, idx) because we walk ids
+    # ascending and positions ascending — the operator's canonical rule
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_removed"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.sampled_from([1, 2, 16, 4096]),
+)
+def test_count_min_matches_sequential(spark, docs, width):
+    """cm_build/cm_estimate vs a direct Counter + md5 replay: every
+    estimate (including collision overcounts at tiny widths) equal."""
+    import hashlib
+    from collections import Counter
+
+    from python_stream_processing_framework_spark.operators.sketch import (
+        cm_build,
+        cm_estimate,
+    )
+
+    depth = 3
+
+    def bucket(i, t):
+        return (
+            int(hashlib.md5(f"cm{i}#{t}".encode()).hexdigest()[:7], 16) % width
+        )
+
+    exact = Counter()
+    for d in docs:
+        exact.update(d.strip().lower().split(" "))
+    sk = Counter()
+    for t, c in exact.items():
+        for i in range(depth):
+            sk[(i, bucket(i, t))] += c
+    want = {
+        t: min(sk[(i, bucket(i, t))] for i in range(depth)) for t in exact
+    }
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    sketch = cm_build(df, "text", depth=depth, width=width)
+    cands = spark.createDataFrame(
+        [(t,) for t in exact], "token string"
+    )
+    got = {
+        r["token"]: r["est"]
+        for r in cm_estimate(
+            cands, sketch, "token", depth=depth, width=width
+        ).collect()
+    }
+    assert got == want
