@@ -113,6 +113,7 @@ def main() -> None:
         "semdedup_20k": _semdedup_scale_bench(spark),
         "bpe_256_merges": _bpe_batched_bench(spark, sf_dir),
         "semdedup_100k": _semdedup_100k_bench(spark),
+        "pca_ann_64to16": _pca_ann_bench(spark),
     }
 
     total = round(sum(timings.values()), 3)
@@ -902,6 +903,64 @@ def _semdedup_100k_bench(spark) -> dict:
         "dropped": dropped,
     }
 
+
+
+def _pca_ann_bench(spark) -> dict:
+    """PCA 64 -> 16 before exact cosine top-k over 20k synthetic
+    vectors: the dimension-reduction dividend (fit is one O(d^2)
+    sufficient-statistics pass; projection is a map-only broadcast
+    matmul) and the recall@10 the reduction costs. The reduced-space
+    search pays 1/4 the arithmetic of the full-space search."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+    from python_stream_processing_framework_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    vecs = spark.range(0, 20000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64),"
+            " d -> cast(pmod(id * 31 + d * 7 + pmod(id * d, 13), 97)"
+            " as float) / 97.0)"
+        ).alias("embedding"),
+    )
+    t0 = _t.perf_counter()
+    full = [r["vec_id"] for r in cosine_topk(vecs, query_id=0, k=10).collect()]
+    full_s = round(_t.perf_counter() - t0, 3)
+
+    t0 = _t.perf_counter()
+    mean, comps64, ev = pca_fit(vecs, "embedding", k=64)
+    fit_s = round(_t.perf_counter() - t0, 3)
+    comps = comps64[:16]
+    reduced = pca_project(vecs, "embedding", mean, comps).select(
+        "vec_id", F.col("pca").cast("array<float>").alias("embedding")
+    )
+    reduced.persist()
+    reduced.count()
+    t0 = _t.perf_counter()
+    red = [
+        r["vec_id"] for r in cosine_topk(reduced, query_id=0, k=10).collect()
+    ]
+    reduced_s = round(_t.perf_counter() - t0, 3)
+    reduced.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "full_dim_s": full_s,
+        "fit_s": fit_s,
+        "reduced_query_s": reduced_s,
+        "recall_at_10": len(set(full) & set(red)) / 10.0,
+        "explained_var_ratio": round(float(ev[:16].sum() / ev.sum()), 3),
+        "d": 64,
+        "k_dims": 16,
+        "n_vectors": 20000,
+    }
 
 def _bpe_batched_bench(spark, sf_dir: str) -> dict:
     """Real-vocabulary BPE training cost: 256 merges over the
