@@ -141,4 +141,47 @@ __all__ = [
     "cm_estimate",
     "cm_heavy_hitters",
     "cm_error_bound",
+    "cm_fold",
+    "cm_state_estimate",
 ]
+
+
+def _py_bucket(row: int, token: str, width: int) -> int:
+    """Python twin of `_cm_bucket` (same md5-prefix arithmetic), for
+    fold state updated executor-side one event at a time."""
+    import hashlib
+
+    return int(hashlib.md5(f"cm{row}#{token}".encode()).hexdigest()[:7], 16) % width
+
+
+def cm_fold(
+    token_field: str = "token", *, depth: int = 4, width: int = 4096
+):
+    """FoldFn maintaining a SPARSE count-min sketch as keyed-fold
+    state (streaming/state.py keyed_fold / keyed_fold_stream) — the
+    canonical streaming heavy-hitter state: per key (a language, a
+    tenant, a topic) the sketch is bounded at depth*width counters no
+    matter how many events stream through, JSON-serializable, and
+    mergeable by counter-wise addition. Estimates from the live state
+    agree exactly with a batch `cm_build` over the same events
+    (pinned by tests)."""
+
+    def fold(event, st):
+        st = dict(st or {})
+        token = event[token_field]
+        for i in range(depth):
+            key = f"{i}:{_py_bucket(i, token, width)}"
+            st[key] = st.get(key, 0) + 1
+        return st
+
+    return fold
+
+
+def cm_state_estimate(
+    state: dict | None, token: str, *, depth: int = 4, width: int = 4096
+) -> int:
+    """Point-query a `cm_fold` state dict (0 for untouched buckets)."""
+    st = state or {}
+    return min(
+        st.get(f"{i}:{_py_bucket(i, token, width)}", 0) for i in range(depth)
+    )
