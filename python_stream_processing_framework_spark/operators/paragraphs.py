@@ -137,3 +137,74 @@ def dedup_paragraphs(
         F.size(nonblank).cast("long").alias("n_paras"),
         F.size("_rm").cast("long").alias("n_removed"),
     )
+
+
+#: Exact nav/boilerplate phrases removed line-wise (lower(trim)
+#: match) — the RefinedWeb G.2 list's shape.
+NAV_PHRASES = (
+    "sign in",
+    "sign up",
+    "log in",
+    "click here",
+    "read more",
+    "accept cookies",
+    "share this",
+    "advertisement",
+)
+
+
+def _line_drop_expr(line: Column) -> Column:
+    """True when a line is boilerplate under the fixed rule battery:
+    all-caps (has uppercase, no lowercase), numeric-only, a social
+    counter ("12 likes"), or an exact nav phrase."""
+    low = F.lower(F.trim(line))
+    return (
+        line.rlike("^[^a-z]*[A-Z][^a-z]*$")
+        | line.rlike("^[0-9 .,%:/-]+$")
+        | low.rlike("^[0-9]+ (likes?|comments?|shares?|views?)$")
+        | low.isin(*NAV_PHRASES)
+    )
+
+
+def line_corrections(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    max_removed_ratio: float = 0.05,
+) -> DataFrame:
+    """RefinedWeb-style line-wise corrections (Penedo et al. 2023,
+    Appendix G.2): delete boilerplate LINES — all-caps headers,
+    numeric-only rows, social counters, exact nav phrases — and flag
+    documents the corrections gutted (removed fraction above
+    ``max_removed_ratio``: RefinedWeb drops those outright).
+
+    Returns (id, text, n_lines, n_removed, keep_doc): rebuilt text
+    (kept lines re-joined, blank lines dropped throughout), the
+    non-blank line count, how many lines the battery deleted, and the
+    document-level keep flag. Pure map-only JVM expressions — the
+    rules run inside a higher-order filter where the text lives, no
+    shuffle at all (compare dedup_paragraphs, whose corpus-wide rule
+    needs one narrow exchange)."""
+    segs = F.filter(
+        _segments_expr(text_col, sep), lambda p: p["para"] != F.lit("")
+    )
+    kept = F.filter(segs, lambda p: ~_line_drop_expr(p["para"]))
+    n_lines = F.size(segs).cast("long")
+    n_removed = (F.size(segs) - F.size(kept)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda p: p["para"]), sep).alias(
+            text_col
+        ),
+        n_lines.alias("n_lines"),
+        n_removed.alias("n_removed"),
+        (
+            (n_lines == 0)
+            | (
+                n_removed.cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+                <= F.lit(float(max_removed_ratio))
+            )
+        ).alias("keep_doc"),
+    )

@@ -45,6 +45,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     html,
     urls,
     sketch,
+    lines,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -113,6 +114,12 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # per-key agg + top-k cut by top_orders_per_customer and
     # pricing_summary (r7 rotation making room for cm_heavy_hitters)
     "shipping_priority",
+    # the from_json/get_json_object parsing surface is pinned by the
+    # schema-registry corrupt-capture tests (tests/test_schema_sources
+    # .py) and the events-table agg shape by sliding_window_stats /
+    # late_data_counts driver rows (r7 rotation making room for
+    # line_corrections)
+    "events_json_agg",
 )
 
 DRIVER_CAP = 50

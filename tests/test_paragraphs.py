@@ -99,3 +99,45 @@ def test_custom_separator_is_literal(spark):
     assert out[1]["text"] == "a b||c d"
     assert out[1]["n_removed"] == 1
     assert out[2]["text"] == "x y"
+
+
+def test_line_corrections_rules(spark):
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        line_corrections,
+    )
+
+    rows = [
+        (1, "BREAKING NEWS\nthe actual story text\n12 likes\nClick Here\n2024 11 05"),
+        (2, "a normal line\nanother normal line"),
+        (3, "SHOUTY\n42"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in line_corrections(df).collect()}
+    # doc 1: all-caps header, counter, nav phrase, date row all go
+    assert out[1]["text"] == "the actual story text"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (5, 4)
+    assert out[1]["keep_doc"] is False  # 80% removed > 5%
+    # doc 2: untouched, kept
+    assert out[2]["text"] == "a normal line\nanother normal line"
+    assert out[2]["n_removed"] == 0 and out[2]["keep_doc"] is True
+    # doc 3: everything removed
+    assert out[3]["text"] == "" and out[3]["keep_doc"] is False
+    # doc 4: blank doc — zero lines, trivially kept
+    assert out[4]["n_lines"] == 0 and out[4]["keep_doc"] is True
+
+
+def test_line_corrections_threshold(spark):
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        line_corrections,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "SHOUT\n" + "\n".join(f"line {chr(97+i)}" for i in range(19)))],
+        "doc_id bigint, text string",
+    )
+    # 1 of 20 lines removed = 5% exactly: kept at the default <= 0.05
+    (r,) = line_corrections(df).collect()
+    assert r["n_removed"] == 1 and r["keep_doc"] is True
+    (r,) = line_corrections(df, max_removed_ratio=0.04).collect()
+    assert r["keep_doc"] is False

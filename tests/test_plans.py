@@ -468,6 +468,16 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_line_corrections_map_only_no_shuffle(spark):
+    """Line corrections run inside a higher-order filter where the
+    text lives: zero exchanges, rules as JVM expressions."""
+    df = q("line_corrections", spark)
+    assert count_exchanges(df) == 0
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id", "text"}
+
+
 def test_cm_heavy_hitters_broadcast_sketch_take_ordered(spark):
     """Count-min's scale contract: the sketch side of the estimate
     join is broadcast (<= depth*width rows by construction), the
