@@ -46,6 +46,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     urls,
     sketch,
     lines,
+    graphq,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -120,6 +121,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # late_data_counts driver rows (r7 rotation making room for
     # line_corrections)
     "events_json_agg",
+    # map-only marker-count scan: the single-scan text-stats shape is
+    # pinned by text_quality and gopher_rules driver rows, the
+    # argmax-CASE tie chain by the lang_id unit tests (r7 rotation
+    # making room for pagerank_hosts)
+    "lang_id",
 )
 
 DRIVER_CAP = 50

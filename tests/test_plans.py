@@ -468,6 +468,21 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_pagerank_hosts_narrow_iterations_take_ordered(spark):
+    """PageRank's scale contract: the per-iteration frames are narrow
+    (node, rank) x (src, dst) equi-joins and dst-keyed partial-agg
+    sums — no cartesian anywhere — the top-k cut is
+    TakeOrderedAndProject, and the scan reads only doc_id."""
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    df = q("pagerank_hosts", spark)
+    text = plan_text(df)
+    assert ") TakeOrderedAndProject" in text
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert set(cols) == {"doc_id"}
+
+
 def test_line_corrections_map_only_no_shuffle(spark):
     """Line corrections run inside a higher-order filter where the
     text lives: zero exchanges, rules as JVM expressions."""
