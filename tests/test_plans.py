@@ -468,6 +468,20 @@ def test_repeated_span_mask_two_exchanges_reused_partitioning(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_funnel_conversion_narrow_steps_no_raw_sort(spark):
+    """Funnel's scale contract: no window Sort over the raw event
+    stream — each step is a filtered scan to (user, ms) rows, an
+    equi-join on the shrinking per-user frame, and a partial-agg min;
+    the scan reads only (user_id, ts, event_type)."""
+    df = q("funnel_conversion", spark)
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df, "events.parquet")
+    # the step-1 count branch even prunes ts (its lag is literal 0 so
+    # the min(ts) dies); no branch ever reads value/props/event_id
+    assert set(cols) <= {"user_id", "ts", "event_type"}
+    assert "user_id" in cols
+
+
 def test_pagerank_hosts_narrow_iterations_take_ordered(spark):
     """PageRank's scale contract: the per-iteration frames are narrow
     (node, rank) x (src, dst) equi-joins and dst-keyed partial-agg
