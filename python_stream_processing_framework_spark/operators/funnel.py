@@ -128,3 +128,59 @@ def funnel_stats(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: Milliseconds per cohort period.
+PERIOD_MS = {"day": 86_400_000, "week": 604_800_000}
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    period: str = "week",
+    n_periods: int = 8,
+) -> DataFrame:
+    """Cohort retention — the other half of the product-analytics
+    pair (funnel = conversion, retention = comeback): bucket every
+    user into the period of their FIRST event (their cohort), then
+    count how many of each cohort were active 0, 1, ... n-1 periods
+    later.
+
+    Returns (cohort_period, offset, n_cohort, n_active): epoch-period
+    index of the cohort (epoch_ms DIV period_ms — fixed epoch
+    alignment, documented), the period offset, the cohort's size, and
+    how many of its users had any event in cohort+offset. All-integer
+    arithmetic; engine-exact.
+
+    Scale shape: one scan to per-user first-event periods (groupBy
+    min, map-side partials), one scan to DISTINCT (user, period)
+    activity rows — both narrow BIGINT frames — an equi-join on the
+    user id, and a (cohort, offset) count. No window functions, no
+    driver data."""
+    if period not in PERIOD_MS:
+        raise ValueError(f"period must be one of {sorted(PERIOD_MS)}, got {period}")
+    if n_periods < 1:
+        raise ValueError(f"n_periods must be >= 1, got {n_periods}")
+    pms = PERIOD_MS[period]
+    pcol = F.expr(f"unix_millis({ts_col}) DIV {pms}").cast("bigint")
+    firsts = events.groupBy(user_col).agg(
+        F.min(pcol).alias("cohort_period")
+    )
+    activity = events.select(
+        F.col(user_col), pcol.alias("p")
+    ).distinct()
+    cells = (
+        activity.join(firsts, [user_col])
+        .withColumn("offset", (F.col("p") - F.col("cohort_period")).cast("int"))
+        .filter((F.col("offset") >= 0) & (F.col("offset") < n_periods))
+        .groupBy("cohort_period", "offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    return cells.join(sizes, ["cohort_period"]).select(
+        "cohort_period", "offset", "n_cohort", "n_active"
+    )

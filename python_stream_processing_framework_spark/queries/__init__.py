@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (71 as of r7), so the queries whose
+len(QUERY_REGISTRY) queries (72 as of r7), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -133,6 +133,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # tests/test_operators.py (r7 rotation making room for
     # funnel_conversion)
     "gapfill_locf",
+    # signature-building machinery pinned by dedup_minhash_lsh's
+    # driver row (minhash signatures) and the dedup-family unit
+    # tests; md5 hash parity by test_portable_hash_helpers (r7
+    # rotation making room for retention_weekly)
+    "doc_fingerprints",
 )
 
 DRIVER_CAP = 50

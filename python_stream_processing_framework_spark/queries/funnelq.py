@@ -63,3 +63,49 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stats(
         events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     ).orderBy("step_idx")
+
+
+_RETENTION_ORACLE = """
+    WITH pe AS (
+      SELECT user_id, epoch_ms(ts) // 604800000 AS p FROM events),
+    firsts AS (
+      SELECT user_id, min(p) AS cohort_period FROM pe GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, p FROM pe),
+    cells AS (
+      SELECT f.cohort_period,
+             CAST(a.p - f.cohort_period AS INTEGER) AS "offset",
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM activity a JOIN firsts f USING (user_id)
+      WHERE a.p - f.cohort_period >= 0 AND a.p - f.cohort_period < 6
+      GROUP BY 1, 2),
+    sizes AS (
+      SELECT cohort_period, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM firsts GROUP BY 1)
+    SELECT c.cohort_period, c."offset", s.n_cohort, c.n_active
+    FROM cells c JOIN sizes s USING (cohort_period)
+    ORDER BY cohort_period, "offset"
+    """
+
+
+@query(
+    "retention_weekly",
+    _RETENTION_ORACLE,
+    doc="Weekly cohort retention (operators/funnel.retention_cohorts; "
+    "the analytics pair to funnel_conversion): bucket each user into "
+    "the epoch-week of their first event, count how many of each "
+    "cohort were active 0..5 weeks later. One per-user min scan + one "
+    "DISTINCT (user, week) scan — both narrow BIGINT frames — an "
+    "equi-join on the user id, and a (cohort, offset) count; no "
+    "window functions, nothing at the driver. All-integer epoch-week "
+    "arithmetic; the oracle replays it exactly.",
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    out = retention_cohorts(
+        events, "user_id", "ts", period="week", n_periods=6
+    )
+    return out.orderBy("cohort_period", "offset")

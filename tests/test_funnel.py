@@ -86,3 +86,50 @@ def test_empty_steps_guard(events):
         funnel_users(events, "user_id", "ts", "event_type", [])
     with pytest.raises(ValueError, match="at least one"):
         funnel_stats(events, "user_id", "ts", "event_type", [])
+
+
+def test_retention_cohorts_crafted(spark):
+    from python_stream_processing_framework_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    day = 86_400_000
+
+    def ts(day_idx):
+        return datetime.utcfromtimestamp(day_idx * day / 1000)
+
+    rows = [
+        # users 1,2 start day 0 (cohort 0); 1 returns day 1 and 3,
+        # 2 never returns; user 3 starts day 1 (cohort 1), returns
+        # day 2 twice (distinct collapses)
+        (1, ts(0)), (1, ts(1)), (1, ts(3)),
+        (2, ts(0)),
+        (3, ts(1)), (3, ts(2)), (3, ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {
+        (r["cohort_period"], r["offset"]): (r["n_cohort"], r["n_active"])
+        for r in retention_cohorts(
+            df, "user_id", "ts", period="day", n_periods=4
+        ).collect()
+    }
+    assert out[(0, 0)] == (2, 2)
+    assert out[(0, 1)] == (2, 1)   # only user 1 came back
+    assert out[(0, 3)] == (2, 1)
+    assert (0, 2) not in out       # nobody active day 2 from cohort 0
+    assert out[(1, 0)] == (1, 1)
+    assert out[(1, 1)] == (1, 1)   # user 3's day-2 activity, deduped
+
+
+def test_retention_guards(spark):
+    from python_stream_processing_framework_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1))], "user_id bigint, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="period"):
+        retention_cohorts(df, "user_id", "ts", period="month")
+    with pytest.raises(ValueError, match="n_periods"):
+        retention_cohorts(df, "user_id", "ts", n_periods=0)
