@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -147,3 +147,129 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def _sorted_fold(pairs: Column, value) -> Column:
+    """Deterministic double sum: sort (term, weight) structs, map each
+    to ``value(struct)``, left-fold with a 0.0 seed — the same
+    association order on any partitioning and in any engine."""
+    return F.aggregate(
+        F.transform(F.array_sort(pairs), value),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents by tf-idf cosine similarity to ``query``.
+
+    The vector-space-model complement to :func:`bm25_topk` — and the
+    structurally different half of lexical retrieval: BM25 only ever
+    touches query terms, while the cosine denominator needs each
+    document's FULL tf-idf norm, i.e. idf statistics over the entire
+    vocabulary. That full-vocab pass is exactly the inverted-index
+    build a search deployment runs offline, so this operator doubles
+    as the index-statistics job.
+
+    Formulation (smoothed idf, the sklearn/Lucene-classic form):
+
+        idf(t)   = ln((1 + N) / (1 + df(t))) + 1
+        w(t, d)  = tf(t, d) * idf(t)
+        score    = dot(w_q, w_d) / (||w_q|| * ||w_d||)
+
+    Scale shape: ONE corpus scan + token explode feeds the (doc, term,
+    tf) frame, materialized once because two narrow consumers read it
+    — the vocabulary df aggregation (Zipf-tiny output, broadcast back)
+    and the per-document aggregation that computes the norm and the
+    query-term hits in a SINGLE groupBy(doc). Scoring is then map-only
+    over docs-with-a-hit. Two shuffles total (tf, per-doc agg), both
+    on pre-aggregated rows, never raw text.
+
+    Determinism: every double sum (doc norms, query norm, dot product)
+    folds in SORTED term order with a 0.0 seed, so scores reproduce
+    bit-exact on any partitioning and replay bit-exact in DuckDB.
+
+    Output: (id_col, tfidf_cosine) rounded to 6dp, ties by id.
+    Documents sharing no term with the query never appear.
+    """
+    qtoks = [t for t in query.strip().lower().split() if t]
+    if not qtoks:
+        raise ValueError("query must contain at least one term")
+    qtf = {t: float(qtoks.count(t)) for t in sorted(set(qtoks))}
+    terms = sorted(qtf)
+
+    n_docs = df.count()
+    if n_docs == 0:
+        raise ValueError("tfidf_topk: corpus is empty")
+    one_plus_n = 1.0 + n_docs
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize_expr(F.col(text_col))).alias("_t"),
+    )
+
+    from python_stream_processing_framework_spark.operators.common import materialize
+
+    # (doc, term, tf): the inverted-index frame. Materialized because
+    # BOTH the df aggregation and the per-doc norm aggregation read it;
+    # projected to three narrow columns first so no text is cached.
+    tf = materialize(
+        toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+
+    # Vocabulary df -> idf. Zipf-tiny relative to the corpus (unique
+    # terms only), broadcast back onto tf.
+    dfc = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    idf_col = F.log(F.lit(one_plus_n) / (1.0 + F.col("_df"))) + 1.0
+
+    weighted = tf.join(F.broadcast(dfc), "_t").select(
+        F.col(id_col),
+        F.col("_t"),
+        (F.col("_tf") * idf_col).alias("_w"),
+    )
+
+    # Query vector, driver-side: |terms| values. df for absent terms
+    # is 0 (idf = ln(1+N) + 1) — they widen the query norm only.
+    df_q = {
+        r["_t"]: float(r["_df"])
+        for r in dfc.filter(F.col("_t").isin(terms)).collect()
+    }
+    qw = {
+        t: qtf[t] * (math.log(one_plus_n / (1.0 + df_q.get(t, 0.0))) + 1.0)
+        for t in terms
+    }
+    norm_q = math.sqrt(_py_sorted_sq_sum(qw))
+    qw_expr = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(qw[t]))]
+    )
+
+    # ONE per-doc aggregation computes both the full-vocab norm and
+    # the query-term hit list; scoring is map-only afterwards.
+    hit = F.when(F.col("_t").isin(terms), F.struct("_t", "_w"))
+    per_doc = weighted.groupBy(id_col).agg(
+        F.sqrt(_sorted_fold(F.collect_list(F.struct("_t", "_w")), lambda p: p["_w"] * p["_w"])).alias("_norm"),
+        F.collect_list(hit).alias("_hits"),
+    )
+    dot = _sorted_fold(F.col("_hits"), lambda p: p["_w"] * qw_expr[p["_t"]])
+    scored = per_doc.filter(F.size("_hits") > 0).select(
+        F.col(id_col),
+        F.round(dot / (F.col("_norm") * F.lit(norm_q)), 6).alias("tfidf_cosine"),
+    )
+    return scored.orderBy(F.col("tfidf_cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _py_sorted_sq_sum(qw: dict[str, float]) -> float:
+    """Left-fold of squared weights in sorted term order with a 0.0
+    seed — mirrors _sorted_fold exactly (fsum would NOT: different
+    association)."""
+    acc = 0.0
+    for t in sorted(qw):
+        acc = acc + qw[t] * qw[t]
+    return acc

@@ -138,6 +138,10 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # tests; md5 hash parity by test_portable_hash_helpers (r7
     # rotation making room for retention_weekly)
     "doc_fingerprints",
+    # rides bm25_topk's inverted-index machinery (same tokenizer,
+    # tf/df build, sorted-term deterministic folds); the full-vocab
+    # norm path is exercised by the oracle-parity row + unit tests
+    "tfidf_topk",
 )
 
 DRIVER_CAP = 50

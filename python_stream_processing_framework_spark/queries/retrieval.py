@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from python_stream_processing_framework_spark.catalog import load
-from python_stream_processing_framework_spark.operators.retrieval import bm25_topk
+from python_stream_processing_framework_spark.operators.retrieval import (
+    bm25_topk,
+    tfidf_topk,
+)
 from python_stream_processing_framework_spark.queries.base import query
 
 #: The probe query: three terms from the synthetic corpus vocabulary,
@@ -69,3 +72,67 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the harness's common.release_caches() sweep, like every other
     # materialize()-backed catalog query
     return bm25_topk(documents, _Q, id_col="doc_id", text_col="text", k=10)
+
+
+#: tf-idf probe: 'stream' repeated on purpose so the query tf weights
+#: are exercised (qtf = {merge: 1, spark: 1, stream: 2}).
+_TFIDF_Q = "spark stream stream merge"
+_TFIDF_TERMS_SQL = "('merge', 'spark', 'stream')"
+
+
+@query(
+    "tfidf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+             END AS toks
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+      GROUP BY doc_id, t),
+    dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    w AS (
+      SELECT doc_id, t, tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
+      FROM tf JOIN dfc USING (t), n),
+    qt(t, qtf) AS (VALUES ('merge', 1.0), ('spark', 1.0), ('stream', 2.0)),
+    qw AS (
+      SELECT qt.t, qt.qtf * (ln((1.0 + n) / (1.0 + coalesce(dfc.df, 0.0))) + 1.0) AS qw
+      FROM qt LEFT JOIN dfc ON qt.t = dfc.t, n),
+    qnorm AS (
+      SELECT sqrt(list_reduce(
+        list_transform(list_sort(list(struct_pack(t := t, w := qw))),
+                       p -> p.w * p.w),
+        (acc, x) -> acc + x)) AS qn
+      FROM qw),
+    norms AS (
+      SELECT doc_id, sqrt(list_reduce(
+        list_transform(list_sort(list(struct_pack(t := t, w := w))),
+                       p -> p.w * p.w),
+        (acc, x) -> acc + x)) AS norm
+      FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT doc_id, list_reduce(
+        list_transform(list_sort(list(struct_pack(t := w.t, x := w.w * qw.qw))),
+                       p -> p.x),
+        (acc, x) -> acc + x) AS dot
+      FROM w JOIN qw ON w.t = qw.t WHERE w.t IN {_TFIDF_TERMS_SQL}
+      GROUP BY doc_id)
+    SELECT d.doc_id, round(d.dot / (norms.norm * qnorm.qn), 6) AS tfidf_cosine
+    FROM dots d JOIN norms USING (doc_id), qnorm
+    ORDER BY tfidf_cosine DESC, doc_id LIMIT 10
+    """,
+    doc="Vector-space tf-idf cosine top-10 for the probe 'spark stream "
+    "stream merge' (operators/retrieval.tfidf_topk): smoothed idf over "
+    "the FULL vocabulary (the inverted-index statistics build), "
+    "per-document norms and query-term dot products in one "
+    "aggregation, sorted-term deterministic folds throughout; the "
+    "oracle replays vocabulary df, both norms, and the dot bit-exact.",
+)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return tfidf_topk(documents, _TFIDF_Q, id_col="doc_id", text_col="text", k=10)

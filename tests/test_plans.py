@@ -107,6 +107,18 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_text(df), "top-k fell back to full sort"
 
 
+def test_tfidf_broadcasts_vocab_df_and_take_ordered(spark):
+    """The vocabulary-df frame (Zipf-tiny) must ride a broadcast back
+    onto the inverted-index tf frame, and the top-k cut must be
+    TakeOrdered, not a full sort."""
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("tfidf_topk", spark)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text, "vocab df join lost its broadcast"
+    assert "TakeOrderedAndProject" in text, "top-k fell back to full sort"
+
+
 def test_minhash_candidates_not_quadratic(spark):
     # LSH pairing must be an equi-join on band keys, never a cartesian.
     df = q("dedup_minhash_lsh", spark)

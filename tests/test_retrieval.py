@@ -13,7 +13,10 @@ from tests.conftest import SF_SMOKE
 from python_stream_processing_framework_spark.operators.mixture import (
     curriculum_order,
 )
-from python_stream_processing_framework_spark.operators.retrieval import bm25_topk
+from python_stream_processing_framework_spark.operators.retrieval import (
+    bm25_topk,
+    tfidf_topk,
+)
 
 
 def _docs(spark):
@@ -64,6 +67,65 @@ def test_bm25_partition_invariant_and_validates(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     with pytest.raises(ValueError, match="at least one term"):
         bm25_topk(docs, "   ")
+
+
+def _tfidf_reference(rows, query, k):
+    """Independent plain-Python tf-idf cosine over collected rows."""
+    qtoks = [t for t in query.lower().split() if t]
+    qtf = {t: float(qtoks.count(t)) for t in set(qtoks)}
+    docs = {r[0]: r[1].strip().lower().split() for r in rows}
+    n = len(docs)
+    dfc = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfc[t] = dfc.get(t, 0) + 1
+
+    def idf(t):
+        return math.log((1.0 + n) / (1.0 + dfc.get(t, 0))) + 1.0
+
+    qw = {t: c * idf(t) for t, c in qtf.items()}
+    qn_acc = 0.0
+    for t in sorted(qw):
+        qn_acc = qn_acc + qw[t] * qw[t]
+    qn = math.sqrt(qn_acc)
+
+    out = {}
+    for doc_id, toks in docs.items():
+        w = {t: toks.count(t) * idf(t) for t in set(toks)}
+        norm_acc = 0.0
+        for t in sorted(w):
+            norm_acc = norm_acc + w[t] * w[t]
+        if not any(t in w for t in qw):
+            continue
+        dot = 0.0
+        for t in sorted(qw):
+            if t in w:
+                dot = dot + w[t] * qw[t]
+        out[doc_id] = round(dot / (math.sqrt(norm_acc) * qn), 6)
+    top = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return dict(top)
+
+
+def test_tfidf_matches_reference_implementation(spark):
+    docs = _docs(spark)
+    query = "spark stream stream merge"
+    got = {
+        r["doc_id"]: r["tfidf_cosine"]
+        for r in tfidf_topk(docs, query, k=15).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    assert got == _tfidf_reference(rows, query, 15)
+    assert len(got) == 15
+    assert all(0.0 < v <= 1.0 for v in got.values())
+
+
+def test_tfidf_partition_invariant_and_validates(spark):
+    docs = _docs(spark)
+    a = tfidf_topk(docs, "table scan", k=5).collect()
+    b = tfidf_topk(docs.repartition(13, "doc_id"), "table scan", k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    with pytest.raises(ValueError, match="at least one term"):
+        tfidf_topk(docs, "   ")
 
 
 def test_curriculum_order_phases_and_shuffle(spark):
