@@ -838,3 +838,147 @@ def ngram_decontaminate(
     hits = ngram_overlap_hits(corpus, heldout, id_col, text_col, n=n)
     flagged = hits.select(F.col("id_corpus").alias(id_col)).distinct()
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def _bloom_gram_expr(toks_col: str, n: int) -> Column:
+    """Array of md5-hex n-gram hashes — identical construction to
+    ngram_overlap_hits (space-joined token slices), shared so bloom
+    and exact decontamination flag the same gram universe."""
+    return F.expr(
+        f"if(size({toks_col}) < {n}, array(),"
+        f" transform(sequence(1, size({toks_col}) - {n} + 1),"
+        f"   i -> md5(array_join(slice({toks_col}, i, {n}), ' '))))"
+    )
+
+
+def _bloom_pos_sql(gram: str, i: int, m_bits: int) -> str:
+    """Position i for a gram's md5 hex: 5 hex chars (20 bits) starting
+    at offset 5*i, reduced mod m_bits. m_bits MUST be a power of two
+    <= 2^20 so the modulus of the uniform 20-bit slice stays uniform,
+    and k*5 <= 32 hex chars bounds k at 6."""
+    return f"(cast(conv(substr({gram}, {1 + 5 * i}, 5), 16, 10) as bigint) % {m_bits})"
+
+
+def bloom_build(
+    heldout: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> list[int]:
+    """Build a bloom filter over held-out n-grams; returns the bitmask
+    as ``m_bits / 64`` int64 words (driver-side index metadata, like a
+    PQ codebook — 16 KiB at the default m, 16 MiB at m=2^27 for a
+    ~10M-gram benchmark union, always broadcastable).
+
+    Positions are k disjoint 20-bit slices of the gram's md5 hex mod
+    m_bits — engine-portable (md5 + string ops only), so an oracle can
+    recompute the exact set-bit set. Deterministic: same corpus, same
+    bits, any partitioning.
+    """
+    if m_bits & (m_bits - 1) or m_bits > (1 << 20):
+        raise ValueError("m_bits must be a power of two <= 2^20")
+    if not 1 <= k <= 6:
+        raise ValueError("k must be in [1, 6] (md5 yields 6 disjoint 20-bit slices)")
+    grams = (
+        heldout.select(tokens_expr(text_col).alias("_toks"))
+        .select(F.explode(F.array_distinct(_bloom_gram_expr("_toks", n))).alias("_g"))
+    )
+    pos = grams.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql("_g", i, m_bits)) for i in range(k)])
+        ).alias("_p")
+    ).distinct()
+    words = [0] * (m_bits // 64)
+    for r in pos.collect():
+        p = int(r["_p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement wrap: bit 63 set must ship as a negative int64
+    # literal (shiftright is arithmetic, but `& 1` reads any bit fine)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_flags(
+    corpus: DataFrame,
+    words: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    k: int = 4,
+) -> DataFrame:
+    """Map-side bloom membership test: (id_col, bloom_flagged) — true
+    iff ANY n-gram of the doc has all k bloom positions set.
+
+    This is the join-free scale path for decontamination: where
+    ngram_decontaminate broadcasts the held-out gram table into an
+    equi-join, the bloom test ships only the bitmask and runs as a
+    single JVM `exists` expression inside the scan stage — ZERO
+    exchanges, no join to schedule, and the filter composes with any
+    downstream pipeline without a shuffle barrier. The price is a
+    bounded false-positive rate ((1 - e^{-kq/m})^k for q set grams);
+    false negatives are impossible, so the standard deployment is
+    bloom-prefilter -> exact n-gram join on the tiny flagged slice.
+    """
+    return _with_bloom_flag(corpus, words, text_col, n=n, k=k).select(
+        F.col(id_col), "bloom_flagged"
+    )
+
+
+def _with_bloom_flag(
+    corpus: DataFrame,
+    words: list[int],
+    text_col: str,
+    *,
+    n: int,
+    k: int,
+) -> DataFrame:
+    """corpus + a map-only ``bloom_flagged`` column (helper columns
+    dropped); shared by bloom_flags and bloom_decontaminate so the
+    drop path needs no self-join."""
+    m_bits = len(words) * 64
+    word_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    bit_checks = []
+    for i in range(k):
+        p = _bloom_pos_sql("g", i, m_bits)
+        bit_checks.append(
+            f"((shiftright(element_at(_bloom_mask, cast(({p}) div 64 as int) + 1),"
+            f" cast(({p}) % 64 as int)) & 1) = 1)"
+        )
+    flag = F.expr(
+        "exists(_bloom_grams, g -> " + " AND ".join(bit_checks) + ")"
+    )
+    return (
+        corpus.withColumn("_bloom_mask", F.expr(word_sql))
+        .withColumn("_bloom_toks", tokens_expr(text_col))
+        .withColumn("_bloom_grams", _bloom_gram_expr("_bloom_toks", n))
+        .withColumn("bloom_flagged", F.coalesce(flag, F.lit(False)))
+        .drop("_bloom_mask", "_bloom_toks", "_bloom_grams")
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Drop training docs the bloom filter flags against held-out
+    n-grams (bloom_build + bloom_flags). Conservative by construction:
+    everything ngram_decontaminate would drop is dropped (no false
+    negatives), plus a bounded false-positive mass — the right trade
+    when the corpus is 100 TB and a broadcast gram JOIN per benchmark
+    suite is the bottleneck. The flags frame is map-only; the drop
+    itself filters on the flag, so the whole operator adds zero
+    exchanges to the pipeline."""
+    words = bloom_build(heldout, text_col, n=n, m_bits=m_bits, k=k)
+    return (
+        _with_bloom_flag(corpus, words, text_col, n=n, k=k)
+        .filter(~F.col("bloom_flagged"))
+        .drop("bloom_flagged")
+    )

@@ -142,6 +142,12 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # tf/df build, sorted-term deterministic folds); the full-vocab
     # norm path is exercised by the oracle-parity row + unit tests
     "tfidf_topk",
+    # rides ngram_decontaminate's exact gram universe (identical md5
+    # 13-gram construction on the same 95/5 split); the bloom
+    # bitmask path is pinned by the oracle-parity row, the
+    # no-false-negative superset unit test, and the zero-exchange
+    # plan pin
+    "bloom_decontaminate",
 )
 
 DRIVER_CAP = 50

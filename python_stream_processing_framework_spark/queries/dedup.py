@@ -397,3 +397,63 @@ def ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(corpus, heldout, "doc_id", "text", n=13).select(
         "doc_id"
     )
+
+
+@query(
+    "bloom_decontaminate",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split#'), 1, 15))::BIGINT
+               % 20 AS bucket
+      FROM documents),
+    corpus AS (SELECT doc_id, text FROM base WHERE bucket != 0),
+    heldout AS (SELECT doc_id, text FROM base WHERE bucket = 0),
+    hg AS (SELECT DISTINCT g FROM (
+             SELECT md5(array_to_string(toks[i:i+12], ' ')) AS g
+             FROM (SELECT string_split(trim(lower(text)), ' ') AS toks
+                   FROM heldout),
+                  unnest(range(1, len(toks) - 11)) AS u(i)
+             WHERE len(toks) >= 13) x),
+    bits AS (SELECT DISTINCT ('0x' || substr(g, 1 + 5*i, 5))::BIGINT % 131072 AS p
+             FROM hg, unnest([0, 1, 2, 3]) AS t(i)),
+    cg AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS g
+             FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+                   FROM corpus),
+                  unnest(range(1, len(toks) - 11)) AS u(i)
+             WHERE len(toks) >= 13) x),
+    cpos AS (SELECT doc_id, g, i,
+                    ('0x' || substr(g, 1 + 5*i, 5))::BIGINT % 131072 AS p
+             FROM cg, unnest([0, 1, 2, 3]) AS t(i)),
+    flagged AS (SELECT DISTINCT doc_id FROM (
+                  SELECT doc_id, g FROM cpos JOIN bits USING (p)
+                  GROUP BY doc_id, g HAVING count(DISTINCT i) = 4) h)
+    SELECT c.doc_id, (f.doc_id IS NOT NULL) AS bloom_flagged
+    FROM corpus c LEFT JOIN flagged f USING (doc_id)
+    """,
+    doc="Bloom-filter decontamination pre-filter "
+    "(operators/dedup.bloom_build + bloom_flags): build a bitmask over "
+    "the held-out split's exact 13-gram md5s (k=4 positions from "
+    "disjoint 20-bit md5 slices, m=2^17), then flag every training doc "
+    "whose ANY gram has all 4 bits set — the join-free scale path that "
+    "ships only a 16 KiB mask instead of broadcasting the gram table, "
+    "and runs as one JVM `exists` inside the scan stage (ZERO "
+    "exchanges, plan-pinned). No false negatives vs "
+    "ngram_decontaminate (unit-pinned superset guarantee); the oracle "
+    "recomputes the exact set-bit set and replays membership via "
+    "position joins (all-4-positions-present == the bitmask test).",
+)
+def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.functions.hashing import hash60
+    from python_stream_processing_framework_spark.operators.dedup import (
+        bloom_build,
+        bloom_flags,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#split#"))) % 20
+    corpus = documents.filter(bucket != 0)
+    heldout = documents.filter(bucket == 0)
+    words = bloom_build(heldout, "text", n=13, m_bits=1 << 17, k=4)
+    return bloom_flags(corpus, words, "doc_id", "text", n=13, k=4)

@@ -295,3 +295,80 @@ def test_ngram_overlap_heldout_side_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_flags_superset_of_exact_and_composition(spark):
+    """The bloom guarantee: no false negatives — every doc the exact
+    13-gram rule flags is bloom-flagged; bloom_decontaminate drops
+    exactly the flagged set."""
+    from python_stream_processing_framework_spark.operators.dedup import (
+        bloom_build,
+        bloom_decontaminate,
+        bloom_flags,
+        ngram_overlap_hits,
+    )
+
+    span = " ".join(f"t{i}" for i in range(13))
+    span2 = " ".join(f"s{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"contaminated because {span} appears here"),
+            (2, "clean document that shares no long span at all"),
+            (3, f"also dirty via the longer one {span2} yes"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    heldout = spark.createDataFrame(
+        [(9, f"eval item with {span} in it"), (10, span2)],
+        ["doc_id", "text"],
+    )
+    words = bloom_build(heldout, "text")
+    assert len(words) == (1 << 17) // 64 and any(words)
+    flags = {
+        r["doc_id"]: r["bloom_flagged"]
+        for r in bloom_flags(corpus, words, "doc_id", "text").collect()
+    }
+    exact = {
+        r["id_corpus"]
+        for r in ngram_overlap_hits(corpus, heldout, "doc_id", "text").collect()
+    }
+    assert exact == {1, 3}
+    assert all(flags[d] for d in exact), "bloom produced a false negative"
+    assert flags[4] is False, "sub-13-token doc can never be flagged"
+    kept = sorted(
+        r["doc_id"] for r in bloom_decontaminate(corpus, heldout).collect()
+    )
+    assert kept == sorted(d for d, f in flags.items() if not f)
+
+
+def test_bloom_flags_map_only_zero_exchanges(spark):
+    """The scale contract: the membership test ships only the bitmask
+    and runs inside the scan stage — no join, no exchange."""
+    from python_stream_processing_framework_spark.operators.dedup import (
+        bloom_build,
+        bloom_flags,
+    )
+    from python_stream_processing_framework_spark.plans import count_exchanges
+
+    heldout = spark.createDataFrame(
+        [(9, " ".join(f"h{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    corpus = spark.range(0, 100).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 30), j -> concat('w', pmod(id*7+j, 999)))) AS text",
+    )
+    words = bloom_build(heldout, "text")
+    assert count_exchanges(bloom_flags(corpus, words, "doc_id", "text")) == 0
+
+
+def test_bloom_build_validates(spark):
+    import pytest as _pytest
+
+    from python_stream_processing_framework_spark.operators.dedup import bloom_build
+
+    held = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="power of two"):
+        bloom_build(held, "text", m_bits=100)
+    with _pytest.raises(ValueError, match="k must be"):
+        bloom_build(held, "text", k=7)
