@@ -316,3 +316,75 @@ def pagerank(
             .alias("rank_nano"),
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts on the undirected simple graph.
+
+    Triangle density is the standard structure signal over link
+    graphs — spam-farm detection (link rings are triangle-dense),
+    community strength, and clustering-coefficient features for crawl
+    prioritization all start from it.
+
+    Algorithm: degree orientation (the node-iterator++ / Cohen
+    MapReduce form). Undirected distinct edges are oriented from the
+    LOWER (degree, node) endpoint to the higher; every triangle
+    {x < y < z} in that total order then materializes exactly once,
+    as the wedge (x->y, x->z) closed by the oriented edge y->z. The
+    orientation is the scale bound: a node's oriented out-degree is
+    O(sqrt(m)) on any graph, so the wedge self-join fans out to
+    O(m^1.5) candidates worst-case instead of sum(deg^2) — the hub
+    that dominates an unoriented wedge join never becomes a source.
+
+    Shuffles: edge dedup (1), degree agg (1), degree join back (hash,
+    AQE-broadcast when the degree table is small), the wedge
+    self-join on src (1), and the closing equi-join on (y, z) (1) —
+    all on narrow (long, long) rows, never payload. Self-loops are
+    dropped; multi-edges collapse in the dedup.
+
+    Returns (node, triangles) for every node in >= 1 triangle —
+    BIGINT counts, trivially engine-exact.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("a"),
+            F.greatest(a, b).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation key: (deg, node) as one sortable struct
+    da = deg.select(F.col("node").alias("a"), F.struct(F.col("deg"), F.col("node")).alias("ka"))
+    db = deg.select(F.col("node").alias("b"), F.struct(F.col("deg"), F.col("node")).alias("kb"))
+    keyed = und.join(da, "a").join(db, "b")
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("y"), F.col("kdst").alias("ky"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("z"), F.col("kdst").alias("kz"))
+    wedges = o1.join(o2, "src").filter(F.col("ky") < F.col("kz")).select(
+        F.col("src").alias("x"), "y", "z"
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closing, ["y", "z"])
+    corners = (
+        tris.select(F.col("x").alias("node"))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .unionByName(tris.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )

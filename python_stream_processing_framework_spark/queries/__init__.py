@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (72 as of r7), so the queries whose
+len(QUERY_REGISTRY) queries (75 as of r7), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -148,6 +148,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # no-false-negative superset unit test, and the zero-exchange
     # plan pin
     "bloom_decontaminate",
+    # graph machinery family: label-propagation components and
+    # integer PageRank hold driver rows (dedup_components,
+    # pagerank_hosts); the orientation/wedge path is pinned by the
+    # oracle-parity row + the brute-force-reference unit test
+    "triangle_hosts",
 )
 
 DRIVER_CAP = 50

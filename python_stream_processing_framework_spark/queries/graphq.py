@@ -87,3 +87,63 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(e1.unionByName(e2), n_iter=_ITERS, damping_pct=_D)
     return ranks.orderBy(F.col("rank_nano").desc(), F.col("node").asc()).limit(25)
+
+
+@query(
+    "triangle_hosts",
+    f"""
+    WITH raw AS (
+      SELECT doc_id % {_M} AS s, (doc_id * 7 + 3) % {_M} AS d FROM documents
+      UNION ALL
+      SELECT doc_id % {_M}, (doc_id * 13 + 1) % {_M} FROM documents),
+    und AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM raw WHERE s != d),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node),
+    o AS (
+      SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS src,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS dst,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS degdst
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b),
+    w AS (
+      SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      WHERE (o1.degdst, o1.dst) < (o2.degdst, o2.dst)),
+    t AS (SELECT x, y, z FROM w JOIN o ON o.src = w.y AND o.dst = w.z),
+    corners AS (
+      SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+    SELECT node, count(*) AS triangles FROM corners GROUP BY node
+    """,
+    doc="Per-host triangle counts on the synthetic 97-host link graph "
+    "(operators/graph.triangle_counts): degree-orientation "
+    "(node-iterator++) — undirected distinct edges oriented low->high "
+    "(degree, node), each triangle materializes exactly once as an "
+    "oriented wedge closed by an oriented edge, bounding the wedge "
+    "self-join at O(m^1.5) regardless of hubs. Integer counts, "
+    "engine-exact; the oracle replays orientation, wedges, and "
+    "closing joins verbatim.",
+)
+def triangle_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    docs = documents.select("doc_id")
+    e = docs.select(
+        (F.col("doc_id") % _M).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % _M).alias("dst"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") % _M).alias("src"),
+            ((F.col("doc_id") * 13 + 1) % _M).alias("dst"),
+        )
+    )
+    return triangle_counts(e)

@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from tests.conftest import SF_SMOKE
+
 from python_stream_processing_framework_spark.operators.graph import pagerank
 
 
@@ -76,3 +78,50 @@ def test_matches_sequential_reference(spark, edges, n_iter):
     # multi-edges in out-degree AND contribution identically, but the
     # reference above assumes simple edges; self-loops are fine
     assert _run(spark, edges, n_iter=n_iter) == _reference(edges, n_iter)
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """Degree-oriented triangle counting vs an itertools brute force
+    on the synthetic host graph, plus the K4 closed form."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src int, dst int",
+    )
+    assert {
+        r["node"]: r["triangles"] for r in triangle_counts(k4).collect()
+    } == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    e = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 13 + 1) % 97).alias("dst"),
+        )
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
+    und = {
+        tuple(sorted(p))
+        for p in [(r["src"], r["dst"]) for r in e.collect()]
+        if p[0] != p[1]
+    }
+    adj: dict[int, set[int]] = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    ref: dict[int, int] = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for node in (x, y, z):
+                ref[node] = ref.get(node, 0) + 1
+    assert got == ref
