@@ -982,3 +982,29 @@ def bloom_decontaminate(
         .filter(~F.col("bloom_flagged"))
         .drop("bloom_flagged")
     )
+
+
+def select_canonical(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Mark one canonical representative per near-dup cluster.
+
+    The resolution step after pairs->components: production pipelines
+    do NOT keep an arbitrary (min-id) member — they keep the best one
+    (longest text, highest quality score, freshest crawl). Adds
+    ``is_canonical``: true for the cluster member with the highest
+    ``score_col``, ties broken by ascending ``id_col`` so the choice
+    is total and engine-reproducible.
+
+    One shuffle on the cluster label; clusters are near-dup groups
+    (tiny fan-in even on duplicate-heavy corpora — the giant-cluster
+    mass is exact dups, already collapsed upstream), so the window
+    never sees a skewed partition beyond what AQE handles.
+    """
+    w = Window.partitionBy(label_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn("is_canonical", F.row_number().over(w) == 1)

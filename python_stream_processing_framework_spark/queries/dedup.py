@@ -17,6 +17,7 @@ from python_stream_processing_framework_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    tokens_expr,
 )
 from python_stream_processing_framework_spark.queries.base import query
 
@@ -457,3 +458,55 @@ def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     heldout = documents.filter(bucket == 0)
     words = bloom_build(heldout, "text", n=13, m_bits=1 << 17, k=4)
     return bloom_flags(corpus, words, "doc_id", "text", n=13, k=4)
+
+
+@query(
+    "canonical_docs",
+    f"""
+    WITH RECURSIVE {_COMPONENT_CTES},
+    lens AS (
+      SELECT doc_id, len({_TOKS}) AS n_toks FROM documents)
+    SELECT c.doc_id, c.component,
+           (row_number() OVER (
+              PARTITION BY c.component
+              ORDER BY l.n_toks DESC, c.doc_id ASC) = 1) AS is_canonical
+    FROM comp c JOIN lens l ON l.doc_id = c.doc_id
+    """,
+    doc="Canonical-representative selection over near-dup clusters "
+    "(operators/dedup.select_canonical after minhash_lsh_pairs -> "
+    "connected_components): per cluster, keep the LONGEST member "
+    "(token count), ties by ascending doc_id — the keep-best rule "
+    "production dedup applies instead of an arbitrary keep-first. "
+    "One window shuffle on the cluster label over near-dup-sized "
+    "groups. Oracle replays the full LSH->components pipeline plus "
+    "the row_number tie-break.",
+)
+def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.dedup import (
+        select_canonical,
+    )
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        documents,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        expand="star",
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    lens = documents.select(
+        "doc_id", F.size(tokens_expr("text")).alias("n_toks")
+    )
+    labeled = cc.join(lens, "doc_id").withColumnRenamed("n_toks", "score")
+    return select_canonical(labeled, "doc_id", "component", "score").select(
+        "doc_id", "component", "is_canonical"
+    )

@@ -372,3 +372,27 @@ def test_bloom_build_validates(spark):
         bloom_build(held, "text", m_bits=100)
     with _pytest.raises(ValueError, match="k must be"):
         bloom_build(held, "text", k=7)
+
+
+def test_select_canonical_keep_best_with_ties(spark):
+    from python_stream_processing_framework_spark.operators.dedup import (
+        select_canonical,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            # cluster 1: doc 3 longest -> canonical
+            (1, 1, 5),
+            (2, 1, 7),
+            (3, 1, 9),
+            # cluster 2: tie on score -> min id wins
+            (10, 2, 4),
+            (11, 2, 4),
+        ],
+        ["doc_id", "component", "score"],
+    )
+    out = {
+        r["doc_id"]: r["is_canonical"]
+        for r in select_canonical(labeled).collect()
+    }
+    assert out == {1: False, 2: False, 3: True, 10: True, 11: False}
