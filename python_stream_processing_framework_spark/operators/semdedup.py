@@ -54,7 +54,12 @@ from pyspark.sql.functions import pandas_udf
 from python_stream_processing_framework_spark.operators.graph import (
     connected_components,
 )
-from python_stream_processing_framework_spark.operators.pq import pq_encode, pq_train
+from python_stream_processing_framework_spark.operators.pq import (
+    _l2sq_q,
+    _quant,
+    pq_encode,
+    pq_train,
+)
 
 
 #: Default cluster-size target for auto-k: the paper raises k with
@@ -314,4 +319,68 @@ def semdedup(
         "dup_group",
         "centroid_sim",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def cluster_outliers(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = 8,
+    iters: int = 2,
+    outlier_denom: int = 20,
+) -> DataFrame:
+    """Embedding-space outlier detection: distance-to-centroid rank.
+
+    The curation signal SemDeDup's clustering gives for free: vectors
+    FAR from every centroid are the corpus's semantic outliers —
+    OCR garbage, off-distribution boilerplate, mislabeled modalities —
+    and per-cluster distance ranking is the standard way to surface
+    them for audit or exclusion (the complement of dedup, which
+    removes the too-close).
+
+    Returns (id_col, cluster, dist_q, is_outlier): dist_q is the
+    EXACT integer squared L2 (1e-6-quantized components) between the
+    vector and its assigned centroid; is_outlier marks the top
+    ``1/outlier_denom`` fraction per cluster by (dist_q desc, id) —
+    a rank rule, not a z-score, so the flag is integer-exact and
+    engine-reproducible (no mean/std doubles to replay).
+
+    Scale: k-means is the shared `cluster_assign` step (one
+    Arrow-matmul job per Lloyd round); the distance join broadcasts
+    the k-row codebook; ranking is one window shuffle on the cluster
+    id — partitions are cluster-sized, bounded by auto_k's target.
+    """
+    if outlier_denom < 2:
+        raise ValueError(f"outlier_denom must be >= 2, got {outlier_denom}")
+    assign, cb = cluster_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    cb1 = cb.filter(F.col("_sub") == 0).select(
+        F.col("code").alias("cluster"), _quant(F.col("centroid")).alias("_cq")
+    )
+    dist = (
+        embeddings.select(
+            F.col(id_col), _quant(F.col(vec_col).cast("array<double>")).alias("_vq")
+        )
+        .join(assign, id_col)
+        .join(F.broadcast(cb1), "cluster")
+        .select(
+            F.col(id_col),
+            "cluster",
+            _l2sq_q(F.col("_vq"), F.col("_cq")).alias("dist_q"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist_q").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster")
+    return dist.select(
+        F.col(id_col),
+        "cluster",
+        "dist_q",
+        (F.row_number().over(w) * outlier_denom <= F.count(F.lit(1)).over(wc)).alias(
+            "is_outlier"
+        ),
     )

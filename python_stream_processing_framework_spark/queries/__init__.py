@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (76 as of r7), so the queries whose
+len(QUERY_REGISTRY) queries (77 as of r7), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -157,6 +157,10 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # driver-pinned by dedup_components; the keep-best window rule is
     # pinned by the oracle-parity row + tests/test_dedup_collapse.py
     "canonical_docs",
+    # rides the cluster_assign/Lloyd machinery driver-pinned inside
+    # semdedup_prune (and kmeans_clusters' parity row); the distance
+    # -rank flag is pinned by the oracle-parity row + unit tests
+    "embedding_outliers",
 )
 
 DRIVER_CAP = 50

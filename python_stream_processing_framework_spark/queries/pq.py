@@ -207,3 +207,41 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.join(F.broadcast(sizes), "cluster").select(
         "vec_id", "cluster", "cluster_size"
     )
+
+
+@query(
+    "embedding_outliers",
+    f"""
+    WITH {_pq_ctes(1, 8, 2, 64)},
+    assign AS (SELECT vec_id, code AS cluster FROM enc),
+    dist AS (SELECT a.vec_id, a.cluster,
+                    {_L2Q.format(a='b.sv', b='c.cq')} AS dist_q
+             FROM assign a
+             JOIN sub b ON b.vec_id = a.vec_id
+             JOIN cb2 c ON c.s = b.s AND c.code = a.cluster),
+    ranked AS (SELECT vec_id, cluster, dist_q,
+                      row_number() OVER (PARTITION BY cluster
+                                         ORDER BY dist_q DESC, vec_id) AS rn,
+                      count(*) OVER (PARTITION BY cluster) AS n
+               FROM dist)
+    SELECT vec_id, cluster, dist_q, (rn * 20 <= n) AS is_outlier
+    FROM ranked
+    """,
+    doc="Embedding-space outlier audit "
+    "(operators/semdedup.cluster_outliers): k-means (the shared "
+    "cluster_assign step, m=1/k=8/2 Lloyd rounds) then each vector's "
+    "EXACT integer squared L2 to its centroid (1e-6-quantized), with "
+    "the top 5% per cluster by (distance desc, id) flagged — a rank "
+    "rule instead of a z-score so the flag needs no mean/std doubles "
+    "and replays bit-exact. The curation complement of dedup: "
+    "surfaces OCR garbage / off-distribution content for exclusion. "
+    "Oracle replays seeding, both Lloyd rounds, assignment, the "
+    "integer distances, and the window rank.",
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.semdedup import (
+        cluster_outliers,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return cluster_outliers(embeddings, k=8, iters=2, outlier_denom=20)

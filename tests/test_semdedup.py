@@ -148,3 +148,34 @@ def test_max_cluster_size_caps_pairing_deterministically(spark):
     out = semdedup(emb, k=8, eps=0.999, max_cluster_size=6)
     assert out.count() == 8
     assert out.filter("keep").count() == 8  # no pair -> everything kept
+
+
+def test_cluster_outliers_flags_far_points(spark):
+    """Two tight clusters + one far point each: exactly the top-1/denom
+    by distance per cluster is flagged, ties broken by id."""
+    import pytest as _pytest
+
+    from python_stream_processing_framework_spark.operators.semdedup import (
+        cluster_outliers,
+    )
+
+    rows = []
+    # cluster around (0, 0): ids 0..19, one point far out
+    for i in range(20):
+        rows.append((i, [0.001 * i, 0.0]))
+    rows.append((99, [5.0, 0.0]))
+    # cluster around (100, 100): ids 100..119, one far point
+    for i in range(20):
+        rows.append((100 + i, [100.0 + 0.001 * i, 100.0]))
+    rows.append((199, [100.0, 90.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_outliers(emb, k=2, iters=2, outlier_denom=21).collect()
+    flagged = sorted(r["vec_id"] for r in out if r["is_outlier"])
+    assert flagged == [99, 199]
+    assert len(out) == len(rows)
+    by_id = {r["vec_id"]: r for r in out}
+    # the far point's distance strictly dominates its cluster peers
+    peers = [r["dist_q"] for r in out if r["cluster"] == by_id[99]["cluster"] and r["vec_id"] != 99]
+    assert by_id[99]["dist_q"] > max(peers)
+    with _pytest.raises(ValueError, match="outlier_denom"):
+        cluster_outliers(emb, outlier_denom=1)
