@@ -24,7 +24,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -501,4 +501,64 @@ def mean_pool(
             *group_cols,
             F.expr("transform(_parts, p -> p._m)").alias(out_col),
         )
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lo: float = 0.4,
+    hi: float = 0.95,
+    per_anchor: int = 3,
+    bands: int = 8,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Mine hard negatives for contrastive training.
+
+    The standard recipe for embedding/retrieval training data: for
+    each anchor, the most USEFUL negatives are the ones the current
+    embedding space considers similar — but not SO similar that they
+    are actually duplicates/positives mislabeled as negatives (the
+    classic false-negative poisoning failure). So: candidates come
+    from the similarity band ``lo <= cos < hi`` — above ``hi`` is
+    treated as a near-dup and excluded, below ``lo`` is an easy
+    negative not worth training on — and each anchor keeps its top
+    ``per_anchor`` by (cos desc, id).
+
+    Pure composition over :func:`cosine_lsh_pairs` (same recall <1
+    trade, same integer-exact scores): the pair set is sub-quadratic
+    via banding, symmetrized so both endpoints serve as anchors, and
+    ranked with one window shuffle on the anchor id. Returns
+    (id_col, negative_id, cos_sim, rank).
+    """
+    if not 0.0 <= lo < hi:
+        raise ValueError(f"need 0 <= lo < hi, got lo={lo} hi={hi}")
+    if per_anchor < 1:
+        raise ValueError(f"per_anchor must be >= 1, got {per_anchor}")
+    pairs = cosine_lsh_pairs(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=lo,
+        bands=bands,
+        band_bits=band_bits,
+    ).filter(F.col("cos_sim") < hi)
+    sym = pairs.select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("negative_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("negative_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return sym.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= per_anchor
     )

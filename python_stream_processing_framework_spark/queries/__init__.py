@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (77 as of r7), so the queries whose
+len(QUERY_REGISTRY) queries (78 as of r7), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -161,6 +161,10 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # semdedup_prune (and kmeans_clusters' parity row); the distance
     # -rank flag is pinned by the oracle-parity row + unit tests
     "embedding_outliers",
+    # pure composition over cosine_lsh_pairs (driver-pinned row):
+    # the similarity-band + per-anchor window rank is pinned by the
+    # oracle-parity row + unit tests
+    "hard_negatives",
 )
 
 DRIVER_CAP = 50

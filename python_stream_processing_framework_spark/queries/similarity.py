@@ -358,3 +358,47 @@ def pooled_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(unit, query_id=0, id_col="doc_id", k=10).select(
         "doc_id", "cos_sim"
     )
+
+
+@query(
+    "hard_negatives",
+    f"""
+    WITH {_LSH_CTES},
+    scored AS (
+      SELECT id_a, id_b, {_LSH_COS} AS cos_sim
+      FROM cand JOIN sigs a ON a.vec_id = id_a JOIN sigs b ON b.vec_id = id_b
+      WHERE {_LSH_COS} >= 0.4 AND {_LSH_COS} < 0.95),
+    sym AS (
+      SELECT id_a AS vec_id, id_b AS negative_id, cos_sim FROM scored
+      UNION ALL
+      SELECT id_b, id_a, cos_sim FROM scored),
+    ranked AS (
+      SELECT vec_id, negative_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, negative_id) AS rank
+      FROM sym)
+    SELECT vec_id, negative_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Hard-negative mining for contrastive training "
+    "(operators/similarity.hard_negatives): per anchor, the top-3 "
+    "candidates in the similarity band 0.4 <= cos < 0.95 — above is a "
+    "near-dup (a false negative that would poison the loss), below is "
+    "an easy negative not worth training on. Pure composition over "
+    "the sign-LSH pair machinery (sub-quadratic banding, integer-"
+    "exact cosines), symmetrized and ranked with one window shuffle "
+    "on the anchor. Oracle replays the LSH CTEs + band filter + "
+    "window rank.",
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        embeddings, lo=0.4, hi=0.95, per_anchor=3, bands=8, band_bits=4
+    )
+    return out.select(
+        "vec_id", "negative_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )

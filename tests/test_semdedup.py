@@ -179,3 +179,47 @@ def test_cluster_outliers_flags_far_points(spark):
     assert by_id[99]["dist_q"] > max(peers)
     with _pytest.raises(ValueError, match="outlier_denom"):
         cluster_outliers(emb, outlier_denom=1)
+
+
+def test_hard_negatives_band_and_rank(spark):
+    """Synthetic anchors: a near-dup (cos ~1) must be excluded by the
+    hi bound, an easy negative (cos ~0) by the lo bound, and ranks
+    are contiguous per anchor."""
+    import math
+
+    import pytest as _pytest
+
+    from python_stream_processing_framework_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    def unit(angle_deg, dim=64):
+        a = math.radians(angle_deg)
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(a), math.sin(a)
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            (0, unit(0)),       # anchor
+            (1, unit(1)),       # cos ~0.9998 -> near-dup, excluded
+            (2, unit(45)),      # cos ~0.707 -> hard negative
+            (3, unit(60)),      # cos 0.5    -> hard negative
+            (4, unit(89)),      # cos ~0.017 -> easy, excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hard_negatives(emb, lo=0.4, hi=0.95, per_anchor=3).collect()
+    anchor0 = sorted(
+        (r["rank"], r["negative_id"]) for r in out if r["vec_id"] == 0
+    )
+    assert anchor0 == [(1, 2), (2, 3)]
+    by_anchor: dict[int, list[int]] = {}
+    for r in out:
+        by_anchor.setdefault(r["vec_id"], []).append(r["rank"])
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    with _pytest.raises(ValueError, match="lo < hi"):
+        hard_negatives(emb, lo=0.9, hi=0.5)
+    with _pytest.raises(ValueError, match="per_anchor"):
+        hard_negatives(emb, per_anchor=0)
