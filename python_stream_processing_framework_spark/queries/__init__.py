@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (78 as of r7), so the queries whose
+len(QUERY_REGISTRY) queries (79 as of r7), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -48,6 +48,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     lines,
     graphq,
     funnelq,
+    cdcq,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -165,6 +166,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # the similarity-band + per-anchor window rank is pinned by the
     # oracle-parity row + unit tests
     "hard_negatives",
+    # rolling-hash machinery rides hash28_mod (test_portable_hash
+    # _helpers) and the map-side HOF chunking shape of doc_chunks;
+    # the boundary rule is pinned by the oracle-parity row +
+    # reconstruction/shift-invariance unit tests
+    "cdc_dup_stats",
 )
 
 DRIVER_CAP = 50
