@@ -26,6 +26,8 @@ import pyspark.sql.functions as F
 
 from python_stream_processing_framework_spark.catalog import load
 from python_stream_processing_framework_spark.operators.dedup import (
+    bloom_build,
+    bloom_flags,
     decontaminate,
     dedup_corpus,
     minhash_lsh_pairs,
@@ -252,6 +254,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     n3 = clean_train.count()
 
+    # 5a'. bloom prefilter audit: at FULL corpus scale the broadcast
+    # gram join above is the bottleneck — bloom_flags tests the same
+    # 13-gram universe against a 16 KiB bitmask map-side (zero
+    # exchanges, no false negatives), so production runs
+    # bloom-prefilter first and the exact join only on the flagged
+    # slice. Here we run it as an audit: flagged count vs the exact
+    # rule's drop count bounds the false-positive mass.
+    bloom_flagged = (
+        bloom_flags(train_docs, bloom_build(heldout, "text"), "doc_id", "text")
+        .filter(F.col("bloom_flagged"))
+        .count()
+    )
+
     # 5b. exact-substring dedup WITHIN train (Lee et al.): delete
     # 13-token spans occurring >= 2 times across the training set —
     # boilerplate paragraphs that survive whole-doc near-dup because
@@ -315,7 +330,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"corpus: {n0} docs -> {n1} after quality "
         f"({n_pii} PII spans redacted) -> {n2} after dedup; "
         f"train {train_docs.count()} -> {n3} after decontamination "
-        f"-> {n4} after mixture"
+        f"(bloom prefilter flags {bloom_flagged}) -> {n4} after mixture"
     )
     print(
         f"train packing: {n4} docs -> {n5} chunks -> "
