@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (79 as of r7), so the queries whose
+len(QUERY_REGISTRY) queries (80 as of r7), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -49,6 +49,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     graphq,
     funnelq,
     cdcq,
+    setsimq,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -171,6 +172,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # the boundary rule is pinned by the oracle-parity row +
     # reconstruction/shift-invariance unit tests
     "cdc_dup_stats",
+    # the exact complement of the in-cap LSH pair generators
+    # (dedup_minhash_lsh, ngram_jaccard_pairs share the shingle +
+    # inverted-index machinery); the prefix-filter pruning is pinned
+    # by the brute-force oracle-parity row + unit tests
+    "setsim_pairs",
 )
 
 DRIVER_CAP = 50
