@@ -144,12 +144,6 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # tf/df build, sorted-term deterministic folds); the full-vocab
     # norm path is exercised by the oracle-parity row + unit tests
     "tfidf_topk",
-    # rides ngram_decontaminate's exact gram universe (identical md5
-    # 13-gram construction on the same 95/5 split); the bloom
-    # bitmask path is pinned by the oracle-parity row, the
-    # no-false-negative superset unit test, and the zero-exchange
-    # plan pin
-    "bloom_decontaminate",
     # graph machinery family: label-propagation components and
     # integer PageRank hold driver rows (dedup_components,
     # pagerank_hosts); the orientation/wedge path is pinned by the
@@ -172,11 +166,19 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # the boundary rule is pinned by the oracle-parity row +
     # reconstruction/shift-invariance unit tests
     "cdc_dup_stats",
-    # the exact complement of the in-cap LSH pair generators
-    # (dedup_minhash_lsh, ngram_jaccard_pairs share the shingle +
-    # inverted-index machinery); the prefix-filter pruning is pinned
-    # by the brute-force oracle-parity row + unit tests
-    "setsim_pairs",
+    # per-key rank/top-k-cut machinery pinned by pricing_summary
+    # (agg surface), running_total (window surface), and
+    # pooled_retrieval's TakeOrdered row; the join chain by
+    # region_revenue (r7 rotation making room for setsim_pairs'
+    # brute-force-oracled exact-join row)
+    "top_orders_per_customer",
+    # the exact-quota two-phase selection machinery runs inside
+    # temperature_mixture's driver row (tau-scaled weights feed the
+    # IDENTICAL quota plan + hash-ranked selection); membership is
+    # additionally property-tested against a direct reference
+    # (r7 rotation making room for bloom_decontaminate's join-free
+    # bitmask row)
+    "domain_mixture",
 )
 
 DRIVER_CAP = 50

@@ -92,9 +92,13 @@ def test_driver_cap_curation():
         "temperature_mixture",
         "bm25_topk",
         "packing_assignments",
-        "domain_mixture",
+        # domain_mixture rotated out r7: its exact-quota two-phase
+        # selection runs inside temperature_mixture's driver row
         "shard_plan",
         "curriculum_order",
+        # r7-session flagships
+        "setsim_pairs",
+        "bloom_decontaminate",
     }
     assert flagships <= set(names[:DRIVER_CAP])
     for name in OUTSIDE_DRIVER_CAP:
