@@ -106,6 +106,52 @@ def stratified_sample(
     return df.filter(h < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    seed: str = "",
+    key_col: str = "es_key_micro",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES).
+
+    Draws n rows with inclusion probability proportional to weight,
+    without replacement: each row gets the key ln(u) / w with
+    u = (hash60(id, seed) + 1) / 2^60 in (0, 1], and the n LARGEST
+    keys win — the distributed form of the classic weighted reservoir
+    (Efraimidis & Spirakis 2006, key u^(1/w), order-isomorphic under
+    ln). Deterministic: u is an md5 hash of (id, seed), so membership
+    is stable across runs, partitionings, and engines — the property
+    a seeded `df.sample` cannot give.
+
+    Engine-exactness: u is a dyadic rational (int64 -> double is
+    IEEE round-to-nearest in every engine, /2^60 is exact scaling),
+    and the key is quantized to integer MICRO-units
+    (round((ln(u)/w) * 1e6) as BIGINT) so a last-ulp libm difference
+    in ln() moves the quantized key only when the true value sits
+    within ~1e-9 of a rounding boundary. Ties break by id. Rows with
+    NULL or non-positive weight are excluded (inclusion probability
+    zero).
+
+    Plan shape: map-only key computation inside the scan, then
+    ORDER BY key DESC LIMIT n -> TakeOrderedAndProject; each partition
+    keeps a local top-n and only n rows per partition reach the merge.
+    At 100 TB the cost is one md5 + one ln per row inside the scan
+    stage — no full sort, no extra shuffle.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (_unit_hash(id_col, seed) + F.lit(1)).cast("double") / F.lit(float(HASH_SPACE))
+    key = F.round((F.log(u) / w) * F.lit(1e6)).cast("bigint")
+    return (
+        df.filter(w > F.lit(0.0))
+        .withColumn(key_col, key)
+        .orderBy(F.desc(key_col), F.col(id_col))
+        .limit(n)
+    )
+
+
 def sample_exact_n(df: DataFrame, id_col: str, n: int, *, seed: str = "") -> DataFrame:
     """Deterministic fixed-size sample: the n rows with smallest id hash.
 

@@ -179,6 +179,12 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # (r7 rotation making room for bloom_decontaminate's join-free
     # bitmask row)
     "domain_mixture",
+    # r7-session addition registered outside the cap: its two verified
+    # surfaces are each driver-pinned elsewhere — the md5 unit-hash
+    # membership by stratified_sample_docs, the TakeOrderedAndProject
+    # top-k cut by pooled_retrieval/bm25_topk; the A-ES key rule is
+    # pinned by the oracle-parity row + a brute-force-reference test
+    "weighted_sample_docs",
 )
 
 DRIVER_CAP = 50

@@ -18,6 +18,7 @@ from python_stream_processing_framework_spark.operators.sampling import (
     sample_exact_n,
     split_thresholds,
     stratified_sample,
+    weighted_sample,
 )
 from python_stream_processing_framework_spark.queries.base import query
 
@@ -91,6 +92,36 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=_DEFAULT_FRACTION,
         seed="s7",
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(ROUND((ln(({_duck_hash('doc_id', 'w11')} + 1)
+                         / {float(HASH_SPACE)!r})
+                        / CAST(n_chars AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS es_key_micro
+      FROM documents
+      WHERE CAST(n_chars AS DOUBLE) > 0.0)
+    SELECT doc_id, lang, n_chars, es_key_micro
+    FROM h
+    ORDER BY es_key_micro DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Length-proportional weighted sample without replacement "
+    "(Efraimidis-Spirakis A-ES, operators/sampling.weighted_sample): "
+    "100 documents drawn with probability proportional to n_chars via "
+    "the key ln(u)/w on a deterministic md5 unit hash, quantized to "
+    "integer micro-units for engine-exact replay. Map-only key inside "
+    "the scan + TakeOrderedAndProject top-k — no full sort at 100 TB.",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return weighted_sample(documents, "doc_id", "n_chars", 100, seed="w11").select(
+        "doc_id", "lang", "n_chars", "es_key_micro"
+    )
 
 
 # sample_fixed_n was rotated out of the 50-entry registry in round 6

@@ -425,6 +425,62 @@ def test_sample_exact_n_plan_and_determinism(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort
 
 
+def test_weighted_sample_matches_brute_force_reference(spark):
+    """A-ES selection must equal a sequential reference: same md5 unit
+    hash, same ln(u)/w key, same micro-quantization, same tie rule."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from python_stream_processing_framework_spark.operators.sampling import (
+        HASH_SPACE,
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(400)]
+    rows += [(400, 0.0), (401, -3.0)]  # non-positive weights excluded
+    df = spark.createDataFrame(rows, ["doc_id", "w"]).repartition(8)
+
+    def ref_key(doc_id: int, w: float) -> int:
+        h = int(hashlib.md5(f"{doc_id}#s9".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / HASH_SPACE
+        return int(
+            Decimal((math.log(u) / w) * 1e6).quantize(0, rounding=ROUND_HALF_UP)
+        )
+
+    expect = sorted(
+        ((ref_key(i, w), i) for i, w in rows if w > 0), key=lambda t: (-t[0], t[1])
+    )[:30]
+    got = weighted_sample(df, "doc_id", "w", 30, seed="s9").collect()
+    assert [(r["es_key_micro"], r["doc_id"]) for r in got] == expect
+
+    plan = (
+        weighted_sample(df, "doc_id", "w", 30, seed="s9")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # local top-n, no global sort
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Across seeds, a row with 50x the weight of the others must be
+    selected far more often — the proportional-inclusion semantics."""
+    from python_stream_processing_framework_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 50.0 if i == 0 else 1.0) for i in range(200)], ["doc_id", "w"]
+    )
+    hits = sum(
+        any(r["doc_id"] == 0 for r in weighted_sample(df, "doc_id", "w", 20, seed=f"s{k}").collect())
+        for k in range(12)
+    )
+    # P(include | w=50 vs 199 unit weights, n=20) ~ 1 - (1-20/249)^50 ~ .98
+    assert hits >= 10
+
+
 def test_repetition_stats_crafted(spark):
     from python_stream_processing_framework_spark.operators.text import (
         repetition_stats,
