@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (81 as of r7), so the queries whose
+len(QUERY_REGISTRY) queries (82 as of r7), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -50,6 +50,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     funnelq,
     cdcq,
     setsimq,
+    zorderq,
 )
 
 #: The driver's CORRECTNESS file caps at 50 rows taken in registration
@@ -185,6 +186,13 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # top-k cut by pooled_retrieval/bm25_topk; the A-ES key rule is
     # pinned by the oracle-parity row + a brute-force-reference test
     "weighted_sample_docs",
+    # r7-session addition registered outside the cap: the groupBy agg
+    # shape is pinned by a dozen in-cap rows; the Morton bit-interleave
+    # itself is engine-exact integer arithmetic generated from ONE
+    # Python loop for both engines (operators/zorder.z_value / z_sql),
+    # pinned by the oracle-parity row + the brute-force-reference and
+    # file-locality tests in tests/test_zorder.py
+    "zorder_cells",
 )
 
 DRIVER_CAP = 50
