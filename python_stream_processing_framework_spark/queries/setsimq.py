@@ -32,17 +32,19 @@ from python_stream_processing_framework_spark.queries.base import query
                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
                    6) AS jaccard
       FROM s a JOIN s b ON a.doc_id < b.doc_id)
-    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7
     """,
-    doc="EXACT all-pairs 2-shingle-set Jaccard >= 0.5 via prefix "
+    doc="EXACT all-pairs 2-shingle-set Jaccard >= 0.7 via prefix "
     "filtering (operators/setsim.setsim_join — AllPairs/PPJoin: "
     "rarity-ordered prefixes, asymmetric index/probe lengths, length "
     "+ positional filters, all floor-bounded so pruning only ever "
     "over-keeps). The exact complement of the recall<1 LSH tiers: "
     "no qualifying pair is lost, and the oracle is brute force to "
     "prove exactly that. Hot common shingles never enter the join — "
-    "they sort to the END of the rarity order, past every prefix.",
+    "they sort to the END of the rarity order, past every prefix. "
+    "0.7 is the standard near-dup dedup operating point; the "
+    "pruning bounds tighten as the threshold rises.",
 )
 def setsim_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    return setsim_join(documents, "doc_id", "text", threshold=0.5, shingle_k=2)
+    return setsim_join(documents, "doc_id", "text", threshold=0.7, shingle_k=2)
