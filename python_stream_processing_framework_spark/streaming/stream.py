@@ -547,6 +547,63 @@ class Stream:
             )
         )
 
+    def dedupe_near(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        id_field: str = "doc_id",
+        text_field: str = "text",
+        target: str | None = None,
+        group: str | None = None,
+        index_path: str | None = None,
+        threshold: float = 0.8,
+        num_hashes: int = 16,
+        bands: int = 8,
+        shingle_k: int = 3,
+        max_band_freq: int | None = None,
+    ) -> None:
+        """Streaming NEAR-duplicate admission: forward to ``target``
+        (default `{topic}-unique`) only documents that are not
+        near-duplicates — of anything in this micro-batch (component-
+        canonical, min id survives) or of any document admitted by an
+        EARLIER batch. Content-level dedup, where `dedupe` is key-level.
+
+        State is the persisted MinHash signature index
+        (operators/dedup_index.py) under ``index_path`` (default
+        `{broker}/_indexes/{group}`) — parquet signatures keyed by
+        batch partition, NOT Spark state-store state: the index
+        survives restarts with the checkpoint, is queryable offline,
+        and each batch's additions overwrite idempotently per
+        batch_id, so a foreachBatch redelivery re-adjudicates against
+        all OTHER batches and rewrites its own partition (the same
+        write-twice contract as every sink here). Sink delivery is
+        idempotent per batch_id too (`_write_batch_jsonl`).
+        """
+        group = group or f"{self.name}-dedupe-near"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="dedupe_near",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "id_field": id_field,
+                    "text_field": text_field,
+                    "target": target or f"{topic}-unique",
+                    "group": group,
+                    "index_path": index_path
+                    or str(self.broker / "_indexes" / group),
+                    "threshold": threshold,
+                    "num_hashes": num_hashes,
+                    "bands": bands,
+                    "shingle_k": shingle_k,
+                    "max_band_freq": max_band_freq,
+                },
+            )
+        )
+
     def route(
         self,
         topic: str,
@@ -1024,6 +1081,51 @@ class Stream:
             .start()
         )
 
+    def _start_dedupe_near(self, sub: _Subscription):
+        """Near-dup admission per micro-batch: the foreachBatch body
+        runs the batch-incremental index admit (within-batch
+        components + cross-index band join — distributed jobs, no
+        driver data) and delivers only admitted rows."""
+        from python_stream_processing_framework_spark.operators.common import (
+            release_caches,
+        )
+        from python_stream_processing_framework_spark.operators.dedup_index import (
+            minhash_index_admit,
+        )
+
+        src = self.stream_topic(sub.topic, sub.schema)
+        o = sub.options
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def admit_batch(batch: DataFrame, batch_id: int) -> None:
+            try:
+                admitted = minhash_index_admit(
+                    batch,
+                    o["index_path"],
+                    str(batch_id),
+                    id_col=o["id_field"],
+                    text_col=o["text_field"],
+                    num_hashes=o["num_hashes"],
+                    bands=o["bands"],
+                    shingle_k=o["shingle_k"],
+                    threshold=o["threshold"],
+                    max_band_freq=o["max_band_freq"],
+                )
+                # idempotent per batch_id — see _write_batch_jsonl
+                _write_batch_jsonl(admitted, sink_dir, batch_id)
+            finally:
+                release_caches()
+
+        return (
+            src.writeStream.foreachBatch(admit_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def run_until_idle(self, *, rounds: int = 1) -> None:
         """Start every registered pipeline against the data currently in
         the broker and block until all of it is processed — the test /
@@ -1036,6 +1138,7 @@ class Stream:
             "sessionize": self._start_sessionize,
             "route": self._start_route,
             "dedupe": self._start_dedupe,
+            "dedupe_near": self._start_dedupe_near,
         }
         for _ in range(max(1, rounds)):
             queries = []
