@@ -114,6 +114,8 @@ def main() -> None:
         "bpe_256_merges": _bpe_batched_bench(spark, sf_dir),
         "semdedup_100k": _semdedup_100k_bench(spark),
         "pca_ann_64to16": _pca_ann_bench(spark),
+        "incremental_admit": _incremental_admit_bench(spark, sf_dir),
+        "bucketed_join": _bucketed_join_bench(spark, sf_dir),
     }
 
     total = round(sum(timings.values()), 3)
@@ -998,6 +1000,127 @@ def _bpe_batched_bench(spark, sf_dir: str) -> dict:
         "batched_merges": n_batched,
         "batched_s_per_merge": round(batched_s / max(n_batched, 1), 4),
         "batch": 16,
+    }
+
+
+def _incremental_admit_bench(spark, sf_dir: str) -> dict:
+    """Incremental near-dup admission (operators/dedup_index.py): the
+    corpus arrives as three equal batches; each admit runs the
+    within-batch component dedup plus the band join against the
+    SIGNATURE index of everything admitted before — never re-mining
+    earlier batches. Per-batch walls are reported so growth with
+    index size is visible (the index side is signature-only and
+    column-pruned, so per-batch cost should stay near-flat)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        minhash_index_admit,
+        read_index,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="admit-idx-")
+    walls, admitted = [], []
+    try:
+        for b in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == b)
+            t0 = _t.perf_counter()
+            n = minhash_index_admit(batch, tmp, f"b{b}").count()
+            walls.append(round(_t.perf_counter() - t0, 3))
+            admitted.append(n)
+            release_caches()
+        idx_rows = read_index(spark, tmp).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.clearCache()
+    return {
+        "batch_walls_s": walls,
+        "admitted_per_batch": admitted,
+        "index_rows_final": idx_rows,
+        "n_batches": 3,
+    }
+
+
+def _bucketed_join_bench(spark, sf_dir: str) -> dict:
+    """Bucketed-layout amortization (operators/bucketing.py): pay the
+    orderkey shuffle once at write, then join lineitem x orders with
+    ZERO exchanges. Reports the one-time bucketed-write cost, the
+    exchange-free join wall, and the shuffled control join over raw
+    parquet (broadcast disabled for both so the comparison is
+    SortMergeJoin vs SortMergeJoin)."""
+    import re as _re
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    tmp = tempfile.mkdtemp(prefix="bkt-")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        t0 = _t.perf_counter()
+        write_bucketed(
+            orders.select("o_orderkey", "o_totalprice"),
+            "bench_bkt_orders",
+            "o_orderkey",
+            16,
+            path=f"{tmp}/o",
+        )
+        write_bucketed(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            "bench_bkt_lineitem",
+            "l_orderkey",
+            16,
+            path=f"{tmp}/l",
+        )
+        write_s = round(_t.perf_counter() - t0, 3)
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(
+            spark,
+            "bench_bkt_orders",
+            "bench_bkt_lineitem",
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        exchange_free = not _re.search(r"\(\d+\) Exchange\b", plan_text(j))
+
+        def run(df) -> float:
+            t0 = _t.perf_counter()
+            df.groupBy().sum("l_extendedprice").collect()
+            return _t.perf_counter() - t0
+
+        run(j)  # warm-up
+        bucketed_s = min(run(j) for _ in range(3))
+        plain = orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select("l_extendedprice")
+        run(plain)
+        shuffled_s = min(run(plain) for _ in range(3))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bench_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bench_bkt_lineitem")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "bucketed_write_once_s": write_s,
+        "bucketed_join_s": round(bucketed_s, 3),
+        "shuffled_join_s": round(shuffled_s, 3),
+        "exchange_free": exchange_free,
+        "n_buckets": 16,
     }
 
 
