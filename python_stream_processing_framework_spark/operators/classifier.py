@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_stream_processing_framework_spark.operators.common import maybe_broadcast
 from python_stream_processing_framework_spark.operators.dedup import tokens_expr
 
 #: Weight scale: probabilities are stored as integers in [0, 1e6].
@@ -83,6 +84,8 @@ def classifier_score(
     weights: DataFrame,
     id_col: str,
     text_col: str,
+    *,
+    broadcast_row_cap: int | None = None,
 ) -> DataFrame:
     """Score documents against a trained weight table.
 
@@ -94,18 +97,24 @@ def classifier_score(
     Documents with NO in-vocabulary token produce no row (the join is
     inner): callers wanting them back left-join and impute neutral.
 
-    Scale shape: map-side distinct-token explode, then ONE broadcast
-    hash join against the weight table (vocabularies — even the 2M
-    rows of a fastText vocab — broadcast comfortably), then a per-id
-    partial-agg'd groupBy. The corpus is never exchanged by the
-    join; only (id, weight) pairs shuffle for the final mean.
+    Scale shape: map-side distinct-token explode, then ONE hash join
+    against the weight table. The broadcast hint is size-gated
+    (``common.maybe_broadcast``): a fastText-sized 2M-row vocabulary
+    broadcasts comfortably, but the weight table is user-supplied and
+    unbounded in principle, so above ``common.BROADCAST_ROW_CAP`` the
+    join stays a plain equi-join and AQE decides. When broadcast, the
+    corpus is never exchanged by the join; only (id, weight) pairs
+    shuffle for the final mean.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("token"),
     )
     joined = toks.join(
-        F.broadcast(weights.select("token", "w_micro")), "token"
+        maybe_broadcast(
+            weights.select("token", "w_micro"), max_rows=broadcast_row_cap
+        ),
+        "token",
     )
     return (
         joined.groupBy(id_col)

@@ -3,6 +3,18 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Row cap under which a vocabulary-keyed side table is broadcast-
+# hinted. Sizing math (SCALE.md "Size-gated broadcasts"): a (token,
+# count) row costs ~100 bytes inside the JVM broadcast hashmap
+# (string + long + node overhead), so 2M rows ~ 200 MB per executor —
+# the comfortable ceiling for an explicit hint. Below it, shipping
+# the table beats shuffling the (much larger) fact side; above it,
+# the hint becomes an executor-OOM order, so the join stays a plain
+# equi-join and AQE still picks broadcast at runtime if the side
+# turns out to fit autoBroadcastJoinThreshold.
+BROADCAST_ROW_CAP = 2_000_000
 
 # Every operator-persisted frame / broadcast is tracked here so a long
 # session can release them all between pipeline stages. Entries are
@@ -41,6 +53,35 @@ def materialize(df: DataFrame) -> DataFrame:
     df.count()
     _TRACKED_FRAMES.append(df)
     return df
+
+
+def maybe_broadcast(
+    df: DataFrame, *, max_rows: int | None = None, known_count: int | None = None
+) -> DataFrame:
+    """Size-gated broadcast hint for vocabulary-keyed side tables.
+
+    An unconditional ``F.broadcast`` on a table keyed by corpus
+    vocabulary (distinct tokens, shingles, user-supplied weight
+    vocabularies) is a latent executor-OOM: "tiny relative to the
+    corpus" is not "tiny" — at 100 TB of web text distinct tokens run
+    ~1e8-1e9 and distinct 2-shingles ~1e10. This helper materializes
+    the side (persist + count — the count is the size probe AND
+    pre-pays the join's build scan) and attaches the hint only when
+    the row count is at or under ``max_rows`` (default
+    ``BROADCAST_ROW_CAP``). Above the cap it returns the plain
+    materialized frame: the join becomes an ordinary equi-join whose
+    strategy AQE picks from the REAL runtime size.
+
+    Pass ``known_count`` when the caller has already counted the
+    frame (skips the persist/probe). The materialized frame is
+    tracked for ``release_caches()`` like every other operator cache.
+    """
+    cap = BROADCAST_ROW_CAP if max_rows is None else max_rows
+    n = known_count
+    if n is None:
+        df = materialize(df)
+        n = df.count()
+    return F.broadcast(df) if n <= cap else df
 
 
 def track_broadcast(bc):

@@ -167,6 +167,7 @@ def tfidf_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    broadcast_row_cap: int | None = None,
 ) -> DataFrame:
     """Top-k documents by tf-idf cosine similarity to ``query``.
 
@@ -215,7 +216,10 @@ def tfidf_topk(
         F.explode(tokenize_expr(F.col(text_col))).alias("_t"),
     )
 
-    from python_stream_processing_framework_spark.operators.common import materialize
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        maybe_broadcast,
+    )
 
     # (doc, term, tf): the inverted-index frame. Materialized because
     # BOTH the df aggregation and the per-doc norm aggregation read it;
@@ -224,12 +228,19 @@ def tfidf_topk(
         toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).cast("double").alias("_tf"))
     )
 
-    # Vocabulary df -> idf. Zipf-tiny relative to the corpus (unique
-    # terms only), broadcast back onto tf.
-    dfc = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    # Vocabulary df -> idf. Size-gated broadcast: "unique terms only"
+    # is tiny relative to the corpus but NOT bounded (~1e8-1e9 tokens
+    # at 100 TB of web text), so the hint applies only under the row
+    # cap; above it the join stays a plain equi-join and AQE decides.
+    # The materialization inside maybe_broadcast also serves the
+    # query-term collect below, which re-reads dfc.
+    dfc = maybe_broadcast(
+        tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df")),
+        max_rows=broadcast_row_cap,
+    )
     idf_col = F.log(F.lit(one_plus_n) / (1.0 + F.col("_df"))) + 1.0
 
-    weighted = tf.join(F.broadcast(dfc), "_t").select(
+    weighted = tf.join(dfc, "_t").select(
         F.col(id_col),
         F.col("_t"),
         (F.col("_tf") * idf_col).alias("_w"),

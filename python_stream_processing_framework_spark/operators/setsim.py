@@ -13,8 +13,10 @@ that make a naive inverted index quadratic never enter the join. No
 recall loss, and the pruning strengthens as t rises.
 
 Scale shape: one scan builds per-doc distinct token arrays; the
-global df table (vocab-sized, Zipf-tiny) broadcasts back to rank
-tokens; prefix tokens (a ~(1-t) fraction of each doc's vocabulary)
+global df table joins back to rank tokens (size-gated broadcast —
+shingle vocabularies run ~1e10 at web scale, so the hint only
+applies under ``common.BROADCAST_ROW_CAP``); prefix tokens (a
+~(1-t) fraction of each doc's vocabulary)
 feed ONE equi-join shuffle; candidate verification joins the two
 token-set arrays (candidates only) and computes exact Jaccard with
 array_intersect — all JVM expressions, no Python.
@@ -25,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_stream_processing_framework_spark.operators.common import maybe_broadcast
 from python_stream_processing_framework_spark.operators.dedup import tokens_expr
 
 
@@ -35,6 +38,7 @@ def setsim_join(
     *,
     threshold: float = 0.6,
     shingle_k: int = 2,
+    broadcast_row_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with set Jaccard >= ``threshold`` — EXACT.
 
@@ -67,10 +71,17 @@ def setsim_join(
         .select(F.col(id_col).alias("_id"), set_expr.alias("_s"))
     )
     toks = sets.select("_id", F.explode("_s").alias("_t"))
-    dfc = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # Size-gated broadcast: the distinct-SHINGLE df table is strictly
+    # LARGER than the vocabulary (~1e10 2-word shingles on web-scale
+    # text), so the hint applies only under the row cap; above it the
+    # rarity join is a plain equi-join and AQE picks the strategy.
+    dfc = maybe_broadcast(
+        toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")),
+        max_rows=broadcast_row_cap,
+    )
     # global rarity order: (df asc, token asc) — a total order, so
     # every engine sorts prefixes identically
-    ranked = toks.join(F.broadcast(dfc), "_t").select(
+    ranked = toks.join(dfc, "_t").select(
         "_id", F.struct(F.col("_df"), F.col("_t")).alias("_k"), "_t"
     )
     # prefix = the (n - ceil(t*n) + 1) rarest tokens of each doc: if

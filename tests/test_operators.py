@@ -1276,6 +1276,31 @@ def test_classifier_separates_when_label_has_signal(spark):
     assert sum(pos) / len(pos) > sum(neg) / len(neg) + 200_000
 
 
+def test_classifier_exchange_regime_matches_broadcast_regime(spark):
+    """broadcast_row_cap=0 forces the weight join into the plain
+    equi-join regime; scores must be identical to the hinted path."""
+    from python_stream_processing_framework_spark.operators.classifier import (
+        classifier_score,
+        classifier_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good stuff", True), (2, "bad other", False), (3, "good other", True)],
+        "doc_id int, text string, y boolean",
+    )
+    w = classifier_train(docs, "doc_id", "text", "y")
+    default = sorted(
+        tuple(r) for r in classifier_score(docs, w, "doc_id", "text").collect()
+    )
+    forced = sorted(
+        tuple(r)
+        for r in classifier_score(
+            docs, w, "doc_id", "text", broadcast_row_cap=0
+        ).collect()
+    )
+    assert forced == default
+
+
 def test_remove_boilerplate_mine_then_remove(spark):
     from python_stream_processing_framework_spark.operators.text import (
         frequent_ngrams,

@@ -6,6 +6,8 @@ shuffle will fail here long before it shows up as a 100 TB incident.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMOKE
 
 from python_stream_processing_framework_spark.plans import (
@@ -108,15 +110,66 @@ def test_topk_uses_take_ordered(spark):
 
 
 def test_tfidf_broadcasts_vocab_df_and_take_ordered(spark):
-    """The vocabulary-df frame (Zipf-tiny) must ride a broadcast back
-    onto the inverted-index tf frame, and the top-k cut must be
-    TakeOrdered, not a full sort."""
+    """Small regime: a vocabulary-df frame under BROADCAST_ROW_CAP
+    must ride a broadcast back onto the inverted-index tf frame, and
+    the top-k cut must be TakeOrdered, not a full sort."""
     from python_stream_processing_framework_spark.plans import plan_text
 
     df = q("tfidf_topk", spark)
     text = plan_text(df)
     assert "BroadcastHashJoin" in text, "vocab df join lost its broadcast"
     assert "TakeOrderedAndProject" in text, "top-k fell back to full sort"
+
+
+def test_tfidf_exchange_regime_above_broadcast_cap(spark):
+    """Large regime: when the vocabulary-df table exceeds the size
+    gate (forced here with broadcast_row_cap=0), the hint must NOT be
+    attached — the join falls back to an ordinary exchange join (an
+    executor-OOM broadcast of a ~1e9-row vocab is the 100 TB hazard
+    the gate exists for). Results must be identical in both regimes."""
+    from python_stream_processing_framework_spark.operators.retrieval import (
+        tfidf_topk,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = tfidf_topk(docs, "table scan", k=5, broadcast_row_cap=0)
+        text = plan_text(big)
+        assert "BroadcastHashJoin" not in text, "hint survived the size gate"
+        assert "SortMergeJoin" in text or "ShuffledHashJoin" in text
+        forced = [tuple(r) for r in big.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    default = [tuple(r) for r in tfidf_topk(docs, "table scan", k=5).collect()]
+    assert forced == default
+
+
+def test_maybe_broadcast_size_gate(spark):
+    """The shared helper: hint at-or-under the cap, plain frame above."""
+    from python_stream_processing_framework_spark.operators.common import (
+        maybe_broadcast,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    fact = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    side = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(2).alias("w"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = fact.join(maybe_broadcast(side, max_rows=100), "k")
+        assert "BroadcastHashJoin" in plan_text(hinted)
+        plain = fact.join(maybe_broadcast(side, max_rows=99), "k")
+        t = plan_text(plain)
+        assert "BroadcastHashJoin" not in t
+        assert "SortMergeJoin" in t or "ShuffledHashJoin" in t
+        # known_count skips the probe but applies the same gate
+        pre = fact.join(maybe_broadcast(side, max_rows=99, known_count=5), "k")
+        assert "BroadcastHashJoin" in plan_text(pre)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_minhash_candidates_not_quadratic(spark):

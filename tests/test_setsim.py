@@ -48,6 +48,21 @@ def test_setsim_matches_brute_force(spark, threshold, k):
     assert got == _brute(rows, threshold, k)
 
 
+def test_setsim_exchange_regime_matches_broadcast_regime(spark):
+    """Forcing the shingle-df table above the broadcast size gate
+    (broadcast_row_cap=0 → plain equi-join) must not change a single
+    pair: the gate is an execution-strategy switch, not semantics."""
+    from python_stream_processing_framework_spark.operators.setsim import setsim_join
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(120)
+    default = sorted(tuple(r) for r in setsim_join(docs, threshold=0.5).collect())
+    forced = sorted(
+        tuple(r)
+        for r in setsim_join(docs, threshold=0.5, broadcast_row_cap=0).collect()
+    )
+    assert forced == default
+
+
 def test_setsim_validates(spark):
     from python_stream_processing_framework_spark.operators.setsim import setsim_join
 
