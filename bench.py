@@ -116,9 +116,12 @@ def main() -> None:
         "pca_ann_64to16": _pca_ann_bench(spark),
         "incremental_admit": _incremental_admit_bench(spark, sf_dir),
         "bucketed_join": _bucketed_join_bench(spark, sf_dir),
+        "zipf_text": _zipf_text_bench(spark),
     }
 
     total = round(sum(timings.values()), 3)
+    # Rich record first: full-precision timings + every diagnostic,
+    # for anyone reading the complete log.
     print(
         json.dumps(
             {
@@ -146,6 +149,15 @@ def main() -> None:
             }
         )
     )
+    # LAST LINE MUST SURVIVE A 2,000-BYTE TAIL CUT: the round driver
+    # persists only the last 2,000 bytes of bench stdout, and a JSON
+    # line truncated at its FRONT is unparseable — r5-r7 BENCH records
+    # all lost their wall times this way ("parsed": null). Emit a
+    # final COMPACT line, budgeted under the cut, carrying the total
+    # and as many per-query timings as fit (slowest first — the ones
+    # a reader compares against BASELINE.md); anything dropped is
+    # summarized in queries_omitted / omitted_total_sec.
+    print(_tail_safe_line(total, timings, sf, cpus))
 
 
 #: State-partition width for the streaming benchmark. A stateful
@@ -165,6 +177,45 @@ def main() -> None:
 #: batch (~0.3 s) that append-mode output needs to flush closed
 #: windows.
 STREAM_STATE_PARTITIONS = 8
+
+
+def _tail_safe_line(
+    total: float, timings: dict, sf: str, cpus: str, budget: int = 1900
+) -> str:
+    """One compact JSON line guaranteed under ``budget`` bytes.
+
+    Greedy fit: per-query timings enter slowest-first (rounded to
+    2dp) until the serialized line would exceed the budget; the rest
+    collapse into queries_omitted / omitted_total_sec so the total
+    always reconciles. With short catalogs everything fits and the
+    omitted fields stay 0.
+    """
+    base = {
+        "metric": "catalog_total_wall_seconds",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "value": total,
+    }
+    ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept: dict = {}
+    for i, (name, secs) in enumerate(ordered):
+        trial = dict(base)
+        trial["queries"] = {**kept, name: round(secs, 2)}
+        trial["queries_omitted"] = len(ordered) - i - 1
+        trial["omitted_total_sec"] = round(
+            sum(v for _, v in ordered[i + 1 :]), 2
+        )
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        kept[name] = round(secs, 2)
+    n_kept = len(kept)
+    out = dict(base)
+    out["queries"] = kept
+    out["queries_omitted"] = len(ordered) - n_kept
+    out["omitted_total_sec"] = round(sum(v for _, v in ordered[n_kept:]), 2)
+    return json.dumps(out, separators=(",", ":"))
 
 
 def _streaming_throughput(spark, sf_dir: str) -> dict:
@@ -1121,6 +1172,112 @@ def _bucketed_join_bench(spark, sf_dir: str) -> dict:
         "shuffled_join_s": round(shuffled_s, 3),
         "exchange_free": exchange_free,
         "n_buckets": 16,
+    }
+
+
+def _zipf_docs(spark, n_docs: int, *, vocab: int = 50_000, seed: int = 41):
+    """Deterministic Zipf-vocabulary document corpus, generated
+    JVM-side (no Python in the loop).
+
+    The synthetic documents.parquet has a ~931-distinct-shingle
+    alphabet, which makes EVERY token hot and every inverted-index /
+    prefix-filter bench pathological (SCALE.md dense-regime note).
+    Real web text is Zipf: token rank r has frequency ~ 1/r. Sampled
+    here by inverse-CDF of the harmonic distribution — u uniform in
+    [0,1) from a (seed, doc, position) hash, rank = floor(exp(u *
+    ln(V))) gives p(rank) ~ 1/rank over V ranks. ~2% of docs are
+    near-duplicates of a neighbour (same token stream, one position
+    re-seeded) so similarity benches have true pairs to find."""
+    from pyspark.sql import functions as F
+
+    n_tokens = 120
+    base = spark.range(n_docs).select(
+        F.col("id").alias("_doc"),
+        # near-dup pairs: doc 50k+1 clones doc 50k's token stream
+        F.when(
+            (F.col("id") % 50 == 1) & (F.col("id") > 0), F.col("id") - 1
+        )
+        .otherwise(F.col("id"))
+        .alias("_src"),
+        (F.col("id") % 50 == 1).cast("int").alias("_edit"),
+    )
+    u = (
+        F.pmod(
+            F.xxhash64(F.lit(seed), F.col("_src"), F.col("i")), F.lit(1_000_003)
+        ).cast("double")
+        / 1_000_003.0
+    )
+    rank = F.floor(F.exp(u * float(__import__("math").log(vocab)))).cast("int")
+    tok = F.concat(F.lit("w"), rank.cast("string"))
+    # the edited copy swaps ONE position for a doc-unique token
+    tok = F.when(
+        (F.col("_edit") == 1) & (F.col("i") == 7),
+        F.concat(F.lit("edit"), F.col("_doc").cast("string")),
+    ).otherwise(tok)
+    return (
+        base.select(
+            "_doc",
+            "_src",
+            "_edit",
+            F.explode(F.sequence(F.lit(0), F.lit(n_tokens - 1))).alias("i"),
+        )
+        .select("_doc", F.struct("i", tok.alias("_tok")).alias("_p"))
+        .groupBy("_doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_p")), lambda p: p["_tok"]
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.col("_doc").cast("string").alias("doc_id"), "text")
+    )
+
+
+def _zipf_text_bench(spark) -> dict:
+    """The text-family benches on a REALISTIC (Zipf) vocabulary, as a
+    counterpoint to the dense-alphabet synthetic corpus: the prefix
+    filter and the inverted index behave the way they would on web
+    text. Reported next to the catalog's setsim_pairs/tfidf_topk
+    numbers so dense-regime pathology is visible as such."""
+    import time as _t
+
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.retrieval import (
+        tfidf_topk,
+    )
+    from python_stream_processing_framework_spark.operators.setsim import setsim_join
+
+    docs = _zipf_docs(spark, 5_000)
+    docs.persist()
+    n = docs.count()
+
+    def run(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            best = min(best, _t.perf_counter() - t0)
+            release_caches()
+        return round(best, 3)
+
+    try:
+        setsim_s = run(lambda: setsim_join(docs, threshold=0.6))
+        n_pairs = setsim_join(docs, threshold=0.6).count()
+        release_caches()
+        tfidf_s = run(lambda: tfidf_topk(docs, "w1 w2 w17", k=10))
+    finally:
+        release_caches()
+        docs.unpersist()
+    return {
+        "n_docs": n,
+        "vocab": 50_000,
+        "setsim_join_s": setsim_s,
+        "setsim_true_pairs": n_pairs,
+        "tfidf_topk_s": tfidf_s,
     }
 
 

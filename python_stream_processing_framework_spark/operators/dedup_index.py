@@ -203,3 +203,81 @@ def minhash_index_admit(
         f"{_sigs_path(index_path)}/batch={batch_tag}"
     )
     return admitted
+
+
+_COMPACT_PREFIX = "zz-compact-"
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    target_files: int = 8,
+    retain_tags: tuple[str, ...] | list[str] = (),
+) -> str | None:
+    """Fold the per-batch ``sigs/batch=<tag>`` directories into one.
+
+    Every ``minhash_index_admit`` call appends one parquet directory;
+    after 10^4 micro-batches the index is 10^4 directories and every
+    cross-index read pays their listing + small-file cost. Compaction
+    rewrites all batch partitions — except ``retain_tags`` — into a
+    single consolidated ``batch=zz-compact-<generation>`` partition of
+    ``target_files`` files, then deletes the source directories.
+    Previous compact generations are folded in too, so repeated
+    compaction never accumulates.
+
+    Admission equivalence (pinned in tests/test_dedup_index.py): the
+    admit decision reads the index as one signature set and only
+    excludes rows via ``batch != batch_tag``, so moving rows between
+    partitions changes nothing — as long as a tag that may still be
+    RETRIED is never folded in (its rows would stop being excluded
+    and the retry would collide with its own earlier write, admitting
+    nothing). That is the retention rule: pass every tag that is not
+    yet durably complete (for ``Stream.dedupe_near``, the current and
+    any in-flight micro-batch tags) in ``retain_tags``.
+
+    Crash-safe by write-then-delete: a failure between the
+    consolidated write and the source deletes leaves duplicate rows,
+    which admission tolerates (candidate pairs are distinct'd; a doc
+    matching two copies of the same indexed doc drops the same doc)
+    and the next compaction removes (rows are dropDuplicates'd on
+    ``id_col`` — duplicate ids carry identical signatures by
+    construction).
+
+    Returns the new compact tag, or None when there was nothing to
+    compact (no index, or <= 1 non-retained partition).
+    """
+    idx = read_index(spark, index_path)
+    if idx is None:
+        return None
+    # partition-type inference can surface numeric-looking tags as
+    # ints — compare retained tags by string form, keep raw values
+    # for the isin filter
+    tags = sorted(
+        (r["batch"] for r in idx.select("batch").distinct().collect()),
+        key=str,
+    )
+    retained = {str(t) for t in retain_tags}
+    to_compact = [t for t in tags if str(t) not in retained]
+    if len(to_compact) <= 1:
+        return None
+    gen = 0
+    for t in map(str, tags):
+        if t.startswith(_COMPACT_PREFIX):
+            try:
+                gen = max(gen, int(t[len(_COMPACT_PREFIX) :]))
+            except ValueError:
+                pass
+    new_tag = f"{_COMPACT_PREFIX}{gen + 1:08d}"
+    rows = idx.filter(F.col("batch").isin(to_compact)).drop("batch")
+    rows.dropDuplicates([id_col]).coalesce(max(1, target_files)).write.mode(
+        "overwrite"
+    ).parquet(f"{_sigs_path(index_path)}/batch={new_tag}")
+    # sources go only AFTER the consolidated partition is durable
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for t in to_compact:
+        p = jvm.org.apache.hadoop.fs.Path(f"{_sigs_path(index_path)}/batch={t}")
+        p.getFileSystem(hconf).delete(p, True)
+    return new_tag

@@ -198,10 +198,16 @@ def connected_components(
                     .persist()
                 )
                 lab2.count()
+            # _old's null sentinel must carry the NODE type, not a
+            # hardcoded long: with string doc ids (crawl corpora) a
+            # long sentinel makes unionByName coerce the label column
+            # to BIGINT and the round fails with CAST_INVALID_INPUT
+            # under ANSI the moment the graph exceeds the driver
+            # fast path.
             nbr_min = sym.join(lab2, sym["s"] == lab2["node"]).select(
                 F.col("d").alias("node"),
                 F.col("component"),
-                F.lit(None).cast("long").alias("_old"),
+                F.lit(None).cast(edges.schema[src].dataType).alias("_old"),
             )
             # The pre-round label rides along as a tagged row, so one
             # groupBy yields both the new minimum and the changed flag

@@ -127,7 +127,12 @@ def setsim_join(
     xn, yn = F.col("x._n"), F.col("y._n")
     # positional filter (PPJoin): overlap <= 1 + min(|A|-posA,|B|-posB)
     # for the first shared rarity-ordered token, and Jaccard >= t
-    # needs overlap >= ceil(t/(1+t)*(|A|+|B|))
+    # needs overlap >= ceil(t/(1+t)*(|A|+|B|)). (r8 measured the MPJoin
+    # aggregated-positions strengthening here — groupBy(pair) +
+    # min/max/count bounds — and REJECTED it: it cut dense-regime
+    # candidates only 22% (2.6M -> 2.0M on the sf0.1 corpus) while the
+    # per-pair aggregation shuffle cost more than the pruning saved;
+    # the row filter + distinct keeps the shuffle narrow.)
     alpha = F.floor(F.lit(threshold / (1.0 + threshold)) * (xn + yn))
     ubound = 1 + F.least(xn - F.col("x._pos"), yn - F.col("y._pos"))
     xkey = F.struct(xn, F.col("x._id"))
@@ -145,8 +150,19 @@ def setsim_join(
         )
         .distinct()
     )
-    a = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    b = sets.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    # Verification intersects 64-bit xxhash64 IMAGES of the shingle
+    # sets, not the strings: candidate pairs fetch a fixed 8 B/element
+    # array instead of variable-length text, and array_intersect
+    # hashes longs instead of strings — measured 14.5 s -> 9-10 s for
+    # the whole join at sf0.1 (SCALE.md dense-regime note), with the
+    # candidate stage now the floor. Set sizes are preserved exactly
+    # unless two distinct shingles of the same PAIR collide in 64
+    # bits (~n^2/2^64 ~ 1e-12 per pair on 1e3-shingle docs) — far
+    # below any realistic corpus noise floor; the brute-force oracle
+    # tests would surface a collision deterministically.
+    hset = F.expr("array_distinct(transform(_s, s -> xxhash64(s)))")
+    a = sets.select(F.col("_id").alias("id_a"), hset.alias("_sa"))
+    b = sets.select(F.col("_id").alias("id_b"), hset.alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = inter.cast("double") / (
         (F.size("_sa") + F.size("_sb") - inter).cast("double")

@@ -562,6 +562,7 @@ class Stream:
         bands: int = 8,
         shingle_k: int = 3,
         max_band_freq: int | None = None,
+        compact_every: int | None = 64,
     ) -> None:
         """Streaming NEAR-duplicate admission: forward to ``target``
         (default `{topic}-unique`) only documents that are not
@@ -579,6 +580,16 @@ class Stream:
         all OTHER batches and rewrites its own partition (the same
         write-twice contract as every sink here). Sink delivery is
         idempotent per batch_id too (`_write_batch_jsonl`).
+
+        Index lifecycle: every batch appends one ``sigs/batch=<id>``
+        directory; unbounded, that is 10^4 directories after 10^4
+        micro-batches (listing + small-file cost on every cross-index
+        read). Every ``compact_every`` batches the facade runs
+        ``compact_index`` retaining ONLY the current batch tag — safe
+        because Structured Streaming retries at most the current
+        uncommitted batch; all earlier tags are checkpoint-committed
+        and can never be re-admitted. Set ``compact_every=None`` to
+        manage compaction externally.
         """
         group = group or f"{self.name}-dedupe-near"
         self._claim(topic, group)
@@ -600,6 +611,7 @@ class Stream:
                     "bands": bands,
                     "shingle_k": shingle_k,
                     "max_band_freq": max_band_freq,
+                    "compact_every": compact_every,
                 },
             )
         )
@@ -1090,6 +1102,7 @@ class Stream:
             release_caches,
         )
         from python_stream_processing_framework_spark.operators.dedup_index import (
+            compact_index,
             minhash_index_admit,
         )
 
@@ -1113,6 +1126,17 @@ class Stream:
                 )
                 # idempotent per batch_id — see _write_batch_jsonl
                 _write_batch_jsonl(admitted, sink_dir, batch_id)
+                every = o.get("compact_every")
+                if every and batch_id > 0 and batch_id % every == 0:
+                    # retain only the CURRENT tag: it is the single
+                    # batch a foreachBatch redelivery can retry;
+                    # earlier tags are checkpoint-committed forever
+                    compact_index(
+                        batch.sparkSession,
+                        o["index_path"],
+                        id_col=o["id_field"],
+                        retain_tags=[str(batch_id)],
+                    )
             finally:
                 release_caches()
 

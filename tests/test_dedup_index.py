@@ -18,6 +18,7 @@ from python_stream_processing_framework_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from python_stream_processing_framework_spark.operators.dedup_index import (
+    compact_index,
     minhash_index_admit,
     read_index,
 )
@@ -127,6 +128,103 @@ def test_cross_index_drop_respects_threshold(spark, tmp_path):
             ).collect()
         )
         assert admitted == [4]
+    finally:
+        release_caches()
+
+
+def _batch_dirs(tmp_path_idx: str):
+    import os
+
+    sigs = os.path.join(tmp_path_idx, "sigs")
+    return sorted(d for d in os.listdir(sigs) if d.startswith("batch="))
+
+
+def test_compact_then_admit_equivalence(spark, tmp_path):
+    """Compaction is invisible to admission: the same batch sequence
+    admits the same ids whether or not the index was compacted
+    mid-sequence, and the directory count actually drops."""
+    idx_plain = str(tmp_path / "plain")
+    idx_comp = str(tmp_path / "comp")
+    b1 = [(1, _A), (2, _B), (3, _C)]
+    b2 = [(5, _E)]
+    b3 = [(4, _D), (6, _Z)]  # D ~ indexed A -> drop; Z ~ nothing kept
+    try:
+        for idx in (idx_plain, idx_comp):
+            minhash_index_admit(_docs(spark, b1), idx, "b1", **_KW).collect()
+            minhash_index_admit(_docs(spark, b2), idx, "b2", **_KW).collect()
+        assert len(_batch_dirs(idx_comp)) == 2
+        tag = compact_index(spark, idx_comp, target_files=1)
+        assert tag is not None and tag.startswith("zz-compact-")
+        assert _batch_dirs(idx_comp) == [f"batch={tag}"]
+
+        got = {}
+        for idx in (idx_plain, idx_comp):
+            got[idx] = sorted(
+                r["doc_id"]
+                for r in minhash_index_admit(
+                    _docs(spark, b3), idx, "b3", **_KW
+                ).collect()
+            )
+        assert got[idx_plain] == got[idx_comp] == [6]
+        # stored sets agree too (ignoring which partition holds a row)
+        rows = lambda p: sorted(  # noqa: E731
+            r["doc_id"] for r in read_index(spark, p).select("doc_id").collect()
+        )
+        assert rows(idx_plain) == rows(idx_comp) == [1, 3, 5, 6]
+    finally:
+        release_caches()
+
+
+def test_compact_folds_previous_generations(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    try:
+        minhash_index_admit(_docs(spark, [(1, _A)]), idx, "b1", **_KW).collect()
+        minhash_index_admit(_docs(spark, [(3, _C)]), idx, "b2", **_KW).collect()
+        t1 = compact_index(spark, idx, target_files=1)
+        minhash_index_admit(_docs(spark, [(5, _E)]), idx, "b3", **_KW).collect()
+        t2 = compact_index(spark, idx, target_files=1)
+        assert t1 != t2 and _batch_dirs(idx) == [f"batch={t2}"]
+        assert sorted(
+            r["doc_id"] for r in read_index(spark, idx).select("doc_id").collect()
+        ) == [1, 3, 5]
+    finally:
+        release_caches()
+
+
+def test_compact_retains_tags_for_retry(spark, tmp_path):
+    """The retention rule: a tag that may be retried must be passed in
+    retain_tags — its partition survives, so the retry still excludes
+    its own earlier write via batch != tag and stays idempotent."""
+    idx = str(tmp_path / "idx")
+    try:
+        b2 = _docs(spark, [(5, _E)])
+        minhash_index_admit(_docs(spark, [(1, _A), (3, _C)]), idx, "b1", **_KW).collect()
+        minhash_index_admit(b2, idx, "b2", **_KW).collect()
+        # b2 is still in flight: retain it
+        assert compact_index(spark, idx, retain_tags=["b2"]) is None  # <=1 other
+        minhash_index_admit(_docs(spark, [(7, _text(prefix="delta"))]), idx, "b3", **_KW).collect()
+        tag = compact_index(spark, idx, retain_tags=["b2"])
+        assert tag is not None
+        assert f"batch=b2" in _batch_dirs(idx)
+        # the retry of b2 still admits its own docs (no self-collision)
+        retried = sorted(
+            r["doc_id"]
+            for r in minhash_index_admit(b2, idx, "b2", **_KW).collect()
+        )
+        assert retried == [5]
+        stored = read_index(spark, idx)
+        assert stored.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    finally:
+        release_caches()
+
+
+def test_compact_noop_cases(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    assert compact_index(spark, idx) is None  # no index at all
+    try:
+        minhash_index_admit(_docs(spark, [(1, _A)]), idx, "b1", **_KW).collect()
+        assert compact_index(spark, idx) is None  # single partition
+        assert _batch_dirs(idx) == ["batch=b1"]
     finally:
         release_caches()
 

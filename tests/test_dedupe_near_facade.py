@@ -67,6 +67,31 @@ def test_dedupe_near_within_and_across_batches(stream):
     assert _ids(stream, "docs-unique") == ["1", "3", "5"]
 
 
+def test_dedupe_near_compacts_index_and_keeps_admitting(spark, tmp_path):
+    """compact_every folds committed batch partitions; admission
+    decisions afterwards are unchanged (doc ~ a pre-compaction admit
+    still drops) and delivered output is unaffected."""
+    import os
+
+    broker = str(tmp_path / "broker")
+    s = Stream(spark, broker)
+    # compact after every batch (batch_id 1, 2, ... all trigger)
+    s.dedupe_near("docs", SCHEMA, compact_every=1)
+    s.emit("docs", {"doc_id": "1", "text": _A}, {"doc_id": "3", "text": _C})
+    s.run_until_idle()
+    s.emit("docs", {"doc_id": "5", "text": _E})
+    s.run_until_idle()  # batch_id 1 -> compaction runs after admit
+    s.emit("docs", {"doc_id": "9", "text": _B})  # ~A (admitted in batch 0)
+    s.run_until_idle()
+    assert _ids(s, "docs-unique") == ["1", "3", "5"]
+    sigs = os.path.join(broker, "_indexes", f"{s.name}-dedupe-near", "sigs")
+    dirs = sorted(d for d in os.listdir(sigs) if d.startswith("batch="))
+    # generations fold: compacted partitions + at most the retained
+    # current tag — never one directory per historical batch
+    assert len(dirs) <= 2, dirs
+    assert any(d.startswith("batch=zz-compact-") for d in dirs), dirs
+
+
 def test_dedupe_near_exactly_once_after_restart(spark, tmp_path):
     """A rebuilt facade over the same broker dir must not re-deliver
     or re-admit: the index and the sink both key on batch_id."""

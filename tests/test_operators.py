@@ -359,6 +359,50 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
         assert sc.getCheckpointDir() is None
 
 
+def test_connected_components_string_ids_distributed_path(spark):
+    """Crawl corpora key the dedup graph by STRING doc ids; the
+    distributed loop must handle them (its _old null sentinel once
+    hardcoded long, which coerced the label column to BIGINT and
+    failed with CAST_INVALID_INPUT past the driver fast path).
+    Doubling rounds included (double_from=0 exercises the shortcut
+    join on strings too)."""
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("doc-b", "doc-a"),
+            ("doc-c", "doc-b"),
+            ("doc-x", "doc-y"),
+            ("doc-z", "doc-z"),
+        ],
+        ["src", "dst"],
+    )
+    expected = {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "doc-x": "doc-x",
+        "doc-y": "doc-x",
+        "doc-z": "doc-z",
+    }
+    for kw in ({}, {"double_from": 0}):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                edges, driver_threshold_edges=0, **kw
+            ).collect()
+        }
+        assert got == expected
+    # and the driver fast path agrees on the same string graph
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == expected
+
+
 def test_connected_components_unconverged_raises(spark):
     from python_stream_processing_framework_spark.operators.graph import (
         connected_components,
