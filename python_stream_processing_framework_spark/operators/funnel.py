@@ -184,3 +184,159 @@ def retention_cohorts(
     return cells.join(sizes, ["cohort_period"]).select(
         "cohort_period", "offset", "n_cohort", "n_active"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (fold) forms — the streaming duals of funnel_stats /
+# retention_cohorts, shaped for streaming/state.keyed_fold_stream
+# (fold(event, state) -> state per key, the reference's stateful-
+# handler contract, pspf/stream.py:325-347). Both folds are EXACT
+# duals: folding a key's events in event-time order (which keyed_fold
+# and keyed_fold_stream both guarantee within their scope) produces
+# the same per-user state the batch operator derives, so the
+# *_from_states reports below equal the batch reports row-for-row.
+# Cross-micro-batch ordering is the streaming caveat: funnel state
+# never rewinds, so an event arriving in a LATER micro-batch with an
+# EARLIER timestamp than already-folded events can under-fill the
+# funnel relative to a batch recompute (retention is immune — its
+# fold rebases exactly on out-of-order arrivals). Pair with the
+# facade's watermark admission where that matters.
+# ---------------------------------------------------------------------------
+
+
+def funnel_fold(
+    steps: list[str],
+    type_field: str,
+    ts_ms_field: str,
+    *,
+    horizon_ms: int | None = None,
+):
+    """(fold, init) reproducing funnel_users' earliest-valid-next
+    state per user. State: {"t": [t1_ms..tk_ms], None = step not
+    reached}. In ascending event-time order each t_i is set at most
+    once (the first qualifying event is the minimum), which is why
+    the fold equals the batch semantics; the min-guards keep it
+    monotone (never worse) under unsorted input."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def fold(event: dict, st):
+        st = st if st is not None else {"t": [None] * k}
+        i = idx.get(event[type_field])
+        if i is None:
+            return st
+        ts = int(event[ts_ms_field])
+        t = st["t"]
+        if i == 0:
+            if t[0] is None or ts < t[0]:
+                t[0] = ts
+        else:
+            prev = t[i - 1]
+            if (
+                prev is not None
+                and ts > prev
+                and (horizon_ms is None or ts <= prev + int(horizon_ms))
+                and (t[i] is None or ts < t[i])
+            ):
+                t[i] = ts
+        return st
+
+    return fold, {"t": [None] * k}
+
+
+def funnel_stats_from_states(
+    states: DataFrame, steps: list[str], state_col: str = "state_json"
+) -> DataFrame:
+    """funnel_stats' exact report schema (step_idx, step, n_users,
+    total_lag_ms) from folded per-user states — one narrow scan + one
+    global aggregate over k columns, then a k-row driver-side unpivot
+    (k = number of steps, a constant)."""
+    k = len(steps)
+    s = states.select(
+        F.from_json(F.col(state_col), "struct<t:array<bigint>>")["t"].alias("_t")
+    )
+    aggs = []
+    for i in range(k):
+        aggs.append(
+            F.count(F.when(F.col("_t")[i].isNotNull(), 1))
+            .cast("bigint")
+            .alias(f"_n{i}")
+        )
+        lag = (
+            F.lit(0).cast("bigint")
+            if i == 0
+            else F.coalesce(
+                F.sum(F.col("_t")[i] - F.col("_t")[i - 1]), F.lit(0)
+            ).cast("bigint")
+        )
+        aggs.append(lag.alias(f"_l{i}"))
+    one = s.agg(*aggs)
+    rows = None
+    for i in range(k):
+        row = one.select(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            F.col(f"_n{i}").alias("n_users"),
+            F.col(f"_l{i}").alias("total_lag_ms"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def retention_fold(ts_ms_field: str, *, period: str = "week", n_periods: int = 8):
+    """(fold, init) reproducing retention_cohorts' per-user state:
+    {"c": cohort_period, "p": sorted distinct offsets in [0,
+    n_periods)}. EXACT under any arrival order: an event earlier than
+    the current cohort rebases every kept offset (offsets only grow
+    under a rebase, so nothing pruned could have re-entered the
+    horizon). State is bounded by n_periods ints."""
+    if period not in PERIOD_MS:
+        raise ValueError(f"period must be one of {sorted(PERIOD_MS)}, got {period}")
+    if n_periods < 1:
+        raise ValueError(f"n_periods must be >= 1, got {n_periods}")
+    pms = PERIOD_MS[period]
+
+    def fold(event: dict, st):
+        p = int(event[ts_ms_field]) // pms
+        if st is None:
+            return {"c": p, "p": [0]}
+        c = st["c"]
+        if p < c:
+            shift = c - p
+            offs = [o + shift for o in st["p"] if o + shift < n_periods]
+            st["c"] = p
+            st["p"] = sorted(set(offs) | {0})
+            return st
+        off = p - c
+        if 0 <= off < n_periods and off not in st["p"]:
+            st["p"] = sorted(set(st["p"]) | {off})
+        return st
+
+    return fold, None
+
+
+def retention_from_states(
+    states: DataFrame, state_col: str = "state_json"
+) -> DataFrame:
+    """retention_cohorts' exact report schema (cohort_period, offset,
+    n_cohort, n_active) from folded per-user states: one explode +
+    one (cohort, offset) count, one cohort count, one join — all on
+    narrow integer frames."""
+    parsed = states.select(
+        F.from_json(
+            F.col(state_col), "struct<c:bigint,p:array<int>>"
+        ).alias("_s")
+    ).select(F.col("_s")["c"].alias("cohort_period"), F.col("_s")["p"].alias("_p"))
+    cells = (
+        parsed.select("cohort_period", F.explode("_p").alias("offset"))
+        .groupBy("cohort_period", "offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = parsed.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    return cells.join(sizes, ["cohort_period"]).select(
+        "cohort_period", "offset", "n_cohort", "n_active"
+    )

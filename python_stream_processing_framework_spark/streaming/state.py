@@ -66,7 +66,11 @@ def keyed_fold(
     out = _out_schema(df, keys)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = init
+        # deep-copy the seed per group: state is JSON by contract, and
+        # a fold that MUTATES its state in place (the natural style)
+        # must not leak one group's accumulation into the next group
+        # handled by the same Python worker
+        st = None if init is None else json.loads(json.dumps(init))
         for event in pdf.sort_values(ts_col).to_dict("records"):
             st = fold(event, st)
         row = {k: [pdf[k].iloc[0]] for k in keys}
@@ -106,7 +110,13 @@ def keyed_fold_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        st = json.loads(state.get[0]) if state.exists else init
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            # fresh per-key seed — in-place-mutating folds must not
+            # share the init object across keys (see keyed_fold)
+            else (None if init is None else json.loads(json.dumps(init)))
+        )
         # A key's micro-batch group can span multiple Arrow chunks:
         # sorting each chunk independently would break global time
         # order for order-dependent folds. Materialize, sort ONCE.
@@ -183,7 +193,7 @@ def session_fold(
         for pdf in pdfs:
             rows = []
             for rec in pdf.to_dict("records"):
-                st = init
+                st = None if init is None else json.loads(json.dumps(init))
                 events = rec["_events"]
                 for ev in events:
                     e = dict(ev.asDict()) if hasattr(ev, "asDict") else dict(ev)

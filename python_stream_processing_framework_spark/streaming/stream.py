@@ -40,7 +40,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from python_stream_processing_framework_spark.streaming.dlq import (
     handle_batch_with_retries,
@@ -616,6 +616,108 @@ class Stream:
             )
         )
 
+    def fold(
+        self,
+        topic: str,
+        schema: StructType,
+        fold_fn: Callable,
+        *,
+        key_field: str,
+        ts_field: str,
+        init=None,
+        target: str | None = None,
+        group: str | None = None,
+        ttl_ms: int | None = None,
+    ) -> None:
+        """Register an arbitrary per-key stateful fold on ``topic`` —
+        the reference's `async def handler(event, state) -> state`
+        contract (pspf/stream.py:325-347) over Spark's managed state
+        (streaming/state.keyed_fold_stream). Each micro-batch, every
+        key that received events emits its UPDATED (key, state_json)
+        row to ``target`` (default `{topic}-state`), tagged with the
+        batch id so `read_fold_states` can reduce to latest-per-key.
+        State survives restarts with the checkpoint (exactly-once),
+        and ``ttl_ms`` evicts idle keys.
+
+        This is what gives the analytics family batch+streaming
+        duality: operators/funnel.funnel_fold and retention_fold plug
+        in here unchanged, and their *_from_states reports equal the
+        batch funnel_stats / retention_cohorts outputs (pinned in
+        tests/test_fold_facade.py)."""
+        group = group or f"{self.name}-fold"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="fold",
+                topic=topic,
+                handler=fold_fn,
+                schema=schema,
+                options={
+                    "key_field": key_field,
+                    "ts_field": ts_field,
+                    "init": init,
+                    "target": target or f"{topic}-state",
+                    "group": group,
+                    "ttl_ms": ttl_ms,
+                },
+            )
+        )
+
+    def read_fold_states(self, topic: str, key_field: str, key_type=None):
+        """Latest state per key from a fold target topic: rows are
+        (key, state_json, _batch_id); a key updated by several
+        micro-batches keeps the row of the highest batch id.
+        ``key_type`` is a pyspark DataType (default StringType)."""
+        schema = StructType(
+            [
+                StructField(key_field, key_type or StringType()),
+                StructField("state_json", StringType()),
+                StructField("_batch_id", LongType()),
+            ]
+        )
+        rows = self.read_topic(topic, schema)
+        return (
+            rows.groupBy(key_field)
+            .agg(F.max_by("state_json", "_batch_id").alias("state_json"))
+        )
+
+    def _start_fold(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.streaming.state import (
+            keyed_fold_stream,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        folded = keyed_fold_stream(
+            src,
+            o["key_field"],
+            o["ts_field"],
+            sub.handler,
+            o["init"],
+            ttl_ms=o["ttl_ms"],
+        )
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def write_states(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            _write_batch_jsonl(
+                batch.withColumn("_batch_id", F.lit(batch_id).cast("long")),
+                sink_dir,
+                batch_id,
+            )
+
+        return (
+            folded.writeStream.foreachBatch(write_states)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def route(
         self,
         topic: str,
@@ -1163,6 +1265,7 @@ class Stream:
             "route": self._start_route,
             "dedupe": self._start_dedupe,
             "dedupe_near": self._start_dedupe_near,
+            "fold": self._start_fold,
         }
         for _ in range(max(1, rounds)):
             queries = []
