@@ -242,3 +242,45 @@ def bpe_segment_counts(
             lambda a, x: a + x,
         ).alias("n_pieces"),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+) -> DataFrame:
+    """Tokenize the corpus under a learned merge table — the encode
+    step a training pipeline actually runs at 100 TB once the
+    vocabulary exists. Output: (id, pieces array<string>) — each
+    document's full BPE piece sequence in reading order.
+
+    Scale shape: identical to :func:`bpe_segment_counts` — pure
+    map-only column expressions, the merge chain unrolled as literal
+    `replace` rewrites inside a transform lambda over the word array,
+    flattened per document. No shuffle, no Python, ONE corpus scan;
+    plan-pinned exchange-free in tests/test_plans.py. For integer
+    token ids downstream, join the distinct pieces against a
+    vocabulary table once (the standard id-assignment job) — ids are
+    deliberately not baked in here so the piece strings stay
+    engine-replayable.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_idx").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = [(l, r) for l, r in merges]
+
+    def _segmented(word: Column) -> Column:
+        acc = _seq_expr(word)
+        for left, right in pairs:
+            acc = F.replace(
+                acc, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        return F.split(F.trim(acc), "  ")
+
+    words = tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.flatten(F.transform(words, _segmented)).alias("pieces"),
+    )

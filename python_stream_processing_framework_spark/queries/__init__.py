@@ -59,6 +59,10 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
 #: COVERAGE.md "Catalog totals"), and every one still gets the same
 #: exact DuckDB value-hash comparison via tests/test_oracle_parity.py.
 OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
+    # the merge-chain fold is driver-pinned by bpe_merges +
+    # bpe_token_counts; encode adds the flatten/ordinality surface,
+    # pinned by the identical exact comparison in oracle-parity
+    "bpe_encode_pieces",
     # machinery rides ngram_jaccard_pairs (word-gram variant in cap)
     "char_ngram_jaccard",
     # exact cosine top-k is the back half of pooled_retrieval's chain

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from python_stream_processing_framework_spark.catalog import load
 from python_stream_processing_framework_spark.operators.bpe import (
+    bpe_encode,
     bpe_segment_counts,
     bpe_train,
 )
@@ -128,3 +129,52 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     merges = bpe_train(documents, "text", n_merges=_N_MERGES)
     return bpe_segment_counts(documents, "doc_id", "text", merges)
+
+
+@query(
+    "bpe_encode_pieces",
+    f"""
+    WITH {_bpe_ctes(_N_MERGES)},
+    mm AS ({_merges_union(_N_MERGES)}),
+    pat AS (SELECT list(
+              ' ' || "left" || '  ' || "right" || ' ' || chr(31) ||
+              ' ' || "left" || "right" || ' '
+              ORDER BY merge_idx) AS ps
+            FROM mm),
+    enc AS (SELECT doc_id,
+              flatten(list_transform(words, w ->
+                string_split(trim(
+                  list_reduce(
+                    list_prepend(
+                      ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                          || ' ',
+                      ps),
+                    (acc, p) -> replace(acc, split_part(p, chr(31), 1),
+                                        split_part(p, chr(31), 2)))),
+                  '  '))) AS pieces
+            FROM (SELECT doc_id, {_TOKS} AS words FROM documents
+                  WHERE doc_id % 20 = 0) d, pat)
+    SELECT doc_id, CAST(gs - 1 AS BIGINT) AS piece_idx, pieces[gs] AS piece
+    FROM enc, LATERAL (SELECT unnest(generate_series(1, len(enc.pieces))) AS gs) g
+    """,
+    doc="The ENCODE step a training pipeline runs once the vocabulary "
+    "exists: tokenize every document into its BPE piece sequence under "
+    "the learned merges (operators/bpe.bpe_encode). Map-only — the "
+    "merge chain rides in the plan as literal replaces, one corpus "
+    "scan, zero exchanges (plan-pinned); the oracle re-derives the "
+    "merges and replays the identical fold, exploding pieces with "
+    "ordinality. A deterministic 5% doc sample (doc_id % 20 = 0) "
+    "bounds the compared row count.",
+)
+def bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    (documents,) = load(spark, sf_dir, "documents")
+    merges = bpe_train(documents, "text", n_merges=_N_MERGES)
+    enc = bpe_encode(
+        documents.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", merges
+    )
+    return enc.select(
+        "doc_id",
+        F.posexplode("pieces").alias("piece_idx", "piece"),
+    ).select("doc_id", F.col("piece_idx").cast("bigint").alias("piece_idx"), "piece")

@@ -1468,6 +1468,33 @@ def test_bpe_train_classic_example(spark):
     assert seg[13] == (1, 4)  # a 'widest' doc
 
 
+def test_bpe_encode_classic_example(spark):
+    """bpe_encode's piece sequences on the Sennrich corpus must match
+    the hand-derived segmentations bpe_segment_counts counts."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    merges = bpe_train(_bpe_corpus(spark), "text", n_merges=5)
+    pieces = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe_encode(_bpe_corpus(spark), "doc_id", "text", merges).collect()
+    }
+    assert pieces[0] == ["low"]
+    assert pieces[5] == ["low", "e", "r"]
+    assert pieces[7] == ["n", "ew", "est"]
+    assert pieces[13] == ["w", "i", "d", "est"]
+
+
+def test_bpe_encode_multiword_reading_order(spark):
+    from python_stream_processing_framework_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "low lower")], "doc_id int, text string")
+    got = bpe_encode(docs, "doc_id", "text", [("l", "o"), ("lo", "w")]).collect()
+    assert list(got[0]["pieces"]) == ["low", "low", "e", "r"]
+
+
 def test_bpe_greedy_left_and_consecutive(spark):
     from python_stream_processing_framework_spark.operators.bpe import (
         bpe_segment_counts,

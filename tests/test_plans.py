@@ -447,6 +447,17 @@ def test_bpe_token_counts_map_only(spark):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_bpe_encode_map_only(spark):
+    """The encode step (given literal merges) is a single map-only
+    scan — zero exchanges, no Python; at 100 TB tokenization cost is
+    pure scan throughput."""
+    from python_stream_processing_framework_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = bpe_encode(docs, "doc_id", "text", [("e", "s"), ("es", "t")])
+    assert count_exchanges(df) == 0
+
+
 def test_lm_doc_scores_broadcast_counts_take_ordered(spark):
     """The LM scorer's scale contract: both count-table joins build
     on the (cached, vocab-bounded) count side — never a sort-merge
