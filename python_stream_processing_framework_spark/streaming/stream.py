@@ -616,6 +616,104 @@ class Stream:
             )
         )
 
+    def decontaminate(
+        self,
+        topic: str,
+        schema: StructType,
+        heldout: DataFrame,
+        *,
+        text_field: str = "text",
+        target: str | None = None,
+        flagged: str | None = None,
+        group: str | None = None,
+        n: int = 13,
+        m_bits: int = 1 << 17,
+        k: int = 4,
+    ) -> None:
+        """Streaming corpus decontamination: forward to ``target``
+        (default `{topic}-clean`) only documents whose ``n``-grams
+        never hit the bloom bitmask built over ``heldout``'s n-grams;
+        flagged docs land in ``flagged`` (default
+        `{topic}-contaminated`) for audit. The batch operator's
+        conservative-superset guarantee carries over: everything the
+        exact 13-gram rule would drop is dropped (zero false
+        negatives), plus a bounded false-positive mass.
+
+        Scale shape: the bitmask is built ONCE at registration
+        (driver-side metadata, <=2^20 bits — the same bounded-
+        broadcast contract as bloom_decontaminate) and rides every
+        micro-batch plan as literals; per batch the flag is a
+        map-only column and the split adds ZERO exchanges and ZERO
+        state — exactly-once comes free from the idempotent
+        per-batch_id sink writes."""
+        from python_stream_processing_framework_spark.operators.dedup import (
+            bloom_build,
+        )
+
+        group = group or f"{self.name}-decontaminate"
+        self._claim(topic, group)
+        words = bloom_build(heldout, text_field, n=n, m_bits=m_bits, k=k)
+        self._subscriptions.append(
+            _Subscription(
+                kind="decontaminate",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "text_field": text_field,
+                    "target": target or f"{topic}-clean",
+                    "flagged": flagged or f"{topic}-contaminated",
+                    "group": group,
+                    "words": words,
+                    "n": n,
+                    "k": k,
+                },
+            )
+        )
+
+    def _start_decontaminate(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.operators.dedup import (
+            _with_bloom_flag,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        clean_dir = str(self.topic_dir(o["target"]))
+        flagged_dir = str(self.topic_dir(o["flagged"]))
+
+        def split_batch(batch: DataFrame, batch_id: int) -> None:
+            # persist: the flag plan feeds TWO writes; without it the
+            # micro-batch source re-executes per branch
+            tagged = _with_bloom_flag(
+                batch, o["words"], o["text_field"], n=o["n"], k=o["k"]
+            ).persist()
+            try:
+                if tagged.isEmpty():
+                    return
+                _write_batch_jsonl(
+                    tagged.filter(~F.col("bloom_flagged")).drop("bloom_flagged"),
+                    clean_dir,
+                    batch_id,
+                )
+                _write_batch_jsonl(
+                    tagged.filter(F.col("bloom_flagged")).drop("bloom_flagged"),
+                    flagged_dir,
+                    batch_id,
+                    tag="-flagged",
+                )
+            finally:
+                tagged.unpersist()
+
+        return (
+            src.writeStream.foreachBatch(split_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def fold(
         self,
         topic: str,
@@ -1266,6 +1364,7 @@ class Stream:
             "dedupe": self._start_dedupe,
             "dedupe_near": self._start_dedupe_near,
             "fold": self._start_fold,
+            "decontaminate": self._start_decontaminate,
         }
         for _ in range(max(1, rounds)):
             queries = []
