@@ -136,54 +136,31 @@ def _lsh_max_disagree(threshold: float, n_planes: int) -> int:
     return n_planes - min_agree
 
 
-def cosine_lsh_pairs(
+def sign_signatures(
     embeddings: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.4,
     bands: int = 8,
     band_bits: int = 4,
-) -> DataFrame:
-    """Near-dup pairs via sign-random-projection LSH (Charikar) —
-    the sub-quadratic scale path for embedding dedup.
+) -> DataFrame | None:
+    """Materialized sign-LSH signature frame (id, s, q, nq2): s = the
+    n_planes sign bits packed into one BIGINT, q = the 2^20-quantized
+    vector as packed little-endian int32 BINARY, nq2 = its exact
+    int64 squared norm. The shared signature stage of
+    cosine_lsh_pairs and the persisted embedding index
+    (operators/embed_index.py) — one Arrow pandas-UDF pass, coefs
+    shipped once per executor as a SparkContext broadcast. Returns
+    None for an empty/all-null input (nothing can be signed).
 
-    Hyperplanes are pseudo-random but DETERMINISTIC: coefficient
-    (p, d) is the md5('plane#p#d')-derived INTEGER in [-1e6, 1e6] —
-    so the whole pipeline (signatures, banding, candidates,
-    verification) is engine-exact and oracle-checkable. Candidate
-    generation is an equi-join on (band, 4-bit key); only candidates
-    pay the exact cosine verification. Recall < 1 by construction
-    (that's the LSH trade) — the oracle mirrors the same pipeline,
-    not brute force.
-
-    Signatures AND verification are the one place this module uses
-    Python: vectorized Arrow pandas UDFs doing numpy int64 matmuls
-    per batch. Components quantize to int64 via floor(x * 2^20 + 0.5)
-    ONCE; the quantized vector drives both the plane-sign signatures
-    (q @ coefs >= 0) and the candidate verification
-    (dot(qa, qb) / sqrt(|qa|^2 * |qb|^2)). Every sum is an order-free
-    exact integer sum that DuckDB reproduces bit-for-bit; the final
-    cosine is one division of identical doubles, so the score is
-    engine-exact despite being numpy-computed. (The Catalyst-lambda
-    forms these replaced evaluated interpreted left-folds per row and
-    per candidate pair — no codegen inside nested HOFs — which at
-    dim >= 1024 dominated the whole query.) The (dim x planes)
-    coefficient matrix ships once per executor as a SparkContext
-    broadcast, never as an expression tree.
-
-    Overflow bounds (int64): |x| <= 2000 at dim 4096 keeps
-    sum(q_a[d]*q_b[d]) under 2^63; plane terms are smaller (coef
-    <= 1e6 < 2^20). Embedding components are unit-ish; documented,
-    not checked per-row.
+    Pins one frame via materialize(); callers release with
+    common.release_caches(), the family-wide contract.
     """
     n_planes = bands * band_bits
     e = _prep(embeddings, vec_col)
     row = embeddings.select(vec_col).limit(1).collect()
     if not row or row[0][0] is None:
-        return embeddings.sparkSession.createDataFrame(
-            [], "id_a bigint, id_b bigint, cos_sim double"
-        )
+        return None
     dim = len(row[0][0])
     from pyspark.sql.functions import pandas_udf
 
@@ -247,6 +224,95 @@ def cosine_lsh_pairs(
             id_col, "_s.s", "_s.q", "_s.nq2"
         )
     )
+    return sigs
+
+
+def _cos_from_packed(qa_col, qb_col, na2_col, nb2_col):
+    """Exact quantized cosine from packed-int32 vector pairs — the
+    verification scorer shared by cosine_lsh_pairs and the persisted
+    embedding index (operators/embed_index.py). Arrow-batched; the
+    dot is an exact int64 sum, the division one float op, so scores
+    replay bit-exact in any engine."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cosq(
+        qa: pd.Series, qb: pd.Series, na2: pd.Series, nb2: pd.Series
+    ) -> pd.Series:
+        out = np.full(len(qa), np.nan)
+        mask = np.array(
+            [x is not None and y is not None for x, y in zip(qa.values, qb.values)],
+            dtype=bool,
+        )
+        if mask.any():
+            A = np.frombuffer(b"".join(qa.values[mask]), dtype="<i4").reshape(
+                mask.sum(), -1
+            ).astype(np.int64)
+            B = np.frombuffer(b"".join(qb.values[mask]), dtype="<i4").reshape(
+                mask.sum(), -1
+            ).astype(np.int64)
+            dots = (A * B).sum(axis=1).astype(np.float64)  # exact int64 sums
+            denom = np.sqrt(
+                na2[mask].to_numpy(np.float64) * nb2[mask].to_numpy(np.float64)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[mask] = dots / denom
+        return pd.Series(out)
+
+    return _cosq(qa_col, qb_col, na2_col, nb2_col)
+
+
+def cosine_lsh_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bands: int = 8,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via sign-random-projection LSH (Charikar) —
+    the sub-quadratic scale path for embedding dedup.
+
+    Hyperplanes are pseudo-random but DETERMINISTIC: coefficient
+    (p, d) is the md5('plane#p#d')-derived INTEGER in [-1e6, 1e6] —
+    so the whole pipeline (signatures, banding, candidates,
+    verification) is engine-exact and oracle-checkable. Candidate
+    generation is an equi-join on (band, 4-bit key); only candidates
+    pay the exact cosine verification. Recall < 1 by construction
+    (that's the LSH trade) — the oracle mirrors the same pipeline,
+    not brute force.
+
+    Signatures AND verification are the one place this module uses
+    Python: vectorized Arrow pandas UDFs doing numpy int64 matmuls
+    per batch. Components quantize to int64 via floor(x * 2^20 + 0.5)
+    ONCE; the quantized vector drives both the plane-sign signatures
+    (q @ coefs >= 0) and the candidate verification
+    (dot(qa, qb) / sqrt(|qa|^2 * |qb|^2)). Every sum is an order-free
+    exact integer sum that DuckDB reproduces bit-for-bit; the final
+    cosine is one division of identical doubles, so the score is
+    engine-exact despite being numpy-computed. (The Catalyst-lambda
+    forms these replaced evaluated interpreted left-folds per row and
+    per candidate pair — no codegen inside nested HOFs — which at
+    dim >= 1024 dominated the whole query.) The (dim x planes)
+    coefficient matrix ships once per executor as a SparkContext
+    broadcast, never as an expression tree.
+
+    Overflow bounds (int64): |x| <= 2000 at dim 4096 keeps
+    sum(q_a[d]*q_b[d]) under 2^63; plane terms are smaller (coef
+    <= 1e6 < 2^20). Embedding components are unit-ish; documented,
+    not checked per-row.
+    """
+    n_planes = bands * band_bits
+    sigs = sign_signatures(
+        embeddings, id_col=id_col, vec_col=vec_col, bands=bands, band_bits=band_bits
+    )
+    if sigs is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cos_sim double"
+        )
+    from pyspark.sql.functions import pandas_udf
+
     mask = 2**band_bits - 1
     band_keys = F.expr(
         f"transform(sequence(0, {bands - 1}),"
@@ -276,30 +342,6 @@ def cosine_lsh_pairs(
         .distinct()
     )
 
-    @pandas_udf("double")
-    def _cosq(
-        qa: pd.Series, qb: pd.Series, na2: pd.Series, nb2: pd.Series
-    ) -> pd.Series:
-        out = np.full(len(qa), np.nan)
-        mask = np.array(
-            [x is not None and y is not None for x, y in zip(qa.values, qb.values)],
-            dtype=bool,
-        )
-        if mask.any():
-            A = np.frombuffer(b"".join(qa.values[mask]), dtype="<i4").reshape(
-                mask.sum(), -1
-            ).astype(np.int64)
-            B = np.frombuffer(b"".join(qb.values[mask]), dtype="<i4").reshape(
-                mask.sum(), -1
-            ).astype(np.int64)
-            dots = (A * B).sum(axis=1).astype(np.float64)  # exact int64 sums
-            denom = np.sqrt(
-                na2[mask].to_numpy(np.float64) * nb2[mask].to_numpy(np.float64)
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out[mask] = dots / denom
-        return pd.Series(out)
-
     va = sigs.select(
         F.col(id_col).alias("id_a"), F.col("q").alias("_qa"), F.col("nq2").alias("_na2")
     )
@@ -313,7 +355,7 @@ def cosine_lsh_pairs(
             "id_a",
             "id_b",
             F.round(
-                _cosq(F.col("_qa"), F.col("_qb"), F.col("_na2"), F.col("_nb2")), 6
+                _cos_from_packed(F.col("_qa"), F.col("_qb"), F.col("_na2"), F.col("_nb2")), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

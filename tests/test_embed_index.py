@@ -1,0 +1,157 @@
+"""Incremental embedding-index admission (operators/embed_index.py):
+crafted-vector exactness and the no-admitted-near-dups invariant
+across batches — the semantic twin of tests/test_dedup_index.py.
+
+Vectors are crafted so every decision is arithmetic: a vector and a
+tiny perturbation of it have cosine ~0.999 (a near-dup at the 0.9
+threshold); orthogonal basis-ish vectors have cosine ~0 (never
+near-dups). bands=8 x band_bits=4 = 32 planes — at cosine 0.999 the
+expected disagreeing planes are ~0.3, so banding recall here is
+effectively certain (and deterministic anyway: the planes are
+md5-derived)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.operators.common import release_caches
+from python_stream_processing_framework_spark.operators.dedup_index import (
+    compact_index,
+    read_index,
+)
+from python_stream_processing_framework_spark.operators.embed_index import (
+    embed_index_admit,
+)
+
+_KW = dict(threshold=0.9, bands=8, band_bits=4)
+_DIM = 16
+
+
+def _vec(axis: int, eps_axis: int | None = None) -> list[float]:
+    v = [0.0] * _DIM
+    v[axis] = 1.0
+    if eps_axis is not None:
+        v[eps_axis] = 0.04  # cosine(base, perturbed) ~ 0.9992
+    return v
+
+
+def _vecs(spark, items):
+    return spark.createDataFrame(
+        [(i, v) for i, v in items], "vec_id bigint, embedding array<double>"
+    )
+
+
+def test_admit_batches_keeps_invariant(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    try:
+        # Batch 1: 1 ~ 2 (perturbed copy) -> min id 1 survives; 3 distinct.
+        a1 = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(1, _vec(0)), (2, _vec(0, 5)), (3, _vec(1))]),
+                idx,
+                "b1",
+                **_KW,
+            ).collect()
+        )
+        assert a1 == [1, 3]
+
+        # Batch 2: 4 near-dups INDEXED 1 -> dropped cross-index;
+        # 5 orthogonal -> admitted.
+        a2 = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(4, _vec(0, 7)), (5, _vec(2))]), idx, "b2", **_KW
+            ).collect()
+        )
+        assert a2 == [5]
+
+        stored = read_index(spark, idx)
+        assert sorted(r["vec_id"] for r in stored.select("vec_id").collect()) == [
+            1,
+            3,
+            5,
+        ]
+        assert set(stored.columns) == {"vec_id", "s", "q", "nq2", "batch"}
+    finally:
+        release_caches()
+
+
+def test_admit_retry_same_tag_is_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    try:
+        b1 = _vecs(spark, [(1, _vec(0)), (3, _vec(1))])
+        embed_index_admit(b1, idx, "b1", **_KW).collect()
+        retried = sorted(
+            r["vec_id"] for r in embed_index_admit(b1, idx, "b1", **_KW).collect()
+        )
+        assert retried == [1, 3]
+        stored = read_index(spark, idx)
+        assert stored.count() == 2
+        assert (
+            stored.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+        )
+    finally:
+        release_caches()
+
+
+def test_below_threshold_pair_admitted(spark, tmp_path):
+    """cosine(axis0, axis0+0.6*axis5) ~ 0.857 < 0.9: banding may
+    surface the candidate but exact verification must admit it."""
+    idx = str(tmp_path / "idx")
+    try:
+        embed_index_admit(_vecs(spark, [(1, _vec(0))]), idx, "b1", **_KW).collect()
+        v = [0.0] * _DIM
+        v[0], v[5] = 1.0, 0.6
+        admitted = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(9, v)]), idx, "b2", **_KW
+            ).collect()
+        )
+        assert admitted == [9]
+    finally:
+        release_caches()
+
+
+def test_compact_index_is_layout_agnostic(spark, tmp_path):
+    """The dedup_index compaction job folds the EMBEDDING index's
+    per-batch partitions too (it only needs the id column + batch
+    partitioning), and admission decisions are unchanged after."""
+    idx = str(tmp_path / "idx")
+    try:
+        embed_index_admit(
+            _vecs(spark, [(1, _vec(0)), (3, _vec(1))]), idx, "b1", **_KW
+        ).collect()
+        embed_index_admit(_vecs(spark, [(5, _vec(2))]), idx, "b2", **_KW).collect()
+        tag = compact_index(spark, idx, id_col="vec_id", target_files=1)
+        assert tag is not None
+        # post-compaction: a near-dup of a pre-compaction admit still drops
+        a3 = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(7, _vec(1, 9)), (8, _vec(3))]), idx, "b3", **_KW
+            ).collect()
+        )
+        assert a3 == [8]
+        assert sorted(
+            r["vec_id"] for r in read_index(spark, idx).select("vec_id").collect()
+        ) == [1, 3, 5, 8]
+    finally:
+        release_caches()
+
+
+def test_null_vectors_admitted_not_indexed(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    try:
+        docs = spark.createDataFrame(
+            [(1, _vec(0)), (2, None)], "vec_id bigint, embedding array<double>"
+        )
+        admitted = sorted(
+            r["vec_id"] for r in embed_index_admit(docs, idx, "b1", **_KW).collect()
+        )
+        assert admitted == [1, 2]
+        stored = read_index(spark, idx)
+        assert [r["vec_id"] for r in stored.select("vec_id").collect()] == [1]
+    finally:
+        release_caches()
