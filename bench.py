@@ -115,8 +115,9 @@ def main() -> None:
         "semdedup_100k": _semdedup_100k_bench(spark),
         "pca_ann_64to16": _pca_ann_bench(spark),
         "incremental_admit": _incremental_admit_bench(spark, sf_dir),
+        "embed_admit_100k": _embed_admit_100k_bench(spark),
         "bucketed_join": _bucketed_join_bench(spark, sf_dir),
-        "zipf_text": _zipf_text_bench(spark),
+        "zipf_text": _zipf_text_bench(spark, sf_dir),
     }
 
     total = round(sum(timings.values()), 3)
@@ -1098,6 +1099,70 @@ def _incremental_admit_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def _embed_admit_100k_bench(spark) -> dict:
+    """Incremental SEMANTIC admission (operators/embed_index.py) at
+    100k vectors / dim 64, arriving as four 25k batches: each admit
+    signs ONCE, dedups within-batch, band-joins against the persisted
+    signature index (never re-signing earlier batches), and appends
+    its partition. Every 5th vector is an exact copy of its
+    predecessor (md5 generator, deterministic), and consecutive ids
+    always land in DIFFERENT mod-4 batches, so ~20k drops exercise
+    the CROSS-index path specifically. bands=4 x band_bits=16 keys
+    the band join on 65k-value buckets — ~2 rows/bucket at this n,
+    the against-clustered-data shape the banding is sized for.
+    Per-batch walls reported so growth with index size is visible
+    (index side is signature-only; should stay near-flat)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        read_index,
+    )
+    from python_stream_processing_framework_spark.operators.embed_index import (
+        embed_index_admit,
+    )
+
+    n = 100_000
+    vecs = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), d ->"
+            " cast(conv(substring(md5(concat("
+            "    cast(id - cast(id % 5 = 0 as int) as string), '#',"
+            "    cast(d as string))), 1, 7), 16, 10) as double)"
+            "  / 268435455.0 - 0.5)"
+        ).alias("embedding"),
+    ).persist()
+    vecs.count()
+    tmp = tempfile.mkdtemp(prefix="embed-idx-")
+    walls, admitted = [], []
+    try:
+        for b in range(4):
+            batch = vecs.filter(F.col("vec_id") % 4 == b)
+            t0 = _t.perf_counter()
+            m = embed_index_admit(
+                batch, tmp, f"b{b}", threshold=0.99, bands=4, band_bits=16
+            ).count()
+            walls.append(round(_t.perf_counter() - t0, 3))
+            admitted.append(m)
+            release_caches()
+        idx_rows = read_index(spark, tmp).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        vecs.unpersist()
+        spark.catalog.clearCache()
+    return {
+        "batch_walls_s": walls,
+        "admitted_per_batch": admitted,
+        "index_rows_final": idx_rows,
+        "n_vectors": n,
+        "planted_dups": 19_999,
+    }
+
+
 def _bucketed_join_bench(spark, sf_dir: str) -> dict:
     """Bucketed-layout amortization (operators/bucketing.py): pay the
     orderkey shuffle once at write, then join lineitem x orders with
@@ -1235,25 +1300,31 @@ def _zipf_docs(spark, n_docs: int, *, vocab: int = 50_000, seed: int = 41):
     )
 
 
-def _zipf_text_bench(spark) -> dict:
-    """The text-family benches on a REALISTIC (Zipf) vocabulary, as a
-    counterpoint to the dense-alphabet synthetic corpus: the prefix
-    filter and the inverted index behave the way they would on web
-    text. Reported next to the catalog's setsim_pairs/tfidf_topk
-    numbers so dense-regime pathology is visible as such."""
+def _zipf_text_bench(spark, sf_dir: str) -> dict:
+    """The text-family benches on a REALISTIC (Zipf) vocabulary AND
+    on a matched-size slice of the dense-alphabet synthetic corpus
+    (documents.parquet, ~931 distinct shingles — every token hot).
+    One dict per corpus regime, same four operators (set-similarity
+    join, tf-idf, BM25, MinHash-LSH pair mining), so every
+    text-family catalog timing has a realistic-vocabulary
+    counterpart and dense-regime pathology is visible as such
+    (r8 finding: half of setsim_pairs' cost was the corpus, not the
+    plan)."""
     import time as _t
+
+    from pyspark.sql import functions as F
 
     from python_stream_processing_framework_spark.operators.common import (
         release_caches,
     )
+    from python_stream_processing_framework_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
     from python_stream_processing_framework_spark.operators.retrieval import (
+        bm25_topk,
         tfidf_topk,
     )
     from python_stream_processing_framework_spark.operators.setsim import setsim_join
-
-    docs = _zipf_docs(spark, 5_000)
-    docs.persist()
-    n = docs.count()
 
     def run(fn) -> float:
         best = float("inf")
@@ -1264,21 +1335,40 @@ def _zipf_text_bench(spark) -> dict:
             release_caches()
         return round(best, 3)
 
-    try:
-        setsim_s = run(lambda: setsim_join(docs, threshold=0.6))
-        n_pairs = setsim_join(docs, threshold=0.6).count()
-        release_caches()
-        tfidf_s = run(lambda: tfidf_topk(docs, "w1 w2 w17", k=10))
-    finally:
-        release_caches()
-        docs.unpersist()
-    return {
-        "n_docs": n,
-        "vocab": 50_000,
-        "setsim_join_s": setsim_s,
-        "setsim_true_pairs": n_pairs,
-        "tfidf_topk_s": tfidf_s,
-    }
+    def family(docs, query: str) -> dict:
+        docs.persist()
+        n = docs.count()
+        try:
+            out = {
+                "n_docs": n,
+                "setsim_join_s": run(lambda: setsim_join(docs, threshold=0.6)),
+                "tfidf_topk_s": run(lambda: tfidf_topk(docs, query, k=10)),
+                "bm25_topk_s": run(lambda: bm25_topk(docs, query, k=10)),
+                "minhash_lsh_pairs_s": run(
+                    lambda: minhash_lsh_pairs(
+                        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+                    )
+                ),
+            }
+            out["setsim_true_pairs"] = setsim_join(docs, threshold=0.6).count()
+            release_caches()
+            return out
+        finally:
+            release_caches()
+            docs.unpersist()
+
+    zipf = family(_zipf_docs(spark, 5_000), "w1 w2 w17")
+    zipf["vocab"] = 50_000
+    # query terms must exist in each corpus's vocabulary (bm25's idf
+    # map is |query-terms|-sized; an all-miss query is degenerate)
+    dense = family(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .orderBy("doc_id")
+        .limit(5_000),
+        "spark window merge",
+    )
+    return {"zipf": zipf, "dense_matched": dense}
 
 
 if __name__ == "__main__":

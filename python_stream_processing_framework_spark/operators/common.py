@@ -62,25 +62,29 @@ def maybe_broadcast(
 
     An unconditional ``F.broadcast`` on a table keyed by corpus
     vocabulary (distinct tokens, shingles, user-supplied weight
-    vocabularies) is a latent executor-OOM: "tiny relative to the
-    corpus" is not "tiny" — at 100 TB of web text distinct tokens run
-    ~1e8-1e9 and distinct 2-shingles ~1e10. This helper materializes
-    the side (persist + count — the count is the size probe AND
-    pre-pays the join's build scan) and attaches the hint only when
-    the row count is at or under ``max_rows`` (default
-    ``BROADCAST_ROW_CAP``). Above the cap it returns the plain
-    materialized frame: the join becomes an ordinary equi-join whose
-    strategy AQE picks from the REAL runtime size.
+    vocabularies, contamination flag sets) is a latent executor-OOM:
+    "tiny relative to the corpus" is not "tiny" — at 100 TB of web
+    text distinct tokens run ~1e8-1e9 and distinct 2-shingles ~1e10.
+    This helper probes the side with a BOUNDED scan
+    (``limit(cap + 1).count()`` — the global limit stops collecting
+    at cap+1 rows, so a 1e9-row side never materializes driver- or
+    cache-side just to learn it is too big) and attaches the hint
+    only when the count is at or under ``max_rows`` (default
+    ``BROADCAST_ROW_CAP``). Above the cap it returns the frame
+    unchanged: the join becomes an ordinary equi-join whose strategy
+    AQE picks from the REAL runtime size.
 
     Pass ``known_count`` when the caller has already counted the
-    frame (skips the persist/probe). The materialized frame is
-    tracked for ``release_caches()`` like every other operator cache.
+    frame (skips the probe). Callers that re-read the side beyond the
+    single gated join should ``materialize()`` it THEMSELVES before
+    gating — this helper deliberately does not persist (persisting a
+    frame above the cap is exactly the memory pressure the gate
+    exists to avoid).
     """
     cap = BROADCAST_ROW_CAP if max_rows is None else max_rows
     n = known_count
     if n is None:
-        df = materialize(df)
-        n = df.count()
+        n = df.limit(cap + 1).count()
     return F.broadcast(df) if n <= cap else df
 
 

@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 
 # materialize lives in common.py; re-imported here both for local use
 # and back-compat with callers importing it from this module
-from python_stream_processing_framework_spark.operators.common import materialize
+from python_stream_processing_framework_spark.operators.common import (
+    materialize,
+    maybe_broadcast,
+)
 
 
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -719,6 +722,7 @@ def decontaminate(
     text_col: str = "text",
     *,
     threshold: float = 0.5,
+    broadcast_row_cap: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Remove training documents that near-duplicate held-out data.
@@ -740,13 +744,20 @@ def decontaminate(
         corpus, heldout, id_col, text_col, threshold=threshold, **lsh_kwargs
     )
     contaminated = hits.select(F.col("id_left").alias(id_col)).distinct()
-    # Explicit broadcast, like ngram_decontaminate: the contaminated
-    # set is bounded by docs near-duplicating benchmark-sized held-out
-    # data, and without the hint the static plan is a sort-merge anti
-    # join that shuffles the whole corpus on id. (dedup_corpus's loser
-    # anti-join deliberately stays SMJ+AQE — ITS removal mass scales
-    # with the corpus under real duplicate fractions.)
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    # Size-gated broadcast (maybe_broadcast), like ngram_decontaminate:
+    # the flagged set is small when contamination is rare, and under
+    # the cap the hint keeps the corpus map-side — but its mass scales
+    # with CORPUS duplication, not with the benchmark (a popular
+    # benchmark string copied across the web flags a corpus-
+    # proportional id set), so above the cap the anti-join stays an
+    # exchange join and AQE decides. (dedup_corpus's loser anti-join
+    # deliberately stays SMJ+AQE always — ITS removal mass scales with
+    # the corpus under real duplicate fractions.)
+    return corpus.join(
+        maybe_broadcast(contaminated, max_rows=broadcast_row_cap),
+        id_col,
+        "left_anti",
+    )
 
 
 def ngram_overlap_hits(
@@ -822,22 +833,27 @@ def ngram_decontaminate(
     text_col: str = "text",
     *,
     n: int = 13,
+    broadcast_row_cap: int | None = None,
 ) -> DataFrame:
     """Drop training docs sharing any exact n-gram with held-out data
     (see ngram_overlap_hits). The strict companion to `decontaminate`
     — production pipelines run BOTH: Jaccard for near-copies, exact
     n-gram for embedded benchmark strings.
 
-    The flagged id set is broadcast explicitly: it is bounded by the
-    docs matching benchmark-sized held-out grams (compact longs even
-    in bad cases), and without the hint the anti-join plans as a
-    sort-merge that shuffles the ENTIRE corpus on id — the one thing
-    this operator promises not to do. With it, both joins in the
-    chain build on the small side and the corpus stays map-side end
-    to end."""
+    The flagged id set rides a SIZE-GATED broadcast (maybe_broadcast):
+    under the cap the hint keeps the corpus map-side end to end
+    (without it the anti-join plans as a sort-merge that shuffles the
+    ENTIRE corpus on id). But the flagged mass is NOT bounded by the
+    benchmark — an exact 13-gram from a popular benchmark embedded
+    across the web flags an id set proportional to the CORPUS — so
+    above the cap the hint is withheld and AQE picks the strategy
+    from the real runtime size. bloom_decontaminate remains the
+    join-free scale path."""
     hits = ngram_overlap_hits(corpus, heldout, id_col, text_col, n=n)
     flagged = hits.select(F.col("id_corpus").alias(id_col)).distinct()
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    return corpus.join(
+        maybe_broadcast(flagged, max_rows=broadcast_row_cap), id_col, "left_anti"
+    )
 
 
 def _bloom_gram_expr(toks_col: str, n: int) -> Column:

@@ -45,7 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from python_stream_processing_framework_spark.operators.common import materialize
+from python_stream_processing_framework_spark.operators.common import (
+    materialize,
+    maybe_broadcast,
+)
 from python_stream_processing_framework_spark.operators.dedup import (
     band_vals_expr,
     minhash_lsh_pairs,
@@ -72,17 +75,25 @@ def _within_batch_survivors(
     pairs: DataFrame, docs: DataFrame, id_col: str
 ) -> DataFrame:
     """Component-canonical within-batch dedup: keep the min-id member
-    of every near-dup component (chains collapse to one survivor)."""
+    of every near-dup component (chains collapse to one survivor).
+
+    The loser anti-join is size-gated (``maybe_broadcast``), not an
+    unconditional hint: in streaming the loser set is micro-batch-
+    bounded, but a bootstrap admit of a whole crawl as batch 1 makes
+    it proportional to the CORPUS duplicate mass — above the cap the
+    join stays an exchange join and AQE decides."""
     if pairs.isEmpty():
         return docs
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)  # (node, component=min reachable id)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    losers = maybe_broadcast(
+        comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def minhash_index_admit(
@@ -242,8 +253,12 @@ def compact_index(
     which admission tolerates (candidate pairs are distinct'd; a doc
     matching two copies of the same indexed doc drops the same doc)
     and the next compaction removes (rows are dropDuplicates'd on
-    ``id_col`` — duplicate ids carry identical signatures by
-    construction).
+    the FULL row, not just ``id_col``: crash-replay duplicates are
+    bit-identical and collapse to one, while an id legitimately
+    re-admitted across crawls with DIFFERENT content keeps both
+    signatures — future admissions then match either version, which
+    strengthens the invariant instead of silently discarding an
+    arbitrary one).
 
     Returns the new compact tag, or None when there was nothing to
     compact (no index, or <= 1 non-retained partition).
@@ -271,7 +286,7 @@ def compact_index(
                 pass
     new_tag = f"{_COMPACT_PREFIX}{gen + 1:08d}"
     rows = idx.filter(F.col("batch").isin(to_compact)).drop("batch")
-    rows.dropDuplicates([id_col]).coalesce(max(1, target_files)).write.mode(
+    rows.dropDuplicates().coalesce(max(1, target_files)).write.mode(
         "overwrite"
     ).parquet(f"{_sigs_path(index_path)}/batch={new_tag}")
     # sources go only AFTER the consolidated partition is durable

@@ -45,10 +45,13 @@ charter (SURVEY §2.7 similarity family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from python_stream_processing_framework_spark.operators.common import materialize
+from python_stream_processing_framework_spark.operators.common import (
+    materialize,
+    maybe_broadcast,
+)
 from python_stream_processing_framework_spark.operators.dedup_index import (
     read_index,
     _sigs_path,
@@ -96,31 +99,50 @@ def embed_index_admit(
     """
     spark = new_vecs.sparkSession
 
+    # Sign ONCE: this signature frame drives the within-batch band
+    # join (passed through to cosine_lsh_pairs), the cross-index
+    # stage, and the index write — one Arrow pandas-UDF pass, one
+    # pinned cache, instead of the two an inner re-sign would cost.
+    # sign_signatures drops null-vector rows, so they are structurally
+    # incapable of being indexed; they rejoin the admitted output
+    # verbatim at the end (they can't be near anything).
+    null_rows = new_vecs.filter(F.col(vec_col).isNull())
+    sigs_all = sign_signatures(
+        new_vecs, id_col=id_col, vec_col=vec_col, bands=bands, band_bits=band_bits
+    )
+    if sigs_all is None:  # no non-null vectors: nothing to index or drop
+        return new_vecs
+
     # Within-batch: LSH pairs -> exact verify -> component-canonical.
+    vec_rows = new_vecs.filter(F.col(vec_col).isNotNull())
     pairs = cosine_lsh_pairs(
-        new_vecs,
+        vec_rows,
         id_col=id_col,
         vec_col=vec_col,
         threshold=threshold,
         bands=bands,
         band_bits=band_bits,
+        sigs=sigs_all,
     )
     if pairs.isEmpty():
-        survivors = new_vecs
+        survivors = vec_rows
+        sigs_new = sigs_all
     else:
         comp = connected_components(
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         )
-        losers = comp.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias(id_col)
+        # Size-gated, not an unconditional hint: in streaming the
+        # loser set is micro-batch-bounded, but a bootstrap admit of
+        # a whole corpus as batch 1 makes it corpus-proportional —
+        # above the cap the anti-join stays an exchange join and AQE
+        # decides (same discipline as the vocabulary-df gates).
+        losers = maybe_broadcast(
+            comp.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias(id_col)
+            )
         )
-        survivors = new_vecs.join(F.broadcast(losers), id_col, "left_anti")
-
-    sigs_new = sign_signatures(
-        survivors, id_col=id_col, vec_col=vec_col, bands=bands, band_bits=band_bits
-    )
-    if sigs_new is None:  # empty batch: nothing to index or drop
-        return survivors
+        survivors = vec_rows.join(losers, id_col, "left_anti")
+        sigs_new = sigs_all.join(losers, id_col, "left_anti")
 
     idx = read_index(spark, index_path)
     if idx is not None:
@@ -182,4 +204,6 @@ def embed_index_admit(
     sigs_admitted.select(id_col, "s", "q", "nq2").write.mode("overwrite").parquet(
         f"{_sigs_path(index_path)}/batch={batch_tag}"
     )
-    return admitted
+    # Null-vector rows: admitted verbatim, never indexed (the write
+    # above reads only the null-free signature frame).
+    return admitted.unionByName(null_rows)

@@ -119,6 +119,14 @@ def bm25_topk(
         t: math.log(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
         for t, dfc in df_counts.items()
     }
+    if not idf:
+        # no query term occurs in the corpus: every score is 0 and
+        # zero-score docs never appear — return the empty result
+        # directly (an empty F.create_map() has VOID key type and
+        # fails analysis)
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {dict(df.dtypes)[id_col]}, bm25 double"
+        )
     idf_expr = F.create_map(
         *[x for t, v in sorted(idf.items()) for x in (F.lit(t), F.lit(v))]
     )
@@ -232,11 +240,14 @@ def tfidf_topk(
     # is tiny relative to the corpus but NOT bounded (~1e8-1e9 tokens
     # at 100 TB of web text), so the hint applies only under the row
     # cap; above it the join stays a plain equi-join and AQE decides.
-    # The materialization inside maybe_broadcast also serves the
-    # query-term collect below, which re-reads dfc.
+    # Materialized HERE (not inside maybe_broadcast, whose probe is
+    # deliberately bounded): the query-term collect below re-reads
+    # dfc, and the cached count doubles as the gate's known_count.
+    dfm = materialize(
+        tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    )
     dfc = maybe_broadcast(
-        tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df")),
-        max_rows=broadcast_row_cap,
+        dfm, max_rows=broadcast_row_cap, known_count=dfm.count()
     )
     idf_col = F.log(F.lit(one_plus_n) / (1.0 + F.col("_df"))) + 1.0
 
@@ -250,7 +261,7 @@ def tfidf_topk(
     # is 0 (idf = ln(1+N) + 1) — they widen the query norm only.
     df_q = {
         r["_t"]: float(r["_df"])
-        for r in dfc.filter(F.col("_t").isin(terms)).collect()
+        for r in dfm.filter(F.col("_t").isin(terms)).collect()
     }
     qw = {
         t: qtf[t] * (math.log(one_plus_n / (1.0 + df_q.get(t, 0.0))) + 1.0)

@@ -89,16 +89,23 @@ def mad_anomalies(
     boolean flag. Keys where MAD = 0 (over half the values identical)
     flag any deviation at all — the strictest consistent reading, and
     the one an exact replay agrees on. Per-key stat tables are
-    key-cardinality-sized and broadcast; the corpus itself is scanned
-    map-only around the two histogram medians.
+    key-cardinality-sized; the broadcast hints are SIZE-GATED
+    (``common.maybe_broadcast``) because key cardinality is unbounded
+    in principle (per-user keys at 100 TB run ~1e9) — under the cap
+    the corpus is scanned map-only around the two histogram medians,
+    above it the stat joins are plain equi-joins and AQE decides.
     """
-    med = exact_median(df, key_col, value_col, out_col=med_col)
-    dev = df.join(F.broadcast(med), key_col).withColumn(
+    from python_stream_processing_framework_spark.operators.common import (
+        maybe_broadcast,
+    )
+
+    med = maybe_broadcast(exact_median(df, key_col, value_col, out_col=med_col))
+    dev = df.join(med, key_col).withColumn(
         "_dev", F.abs(F.col(value_col).cast("double") - F.col(med_col))
     )
-    mad = exact_median(dev, key_col, "_dev", out_col=mad_col)
+    mad = maybe_broadcast(exact_median(dev, key_col, "_dev", out_col=mad_col))
     return (
-        dev.join(F.broadcast(mad), key_col)
+        dev.join(mad, key_col)
         .withColumn(flag_col, F.col("_dev") > F.lit(float(k)) * F.col(mad_col))
         .drop("_dev")
     )

@@ -153,13 +153,22 @@ def sign_signatures(
     shipped once per executor as a SparkContext broadcast. Returns
     None for an empty/all-null input (nothing can be signed).
 
+    Null-vector rows are FILTERED OUT of the returned frame (they
+    cannot be near anything, so they belong in no band and no index);
+    callers admitting such rows verbatim re-derive them from the
+    input, never from the signatures. The emptiness/dim probe reads
+    the first NON-NULL vector — a null-first mixed batch must still
+    be signed (an arbitrary-row probe here silently skipped
+    dedup for whole batches; see tests/test_embed_index.py).
+
     Pins one frame via materialize(); callers release with
     common.release_caches(), the family-wide contract.
     """
     n_planes = bands * band_bits
-    e = _prep(embeddings, vec_col)
-    row = embeddings.select(vec_col).limit(1).collect()
-    if not row or row[0][0] is None:
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    e = _prep(nonnull, vec_col)
+    row = nonnull.select(vec_col).limit(1).collect()
+    if not row:
         return None
     dim = len(row[0][0])
     from pyspark.sql.functions import pandas_udf
@@ -270,9 +279,16 @@ def cosine_lsh_pairs(
     threshold: float = 0.4,
     bands: int = 8,
     band_bits: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via sign-random-projection LSH (Charikar) —
     the sub-quadratic scale path for embedding dedup.
+
+    ``sigs``: a precomputed :func:`sign_signatures` frame for
+    ``embeddings`` (same bands/band_bits). Callers that need the
+    signatures themselves (the persisted embedding index signs once
+    and reuses the frame for its cross-index stage and index write)
+    pass it here so the Arrow signing pass runs exactly once.
 
     Hyperplanes are pseudo-random but DETERMINISTIC: coefficient
     (p, d) is the md5('plane#p#d')-derived INTEGER in [-1e6, 1e6] —
@@ -304,9 +320,14 @@ def cosine_lsh_pairs(
     not checked per-row.
     """
     n_planes = bands * band_bits
-    sigs = sign_signatures(
-        embeddings, id_col=id_col, vec_col=vec_col, bands=bands, band_bits=band_bits
-    )
+    if sigs is None:
+        sigs = sign_signatures(
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            bands=bands,
+            band_bits=band_bits,
+        )
     if sigs is None:
         return embeddings.sparkSession.createDataFrame(
             [], "id_a bigint, id_b bigint, cos_sim double"

@@ -616,6 +616,67 @@ class Stream:
             )
         )
 
+    def dedupe_semantic(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        id_field: str = "vec_id",
+        vec_field: str = "embedding",
+        target: str | None = None,
+        group: str | None = None,
+        index_path: str | None = None,
+        threshold: float = 0.9,
+        bands: int = 8,
+        band_bits: int = 4,
+        compact_every: int | None = 64,
+    ) -> None:
+        """Streaming SEMANTIC near-duplicate admission: forward to
+        ``target`` (default `{topic}-unique`) only rows whose
+        embedding is not a ``threshold``-cosine near-duplicate of
+        anything in this micro-batch or of any row admitted by an
+        EARLIER batch — the embedding-modality twin of
+        :meth:`dedupe_near` (paraphrases and translations that
+        lexical MinHash misses). Rows with a null ``vec_field`` pass
+        through verbatim and are never indexed.
+
+        State is the persisted sign-LSH signature index
+        (operators/embed_index.py) under ``index_path`` (default
+        `{broker}/_indexes/{group}`): parquet signatures (packed
+        sign bits + quantized vector) keyed by batch partition, NOT
+        Spark state-store state — survives restarts with the
+        checkpoint, queryable offline, and each batch's additions
+        overwrite idempotently per batch_id so a foreachBatch
+        redelivery re-adjudicates against all OTHER batches and
+        rewrites its own partition. Sink delivery is idempotent per
+        batch_id (`_write_batch_jsonl`). Index lifecycle: compacts
+        through the same layout-agnostic ``compact_index`` as
+        dedupe_near, every ``compact_every`` batches, retaining only
+        the current (retry-able) tag.
+        """
+        group = group or f"{self.name}-dedupe-semantic"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="dedupe_semantic",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "id_field": id_field,
+                    "vec_field": vec_field,
+                    "target": target or f"{topic}-unique",
+                    "group": group,
+                    "index_path": index_path
+                    or str(self.broker / "_indexes" / group),
+                    "threshold": threshold,
+                    "bands": bands,
+                    "band_bits": band_bits,
+                    "compact_every": compact_every,
+                },
+            )
+        )
+
     def decontaminate(
         self,
         topic: str,
@@ -1350,6 +1411,62 @@ class Stream:
             .start()
         )
 
+    def _start_dedupe_semantic(self, sub: _Subscription):
+        """Semantic near-dup admission per micro-batch: foreachBatch
+        runs the incremental embedding-index admit (one signing pass,
+        within-batch components + cross-index band join — distributed
+        jobs, bounded driver data) and delivers only admitted rows."""
+        from python_stream_processing_framework_spark.operators.common import (
+            release_caches,
+        )
+        from python_stream_processing_framework_spark.operators.dedup_index import (
+            compact_index,
+        )
+        from python_stream_processing_framework_spark.operators.embed_index import (
+            embed_index_admit,
+        )
+
+        src = self.stream_topic(sub.topic, sub.schema)
+        o = sub.options
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def admit_batch(batch: DataFrame, batch_id: int) -> None:
+            try:
+                admitted = embed_index_admit(
+                    batch,
+                    o["index_path"],
+                    str(batch_id),
+                    id_col=o["id_field"],
+                    vec_col=o["vec_field"],
+                    threshold=o["threshold"],
+                    bands=o["bands"],
+                    band_bits=o["band_bits"],
+                )
+                # idempotent per batch_id — see _write_batch_jsonl
+                _write_batch_jsonl(admitted, sink_dir, batch_id)
+                every = o.get("compact_every")
+                if every and batch_id > 0 and batch_id % every == 0:
+                    # retain only the CURRENT tag — the single batch a
+                    # foreachBatch redelivery can retry (see dedupe_near)
+                    compact_index(
+                        batch.sparkSession,
+                        o["index_path"],
+                        id_col=o["id_field"],
+                        retain_tags=[str(batch_id)],
+                    )
+            finally:
+                release_caches()
+
+        return (
+            src.writeStream.foreachBatch(admit_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def run_until_idle(self, *, rounds: int = 1) -> None:
         """Start every registered pipeline against the data currently in
         the broker and block until all of it is processed — the test /
@@ -1363,6 +1480,7 @@ class Stream:
             "route": self._start_route,
             "dedupe": self._start_dedupe,
             "dedupe_near": self._start_dedupe_near,
+            "dedupe_semantic": self._start_dedupe_semantic,
             "fold": self._start_fold,
             "decontaminate": self._start_decontaminate,
         }

@@ -155,3 +155,59 @@ def test_null_vectors_admitted_not_indexed(spark, tmp_path):
         assert [r["vec_id"] for r in stored.select("vec_id").collect()] == [1]
     finally:
         release_caches()
+
+
+def test_loser_gate_exchange_regime(spark, tmp_path, monkeypatch):
+    """r8 verdict #2: the within-batch loser anti-join is size-gated.
+    Forcing the cap to 0 (loser set 'too big to broadcast') must not
+    change admit decisions — strategy changes, results don't."""
+    from python_stream_processing_framework_spark.operators import common
+
+    def run(tag_dir):
+        idx = str(tmp_path / tag_dir)
+        a1 = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(1, _vec(0)), (2, _vec(0, 5)), (3, _vec(1))]),
+                idx,
+                "b1",
+                **_KW,
+            ).collect()
+        )
+        a2 = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(4, _vec(0, 7)), (5, _vec(2))]), idx, "b2", **_KW
+            ).collect()
+        )
+        return a1, a2
+
+    try:
+        default = run("idx_default")
+        monkeypatch.setattr(common, "BROADCAST_ROW_CAP", 0)
+        forced = run("idx_forced")
+        assert forced == default == ([1, 3], [5])
+    finally:
+        release_caches()
+
+
+def test_null_first_mixed_batch_still_deduped(spark, tmp_path):
+    """ADVICE r8 (medium): the old emptiness probe read an ARBITRARY
+    row — a null vector in slot one made sign_signatures return None
+    and the whole batch was admitted with no dedup and no index write.
+    The probe now reads the first NON-NULL vector: null-first batches
+    still sign, dedupe within-batch, and index their survivors."""
+    idx = str(tmp_path / "idx")
+    try:
+        docs = spark.createDataFrame(
+            [(2, None), (3, _vec(0)), (4, _vec(0, 5))],
+            "vec_id bigint, embedding array<double>",
+        )
+        admitted = sorted(
+            r["vec_id"] for r in embed_index_admit(docs, idx, "b1", **_KW).collect()
+        )
+        assert admitted == [2, 3]  # 4 is a within-batch near-dup of 3
+        stored = read_index(spark, idx)
+        assert [r["vec_id"] for r in stored.select("vec_id").collect()] == [3]
+    finally:
+        release_caches()

@@ -695,3 +695,59 @@ def test_semdedup_cluster_bucketed_pairs(spark):
     assert "FlatMapGroupsInPandas" in ptext
     assert "CartesianProduct" not in ptext
     release_caches()
+
+
+def _anti_join_lines(text: str) -> list[str]:
+    return [ln for ln in text.splitlines() if "LeftAnti" in ln]
+
+
+def test_decontaminate_anti_join_broadcast_gate_both_regimes(spark):
+    """The contamination anti-join set is size-gated (r8 verdict #2):
+    flagged mass scales with CORPUS duplication at 100 TB, not with
+    the benchmark. Small regime: hint present (corpus stays map-side).
+    Above-cap regime (forced with broadcast_row_cap=0): hint withheld,
+    plain exchange join — and the kept set is identical."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.dedup import (
+        decontaminate,
+        ngram_decontaminate,
+    )
+    from python_stream_processing_framework_spark.plans.explain import plan_text
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different training document about spark plans"),
+            (3, "the quick brown fox jumps over the lazy dog yesterday"),
+        ],
+        "doc_id bigint, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for op, kw in (
+            (decontaminate, dict(threshold=0.5, shingle_k=3)),
+            (ngram_decontaminate, dict(n=5)),
+        ):
+            small = op(corpus, heldout, **kw)
+            anti = _anti_join_lines(plan_text(small))
+            assert anti and any("BroadcastHashJoin" in ln for ln in anti), (
+                f"{op.__name__}: flagged-set anti-join lost its gated broadcast"
+            )
+            small_ids = sorted(r["doc_id"] for r in small.collect())
+
+            big = op(corpus, heldout, broadcast_row_cap=0, **kw)
+            anti = _anti_join_lines(plan_text(big))
+            assert anti and not any("BroadcastHashJoin" in ln for ln in anti), (
+                f"{op.__name__}: hint survived the size gate"
+            )
+            assert sorted(r["doc_id"] for r in big.collect()) == small_ids
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_caches()

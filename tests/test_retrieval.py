@@ -156,3 +156,25 @@ def test_curriculum_order_validates(spark):
         curriculum_order(docs, "n_chars", [], "doc_id")
     with pytest.raises(ValueError, match="ascending"):
         curriculum_order(docs, "n_chars", [5.0, 1.0], "doc_id")
+
+
+def test_bm25_all_miss_query_returns_empty(spark):
+    """A query whose terms all miss the corpus vocabulary must return
+    the empty (id, bm25) frame, not fail analysis (an empty
+    F.create_map() types its key as VOID)."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta")], "doc_id bigint, text string"
+    )
+    try:
+        out = bm25_topk(docs, "zeta omega", k=5)
+        assert out.columns == ["doc_id", "bm25"]
+        assert out.count() == 0
+    finally:
+        release_caches()
