@@ -74,18 +74,32 @@ def maybe_broadcast(
     unchanged: the join becomes an ordinary equi-join whose strategy
     AQE picks from the REAL runtime size.
 
+    The probe frame (``limit(cap+1)``, persisted) is BOUNDED at cap+1
+    rows no matter how big the side is — never more than ~200 MB at
+    the default cap. When the count comes back at/under the cap the
+    limit took EVERY row, so the cached probe IS the side table and
+    the broadcast build reads the cache instead of recomputing the
+    side's lineage (which for flag sets is an LSH join — paying it
+    twice showed up as a 30% regression on setsim/decontaminate when
+    an unpersisted probe was tried). Above the cap the probe cache is
+    dropped immediately and the untouched ``df`` is returned.
+
     Pass ``known_count`` when the caller has already counted the
-    frame (skips the probe). Callers that re-read the side beyond the
-    single gated join should ``materialize()`` it THEMSELVES before
-    gating — this helper deliberately does not persist (persisting a
-    frame above the cap is exactly the memory pressure the gate
-    exists to avoid).
+    frame (skips the probe entirely). Callers that re-read the side
+    beyond the single gated join should ``materialize()`` it
+    THEMSELVES before gating.
     """
     cap = BROADCAST_ROW_CAP if max_rows is None else max_rows
-    n = known_count
-    if n is None:
-        n = df.limit(cap + 1).count()
-    return F.broadcast(df) if n <= cap else df
+    if known_count is not None:
+        return F.broadcast(df) if known_count <= cap else df
+    probe = df.limit(cap + 1)
+    probe.persist()
+    n = probe.count()
+    if n <= cap:
+        _TRACKED_FRAMES.append(probe)
+        return F.broadcast(probe)
+    probe.unpersist()
+    return df
 
 
 def track_broadcast(bc):
