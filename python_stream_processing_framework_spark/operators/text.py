@@ -675,21 +675,35 @@ def filter_url_blocklist(
     blocklist: DataFrame,
     *,
     domain_col: str = "domain",
+    broadcast_row_cap: int | None = None,
 ) -> DataFrame:
     """Drop documents containing a URL whose host is blocklisted.
 
     The standard corpus hygiene pass (spam/adult/malware domain
-    lists). Blocklists are small (even the big public ones are <10M
-    rows): the semi-join side broadcasts, so the corpus never
-    shuffles — extract hosts map-side, broadcast-join against the
-    list, anti-join the flagged ids back. Matching is exact on the
-    lowercased host; subdomain policies (suffix matching) belong in
-    the blocklist itself (pre-expand) to keep the join an equi-join.
+    lists). The semi-join side rides a SIZE-GATED broadcast
+    (``common.maybe_broadcast``): typical public lists broadcast
+    comfortably and the corpus never shuffles — extract hosts
+    map-side, broadcast-join against the list, anti-join the flagged
+    ids back. But the list is user-supplied and unbounded in
+    principle (the big public ones run to ~10M rows BEFORE the
+    subdomain pre-expansion below multiplies them), so above the cap
+    the hint is withheld and AQE picks the strategy — the same
+    discipline as the classifier weight table. Matching is exact on
+    the lowercased host; subdomain policies (suffix matching) belong
+    in the blocklist itself (pre-expand) to keep the join an
+    equi-join.
     """
+    from python_stream_processing_framework_spark.operators.common import (
+        maybe_broadcast,
+    )
+
     hosts = extract_url_domains(df, id_col, text_col)
     flagged = (
         hosts.join(
-            F.broadcast(blocklist.select(F.col(domain_col).alias("domain"))),
+            maybe_broadcast(
+                blocklist.select(F.col(domain_col).alias("domain")),
+                max_rows=broadcast_row_cap,
+            ),
             "domain",
         )
         .select(id_col)

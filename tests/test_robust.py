@@ -84,3 +84,55 @@ def test_mad_anomalies_gate_exchange_regime(spark, monkeypatch):
         assert run() == default
     finally:
         release_caches()
+
+
+def test_exact_median_two_exchanges(spark):
+    """The histogram median is two exchanges — (key, value) for the
+    histogram, key for the cumulative window — and the final per-key
+    aggregate REUSES the window's hash partitioning (no third
+    shuffle). A refactor that breaks the reuse shows up here before
+    it shows up as a 100 TB shuffle regression."""
+    from python_stream_processing_framework_spark.plans import (
+        assert_no_cartesian,
+        count_exchanges,
+    )
+
+    df = spark.createDataFrame([("a", i) for i in range(100)], "k string, v bigint")
+    med = exact_median(df, "k", "v")
+    assert count_exchanges(med) == 2
+    flagged = mad_anomalies(df, "k", "v")
+    assert count_exchanges(flagged) <= 8  # 2 medians x 2 + dev/stat joins
+    assert_no_cartesian(flagged)
+
+
+def test_url_blocklist_gate_exchange_regime(spark, monkeypatch):
+    """filter_url_blocklist's list side is user-supplied and unbounded
+    in principle: forcing the gate closed must not change which docs
+    survive (placed here with the other r9 gate-regime tests)."""
+    from python_stream_processing_framework_spark.operators import common
+    from python_stream_processing_framework_spark.operators.text import (
+        filter_url_blocklist,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://spam.example.com/x now"),
+            (2, "clean text, no links"),
+            (3, "link to https://ok.example.org/page"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bl = spark.createDataFrame([("spam.example.com",)], "domain string")
+
+    def run():
+        return sorted(
+            r["doc_id"]
+            for r in filter_url_blocklist(docs, "doc_id", "text", bl).collect()
+        )
+
+    try:
+        default = run()
+        monkeypatch.setattr(common, "BROADCAST_ROW_CAP", 0)
+        assert run() == default == [2, 3]
+    finally:
+        release_caches()
