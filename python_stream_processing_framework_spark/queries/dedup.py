@@ -326,12 +326,23 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_stream_processing_framework_spark.operators.dedup import (
         decontaminate,
         dedup_corpus,
+        minhash_signatures,
     )
 
     (documents,) = load(spark, sf_dir, "documents")
     bucket = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#split#"))) % 20
     corpus = documents.filter(bucket != 0)
     heldout = documents.filter(bucket == 0)
+    # Sign the corpus ONCE; the same cached frame drives pair mining
+    # and the decontamination join (r9 — the chained form signed the
+    # kept set from scratch, re-running the whole dedup lineage, ~2x
+    # the query). Sharing is sound because dedup keeps each
+    # component's MIN id, which is always its exact-cluster
+    # representative, so every kept doc has its own signature row;
+    # _members resets to the doc itself (all other members are gone).
+    sig_corpus = minhash_signatures(
+        corpus, "doc_id", "text", num_hashes=16, shingle_k=3
+    )
     pairs = minhash_lsh_pairs(
         corpus,
         "doc_id",
@@ -341,9 +352,15 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=3,
         threshold=0.5,
         expand="star",
+        sigs=sig_corpus,
     )
     kept = dedup_corpus(corpus, pairs, "doc_id")
-    clean = decontaminate(kept, heldout, "doc_id", "text", threshold=0.5)
+    kept_sigs = sig_corpus.join(
+        kept.select("doc_id"), "doc_id", "semi"
+    ).withColumn("_members", F.array(F.col("doc_id")))
+    clean = decontaminate(
+        kept, heldout, "doc_id", "text", threshold=0.5, corpus_sigs=kept_sigs
+    )
     return clean.select("doc_id")
 
 
