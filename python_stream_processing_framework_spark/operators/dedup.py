@@ -105,14 +105,25 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 
 def band_vals_expr(num_hashes: int, bands: int, sig_col: str = "_sig") -> Column:
-    """LSH band keys: concat of each band's signature slice — the ONE
-    definition both the self-join (minhash_lsh_pairs) and the
-    two-table join (minhash_lsh_join) band on, so they can never
-    silently diverge."""
+    """LSH band keys: xxhash64 of each band's signature slice — the
+    ONE definition the self-join (minhash_lsh_pairs), the two-table
+    join (minhash_lsh_join), and the persisted index
+    (dedup_index.minhash_index_admit) all band on, so they can never
+    silently diverge.
+
+    r9 bytes discipline: the key is the 8-byte xxhash64 of the
+    concatenated md5 slice, not the ~128-char concat itself — the
+    band join is the family's BIGGEST shuffle and its row shrinks
+    ~6x. Banding equality classes are unchanged except for xxhash64
+    collisions (~2^-64 per cross-doc pair), which only ADD candidates
+    that the exact Jaccard verification then rejects — output-neutral
+    unless a colliding pair also genuinely clears the threshold
+    (a true pair md5-banding missed; w.h.p. never, and strictly a
+    recall improvement if it ever happens)."""
     rows = num_hashes // bands
     return F.expr(
         f"transform(sequence(0, {bands - 1}),"
-        f" b -> concat_ws('', slice({sig_col}, b * {rows} + 1, {rows})))"
+        f" b -> xxhash64(concat_ws('', slice({sig_col}, b * {rows} + 1, {rows}))))"
     )
 
 
@@ -132,6 +143,16 @@ def with_minhash(
     md5 hex strings is a valid uniform min-hash (lexicographic order on
     uniformly distributed hex). Map-only, codegen'd.
 
+    ``_shingles`` carries the distinct shingle set as int64 xxhash64
+    IMAGES, not the shingle strings (r9 bytes discipline, the same
+    move setsim's verification made in r8): verification only needs
+    intersection/union CARDINALITIES, which hashing preserves
+    (within-doc image collisions at ~|shingles|^2 / 2^64 are the
+    standard w.h.p. trade), and the image array is ~3x smaller in
+    the signature caches, the persisted dedup index, and the
+    candidate-verify shuffle. Signature derivation itself stays on
+    the md5 strings — that family is what the SQL oracles replay.
+
     ``widen=False`` skips the spread() gate — pass it when the input
     is already shuffle-width (e.g. a collapse_exact_dups output):
     spread's partition-count probe (`df.rdd`) would force AQE to
@@ -140,15 +161,16 @@ def with_minhash(
     """
     sig = F.expr(
         f"transform(sequence(0, {num_hashes - 1}),"
-        f" s -> array_min(transform(_shingles, x -> md5(concat(x, '#', cast(s as string))))))"
+        f" s -> array_min(transform(_shingles_str, x -> md5(concat(x, '#', cast(s as string))))))"
     )
     filtered = df.filter(F.size(tokens_expr(text_col)) >= shingle_k)
     return (
         (spread(filtered) if widen else filtered)
         .withColumn("_toks", tokens_expr(text_col))
-        .withColumn("_shingles", shingles_expr("_toks", shingle_k))
+        .withColumn("_shingles_str", shingles_expr("_toks", shingle_k))
         .withColumn("_sig", sig)
-        .drop("_toks")
+        .withColumn("_shingles", F.expr("transform(_shingles_str, x -> xxhash64(x))"))
+        .drop("_toks", "_shingles_str")
     )
 
 

@@ -28,10 +28,14 @@ side is read signature-only (column-pruned parquet scan — `_sig` and
 batch is small its banded side broadcasts under AQE and the index
 never shuffles. ``max_band_freq`` caps index-side bucket occupancy —
 the same recall-trading hot-key guard as the batch path. Shingle
-sets ride along for exact verification; at petabyte index sizes
-swap `_shingles` verification for the signature-estimated Jaccard
-(agreement fraction of the two signatures) and drop the column —
-the banding plumbing is unchanged.
+sets ride along for exact verification as int64 xxhash64 IMAGES
+(r9 format bump, ~3x smaller index and verify shuffle — counts are
+what verification consumes and hashing preserves them w.h.p.;
+indexes written before r9 store shingle strings and must be
+re-admitted or compacted through a fresh index). At petabyte index
+sizes swap `_shingles` verification for the signature-estimated
+Jaccard (agreement fraction of the two signatures) and drop the
+column — the banding plumbing is unchanged.
 
 The reference's closest surface is sink-boundary idempotence tokens
 (/root/reference/pspf/connectors/base.py:32-78); content-level
