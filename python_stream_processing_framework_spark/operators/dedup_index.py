@@ -56,7 +56,7 @@ from python_stream_processing_framework_spark.operators.common import (
 from python_stream_processing_framework_spark.operators.dedup import (
     band_vals_expr,
     minhash_lsh_pairs,
-    with_minhash,
+    minhash_signatures,
 )
 from python_stream_processing_framework_spark.operators.graph import (
     connected_components,
@@ -129,7 +129,21 @@ def minhash_index_admit(
     """
     spark = new_docs.sparkSession
 
-    # Within-batch: component-canonical near-dup dedup.
+    # Sign ONCE (r9, the same share-the-signing fix embed_index_admit
+    # got): the cached signature frame drives within-batch pair
+    # mining, the cross-index stage, and the index write. Reuse for
+    # survivors is sound because the within-batch keep rule is the
+    # component MIN id, which is always its exact-cluster
+    # representative — every survivor has its own signature row.
+    sigs_all = minhash_signatures(
+        new_docs,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    )
+    # Within-batch: component-canonical near-dup dedup. Star edges
+    # span the same components as all-pairs with linearly many rows.
     pairs = minhash_lsh_pairs(
         new_docs,
         id_col,
@@ -139,17 +153,19 @@ def minhash_index_admit(
         shingle_k=shingle_k,
         threshold=threshold,
         max_band_freq=max_band_freq,
+        expand="star",
+        sigs=sigs_all,
     )
     survivors = _within_batch_survivors(pairs, new_docs, id_col)
 
+    # materialize: four plan branches consume the survivor signatures
+    # (band explode, verify fetch, index write, and the admitted
+    # anti-join's survivor side) — one cache, evaluated once, exactly
+    # like the frame the second signing pass used to produce.
     sigs_new = materialize(
-        with_minhash(
-            survivors.select(id_col, text_col),
-            id_col,
-            text_col,
-            num_hashes=num_hashes,
-            shingle_k=shingle_k,
-        ).select(id_col, "_sig", "_shingles")
+        sigs_all.join(survivors.select(id_col), id_col, "semi").select(
+            id_col, "_sig", "_shingles"
+        )
     )
 
     # Cross-index: band join against stored signatures only. The
