@@ -244,7 +244,12 @@ def _sig_ctes(prefix: str, src: str) -> str:
     (columns doc_id, text) — the same 16-hash/4-band/3-shingle family
     as the self-join oracle, parameterized so the corpus and held-out
     sides of the decontamination join share one definition (mirrors
-    operators/dedup.band_vals_expr being shared Spark-side)."""
+    operators/dedup.band_vals_expr being shared Spark-side). The
+    oracle bands on the raw md5-slice concat while Spark bands on its
+    xxhash64 (r9 bytes discipline) — identical equality classes up to
+    xxhash collisions, which only ADD Spark-side candidates that the
+    exact-Jaccard filter both engines apply then rejects, so the
+    COMPARED final rows are unaffected."""
     return f"""
     {prefix}d AS (
       SELECT doc_id, {_SHINGLES3} AS sh
