@@ -249,6 +249,10 @@ def compact_index(
 ) -> str | None:
     """Fold the per-batch ``sigs/batch=<tag>`` directories into one.
 
+    ``id_col`` is accepted for call-site compatibility but no longer
+    steers deduplication: since r9 compaction dedups on the FULL row
+    (see the crash-safety paragraph below for why).
+
     Every ``minhash_index_admit`` call appends one parquet directory;
     after 10^4 micro-batches the index is 10^4 directories and every
     cross-index read pays their listing + small-file cost. Compaction
