@@ -84,6 +84,7 @@ def embed_index_admit(
     threshold: float = 0.9,
     bands: int = 8,
     band_bits: int = 4,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Admit a vector batch against the persisted index; return the
     admitted rows with all their original columns. Side effect:
@@ -92,6 +93,13 @@ def embed_index_admit(
     batch). Rows with a null vector are admitted verbatim but not
     indexed (they can't be near anything), the same recall floor as
     the batch LSH path.
+
+    ``max_band_freq`` caps (band, key) bucket occupancy on BOTH the
+    within-batch join (via cosine_lsh_pairs) and the INDEX side of
+    the cross-index join — the recall-trading hot-bucket guard
+    minhash_index_admit has; without it a degenerate embedding
+    region (padding vectors, boilerplate clusters) makes the
+    cross-join per-bucket quadratic in INDEX size.
 
     Pins signature frames via materialize() — call
     common.release_caches() once the returned frame is consumed, the
@@ -123,6 +131,7 @@ def embed_index_admit(
         bands=bands,
         band_bits=band_bits,
         sigs=sigs_all,
+        max_band_freq=max_band_freq,
     )
     if pairs.isEmpty():
         survivors = vec_rows
@@ -158,6 +167,16 @@ def embed_index_admit(
             F.col("s").alias("_si"),
             F.posexplode(keys).alias("band_idx", "band_key"),
         )
+        if max_band_freq is not None:
+            freq = bi.groupBy("band_idx", "band_key").agg(
+                F.count(F.lit(1)).alias("_bf")
+            )
+            bi = bi.join(
+                freq.filter(F.col("_bf") <= max_band_freq).select(
+                    "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
         max_disagree = _lsh_max_disagree(threshold, bands * band_bits)
         cand = (
             bn.join(bi, ["band_idx", "band_key"])

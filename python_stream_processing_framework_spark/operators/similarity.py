@@ -280,6 +280,7 @@ def cosine_lsh_pairs(
     bands: int = 8,
     band_bits: int = 4,
     sigs: DataFrame | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via sign-random-projection LSH (Charikar) —
     the sub-quadratic scale path for embedding dedup.
@@ -289,6 +290,18 @@ def cosine_lsh_pairs(
     signatures themselves (the persisted embedding index signs once
     and reuses the frame for its cross-index stage and index write)
     pass it here so the Arrow signing pass runs exactly once.
+
+    ``max_band_freq``: drop (band, key) buckets with more occupants —
+    the MinHash family's hot-bucket guard (dedup._cap_band_buckets)
+    applied to sign-LSH. A degenerate embedding region (zero vectors,
+    a provider's padding embedding, a cluster of near-identical
+    boilerplate) puts its whole mass in one bucket per band, and the
+    candidate join is per-bucket QUADRATIC; the cap bounds it at
+    O(cap^2) per bucket by trading recall inside capped buckets only.
+    Default off — at the default band_bits=4 there are only 16 keys
+    per band, so legitimate buckets are large; size bands to the
+    batch (the 100k bench uses bands=4 x band_bits=16) before arming
+    the cap.
 
     Hyperplanes are pseudo-random but DETERMINISTIC: coefficient
     (p, d) is the md5('plane#p#d')-derived INTEGER in [-1e6, 1e6] —
@@ -344,6 +357,16 @@ def cosine_lsh_pairs(
         F.col("s"),
         F.posexplode(band_keys).alias("band_idx", "band_key"),
     )
+    if max_band_freq is not None:
+        freq = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_bf")
+        )
+        banded = banded.join(
+            freq.filter(F.col("_bf") <= max_band_freq).select(
+                "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
     # Deterministic signature-hamming prefilter BEFORE the heavy
     # vector fetch: band collisions between genuinely-dissimilar
     # vectors (the bulk of candidates on clustered data) die on a

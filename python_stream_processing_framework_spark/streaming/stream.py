@@ -629,6 +629,7 @@ class Stream:
         threshold: float = 0.9,
         bands: int = 8,
         band_bits: int = 4,
+        max_band_freq: int | None = None,
         compact_every: int | None = 64,
     ) -> None:
         """Streaming SEMANTIC near-duplicate admission: forward to
@@ -672,6 +673,7 @@ class Stream:
                     "threshold": threshold,
                     "bands": bands,
                     "band_bits": band_bits,
+                    "max_band_freq": max_band_freq,
                     "compact_every": compact_every,
                 },
             )
@@ -1441,6 +1443,7 @@ class Stream:
                     threshold=o["threshold"],
                     bands=o["bands"],
                     band_bits=o["band_bits"],
+                    max_band_freq=o.get("max_band_freq"),
                 )
                 # idempotent per batch_id — see _write_batch_jsonl
                 _write_batch_jsonl(admitted, sink_dir, batch_id)

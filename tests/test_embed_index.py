@@ -211,3 +211,66 @@ def test_null_first_mixed_batch_still_deduped(spark, tmp_path):
         assert [r["vec_id"] for r in stored.select("vec_id").collect()] == [3]
     finally:
         release_caches()
+
+
+def test_max_band_freq_caps_hot_buckets(spark, tmp_path):
+    """Hot-bucket guard: a degenerate region (many identical vectors)
+    saturates its (band, key) buckets; with the cap armed those
+    buckets drop from the candidate join (bounded O(cap^2) work, the
+    documented recall trade), while vectors in uncapped buckets keep
+    deduping exactly."""
+    from python_stream_processing_framework_spark.operators.similarity import (
+        cosine_lsh_pairs,
+    )
+
+    # 30 identical vectors -> every one of their buckets has 30
+    # occupants; one distinct near-dup pair (100, 101) elsewhere.
+    rows = [(i, _vec(0)) for i in range(30)]
+    rows += [(100, _vec(1)), (101, _vec(1, 5))]
+    vecs = _vecs(spark, rows)
+    try:
+        uncapped = cosine_lsh_pairs(vecs, threshold=0.9, bands=8, band_bits=4)
+        assert uncapped.count() >= 29 + 1  # hot clique + the pair
+        capped = cosine_lsh_pairs(
+            vecs, threshold=0.9, bands=8, band_bits=4, max_band_freq=10
+        )
+        got = sorted((r["id_a"], r["id_b"]) for r in capped.collect())
+        # the hot clique's buckets (30 > 10) are gone; (100, 101)
+        # shares buckets with at most the hot mass... their bucket
+        # holds only the pair unless a hot-vector band key collides,
+        # in which case that band's bucket is also capped — the pair
+        # must still surface via at least one clean band.
+        assert (100, 101) in got
+        assert all(a >= 100 for a, _ in got), got
+    finally:
+        release_caches()
+
+
+def test_admit_with_band_cap_still_admits_distinct(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    try:
+        a1 = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(1, _vec(0)), (3, _vec(1))]),
+                idx,
+                "b1",
+                max_band_freq=8,
+                **_KW,
+            ).collect()
+        )
+        assert a1 == [1, 3]
+        # cross-index drop still works under the cap (buckets of 1)
+        a2 = sorted(
+            r["vec_id"]
+            for r in embed_index_admit(
+                _vecs(spark, [(4, _vec(0, 7)), (5, _vec(2))]),
+                idx,
+                "b2",
+                max_band_freq=8,
+                **_KW,
+            ).collect()
+        )
+        assert a2 == [5]
+    finally:
+        release_caches()
