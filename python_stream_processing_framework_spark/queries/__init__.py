@@ -59,6 +59,16 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
 #: verified surface is also pinned by an in-cap row (rationale in
 #: COVERAGE.md "Catalog totals"), and every one still gets the same
 #: exact DuckDB value-hash comparison via tests/test_oracle_parity.py.
+#:
+#: ROTATION POLICY (frozen r10): a query may be moved into
+#: OUTSIDE_DRIVER_CAP only after it has held at least one GREEN row
+#: in some external CORRECTNESS_r*.json. New queries therefore always
+#: enter INSIDE the cap and stay there for >=1 round before they can
+#: earn an outside slot; rotating a never-driver-checked query out is
+#: a policy violation. Enforced by
+#: tests/test_oracle_parity.py::test_rotation_policy_no_blind_spots,
+#: which reads every CORRECTNESS_r*.json at the repo root and asserts
+#: every name absent from all of them sits inside the cap.
 OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # machinery rides the n-gram set-hash pair join shape pinned by
     # ngram_decontaminate's and setsim_pairs' driver rows (word-gram

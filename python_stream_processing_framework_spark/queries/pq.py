@@ -224,7 +224,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY dist_q DESC, vec_id) AS rn,
                       count(*) OVER (PARTITION BY cluster) AS n
                FROM dist)
-    SELECT vec_id, cluster, dist_q, (rn * 20 <= n) AS is_outlier
+    SELECT vec_id, cluster, CAST(dist_q AS BIGINT) AS dist_q,
+           (rn * 20 <= n) AS is_outlier
     FROM ranked
     """,
     doc="Embedding-space outlier audit "

@@ -39,6 +39,26 @@ def _canon(rows, cols):
     return out
 
 
+def _assert_driver_hashable_types(duck, name, oracle):
+    """The external driver's value hash is physical-type-sensitive:
+    a DuckDB HUGEINT/DECIMAL column hashes differently from Spark's
+    int64/double even when every value is equal (r9's
+    embedding_outliers red row — its list_sum over BIGINTs typed
+    HUGEINT). _norm_cell's int() coercion makes the local mirror
+    blind to exactly that class, so gate the oracle's output types
+    here: any wide-integer/decimal column must be CAST in the SQL."""
+    types = [str(t).upper() for t in duck.sql(oracle).types]
+    bad = [
+        (c, t)
+        for c, t in zip(duck.sql(oracle).columns, types)
+        if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+    ]
+    assert not bad, (
+        f"{name}: oracle emits driver-unhashable column types {bad}; "
+        "CAST them (AS BIGINT / AS DOUBLE) in the oracle SQL"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERY_REGISTRY[name]
@@ -47,6 +67,7 @@ def test_query_matches_oracle(spark, duck, name):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     register_duck_views(duck, SF_CORRECT)
+    _assert_driver_hashable_types(duck, name, spec.oracle)
     res = duck.execute(spec.oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
@@ -103,6 +124,34 @@ def test_driver_cap_curation():
     assert flagships <= set(names[:DRIVER_CAP])
     for name in OUTSIDE_DRIVER_CAP:
         assert QUERY_REGISTRY[name].oracle, f"{name} outside cap needs an oracle"
+
+
+def test_rotation_policy_no_blind_spots():
+    """Rotation policy (queries/__init__.py): only queries that have
+    already held an external driver row (a key in some
+    CORRECTNESS_r*.json) may sit outside the driver's 50-row cap.
+    Any name the external driver has NEVER checked must be inside
+    the cap so it gets checked next round — prevents recreating the
+    9-query blind spot r9 closed."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "no CORRECTNESS_r*.json records found at repo root"
+    for path in files:
+        with open(path) as f:
+            seen |= set(json.load(f))
+    from python_stream_processing_framework_spark.queries import OUTSIDE_DRIVER_CAP
+
+    never_checked = [n for n in OUTSIDE_DRIVER_CAP if n not in seen]
+    assert not never_checked, (
+        f"outside-cap queries never checked by the external driver: "
+        f"{never_checked}; new queries must enter inside the cap for "
+        ">=1 round first (rotation policy, queries/__init__.py)"
+    )
 
 
 def test_entry_smoke(spark):
