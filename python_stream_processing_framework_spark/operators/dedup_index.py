@@ -31,8 +31,9 @@ the same recall-trading hot-key guard as the batch path. Shingle
 sets ride along for exact verification as int64 xxhash64 IMAGES
 (r9 format bump, ~3x smaller index and verify shuffle — counts are
 what verification consumes and hashing preserves them w.h.p.;
-indexes written before r9 store shingle strings and must be
-re-admitted or compacted through a fresh index). At petabyte index
+indexes written before r9 store shingle strings and are migrated in
+place, durably and crash-safely, on first read — see
+``migrate_index``). At petabyte index
 sizes swap `_shingles` verification for the signature-estimated
 Jaccard (agreement fraction of the two signatures) and drop the
 column — the banding plumbing is unchanged.
@@ -67,12 +68,108 @@ def _sigs_path(index_path: str) -> str:
     return f"{index_path}/sigs"
 
 
+_REHASH = "transform(_shingles, x -> xxhash64(x))"
+
+
+def _is_legacy_shingles(schema) -> bool:
+    """True for the pre-r9 index format (`_shingles` as the shingle
+    STRINGS rather than their int64 xxhash64 images)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    for fld in schema.fields:
+        if fld.name == "_shingles":
+            return isinstance(fld.dataType, ArrayType) and isinstance(
+                fld.dataType.elementType, StringType
+            )
+    return False
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), jvm, p
+
+
+def migrate_index(spark: SparkSession, index_path: str) -> int:
+    """Durably upgrade a pre-r9 string-shingle index in place;
+    returns the number of batch partitions rewritten.
+
+    The int64 image is a pure function of the shingle string —
+    exactly ``transform(_shingles, x -> xxhash64(x))``, the same
+    expression minhash_signatures applies (operators/dedup.py) — so
+    no re-admission is needed. Each legacy ``batch=<tag>`` partition
+    is rewritten through a crash-safe three-step dance: (1) write the
+    rehashed rows to a hidden ``.migrate-<tag>`` sibling (hidden dirs
+    are invisible to Spark's partition discovery, so a half-written
+    temp never pollutes a concurrent read), (2) delete the legacy
+    dir, (3) rename the temp into place. A crash after (1) re-runs
+    the overwrite; a crash after (2) is healed by the orphan-recovery
+    sweep at the top of this function (a ``.migrate-<tag>`` with no
+    ``batch=<tag>`` is a completed rewrite awaiting its rename).
+    Single-writer per index assumed — the same contract admission
+    already has."""
+    sigs = _sigs_path(index_path)
+    fs, jvm, root = _fs_and_path(spark, sigs)
+    if not fs.exists(root):
+        return 0
+    entries = [st.getPath().getName() for st in fs.listStatus(root)]
+    # Orphan recovery: finish any rename a previous migration crashed
+    # out of (temp exists, legacy dir already deleted).
+    for name in entries:
+        if name.startswith(".migrate-"):
+            tag = name[len(".migrate-") :]
+            if f"batch={tag}" not in entries:
+                fs.rename(
+                    jvm.org.apache.hadoop.fs.Path(f"{sigs}/{name}"),
+                    jvm.org.apache.hadoop.fs.Path(f"{sigs}/batch={tag}"),
+                )
+    migrated = 0
+    for name in entries:
+        if not name.startswith("batch="):
+            continue
+        tag = name[len("batch=") :]
+        part_path = f"{sigs}/{name}"
+        part = spark.read.parquet(part_path)
+        if not _is_legacy_shingles(part.schema):
+            continue
+        tmp = f"{sigs}/.migrate-{tag}"
+        part.withColumn("_shingles", F.expr(_REHASH)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(part_path), True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp),
+            jvm.org.apache.hadoop.fs.Path(part_path),
+        )
+        migrated += 1
+    return migrated
+
+
 def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
-    """The signature index, or None if no batch was ever admitted."""
+    """The signature index, or None if no batch was ever admitted.
+
+    Pre-r9 indexes (string `_shingles`) are detected here and
+    durably migrated to the int64 image format before the read
+    (migrate_index) — without the guard, admission against a legacy
+    index dies inside array_intersect with an obscure Catalyst
+    type-mismatch, and admitting in the new format alongside legacy
+    partitions would leave a mixed-schema index no single parquet
+    scan could read. On read-only storage the rewrite fails; fall
+    back to an in-memory rehash so pure readers still work (writers
+    would fail at their own write anyway)."""
+    sigs = _sigs_path(index_path)
     try:
-        return spark.read.parquet(_sigs_path(index_path))
+        idx = spark.read.parquet(sigs)
     except AnalysisException:
         return None
+    if _is_legacy_shingles(idx.schema):
+        try:
+            migrate_index(spark, index_path)
+            idx = spark.read.parquet(sigs)
+        except Exception:  # noqa: BLE001 — read-only storage fallback
+            return idx.withColumn("_shingles", F.expr(_REHASH))
+    return idx
 
 
 def _within_batch_survivors(

@@ -302,3 +302,80 @@ def test_compact_keeps_both_signatures_on_id_reuse(spark, tmp_path):
         assert a3 == [10]
     finally:
         release_caches()
+
+
+def _legacy_sigs(spark, items):
+    """Reconstruct the pre-r9 index row format: `_shingles` as the
+    shingle STRINGS (what indexes written before the r9 image bump
+    persist), same `_sig` as today."""
+    from python_stream_processing_framework_spark.operators.dedup import (
+        minhash_signatures,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = _docs(spark, items)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_k=3)
+    return (
+        sigs.join(docs, "doc_id")
+        .withColumn("_toks", tokens_expr("text"))
+        .withColumn("_shingles", shingles_expr("_toks", 3))
+        .select("doc_id", "_sig", "_shingles")
+    )
+
+
+def test_legacy_string_shingle_index_migrates_on_read(spark, tmp_path):
+    """A pre-r9 index (string `_shingles`) is durably rewritten to
+    the int64 image format on first read, and admission against it
+    detects cross-index near-dups exactly as against a native index
+    (the image is xxhash64(shingle), a pure function)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    idx = str(tmp_path / "idx")
+    _legacy_sigs(spark, [(1, _A), (3, _C)]).write.parquet(f"{idx}/sigs/batch=legacy0")
+
+    try:
+        stored = read_index(spark, idx)
+        t = dict((f.name, f.dataType) for f in stored.schema.fields)["_shingles"]
+        assert isinstance(t, ArrayType) and isinstance(t.elementType, LongType)
+        # the rewrite is DURABLE: the partition itself is new-format now
+        on_disk = spark.read.parquet(f"{idx}/sigs/batch=legacy0")
+        t2 = dict((f.name, f.dataType) for f in on_disk.schema.fields)["_shingles"]
+        assert isinstance(t2.elementType, LongType)
+
+        # D(4) ~ indexed A(1) -> dropped cross-index; E(5) admitted.
+        a = sorted(
+            r["doc_id"]
+            for r in minhash_index_admit(
+                _docs(spark, [(4, _D), (5, _E)]), idx, "b2", **_KW
+            ).collect()
+        )
+        assert a == [5]
+        # no mixed formats left behind: full-index read still works
+        assert sorted(
+            r["doc_id"] for r in read_index(spark, idx).select("doc_id").collect()
+        ) == [1, 3, 5]
+    finally:
+        release_caches()
+
+
+def test_migrate_orphan_recovery(spark, tmp_path):
+    """A crash between the legacy-dir delete and the temp rename
+    leaves `.migrate-<tag>` with no `batch=<tag>`; the next
+    migrate_index() completes the rename instead of losing the
+    partition."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        migrate_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    sigs = _legacy_sigs(spark, [(1, _A)])
+    rehashed = sigs.withColumn(
+        "_shingles", F.expr("transform(_shingles, x -> xxhash64(x))")
+    )
+    # simulate the post-crash state: completed temp, deleted original
+    rehashed.write.parquet(f"{idx}/sigs/.migrate-legacy0")
+    assert migrate_index(spark, idx) == 0  # nothing legacy, just heals
+    healed = spark.read.parquet(f"{idx}/sigs/batch=legacy0")
+    assert healed.count() == 1
+    assert read_index(spark, idx).count() == 1
