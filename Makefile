@@ -1,16 +1,16 @@
-# Developer targets. `make integration` is the live-broker recipe:
-# it runs the 8 env-gated tests that tests/test_broker_integration.py,
-# tests/test_valkey.py, and tests/test_context_http_kafka.py skip
-# when no broker is reachable (the reference's --run-integration +
-# availability-skip pattern). Requires a docker host; the sandbox the
-# engine is built in has none, so the gated tests stay skips there by
-# design and this target is how any docker-equipped checkout closes
-# them.
+# Developer targets. `make integration` is the live-broker recipe
+# against REAL daemons (docker compose). `make integration-local`
+# runs the same Valkey-tier tests with no docker at all: the
+# conftest `valkey_url` fixture starts the in-repo MiniValkeyServer
+# (sources/resp.py) whenever VALKEY_URL is unset, so the live tier
+# is green in any sandbox; a real daemon is preferred automatically
+# when VALKEY_URL points at one. Only the Kafka round-trip still
+# needs a real broker + connector jars.
 
 PYTEST ?= python -m pytest
 COMPOSE ?= docker compose
 
-.PHONY: test bench integration integration-up integration-down
+.PHONY: test bench integration integration-local integration-up integration-down
 
 test:
 	$(PYTEST) tests/ -x -q
@@ -37,3 +37,9 @@ integration: integration-up
 	$(PYTEST) tests/test_broker_integration.py tests/test_valkey.py \
 	    tests/test_context_http_kafka.py -q -rs
 	$(MAKE) integration-down
+
+# Docker-free: Valkey tier against the embedded RESP broker (the
+# fixture starts it when VALKEY_URL is unset). Kafka still skips.
+integration-local:
+	$(PYTEST) tests/test_broker_integration.py tests/test_valkey.py \
+	    tests/test_resp_broker.py -q -rs

@@ -240,15 +240,17 @@ def valkey_dump_sink(df: DataFrame, path: str, *, now_ms: int) -> list[str]:
 
 
 def _redis_client(url: str):
-    try:
-        import redis
-    except ImportError as exc:  # pragma: no cover - redis absent here
-        raise RuntimeError(
-            "the live Valkey tier needs the 'redis' package "
-            "(pip install redis); the broker-free dump tier "
-            "(valkey_dump_source/valkey_dump_sink) works without it"
-        ) from exc
-    return redis.Redis.from_url(url, decode_responses=True)
+    """Stream client for ``url``: redis-py when installed, else the
+    in-repo RESP client (sources/resp.py) — a stdlib socket client
+    speaking the command subset this tier uses, so the live tier
+    runs even where `pip install redis` is impossible. Executors
+    call this inside foreachPartition; the lazy import keeps resp
+    off the serialization path."""
+    from python_stream_processing_framework_spark.sources.resp import (
+        client_from_url,
+    )
+
+    return client_from_url(url)
 
 
 def xadd_rows(

@@ -32,7 +32,6 @@ from python_stream_processing_framework_spark.sources.streams import (
 )
 
 KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
-VALKEY_URL = os.environ.get("VALKEY_URL")
 
 EVENT_SCHEMA = StructType(
     [
@@ -82,13 +81,13 @@ def test_kafka_roundtrip_live(spark):
     assert got == {"e1": 1.5, "e2": 2.5}
 
 
-@pytest.mark.skipif(not VALKEY_URL, reason="VALKEY_URL not set")
-def test_valkey_wire_format_live():
-    """XADD the flattened wire format to a LIVE Valkey/Redis stream and
-    read it back: per-field JSON flattening, id monotonicity, and DLQ
-    naming must behave on a real server exactly as the broker-free
-    logic promises."""
-    redis = pytest.importorskip("redis")
+def test_valkey_wire_format_live(valkey_client):
+    """XADD the flattened wire format to a LIVE Valkey-protocol
+    server and read it back: per-field JSON flattening, id
+    monotonicity, and DLQ naming must behave server-side exactly as
+    the broker-free logic promises. Runs against $VALKEY_URL when
+    set (real daemon), else the in-process MiniValkeyServer — the
+    same client code path either way (conftest.valkey_client)."""
     from python_stream_processing_framework_spark.sources.valkey import (
         dlq_stream,
         flatten_entry,
@@ -96,12 +95,7 @@ def test_valkey_wire_format_live():
         unflatten_entry,
     )
 
-    client = redis.Redis.from_url(VALKEY_URL, decode_responses=True)
-    try:
-        client.ping()
-    except Exception as exc:  # unreachable -> skip, not fail
-        pytest.skip(f"valkey unreachable: {exc}")
-
+    client = valkey_client
     stream = f"it-{uuid.uuid4().hex[:12]}"
     payloads = [
         {"event_id": "a", "nested": {"x": 1}, "flag": True, "none": None},

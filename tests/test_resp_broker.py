@@ -1,0 +1,229 @@
+"""The embedded RESP mini-broker (sources/resp.py) under the exact
+command flow the reference's Valkey connector exercises
+(/root/reference/pspf/connectors/valkey.py:83-389): group create
+(BUSYGROUP idempotence), XREADGROUP '>' batches, XACK, XPENDING
+summary + extended, XAUTOCLAIM of stuck messages, XINFO GROUPS lag,
+XDEL, MAXLEN trimming, explicit-id monotonicity. These run against
+the in-process server by default and against a real daemon wherever
+$VALKEY_URL points at one — same client, same assertions."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from python_stream_processing_framework_spark.sources.resp import ResponseError
+
+
+def _stream() -> str:
+    return f"t-{uuid.uuid4().hex[:12]}"
+
+
+def test_ping_xadd_xlen_xrange_del(valkey_client):
+    c = valkey_client
+    s = _stream()
+    assert c.ping() is True
+    i1 = c.xadd(s, {"a": "1"})
+    i2 = c.xadd(s, {"a": "2", "b": "x"})
+    assert c.xlen(s) == 2
+    entries = c.xrange(s)
+    assert [e[1] for e in entries] == [{"a": "1"}, {"a": "2", "b": "x"}]
+    assert entries[0][0] == i1 and entries[1][0] == i2
+    # exclusive-start paging (the live reader's offset form)
+    rest = c.xrange(s, min=f"({i1}")
+    assert [e[0] for e in rest] == [i2]
+    assert c.delete(s) == 1
+    assert c.xlen(s) == 0
+
+
+def test_explicit_ids_monotonic_and_rejected(valkey_client):
+    c = valkey_client
+    s = _stream()
+    c.xadd(s, {"i": "0"}, id="5-1")
+    c.xadd(s, {"i": "1"}, id="5-2")
+    with pytest.raises(ResponseError, match="equal or smaller"):
+        c.xadd(s, {"i": "2"}, id="5-2")
+    # auto-id continues past the explicit ids
+    auto = c.xadd(s, {"i": "3"})
+    ids = [e[0] for e in c.xrange(s)]
+    assert ids == ["5-1", "5-2", auto]
+    c.delete(s)
+
+
+def test_maxlen_trims(valkey_client):
+    c = valkey_client
+    s = _stream()
+    for i in range(10):
+        c.xadd(s, {"i": str(i)}, maxlen=4)
+    assert [e[1]["i"] for e in c.xrange(s)] == ["6", "7", "8", "9"]
+    c.delete(s)
+
+
+def test_group_create_busygroup_idempotence(valkey_client):
+    """The reference treats BUSYGROUP as 'already exists' and carries
+    on (valkey.py:139-145) — the error string must be matchable."""
+    c = valkey_client
+    s = _stream()
+    assert c.xgroup_create(s, "g", id="0", mkstream=True)
+    with pytest.raises(ResponseError) as exc:
+        c.xgroup_create(s, "g", id="0", mkstream=True)
+    assert "BUSYGROUP" in str(exc.value)
+    c.delete(s)
+
+
+def test_readgroup_ack_pending_cycle(valkey_client):
+    """read_batch -> process -> ack (valkey.py:162-264): new messages
+    via '>', per-consumer pending tracking, acked ids leave the PEL."""
+    c = valkey_client
+    s = _stream()
+    c.xgroup_create(s, "g", id="0", mkstream=True)
+    ids = [c.xadd(s, {"i": str(i)}) for i in range(5)]
+
+    got = c.xreadgroup("g", "c1", {s: ">"}, count=3)
+    assert len(got) == 1 and got[0][0] == s
+    msgs = got[0][1]
+    assert [m[0] for m in msgs] == ids[:3]
+    assert msgs[0][1] == {"i": "0"}
+
+    # second consumer picks up where the group's cursor is
+    got2 = c.xreadgroup("g", "c2", {s: ">"}, count=10)
+    assert [m[0] for m in got2[0][1]] == ids[3:]
+
+    # nothing new left
+    assert c.xreadgroup("g", "c1", {s: ">"}) == []
+
+    p = c.xpending(s, "g")
+    assert p["pending"] == 5
+    assert p["min"] == ids[0] and p["max"] == ids[-1]
+    assert {d["name"]: d["pending"] for d in p["consumers"]} == {
+        "c1": 3,
+        "c2": 2,
+    }
+
+    assert c.xack(s, "g", *ids[:3]) == 3
+    assert c.xpending(s, "g")["pending"] == 2
+    # double-ack is a no-op, not an error
+    assert c.xack(s, "g", ids[0]) == 0
+
+    ext = c.xpending_range(s, "g", "-", "+", 10)
+    assert [e["message_id"] for e in ext] == ids[3:]
+    assert all(e["consumer"] == "c2" for e in ext)
+    assert all(e["times_delivered"] == 1 for e in ext)
+    c.delete(s)
+
+
+def test_readgroup_replay_own_pending(valkey_client):
+    """XREADGROUP with an explicit id replays the CONSUMER'S pending
+    entries after that id (crash recovery before ack)."""
+    c = valkey_client
+    s = _stream()
+    c.xgroup_create(s, "g", id="0", mkstream=True)
+    ids = [c.xadd(s, {"i": str(i)}) for i in range(4)]
+    c.xreadgroup("g", "c1", {s: ">"}, count=2)
+    c.xreadgroup("g", "c2", {s: ">"}, count=2)
+
+    mine = c.xreadgroup("g", "c1", {s: "0"})
+    assert [m[0] for m in mine[0][1]] == ids[:2]
+    others = c.xreadgroup("g", "c2", {s: "0"})
+    assert [m[0] for m in others[0][1]] == ids[2:]
+    c.delete(s)
+
+
+def test_autoclaim_stuck_messages(valkey_client):
+    """claim_stuck_messages (valkey.py:300-345): a second consumer
+    claims messages idle past the threshold; delivery counts bump;
+    the cursor signals scan completion with '0-0'."""
+    c = valkey_client
+    s = _stream()
+    c.xgroup_create(s, "g", id="0", mkstream=True)
+    ids = [c.xadd(s, {"i": str(i)}) for i in range(3)]
+    c.xreadgroup("g", "dead", {s: ">"})
+
+    cursor, claimed, deleted = c.xautoclaim(
+        s, "g", "rescuer", min_idle_time=0, start_id="0-0"
+    )
+    assert cursor == "0-0" and deleted == []
+    assert [m[0] for m in claimed] == ids
+    assert claimed[0][1] == {"i": "0"}
+
+    # pending moved to the rescuer, delivery_count incremented
+    ext = c.xpending_range(s, "g", "-", "+", 10)
+    assert all(e["consumer"] == "rescuer" for e in ext)
+    assert all(e["times_delivered"] == 2 for e in ext)
+
+    # a high idle threshold claims nothing (they were just touched)
+    _, claimed2, _ = c.xautoclaim(
+        s, "g", "other", min_idle_time=3_600_000, start_id="0-0"
+    )
+    assert claimed2 == []
+    c.delete(s)
+
+
+def test_autoclaim_drops_xdeleted_entries(valkey_client):
+    """An entry XDEL'd from the stream while pending is reported in
+    XAUTOCLAIM's deleted list and leaves the PEL (Redis 7 contract)."""
+    c = valkey_client
+    s = _stream()
+    c.xgroup_create(s, "g", id="0", mkstream=True)
+    ids = [c.xadd(s, {"i": str(i)}) for i in range(2)]
+    c.xreadgroup("g", "c1", {s: ">"})
+    assert c.xdel(s, ids[0]) == 1
+
+    _, claimed, deleted = c.xautoclaim(
+        s, "g", "c2", min_idle_time=0, start_id="0-0"
+    )
+    assert deleted == [ids[0]]
+    assert [m[0] for m in claimed] == [ids[1]]
+    assert c.xpending(s, "g")["pending"] == 1
+    c.delete(s)
+
+
+def test_xinfo_groups_lag_and_pending(valkey_client):
+    """get_pending_info (valkey.py:370-395): pending from XPENDING,
+    lag + consumer count from XINFO GROUPS."""
+    c = valkey_client
+    s = _stream()
+    c.xgroup_create(s, "g", id="0", mkstream=True)
+    for i in range(6):
+        c.xadd(s, {"i": str(i)})
+    c.xreadgroup("g", "c1", {s: ">"}, count=2)
+
+    groups = c.xinfo_groups(s)
+    g = next(x for x in groups if x["name"] == "g")
+    assert g["pending"] == 2
+    assert g["lag"] == 4
+    assert g["consumers"] == 1
+
+    info = c.xinfo_stream(s)
+    assert info["length"] == 6
+    assert info["groups"] == 1
+    c.delete(s)
+
+
+def test_nogroup_error(valkey_client):
+    c = valkey_client
+    s = _stream()
+    c.xadd(s, {"i": "0"})
+    with pytest.raises(ResponseError, match="NOGROUP"):
+        c.xreadgroup("nope", "c", {s: ">"})
+    c.delete(s)
+
+
+def test_pipeline_batches_round_trips(valkey_client):
+    """xadd_rows' pipelined producer path against the live socket."""
+    from python_stream_processing_framework_spark.sources.valkey import (
+        xadd_rows,
+    )
+
+    c = valkey_client
+    s = _stream()
+    n = xadd_rows(c, s, [{"i": i, "nested": {"a": i}} for i in range(25)],
+                  pipeline_size=10)
+    assert n == 25 and c.xlen(s) == 25
+    first = c.xrange(s, count=1)[0][1]
+    assert first == {"i": 0, "nested": '{"a": 0}'} or first == {
+        "i": "0",
+        "nested": '{"a": 0}',
+    }  # real redis stringifies ints; both servers JSON the dict
+    c.delete(s)

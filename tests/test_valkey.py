@@ -296,13 +296,13 @@ def test_live_reader_validates_options():
         ValkeyLiveStreamReader({"url": "redis://x"})
 
 
-VALKEY_URL = os.environ.get("VALKEY_URL")
-
-
-@pytest.mark.skipif(not VALKEY_URL, reason="VALKEY_URL not set")
-def test_live_sink_and_stream_roundtrip_e2e(spark, tmp_path):
-    """Against a real server (env-gated): distributed XADD sink ->
-    valkey_live readStream -> rows match, ids ordered."""
+def test_live_sink_and_stream_roundtrip_e2e(spark, tmp_path, valkey_url):
+    """Against a live Valkey-protocol server ($VALKEY_URL when set,
+    else the in-process MiniValkeyServer): distributed XADD sink ->
+    valkey_live readStream -> rows match, ids ordered. Executors
+    connect to the server themselves (foreachPartition / the data
+    source's driver-paging), so this exercises the full socket
+    path, not a fake."""
     import json as _json
 
     from python_stream_processing_framework_spark.sources.valkey import (
@@ -314,9 +314,9 @@ def test_live_sink_and_stream_roundtrip_e2e(spark, tmp_path):
     df = spark.createDataFrame(
         [(f"e{i}", i) for i in range(20)], ["event_id", "n"]
     )
-    valkey_stream_sink(df, VALKEY_URL, stream_key)
+    valkey_stream_sink(df, valkey_url, stream_key)
 
-    src = valkey_live_stream(spark, VALKEY_URL, stream_key)
+    src = valkey_live_stream(spark, valkey_url, stream_key)
     collected = []
     q = (
         src.writeStream.foreachBatch(
