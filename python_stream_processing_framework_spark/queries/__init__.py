@@ -214,6 +214,13 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # frequent_ngrams parity, paragraph-level removal by
     # paragraph_dedup's in-cap row
     "boilerplate_removal",
+    # ---- r10 rotation (policy-compliant: green driver rows r2-r9).
+    # binarize/encode + octet_length metadata surface now pinned
+    # IN-CAP by image_meta (same encode/octet_length discipline on
+    # the unknown path, plus real PNG/JPEG header parsing) — makes
+    # room for image_meta, which enters in-cap per the rotation
+    # policy above
+    "binary_meta",
 )
 
 DRIVER_CAP = 50

@@ -155,6 +155,117 @@ def binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_meta(binarize(documents, "doc_id", "text"), "doc_id")
 
 
+# deterministic synthetic container headers from doc_id: md5-derived
+# dims, PNG for even ids, JPEG (APP0 + SOF0) for odd, every 7th doc a
+# non-image payload (raw text bytes) so the unknown path is exercised
+_IMG_W = (
+    "(16 + cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)"
+    " as bigint) % 4096)"
+)
+_IMG_H = (
+    "(16 + cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10)"
+    " as bigint) % 4096)"
+)
+_PNG_HEX = (
+    "concat('89504E470D0A1A0A', '0000000D', '49484452', "
+    f"lpad(hex({_IMG_W}), 8, '0'), lpad(hex({_IMG_H}), 8, '0'), "
+    "'08', '06', '000000', '00000000')"
+)
+_JPEG_HEX = (
+    "concat('FFD8', 'FFE0', '0010', '4A46494600', '0102', '00', '0001', "
+    f"'0001', '0000', 'FFC0', '0011', '08', lpad(hex({_IMG_H}), 4, '0'), "
+    f"lpad(hex({_IMG_W}), 4, '0'), '03', '011100', '021101', '031101', "
+    "'FFD9')"
+)
+
+
+@query(
+    "image_meta",
+    """
+    WITH src AS (
+      SELECT doc_id, text,
+             16 + ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 4096
+               AS w,
+             16 + ('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 4096
+               AS h
+      FROM documents),
+    built AS (
+      SELECT doc_id, text,
+        CASE WHEN doc_id % 7 = 0 THEN NULL
+             WHEN doc_id % 2 = 0 THEN
+               '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+               lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') ||
+               '08' || '06' || '000000' || '00000000'
+             ELSE
+               'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0102' ||
+               '00' || '0001' || '0001' || '0000' || 'FFC0' || '0011' ||
+               '08' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') ||
+               '03' || '011100' || '021101' || '031101' || 'FFD9'
+        END AS hx
+      FROM src),
+    parsed AS (
+      SELECT doc_id, hx,
+        CASE WHEN hx IS NULL THEN CAST(octet_length(encode(text)) AS BIGINT)
+             ELSE CAST(strlen(hx) // 2 AS BIGINT) END AS n_bytes,
+        CASE WHEN hx IS NULL THEN 'unknown'
+             WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+             ELSE 'jpeg' END AS format,
+        -- PNG IHDR slices (sig 1-16, len 17-24, type 25-32)
+        ('0x' || substr(hx, 33, 8))::BIGINT AS png_w,
+        ('0x' || substr(hx, 41, 8))::BIGINT AS png_h,
+        ('0x' || substr(hx, 49, 2))::BIGINT AS png_bit,
+        ('0x' || substr(hx, 51, 2))::BIGINT AS png_color,
+        -- JPEG marker scan replay: APP0 length at chars 9-12; the
+        -- SOF marker starts right after the APP0 segment
+        8 + ('0x' || substr(hx, 9, 4))::BIGINT * 2 + 1 AS sof
+      FROM built)
+    SELECT doc_id, n_bytes, format,
+      CASE format
+        WHEN 'png' THEN png_w
+        WHEN 'jpeg' THEN ('0x' || substr(hx, sof + 14, 4))::BIGINT
+      END AS width,
+      CASE format
+        WHEN 'png' THEN png_h
+        WHEN 'jpeg' THEN ('0x' || substr(hx, sof + 10, 4))::BIGINT
+      END AS height,
+      CASE format
+        WHEN 'png' THEN png_bit
+        WHEN 'jpeg' THEN ('0x' || substr(hx, sof + 8, 2))::BIGINT
+      END AS bit_depth,
+      CASE format
+        WHEN 'png' THEN CASE png_color WHEN 0 THEN 1 WHEN 2 THEN 3
+                             WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END
+        WHEN 'jpeg' THEN ('0x' || substr(hx, sof + 18, 2))::BIGINT
+      END AS channels
+    FROM parsed
+    """,
+    doc="Codec-free image metadata (operators/multimodal.image_meta): "
+    "PNG IHDR and JPEG SOF header parse over binary payloads via "
+    "Arrow mapInPandas — width, height, bit depth, channels without "
+    "decoding pixel data; non-image payloads degrade to "
+    "format='unknown' with NULL fields. Payloads are deterministic "
+    "synthetic container headers built from doc_id (md5-derived "
+    "dims), so the oracle rebuilds the identical bytes as a hex "
+    "string and replays the parse by slicing — byte-exact parity "
+    "for the sibling of audio_meta's RIFF/WAVE parser.",
+)
+def image_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.multimodal import (
+        image_meta,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    payloads = documents.select(
+        "doc_id",
+        F.expr(
+            f"""CASE WHEN doc_id % 7 = 0 THEN encode(text, 'utf-8')
+                     WHEN doc_id % 2 = 0 THEN unhex({_PNG_HEX})
+                     ELSE unhex({_JPEG_HEX}) END"""
+        ).alias("payload"),
+    )
+    return image_meta(payloads, "doc_id")
+
+
 @query(
     "repetition_stats",
     f"""

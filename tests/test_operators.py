@@ -1635,3 +1635,55 @@ def test_audio_meta_parses_real_wav_header(spark):
     assert out[1]["duration_ms"] == 250
     assert out[2]["format"] == "unknown"
     assert out[2]["channels"] is None and out[2]["duration_ms"] is None
+
+
+def test_image_meta_parses_real_png_and_jpeg_headers(spark):
+    """image_meta is exact on hand-built container headers: a PNG
+    IHDR (320x200, 8-bit RGB), a JPEG whose SOF0 sits behind TWO
+    APPn segments and a COM segment (the marker scan must skip all
+    three), and non-image / truncated payloads degrading to
+    'unknown' instead of erroring."""
+    import struct
+
+    from python_stream_processing_framework_spark.operators.multimodal import (
+        image_meta,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 320, 200) + bytes([8, 2, 0, 0, 0])
+        + b"\x00\x00\x00\x00"
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof0 = struct.pack(">BHHB", 12, 480, 640, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xE1, b"Exif\x00\x00" + b"\x00" * 10)
+        + seg(0xFE, b"a comment")
+        + seg(0xC0, sof0)
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(jpeg)),
+            (3, bytearray(b"plain text bytes")),
+            (4, bytearray(png[:10])),       # truncated PNG signature
+            (5, bytearray(b"\xff\xd8\xff")),  # truncated JPEG
+        ],
+        "doc_id bigint, payload binary",
+    )
+    out = {r["doc_id"]: r for r in image_meta(df).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 320, 200)
+    assert (out[1]["bit_depth"], out[1]["channels"]) == (8, 3)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("jpeg", 640, 480)
+    assert (out[2]["bit_depth"], out[2]["channels"]) == (12, 3)
+    for bad in (3, 4, 5):
+        assert out[bad]["format"] == "unknown"
+        assert out[bad]["width"] is None and out[bad]["channels"] is None
+    assert out[1]["n_bytes"] == len(png) and out[2]["n_bytes"] == len(jpeg)
