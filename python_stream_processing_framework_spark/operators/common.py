@@ -66,40 +66,39 @@ def maybe_broadcast(
     "tiny relative to the corpus" is not "tiny" — at 100 TB of web
     text distinct tokens run ~1e8-1e9 and distinct 2-shingles ~1e10.
     This helper probes the side with a BOUNDED scan
-    (``limit(cap + 1).count()`` — the global limit stops collecting
-    at cap+1 rows, so a 1e9-row side never materializes driver- or
-    cache-side just to learn it is too big) and attaches the hint
-    only when the count is at or under ``max_rows`` (default
-    ``BROADCAST_ROW_CAP``). Above the cap it returns the frame
-    unchanged: the join becomes an ordinary equi-join whose strategy
-    AQE picks from the REAL runtime size.
+    (``limit(cap + 1).count()`` — the global limit stops after cap+1
+    rows, so a 1e9-row side never computes fully just to learn it is
+    too big) and attaches the hint only when the count is at or
+    under ``max_rows`` (default ``BROADCAST_ROW_CAP``). Above the
+    cap it returns the (persisted) frame without the hint: the join
+    becomes an ordinary equi-join whose strategy AQE picks from the
+    REAL runtime size.
 
-    The probe frame (``limit(cap+1)``, persisted) is BOUNDED at cap+1
-    rows no matter how big the side is — never more than ~200 MB at
-    the default cap. When the count comes back at/under the cap the
-    limit took EVERY row, so the cached probe IS the side table and
-    the broadcast build reads the cache instead of recomputing the
-    side's lineage (which for flag sets is an LSH join — paying it
-    twice showed up as a 30% regression on setsim/decontaminate when
-    an unpersisted probe was tried). Above the cap the probe cache is
-    dropped immediately and the untouched ``df`` is returned.
+    The side is persist()ed (MEMORY_AND_DISK — spills, so caching a
+    big side cannot cause the OOM the gate protects against) BEFORE
+    the probe, and the probe runs ``limit(cap+1)`` THROUGH the cache:
+    the limit early-exits after cap+1 rows, caching only the
+    partitions it scanned, and whichever consumer runs next — the
+    broadcast build under the cap, the real join above it — reads
+    those cached partitions and computes the rest exactly once. The
+    side's lineage (for flag sets an LSH join; for loser sets a
+    connected-components pass) is therefore computed ~once on BOTH
+    regimes; the previous probe-only cache paid it twice on the
+    over-cap path. The cache is tracked for ``release_caches()``,
+    the family-wide lifecycle contract.
 
     Pass ``known_count`` when the caller has already counted the
-    frame (skips the probe entirely). Callers that re-read the side
-    beyond the single gated join should ``materialize()`` it
-    THEMSELVES before gating.
+    frame (skips the probe AND the persist entirely). Callers that
+    re-read the side beyond the single gated join should
+    ``materialize()`` it THEMSELVES before gating.
     """
     cap = BROADCAST_ROW_CAP if max_rows is None else max_rows
     if known_count is not None:
         return F.broadcast(df) if known_count <= cap else df
-    probe = df.limit(cap + 1)
-    probe.persist()
-    n = probe.count()
-    if n <= cap:
-        _TRACKED_FRAMES.append(probe)
-        return F.broadcast(probe)
-    probe.unpersist()
-    return df
+    df.persist()
+    _TRACKED_FRAMES.append(df)
+    n = df.limit(cap + 1).count()
+    return F.broadcast(df) if n <= cap else df
 
 
 def track_broadcast(bc):

@@ -212,17 +212,25 @@ def collapse_exact_dups(
     )
 
 
-def _cap_band_buckets(banded: DataFrame, max_band_freq: int) -> DataFrame:
-    """Drop (band_idx, band_val) buckets with more than `max_band_freq`
-    occupants before the candidate join — the `max_doc_freq` hot-key
-    pattern applied to LSH buckets. Occupancy is counted over
+def _cap_band_buckets(
+    banded: DataFrame,
+    max_band_freq: int,
+    keys: tuple[str, ...] = ("band_idx", "band_val"),
+) -> DataFrame:
+    """Drop LSH buckets with more than `max_band_freq` occupants
+    before the candidate join — the `max_doc_freq` hot-key pattern
+    applied to LSH buckets. The ONE implementation of the
+    family-wide hot-bucket guard: MinHash banding uses the default
+    (band_idx, band_val) keys; sign-LSH banding and the embedding
+    index pass (band_idx, band_key). Occupancy is counted over
     REPRESENTATIVES (exact dups are already collapsed), so only
     genuinely giant near-dup buckets are dropped; that trades recall
     inside those buckets for a hard per-bucket O(cap^2) bound."""
-    freq = banded.groupBy("band_idx", "band_val").agg(F.count("*").alias("_bf"))
+    key_cols = list(keys)
+    freq = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bf"))
     return banded.join(
-        freq.filter(F.col("_bf") <= max_band_freq).select("band_idx", "band_val"),
-        ["band_idx", "band_val"],
+        freq.filter(F.col("_bf") <= max_band_freq).select(*key_cols),
+        key_cols,
     )
 
 

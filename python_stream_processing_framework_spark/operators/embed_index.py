@@ -37,7 +37,10 @@ bulk of band collisions before any vector bytes move. Stored q is
 verify with their scorers — the banding plumbing is unchanged.
 Lifecycle: the per-batch directories compact with
 operators/dedup_index.compact_index (layout-agnostic: it folds
-``sigs/batch=*`` partitions deduping on the id column).
+``sigs/batch=*`` partitions deduplicating on the FULL row —
+crash-replay duplicates are bit-identical and collapse to one, while
+an id re-admitted with different content keeps both signatures; its
+``id_col`` parameter is call-site compatibility only).
 
 The reference has no embedding surface; this is beyond-reference
 charter (SURVEY §2.7 similarity family).
@@ -168,14 +171,12 @@ def embed_index_admit(
             F.posexplode(keys).alias("band_idx", "band_key"),
         )
         if max_band_freq is not None:
-            freq = bi.groupBy("band_idx", "band_key").agg(
-                F.count(F.lit(1)).alias("_bf")
+            from python_stream_processing_framework_spark.operators.dedup import (
+                _cap_band_buckets,
             )
-            bi = bi.join(
-                freq.filter(F.col("_bf") <= max_band_freq).select(
-                    "band_idx", "band_key"
-                ),
-                ["band_idx", "band_key"],
+
+            bi = _cap_band_buckets(
+                bi, max_band_freq, keys=("band_idx", "band_key")
             )
         max_disagree = _lsh_max_disagree(threshold, bands * band_bits)
         cand = (

@@ -358,14 +358,12 @@ def cosine_lsh_pairs(
         F.posexplode(band_keys).alias("band_idx", "band_key"),
     )
     if max_band_freq is not None:
-        freq = banded.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("_bf")
+        from python_stream_processing_framework_spark.operators.dedup import (
+            _cap_band_buckets,
         )
-        banded = banded.join(
-            freq.filter(F.col("_bf") <= max_band_freq).select(
-                "band_idx", "band_key"
-            ),
-            ["band_idx", "band_key"],
+
+        banded = _cap_band_buckets(
+            banded, max_band_freq, keys=("band_idx", "band_key")
         )
     # Deterministic signature-hamming prefilter BEFORE the heavy
     # vector fetch: band collisions between genuinely-dissimilar
