@@ -169,6 +169,7 @@ def main() -> None:
         "embed_admit_100k": _embed_admit_100k_bench(spark),
         "bucketed_join": _bucketed_join_bench(spark, sf_dir),
         "zipf_text": _zipf_text_bench(spark, sf_dir),
+        "hot_bucket_cap": _hot_bucket_cap_bench(spark),
     }
 
     # ...and the flagged queries' re-run, taken AFTER the extras above
@@ -1346,6 +1347,75 @@ def _bucketed_join_bench(spark, sf_dir: str) -> dict:
         "exchange_free": exchange_free,
         "n_buckets": 16,
     }
+
+
+def _hot_bucket_corpus(spark, n_docs: int):
+    """Planted hot-bucket corpus: 10% boilerplate (30 shared tokens +
+    a unique tail — a giant LSH bucket of DISTINCT representatives,
+    the exact shape `max_band_freq` exists for), 0.5% planted normal
+    near-dup pairs (one-token edit of a neighbour, bucket occupancy
+    ~2), rest unique. Deterministic JVM-side generation."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            """CASE
+                 WHEN id % 10 = 0 THEN
+                   concat(concat_ws(' ', transform(sequence(1, 30),
+                     j -> concat('b', j))), ' u', id)
+                 WHEN id % 200 = 101 THEN
+                   concat_ws(' ', transform(sequence(1, 30),
+                     j -> IF(j = 7, concat('edit', id),
+                             concat('w', pmod(hash(id - 100, j), 100000)))))
+                 ELSE
+                   concat_ws(' ', transform(sequence(1, 30),
+                     j -> concat('w', pmod(hash(id, j), 100000))))
+               END"""
+        ).alias("text"),
+    )
+
+
+def _hot_bucket_cap_bench(spark) -> dict:
+    """The `max_band_freq` recommendation, measured (SCALE.md
+    "Hot-bucket cap"): MinHash-LSH pair mining over the planted
+    10%-boilerplate corpus, uncapped vs the recommended cap of 256.
+    The invariant that justifies the recommendation is recall
+    NEUTRALITY: planted normal-pair recall must be IDENTICAL in both
+    regimes (their buckets hold ~2 docs; only the boilerplate
+    bucket's quadratic pair mass is refused)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    n = 10_000
+    docs = _hot_bucket_corpus(spark, n).persist()
+    docs.count()
+    planted = {(i - 100, i) for i in range(101, n, 200)}
+    out: dict = {"n_docs": n, "boilerplate_frac": 0.1, "planted": len(planted)}
+    for label, cap in (("uncapped", None), ("cap_256", 256)):
+        t0 = _t.perf_counter()
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=4,
+            threshold=0.5, max_band_freq=cap,
+        )
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        out[label] = {
+            "wall_s": round(_t.perf_counter() - t0, 3),
+            "pairs": len(got),
+            "planted_recall": round(len(got & planted) / len(planted), 3),
+        }
+        release_caches()
+    docs.unpersist()
+    spark.catalog.clearCache()
+    out["recall_neutral"] = (
+        out["uncapped"]["planted_recall"] == out["cap_256"]["planted_recall"]
+    )
+    return out
 
 
 def _zipf_docs(spark, n_docs: int, *, vocab: int = 50_000, seed: int = 41):

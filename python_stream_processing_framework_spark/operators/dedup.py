@@ -307,7 +307,17 @@ def minhash_lsh_pairs(
     a star spans it), so dedup pipelines avoid materializing the
     inherently O(c^2) intra-cluster pairs. ``max_band_freq`` caps
     band-bucket occupancy (recall-trading hot-key guard, off by
-    default — see _cap_band_buckets).
+    default — see _cap_band_buckets). Recommended setting on corpora
+    with boilerplate (web crawls): **256**. Measured on a planted
+    10%-boilerplate corpus (SCALE.md "Hot-bucket cap"), capping at
+    256 cost ZERO recall on normal near-dup pairs (bucket occupancy
+    ~2) while refusing the boilerplate cluster's quadratic pair mass
+    (20k docs: 22.2 s / 1.99M pairs uncapped -> 3.6 s / 87 pairs;
+    the uncapped gap grows with the SQUARE of corpus size). Inside a
+    capped bucket recall is zero by design — pair the cap with
+    exact dedup / boilerplate_removal for template-heavy content,
+    or use ``expand='star'`` (linear pair mass) when the pairs feed
+    connected components anyway.
 
     ``sigs``: a precomputed :func:`minhash_signatures` frame for
     ``df`` (same num_hashes/shingle_k/collapse_exact) — pass it when

@@ -293,7 +293,10 @@ def cosine_lsh_pairs(
 
     ``max_band_freq``: drop (band, key) buckets with more occupants —
     the MinHash family's hot-bucket guard (dedup._cap_band_buckets)
-    applied to sign-LSH. A degenerate embedding region (zero vectors,
+    applied to sign-LSH; recommended **256** on corpora with
+    boilerplate/padding mass (measured recall-neutral outside capped
+    buckets, SCALE.md "Hot-bucket cap"). A degenerate embedding
+    region (zero vectors,
     a provider's padding embedding, a cluster of near-identical
     boilerplate) puts its whole mass in one bucket per band, and the
     candidate join is per-bucket QUADRATIC; the cap bounds it at

@@ -590,6 +590,14 @@ class Stream:
         uncommitted batch; all earlier tags are checkpoint-committed
         and can never be re-admitted. Set ``compact_every=None`` to
         manage compaction externally.
+
+        ``max_band_freq``: the family-wide hot-bucket guard
+        (operators/dedup._cap_band_buckets). Recommended **256** for
+        boilerplate-heavy topics (web crawls): measured
+        recall-neutral outside capped buckets while bounding each
+        band bucket's pair mass at O(256^2) — SCALE.md "Hot-bucket
+        cap". Off (None) by default because inside a capped bucket
+        near-dup recall is zero; leave it off for curated corpora.
         """
         group = group or f"{self.name}-dedupe-near"
         self._claim(topic, group)
@@ -654,6 +662,13 @@ class Stream:
         through the same layout-agnostic ``compact_index`` as
         dedupe_near, every ``compact_every`` batches, retaining only
         the current (retry-able) tag.
+
+        ``max_band_freq``: the family-wide hot-bucket guard, here
+        capping BOTH the within-batch band join and the index side
+        of the cross-index join. Recommended **256** when the
+        embedding stream can carry degenerate mass (padding vectors,
+        boilerplate clusters) — measured recall-neutral outside
+        capped buckets (SCALE.md "Hot-bucket cap"); off by default.
         """
         group = group or f"{self.name}-dedupe-semantic"
         self._claim(topic, group)

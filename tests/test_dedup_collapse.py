@@ -396,3 +396,67 @@ def test_select_canonical_keep_best_with_ties(spark):
         for r in select_canonical(labeled).collect()
     }
     assert out == {1: False, 2: False, 3: True, 10: True, 11: False}
+
+
+def test_hot_bucket_cap_is_recall_neutral_outside_capped_buckets(spark):
+    """The max_band_freq=256 recommendation's justifying invariant
+    (SCALE.md "Hot-bucket cap"): on a planted corpus with a giant
+    boilerplate bucket plus normal near-dup pairs (bucket occupancy
+    ~2), capping at 256 finds EXACTLY the same planted pairs as the
+    uncapped run — the cap only refuses the boilerplate cluster's
+    quadratic pair mass."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    n = 2_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            """CASE
+                 WHEN id % 5 = 0 THEN
+                   concat(concat_ws(' ', transform(sequence(1, 30),
+                     j -> concat('b', j))), ' u', id)
+                 WHEN id % 200 = 101 THEN
+                   concat_ws(' ', transform(sequence(1, 30),
+                     j -> IF(j = 7, concat('edit', id),
+                             concat('w', pmod(hash(id - 100, j), 100000)))))
+                 ELSE
+                   concat_ws(' ', transform(sequence(1, 30),
+                     j -> concat('w', pmod(hash(id, j), 100000))))
+               END"""
+        ).alias("text"),
+    ).persist()
+    docs.count()
+    planted = {(i - 100, i) for i in range(101, n, 200)}
+    try:
+        def mine(cap):
+            pairs = minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=16, bands=4,
+                threshold=0.5, max_band_freq=cap,
+            )
+            got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+            release_caches()
+            return got
+
+        uncapped, capped = mine(None), mine(256)
+        # identical planted-pair recall — the cap is recall-neutral
+        # outside the capped bucket (and LSH must find most of them)
+        assert uncapped & planted == capped & planted
+        assert len(capped & planted) >= 0.7 * len(planted)
+        # the boilerplate cluster's quadratic mass IS refused: the 400
+        # boilerplate docs (bucket occupancy > the 256 cap) pair fully
+        # uncapped, zero capped
+        boiler_un = {(a, b) for a, b in uncapped if a % 5 == 0 and b % 5 == 0}
+        boiler_cap = {(a, b) for a, b in capped if a % 5 == 0 and b % 5 == 0}
+        # near-complete uncapped (LSH band recall ~>99% at j=27/31),
+        # ZERO capped — the quadratic mass is refused, not sampled
+        assert len(boiler_un) >= 0.95 * (400 * 399 // 2)
+        assert not boiler_cap
+    finally:
+        docs.unpersist()
