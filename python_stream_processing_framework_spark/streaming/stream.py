@@ -103,6 +103,35 @@ def _write_batch_jsonl(
     batch.rdd.mapPartitionsWithIndex(write_partition).count()
 
 
+def _write_batch_value_lines(
+    batch: DataFrame, sink_dir: str, batch_id: int, value_col: str = "value"
+) -> None:
+    """`_write_batch_jsonl`'s sibling for rows that ALREADY carry one
+    JSON document per row in ``value_col`` (the valkey_live source's
+    payload column): each payload string becomes one event line,
+    under the same deterministic per-(batch_id, partition) file name
+    + write-then-rename discipline, so a retried batch overwrites its
+    own files and readers never see a half-written file."""
+
+    def write_partition(idx, rows_iter):
+        import os
+        import uuid as _uuid
+
+        name = f"batch-{batch_id:012d}-p{idx:05d}"
+        tmp = os.path.join(sink_dir, f".{name}.{_uuid.uuid4().hex[:8]}.tmp")
+        out = None
+        for row in rows_iter:
+            if out is None:
+                out = open(tmp, "w")
+            out.write(row[value_col] + "\n")
+        if out is not None:
+            out.close()
+            os.rename(tmp, os.path.join(sink_dir, name + ".json"))
+        return iter(())
+
+    batch.rdd.mapPartitionsWithIndex(write_partition).count()
+
+
 class Stream:
     """A named event-stream application over a file-backed broker."""
 
@@ -694,6 +723,94 @@ class Stream:
             )
         )
 
+    def ingest_valkey(
+        self,
+        url: str,
+        stream_key: str,
+        *,
+        topic: str | None = None,
+        group: str | None = None,
+        batch_size: int = 1000,
+    ) -> None:
+        """Bridge a LIVE Valkey/Redis stream INTO the broker: the
+        ``valkey_live`` streaming source (sources/valkey.py — entry-id
+        offsets, exclusive-XRANGE paging) feeds ``topic`` (default:
+        the stream key), from which every facade operator consumes as
+        usual. This is the facade-level form of the reference's
+        default-broker deployment (pspf/connectors/valkey.py is its
+        broker; here Valkey is the INGEST EDGE and the file broker
+        stays the exactly-once processing substrate).
+
+        Exactly-once into the topic: the reader's entry-id offsets
+        are checkpointed, and the bridge writes each micro-batch's
+        payloads to DETERMINISTIC per-(batch_id, partition) file
+        names (the `_write_batch_jsonl` discipline), so a retried
+        batch overwrites its own files. Each stream entry's payload
+        (the unflattened-field JSON `valkey_live` emits) becomes one
+        event line — the same wire shape `emit` produces. Works
+        against a real daemon or the embedded MiniValkeyServer
+        (sources/resp.py) alike."""
+        topic = topic or stream_key
+        group = group or f"{self.name}-ingest-{stream_key}"
+        self._claim(f"valkey[{stream_key}]", group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="ingest_valkey",
+                topic=topic,
+                handler=lambda: None,
+                schema=None,
+                options={
+                    "url": url,
+                    "stream_key": stream_key,
+                    "group": group,
+                    "batch_size": batch_size,
+                },
+            )
+        )
+
+    def deliver_valkey(
+        self,
+        topic: str,
+        schema: StructType,
+        url: str,
+        stream_key: str | None = None,
+        *,
+        group: str | None = None,
+        maxlen: int | None = None,
+        pipeline_size: int = 500,
+    ) -> None:
+        """Bridge a broker topic OUT to a live Valkey/Redis stream:
+        every event in ``topic`` is XADDed to ``stream_key`` (default:
+        the topic name) through the distributed pipelined producer
+        (`valkey_stream_sink` — one connection + pipelined XADDs per
+        partition, rows never visit the driver). The delivery edge of
+        the same reference-parity story as :meth:`ingest_valkey`.
+
+        Delivery is AT-LEAST-ONCE on a foreachBatch retry (XADD
+        auto-ids are not idempotent — the same caveat as any
+        non-transactional external sink, valkey_stream_sink's
+        documented contract): consumers that need exactly-once should
+        dedupe on the event's ``event_id`` field, which `emit`
+        guarantees present."""
+        stream_key = stream_key or topic
+        group = group or f"{self.name}-deliver-{stream_key}"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="deliver_valkey",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "url": url,
+                    "stream_key": stream_key,
+                    "group": group,
+                    "maxlen": maxlen,
+                    "pipeline_size": pipeline_size,
+                },
+            )
+        )
+
     def decontaminate(
         self,
         topic: str,
@@ -747,6 +864,65 @@ class Stream:
                     "k": k,
                 },
             )
+        )
+
+    def _start_ingest_valkey(self, sub: _Subscription):
+        """Valkey -> broker bridge: the valkey_live source's
+        checkpointed entry-id offsets + the deterministic-file-name
+        sink write give the topic exactly-once ingest."""
+        from python_stream_processing_framework_spark.sources.valkey import (
+            valkey_live_stream,
+        )
+
+        o = sub.options
+        src = valkey_live_stream(
+            self.spark, o["url"], o["stream_key"], batch_size=o["batch_size"]
+        )
+        sink_dir = str(self.topic_dir(sub.topic))
+
+        def write_sink(batch: DataFrame, batch_id: int) -> None:
+            _write_batch_value_lines(batch, sink_dir, batch_id)
+
+        return (
+            src.writeStream.foreachBatch(write_sink)
+            .option(
+                "checkpointLocation",
+                str(
+                    self.checkpoints
+                    / f"valkey[{o['stream_key']}]-{o['group']}"
+                ),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _start_deliver_valkey(self, sub: _Subscription):
+        """Broker -> Valkey bridge: distributed pipelined XADD per
+        micro-batch (at-least-once on retry, see deliver_valkey)."""
+        from python_stream_processing_framework_spark.sources.valkey import (
+            valkey_stream_sink,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+
+        def write_sink(batch: DataFrame, batch_id: int) -> None:
+            valkey_stream_sink(
+                batch,
+                o["url"],
+                o["stream_key"],
+                maxlen=o["maxlen"],
+                pipeline_size=o["pipeline_size"],
+            )
+
+        return (
+            src.writeStream.foreachBatch(write_sink)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
 
     def _start_decontaminate(self, sub: _Subscription):
@@ -1501,6 +1677,8 @@ class Stream:
             "dedupe_semantic": self._start_dedupe_semantic,
             "fold": self._start_fold,
             "decontaminate": self._start_decontaminate,
+            "ingest_valkey": self._start_ingest_valkey,
+            "deliver_valkey": self._start_deliver_valkey,
         }
         for _ in range(max(1, rounds)):
             queries = []
