@@ -2,6 +2,13 @@
 (pspf/cli.py): topic/DLQ inspection, replay, purge, worker status,
 consumer-group listing and offset reset.
 
+`--broker` takes either a file-broker DIRECTORY (the facade's
+substrate) or a LIVE Valkey/Redis URL (`redis://host:port`) — the
+reference CLI's deployment shape; live commands use the same client
+fallback as the connector (redis-py when installed, the in-repo RESP
+client otherwise), so they work against a real daemon or the
+embedded MiniValkeyServer.
+
 Usage:
   python -m python_stream_processing_framework_spark.cli inspect     --broker DIR --topic T [--limit N] [--tail]
   python -m python_stream_processing_framework_spark.cli dlq-inspect --broker DIR --topic T
@@ -19,6 +26,31 @@ from __future__ import annotations
 import argparse
 import json
 from pathlib import Path
+
+
+def _is_live(broker: str) -> bool:
+    """A --broker that is a URL addresses a LIVE Valkey/Redis server
+    (reference deployment shape, pspf/cli.py works against its real
+    broker); a path addresses the file broker."""
+    return broker.startswith(("redis://", "rediss://", "valkey://"))
+
+
+def _live_client(broker: str):
+    from python_stream_processing_framework_spark.sources.resp import (
+        client_from_url,
+    )
+
+    return client_from_url(broker)
+
+
+def _live_rows(client, stream_key: str) -> list[tuple[str, dict]]:
+    from python_stream_processing_framework_spark.sources.valkey import (
+        unflatten_entry,
+    )
+
+    return [
+        (eid, unflatten_entry(fields)) for eid, fields in client.xrange(stream_key)
+    ]
 
 
 def _dlq_dir(broker: str, topic: str) -> Path:
@@ -39,7 +71,10 @@ def _read_jsonl_dir(d: Path) -> tuple[list[dict], list[Path]]:
 
 
 def dlq_inspect(broker: str, topic: str, limit: int) -> None:
-    rows, _ = _read_jsonl_dir(_dlq_dir(broker, topic))
+    if _is_live(broker):
+        rows = [r for _eid, r in _live_rows(_live_client(broker), f"{topic}-dlq")]
+    else:
+        rows, _ = _read_jsonl_dir(_dlq_dir(broker, topic))
     print(f"{len(rows)} message(s) in {topic}-dlq")
     for r in rows[:limit]:
         print(json.dumps(r))
@@ -53,6 +88,25 @@ def dlq_replay(broker: str, topic: str) -> None:
     from python_stream_processing_framework_spark.streaming.dlq import (
         DLQ_METADATA_KEYS,
     )
+
+    if _is_live(broker):
+        # snapshot-first live replay: XRANGE the DLQ, strip the
+        # DLQ-attached keys, XADD clean copies back to the source
+        # stream, then XDEL exactly the snapshot — a message
+        # dead-lettered mid-replay survives, same contract as files
+        from python_stream_processing_framework_spark.sources.valkey import (
+            flatten_entry,
+        )
+
+        client = _live_client(broker)
+        snapshot = _live_rows(client, f"{topic}-dlq")
+        for _eid, r in snapshot:
+            clean_row = {k: v for k, v in r.items() if k not in DLQ_METADATA_KEYS}
+            client.xadd(topic, flatten_entry(clean_row))
+        if snapshot:
+            client.xdel(f"{topic}-dlq", *[eid for eid, _r in snapshot])
+        print(f"replayed {len(snapshot)} message(s) to {topic}")
+        return
 
     dlq = _dlq_dir(broker, topic)
     rows, files = _read_jsonl_dir(dlq)
@@ -74,6 +128,12 @@ def dlq_replay(broker: str, topic: str) -> None:
 
 
 def dlq_purge(broker: str, topic: str) -> None:
+    if _is_live(broker):
+        client = _live_client(broker)
+        n = client.xlen(f"{topic}-dlq")
+        client.delete(f"{topic}-dlq")
+        print(f"purged {n} message(s) from {topic}-dlq")
+        return
     dlq = _dlq_dir(broker, topic)
     n = 0
     for f in dlq.glob("*.json"):
@@ -86,7 +146,13 @@ def inspect_topic(broker: str, topic: str, limit: int, tail: bool) -> None:
     """Inspect a topic's records directly (reference `pspf inspect`,
     pspf/cli.py:18-55: LocalLog offsets + records). The high watermark
     is the record count; --tail shows the last N instead of first N."""
-    rows, _ = _read_jsonl_dir(Path(broker) / topic)
+    if _is_live(broker):
+        rows = [
+            {"entry_id": eid, **r}
+            for eid, r in _live_rows(_live_client(broker), topic)
+        ]
+    else:
+        rows, _ = _read_jsonl_dir(Path(broker) / topic)
     print(f"Topic {topic}: High Watermark = {len(rows)}")
     window = rows[-limit:] if tail else rows[:limit]
     start = len(rows) - len(window) if tail else 0
@@ -140,6 +206,20 @@ def groups(broker: str, topic: str | None) -> None:
     group state is the checkpoint: one `{topic}-{group}` dir under the
     broker's checkpoint root; committed batch count stands in for the
     acked offset."""
+    if _is_live(broker):
+        if not topic:
+            raise SystemExit("groups: --topic is required with a live broker")
+        client = _live_client(broker)
+        gs = client.xinfo_groups(topic)
+        for g in gs:
+            print(
+                f"group: {g['name']} | consumers: {g['consumers']} | "
+                f"pending: {g['pending']} | last-delivered: "
+                f"{g['last-delivered-id']} | lag: {g.get('lag')}"
+            )
+        if not gs:
+            print(f"no consumer groups on stream {topic}")
+        return
     root = Path(broker) / "_checkpoints"
     found = False
     for ck in sorted(root.iterdir() if root.exists() else []):
@@ -166,6 +246,12 @@ def reset(broker: str, topic: str, group: str) -> None:
     checkpoint, so reset == remove the `{topic}-{group}` checkpoint
     dir; the next run reprocesses the topic from offset 0. (Mid-stream
     ids aren't supported — checkpoints don't rewind partially.)"""
+    if _is_live(broker):
+        # live groups rewind in place: XGROUP SETID 0 re-delivers the
+        # whole stream to the group (the reference's offset-0 reset)
+        _live_client(broker).xgroup_setid(topic, group, "0")
+        print(f"reset group {group!r} on topic {topic!r} to offset 0")
+        return
     import shutil
 
     ck = Path(broker) / "_checkpoints" / f"{topic}-{group}"
@@ -218,6 +304,16 @@ def trim(broker: str, topic: str, keep_files: int) -> None:
     """
     if keep_files < 0:
         raise SystemExit("trim: --keep must be >= 0 (0 = drop all history)")
+    if _is_live(broker):
+        # live streams trim by MESSAGE count: XTRIM MAXLEN keep (the
+        # reference's maxlen contract, pspf/connectors/valkey.py:292)
+        client = _live_client(broker)
+        dropped = client.xtrim(topic, keep_files, approximate=False)
+        print(
+            f"trimmed {dropped} messages from {topic}; "
+            f"{client.xlen(topic)} kept"
+        )
+        return
     d = Path(broker) / topic
     # *.json is THE topic contract (emit, the file source, replay all
     # use it); a looser glob would delete and miscount files consumers

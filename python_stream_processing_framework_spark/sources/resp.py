@@ -262,6 +262,21 @@ class _Commands:
                     break
         return out
 
+    def do_xtrim(self, key, *args):
+        args = list(args)
+        if not args or args[0].upper() != "MAXLEN":
+            raise RespError("syntax error: XTRIM supports MAXLEN only")
+        args.pop(0)
+        if args and args[0] in ("~", "="):
+            args.pop(0)
+        maxlen = int(args.pop(0))
+        s = self.streams.get(key)
+        if not s:
+            return 0
+        drop = max(0, len(s.entries) - maxlen)
+        del s.entries[:drop]
+        return drop
+
     def do_xdel(self, key, *ids):
         s = self.streams.get(key)
         if not s:
@@ -302,6 +317,20 @@ class _Commands:
             if s and s.groups.pop(group, None) is not None:
                 return 1
             return 0
+        if sub == "SETID":
+            key, group, start = args[0], args[1], args[2]
+            s = self.streams.get(key)
+            g = s.groups.get(group) if s else None
+            if g is None:
+                raise RespError(
+                    f"NOGROUP No such consumer group '{group}' for key "
+                    f"name '{key}'"
+                )
+            if start == "$":
+                g.last_delivered = s.last_id or "0-0"
+            else:
+                g.last_delivered = start if "-" in start else f"{start}-0"
+            return ("+", "OK")
         raise RespError(f"unknown XGROUP subcommand '{sub}'")
 
     def _group(self, key: str, group: str) -> tuple[_Stream, _Group]:
@@ -699,6 +728,13 @@ class MiniRespClient:
 
     def xgroup_destroy(self, name, groupname) -> int:
         return self.execute_command("XGROUP", "DESTROY", name, groupname)
+
+    def xgroup_setid(self, name, groupname, id) -> bool:
+        return self.execute_command("XGROUP", "SETID", name, groupname, id) == "OK"
+
+    def xtrim(self, name, maxlen, approximate=True) -> int:
+        tilde = ("~",) if approximate else ("=",)
+        return self.execute_command("XTRIM", name, "MAXLEN", *tilde, maxlen)
 
     def xreadgroup(self, groupname, consumername, streams, count=None, block=None):
         args = ["XREADGROUP", "GROUP", groupname, consumername]

@@ -227,3 +227,83 @@ def test_pipeline_batches_round_trips(valkey_client):
         "nested": '{"a": 0}',
     }  # real redis stringifies ints; both servers JSON the dict
     c.delete(s)
+
+
+# ------------------------------------------------- live ops CLI tier
+
+
+def test_cli_live_dlq_cycle(valkey_client, valkey_url, capsys):
+    """The ops CLI against a LIVE broker (reference pspf/cli.py
+    shape): inspect counts, replay strips the DLQ metadata and
+    re-XADDs to the source stream (snapshot-first: the DLQ is
+    emptied of exactly what was read), purge deletes."""
+    import time as _t
+
+    from python_stream_processing_framework_spark.cli import (
+        dlq_inspect,
+        dlq_purge,
+        dlq_replay,
+        inspect_topic,
+    )
+    from python_stream_processing_framework_spark.sources.valkey import (
+        dlq_entry,
+        flatten_entry,
+    )
+
+    c = valkey_client
+    topic = _stream()
+    dlq = f"{topic}-dlq"
+    for i in range(3):
+        enriched = dlq_entry(
+            {"event_id": f"e{i}", "v": i},
+            msg_id=f"m{i}", stream_key=topic, error="boom", now=_t.time(),
+        )
+        c.xadd(dlq, flatten_entry(enriched))
+
+    dlq_inspect(valkey_url, topic, limit=10)
+    assert "3 message(s)" in capsys.readouterr().out
+
+    dlq_replay(valkey_url, topic)
+    assert "replayed 3 message(s)" in capsys.readouterr().out
+    assert c.xlen(dlq) == 0
+    replayed = c.xrange(topic)
+    assert len(replayed) == 3
+    # DLQ-attached keys stripped, user fields intact
+    assert all("_error" not in f and "v" in f for _id, f in replayed)
+
+    inspect_topic(valkey_url, topic, limit=2, tail=False)
+    out = capsys.readouterr().out
+    assert f"Topic {topic}: High Watermark = 3" in out
+
+    c.xadd(dlq, flatten_entry({"_error": "again"}))
+    dlq_purge(valkey_url, topic)
+    assert "purged 1 message(s)" in capsys.readouterr().out
+    assert c.xlen(dlq) == 0
+    c.delete(topic)
+
+
+def test_cli_live_groups_reset_trim(valkey_client, valkey_url, capsys):
+    from python_stream_processing_framework_spark.cli import groups, reset, trim
+
+    c = valkey_client
+    topic = _stream()
+    for i in range(10):
+        c.xadd(topic, {"i": str(i)})
+    c.xgroup_create(topic, "g", id="0", mkstream=True)
+    got = c.xreadgroup("g", "c1", {topic: ">"}, count=4)
+    assert len(got[0][1]) == 4
+
+    groups(valkey_url, topic)
+    out = capsys.readouterr().out
+    assert "group: g" in out and "pending: 4" in out and "lag: 6" in out
+
+    # reset rewinds the group's cursor: '>' re-delivers from 0
+    reset(valkey_url, topic, "g")
+    capsys.readouterr()
+    again = c.xreadgroup("g", "c1", {topic: ">"}, count=100)
+    assert len(again[0][1]) == 10
+
+    trim(valkey_url, topic, 4)
+    assert "trimmed 6 messages" in capsys.readouterr().out
+    assert c.xlen(topic) == 4
+    c.delete(topic)
