@@ -623,7 +623,10 @@ def _pairs_to_dict(flat: list | None) -> dict[str, str] | None:
 class _MiniPipeline:
     """Non-transactional pipeline: buffer commands, one socket write,
     N replies — the same round-trip amortization redis-py's gives
-    xadd_rows."""
+    xadd_rows. ``execute(raise_on_error=False)`` returns per-command
+    errors in the result list instead of raising (redis-py parity) —
+    the idempotent-producer path needs to treat an id-rejected XADD
+    as 'already delivered', not a failure."""
 
     def __init__(self, client: "MiniRespClient"):
         self._client = client
@@ -632,8 +635,10 @@ class _MiniPipeline:
     def xadd(self, name, fields, id="*", maxlen=None):
         self._buf.append(self._client._xadd_args(name, fields, id, maxlen))
 
-    def execute(self):
-        out = self._client._execute_many(self._buf)
+    def execute(self, raise_on_error: bool = True):
+        out = self._client._execute_many(
+            self._buf, raise_on_error=raise_on_error
+        )
         self._buf = []
         return out
 
@@ -660,7 +665,9 @@ class MiniRespClient:
     def execute_command(self, *args) -> Any:
         return self._execute_many([args])[0]
 
-    def _execute_many(self, commands: list[tuple]) -> list:
+    def _execute_many(
+        self, commands: list[tuple], raise_on_error: bool = True
+    ) -> list:
         with self._lock:
             self._sock.sendall(
                 b"".join(_encode_command(c) for c in commands)
@@ -673,7 +680,7 @@ class MiniRespClient:
                 except RespError as e:  # drain remaining replies first
                     err = err or e
                     out.append(e)
-            if err is not None:
+            if err is not None and raise_on_error:
                 raise err
             return out
 

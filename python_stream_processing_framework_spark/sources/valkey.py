@@ -35,6 +35,7 @@ from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # --------------------------------------------------------------- wire format
 
@@ -292,6 +293,123 @@ def xrange_after(client, stream_key: str, last_id: str, *, count: int = 1000):
         (eid, json.dumps(unflatten_entry(fields), sort_keys=True, default=str))
         for eid, fields in entries
     ]
+
+
+#: entry-id millisecond base for deterministic (exactly-once) batch
+#: delivery: far above any real clock ms (year ~287,000), so batch N's
+#: ids order strictly after batch N-1's, and a deterministic stream
+#: can never be interleaved by auto-id producers (the scheme forbids
+#: other producers anyway — their real-clock ids would be rejected).
+DETERMINISTIC_ID_BASE = 9_000_000_000_000_000
+
+#: the server-side rejection that MEANS "already delivered" for the
+#: idempotent producer (identical wording on real Redis/Valkey and
+#: the embedded mini-broker)
+_ALREADY_DELIVERED = "equal or smaller"
+
+
+def xadd_rows_idempotent(
+    client,
+    stream_key: str,
+    rows,
+    *,
+    batch_id: int,
+    maxlen: int | None = None,
+    pipeline_size: int = 500,
+) -> tuple[int, int]:
+    """Exactly-once pipelined XADD for a DETERMINISTICALLY-ORDERED
+    row sequence: row i of batch B gets the explicit entry id
+    ``(DETERMINISTIC_ID_BASE + B)-i``, so a retry re-adds the same
+    ids and the server's XADD monotonicity rule rejects every
+    already-delivered row — the idempotent-producer pattern with the
+    dedupe ledger enforced BY the broker (works after MAXLEN trims
+    too: the stream's last-generated-id survives trimming). Returns
+    ``(delivered, skipped)``.
+
+    Requirements: the row ORDER must be deterministic per batch_id
+    (``valkey_stream_sink_idempotent`` guarantees it by sorting on a
+    content digest), and the target stream must have NO other
+    producers (an auto-id XADD's real-clock ms sits far below the
+    deterministic base and would be rejected after the first
+    idempotent write).
+    """
+    base = DETERMINISTIC_ID_BASE + batch_id
+    pipe = client.pipeline(transaction=False)
+    n = 0
+    delivered = skipped = 0
+
+    def flush() -> None:
+        nonlocal delivered, skipped
+        for r in pipe.execute(raise_on_error=False):
+            if isinstance(r, Exception):
+                if _ALREADY_DELIVERED in str(r):
+                    skipped += 1
+                else:
+                    raise r
+            else:
+                delivered += 1
+
+    for i, row in enumerate(rows):
+        kwargs = {"maxlen": maxlen} if maxlen is not None else {}
+        pipe.xadd(
+            stream_key, flatten_entry(dict(row)), id=f"{base}-{i}", **kwargs
+        )
+        n += 1
+        if n % pipeline_size == 0:
+            flush()
+    if n % pipeline_size:
+        flush()
+    return delivered, skipped
+
+
+def valkey_stream_sink_idempotent(
+    df: DataFrame,
+    url: str,
+    stream_key: str,
+    *,
+    batch_id: int,
+    maxlen: int | None = None,
+    pipeline_size: int = 500,
+) -> None:
+    """EXACTLY-ONCE delivery of one replayable batch to a Valkey
+    stream (the idempotent sibling of ``valkey_stream_sink``).
+
+    A Redis/Valkey stream is a single total order, so exactly-once
+    demands one serialized writer per batch: the batch is keyed by a
+    content digest (``md5(to_json(struct(*)))`` — type-agnostic,
+    identical across retries even when an upstream shuffle reorders
+    rows; identical duplicate rows may swap seq slots, which writes
+    the same bytes either way), shuffled to ONE task, sorted, and
+    XADDed with deterministic ids (``xadd_rows_idempotent``). The
+    serialization point costs nothing at scale that the stream
+    itself doesn't already impose — the broker applies entries one
+    at a time regardless; pipelining keeps the single connection
+    saturated. Shard across stream KEYS (one sink per shard) for
+    parallel egress, exactly like the live source's sharding rule.
+    """
+    key_cols = list(df.columns)
+    one = (
+        df.withColumn("_ek", F.md5(F.to_json(F.struct(*key_cols))))
+        .repartition(1)
+        .sortWithinPartitions("_ek")
+        .drop("_ek")
+    )
+
+    def write_partition(rows) -> None:
+        client = _redis_client(url)
+        try:
+            xadd_rows_idempotent(
+                client,
+                stream_key,
+                (r.asDict(recursive=True) for r in rows),
+                batch_id=batch_id,
+                maxlen=maxlen,
+                pipeline_size=pipeline_size,
+            )
+        finally:
+            client.close()
+
+    one.foreachPartition(write_partition)
 
 
 def valkey_stream_sink(

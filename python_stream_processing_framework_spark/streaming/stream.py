@@ -778,20 +778,26 @@ class Stream:
         group: str | None = None,
         maxlen: int | None = None,
         pipeline_size: int = 500,
+        exactly_once: bool = False,
     ) -> None:
         """Bridge a broker topic OUT to a live Valkey/Redis stream:
         every event in ``topic`` is XADDed to ``stream_key`` (default:
-        the topic name) through the distributed pipelined producer
-        (`valkey_stream_sink` — one connection + pipelined XADDs per
-        partition, rows never visit the driver). The delivery edge of
-        the same reference-parity story as :meth:`ingest_valkey`.
+        the topic name). The delivery edge of the same
+        reference-parity story as :meth:`ingest_valkey`.
 
-        Delivery is AT-LEAST-ONCE on a foreachBatch retry (XADD
-        auto-ids are not idempotent — the same caveat as any
-        non-transactional external sink, valkey_stream_sink's
-        documented contract): consumers that need exactly-once should
-        dedupe on the event's ``event_id`` field, which `emit`
-        guarantees present."""
+        ``exactly_once=False`` (default): the distributed pipelined
+        producer (`valkey_stream_sink` — one connection + pipelined
+        XADDs per partition, rows never visit the driver), AT-LEAST-
+        ONCE on a foreachBatch retry; consumers dedupe on the
+        ``event_id`` field `emit` guarantees present.
+
+        ``exactly_once=True``: deterministic-entry-id delivery
+        (`valkey_stream_sink_idempotent`) — a retried batch re-adds
+        the same ids and the broker's XADD monotonicity rule rejects
+        every already-delivered row, so duplicates are impossible.
+        The trade: one serialized writer per batch (a stream is a
+        total order anyway) and the stream must have NO other
+        producers (their auto ids would be rejected)."""
         stream_key = stream_key or topic
         group = group or f"{self.name}-deliver-{stream_key}"
         self._claim(topic, group)
@@ -807,6 +813,7 @@ class Stream:
                     "group": group,
                     "maxlen": maxlen,
                     "pipeline_size": pipeline_size,
+                    "exactly_once": exactly_once,
                 },
             )
         )
@@ -897,16 +904,28 @@ class Stream:
         )
 
     def _start_deliver_valkey(self, sub: _Subscription):
-        """Broker -> Valkey bridge: distributed pipelined XADD per
-        micro-batch (at-least-once on retry, see deliver_valkey)."""
+        """Broker -> Valkey bridge: pipelined XADD per micro-batch —
+        distributed/at-least-once by default, serialized/exactly-once
+        via deterministic entry ids when requested (deliver_valkey)."""
         from python_stream_processing_framework_spark.sources.valkey import (
             valkey_stream_sink,
+            valkey_stream_sink_idempotent,
         )
 
         o = sub.options
         src = self.stream_topic(sub.topic, sub.schema)
 
         def write_sink(batch: DataFrame, batch_id: int) -> None:
+            if o.get("exactly_once"):
+                valkey_stream_sink_idempotent(
+                    batch,
+                    o["url"],
+                    o["stream_key"],
+                    batch_id=batch_id,
+                    maxlen=o["maxlen"],
+                    pipeline_size=o["pipeline_size"],
+                )
+                return
             valkey_stream_sink(
                 batch,
                 o["url"],

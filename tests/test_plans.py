@@ -751,3 +751,16 @@ def test_decontaminate_anti_join_broadcast_gate_both_regimes(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         release_caches()
+
+
+def test_image_meta_is_map_only(spark):
+    """The multimodal header parser must stay a single scan +
+    Arrow-batched mapInPandas — zero exchanges at any corpus size."""
+    import re
+
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("image_meta", spark)
+    t = plan_text(df)
+    assert not re.search(r"\(\d+\) Exchange\b", t)
+    assert "MapInPandas" in t or "mapInPandas" in t.lower()

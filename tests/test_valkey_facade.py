@@ -115,3 +115,68 @@ def test_roundtrip_valkey_in_and_out(spark, tmp_path, valkey_client, valkey_url)
     entries = valkey_client.xrange(dst_key)
     assert {f["event_id"] for _id, f in entries} == {"e0", "e5"}
     valkey_client.delete(src_key, dst_key)
+
+
+def test_idempotent_sink_retry_writes_nothing_twice(spark, valkey_client, valkey_url):
+    """The exactly-once producer: re-delivering the SAME batch_id is
+    a no-op (every id rejected server-side as already delivered);
+    the NEXT batch_id appends. Partial-failure retry: delivering a
+    prefix first, then the full batch, delivers exactly the
+    missing suffix."""
+    import uuid as _uuid
+
+    from python_stream_processing_framework_spark.sources.valkey import (
+        valkey_stream_sink_idempotent,
+        xadd_rows_idempotent,
+    )
+
+    skey = f"ido-{_uuid.uuid4().hex[:10]}"
+    df = spark.createDataFrame(
+        [(f"e{i}", float(i)) for i in range(8)], ["event_id", "value"]
+    )
+    valkey_stream_sink_idempotent(df, valkey_url, skey, batch_id=0)
+    assert valkey_client.xlen(skey) == 8
+    # full retry of batch 0: nothing new
+    valkey_stream_sink_idempotent(df, valkey_url, skey, batch_id=0)
+    assert valkey_client.xlen(skey) == 8
+    # batch 1 appends
+    valkey_stream_sink_idempotent(df, valkey_url, skey, batch_id=1)
+    assert valkey_client.xlen(skey) == 16
+    # entry ids are the deterministic (BASE+batch)-(seq) form and the
+    # payloads round-trip
+    ids = [eid for eid, _f in valkey_client.xrange(skey)]
+    assert len(set(ids)) == 16
+    assert all(int(eid.split("-")[0]) >= 9_000_000_000_000_000 for eid in ids)
+    valkey_client.delete(skey)
+
+    # partial-failure retry at the row level: prefix then full
+    skey2 = f"idp-{_uuid.uuid4().hex[:10]}"
+    rows = [{"event_id": f"e{i}", "value": float(i)} for i in range(6)]
+    d1, s1 = xadd_rows_idempotent(valkey_client, skey2, rows[:4], batch_id=7)
+    assert (d1, s1) == (4, 0)
+    d2, s2 = xadd_rows_idempotent(valkey_client, skey2, rows, batch_id=7)
+    assert (d2, s2) == (2, 4)  # exactly the missing suffix delivered
+    assert valkey_client.xlen(skey2) == 6
+    valkey_client.delete(skey2)
+
+
+def test_deliver_valkey_exactly_once_mode(spark, tmp_path, valkey_client, valkey_url):
+    """Facade-level exactly-once delivery: deterministic ids on the
+    wire, every event exactly once."""
+    import uuid as _uuid
+
+    from python_stream_processing_framework_spark.streaming import Stream
+
+    skey = f"xo-{_uuid.uuid4().hex[:10]}"
+    stream = Stream(spark, str(tmp_path / "broker"), state_partitions=4)
+    stream.emit("t", *_events(0, 9))
+    stream.deliver_valkey("t", SCHEMA, valkey_url, skey, exactly_once=True)
+    stream.run_until_idle()
+
+    entries = valkey_client.xrange(skey)
+    assert len(entries) == 9
+    assert {f["event_id"] for _id, f in entries} == {f"e{i}" for i in range(9)}
+    assert all(
+        int(eid.split("-")[0]) >= 9_000_000_000_000_000 for eid, _f in entries
+    )
+    valkey_client.delete(skey)
