@@ -105,9 +105,57 @@ def repeated_spans(
         F.col("start"),
         (F.col("start") + F.lit(n - 1)).alias("end"),
     )
-    # gaps-and-islands: a window starts a new span iff it begins past
-    # the running max end + 1 (adjacent windows merge — the deletion
-    # regions would touch anyway)
+    return _merge_islands(flagged, id_col)
+
+
+def duplicate_spans_keep_first(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Maximal duplicate spans per document, KEEP-FIRST semantics
+    (Lee et al.'s ExactSubstr keeps ONE copy of each repeated
+    substring; ``repeated_spans`` deletes every occurrence past a
+    count threshold, including the first).
+
+    An n-token window is flagged iff the identical content occurs
+    anywhere EARLIER in the corpus — earlier = smaller (doc, start)
+    — so each repeated gram's first occurrence survives and all
+    later copies mask. The first occurrence is the per-gram MIN of a
+    (doc, start) struct: a partial-aggregable groupBy (a boilerplate
+    gram repeated 1e6 times reaches its reducer as partials, the
+    same scale shape as the count in ``repeated_spans``), never a
+    per-gram window sort.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    grams = _gram_spans(toks, id_col, n)
+    first = grams.groupBy("g").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
+        ).alias("_f")
+    )
+    flagged = (
+        grams.join(first, "g")
+        .filter(
+            (F.col(id_col) != F.col("_f.d")) | (F.col("start") != F.col("_f.s"))
+        )
+        .select(
+            id_col,
+            F.col("start"),
+            (F.col("start") + F.lit(n - 1)).alias("end"),
+        )
+    )
+    return _merge_islands(flagged, id_col)
+
+
+def _merge_islands(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping/adjacent flagged windows into maximal spans:
+    the classic gaps-and-islands window (a window starts a new span
+    iff it begins past the running max end + 1 — adjacent windows
+    merge, their deletion regions would touch anyway). One shuffle on
+    the doc id, O(flagged windows) rows."""
     w = Window.partitionBy(id_col).orderBy("start")
     prev_end = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -151,6 +199,28 @@ def mask_repeated_spans(
     is a projection of the token stream either way).
     """
     spans = repeated_spans(df, id_col, text_col, n=n, min_count=min_count)
+    return _rebuild_without_spans(df, spans, id_col, text_col)
+
+
+def mask_duplicate_spans_keep_first(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Delete duplicate spans with keep-first semantics (see
+    duplicate_spans_keep_first): every repeated substring survives in
+    exactly its earliest (doc, position) occurrence and is deleted
+    everywhere else — the paper's keep-one contract. Same output
+    shape as mask_repeated_spans."""
+    spans = duplicate_spans_keep_first(df, id_col, text_col, n=n)
+    return _rebuild_without_spans(df, spans, id_col, text_col)
+
+
+def _rebuild_without_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))

@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (85 as of r10), so the queries whose
+len(QUERY_REGISTRY) queries (86 as of r10), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -221,6 +221,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # room for image_meta, which enters in-cap per the rotation
     # policy above
     "binary_meta",
+    # gram-hash/island-merge/rebuild machinery now pinned IN-CAP by
+    # span_dedup_keep_first (identical pipeline, stricter keep-first
+    # flag rule); repeated_span_mask held green driver rows r5-r9 —
+    # makes room for the new query per the rotation policy
+    "repeated_span_mask",
 )
 
 DRIVER_CAP = 50

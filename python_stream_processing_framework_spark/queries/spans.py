@@ -85,3 +85,82 @@ def repeated_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_removed").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+_KEEP_FIRST_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i AS s, i + 12 AS e,
+             ('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15))::BIGINT AS g
+      FROM tok, unnest(range(1, len(toks) - 11)) AS u(i)
+      WHERE len(toks) >= 13),
+    -- keep-first: flag every occurrence except the per-gram earliest
+    -- ((doc_id, s) order; occurrences are unique, so no ties)
+    fl AS (
+      SELECT doc_id, s, e FROM (
+        SELECT doc_id, s, e,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rk
+        FROM g) WHERE rk >= 2),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+                  THEN 1 ELSE 0 END AS b
+      FROM fl
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+      FROM brk),
+    sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, k),
+    tokpos AS (
+      SELECT doc_id, toks[i] AS t, i
+      FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)),
+    kept AS (
+      SELECT tp.doc_id, tp.t, tp.i FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM sp
+                        WHERE sp.doc_id = tp.doc_id
+                          AND tp.i BETWEEN sp.ss AND sp.se)),
+    outt AS (
+      SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+    SELECT b.doc_id, coalesce(o.text, '') AS text, b.n_tokens,
+           b.n_tokens - coalesce(o.n_kept, 0) AS n_removed
+    FROM base b LEFT JOIN outt o USING (doc_id)
+    WHERE b.n_tokens - coalesce(o.n_kept, 0) > 0
+    ORDER BY n_removed DESC, doc_id LIMIT 25
+    """
+
+
+@query(
+    "span_dedup_keep_first",
+    _KEEP_FIRST_ORACLE,
+    doc="Exact-substring dedup with the paper's KEEP-ONE contract "
+    "(operators/spans.mask_duplicate_spans_keep_first; Lee et al. "
+    "2021 ExactSubstr): a 13-token window masks iff its exact "
+    "content occurs anywhere EARLIER in the corpus ((doc, start) "
+    "order), so each repeated substring survives in exactly its "
+    "first occurrence — where repeated_span_mask deletes every "
+    "occurrence past the count threshold. The first occurrence is a "
+    "partial-aggregable per-gram MIN of a (doc, start) struct, never "
+    "a per-gram window sort (hot boilerplate grams arrive at their "
+    "reducer as partials). Oracle replays hashing, the keep-first "
+    "rank, the island merge, and the positional rebuild exactly.",
+)
+def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.spans import (
+        mask_duplicate_spans_keep_first,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    masked = mask_duplicate_spans_keep_first(documents, "doc_id", "text", n=13)
+    return (
+        masked.filter(F.col("n_removed") > 0)
+        .orderBy(F.col("n_removed").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )

@@ -1687,3 +1687,44 @@ def test_image_meta_parses_real_png_and_jpeg_headers(spark):
         assert out[bad]["format"] == "unknown"
         assert out[bad]["width"] is None and out[bad]["channels"] is None
     assert out[1]["n_bytes"] == len(png) and out[2]["n_bytes"] == len(jpeg)
+
+
+def test_span_dedup_keep_first_semantics(spark):
+    """Keep-first exact-substring dedup: the EARLIEST (doc, start)
+    occurrence of a repeated 3-gram survives, later copies mask;
+    repeated_span_mask (count-threshold) deletes both."""
+    from python_stream_processing_framework_spark.operators.spans import (
+        mask_duplicate_spans_keep_first,
+        mask_repeated_spans,
+    )
+
+    span = "alpha beta gamma"
+    rows = [
+        (1, f"one two {span} three four"),
+        (2, f"{span} five six seven eight"),
+        (3, "nine ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kf = {r["doc_id"]: r for r in
+          mask_duplicate_spans_keep_first(df, "doc_id", "text", n=3).collect()}
+    # doc 1 holds the first occurrence (doc order) -> untouched
+    assert kf[1]["n_removed"] == 0
+    assert kf[1]["text"] == rows[0][1]
+    # doc 2's copy masks
+    assert kf[2]["n_removed"] == 3
+    assert kf[2]["text"] == "five six seven eight"
+    assert kf[3]["n_removed"] == 0
+
+    # the count-threshold variant deletes BOTH occurrences
+    rm = {r["doc_id"]: r for r in
+          mask_repeated_spans(df, "doc_id", "text", n=3, min_count=2).collect()}
+    assert rm[1]["n_removed"] == 3 and rm[2]["n_removed"] == 3
+
+    # intra-doc repetition: first copy survives, second masks
+    df2 = spark.createDataFrame(
+        [(7, f"{span} mid {span} tail")], ["doc_id", "text"]
+    )
+    (r7,) = mask_duplicate_spans_keep_first(df2, "doc_id", "text", n=3).collect()
+    assert r7["text"] == f"{span} mid tail"
+    assert r7["n_removed"] == 3

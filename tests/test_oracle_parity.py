@@ -108,7 +108,9 @@ def test_driver_cap_curation():
         "bpe_merges",
         "bpe_token_counts",
         "lm_doc_scores",
-        "repeated_span_mask",
+        # repeated_span_mask rotated out r10: the gram/island/rebuild
+        # machinery is pinned in-cap by span_dedup_keep_first
+        "span_dedup_keep_first",
         "semdedup_prune",
         "temperature_mixture",
         "bm25_topk",
