@@ -407,6 +407,120 @@ def cosine_lsh_pairs(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 8,
+    band_bits: int = 4,
+    corpus_sigs: DataFrame | None = None,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """SEMANTIC corpus decontamination: drop corpus rows whose
+    embedding is >= ``threshold`` cosine to ANY held-out row — the
+    embedding-space member of the decontamination family
+    (dedup.decontaminate / ngram_decontaminate / bloom_decontaminate
+    are the lexical three). Catches PARAPHRASED benchmark
+    contamination sharing no 13-gram and no shingle with the held-out
+    text, the case every lexical rule structurally misses.
+
+    cosine_lsh_pairs' machinery, crossed: both sides sign with the
+    SAME deterministic hyperplanes (sign_signatures — pass
+    ``corpus_sigs`` to reuse a frame a composed pipeline already
+    signed), candidates come from an equi-join of the two banded
+    sides + the signature-hamming prefilter, only candidates pay the
+    quantized-exact cosine verify, and flagged corpus ids anti-join
+    out through the size-gated broadcast (flag mass is
+    heldout-proportional but a boilerplate-heavy corpus can flag
+    arbitrarily much — the gate decides). Null-vector corpus rows
+    pass through (they can't be near anything). ``max_band_freq``
+    caps HELD-OUT-side bucket occupancy — the family hot-bucket
+    guard; a degenerate held-out region would otherwise make the
+    cross join per-bucket proportional to corpus x heldout mass.
+
+    Returns the clean corpus rows with all their original columns.
+    Pins signature frames via materialize(); release with
+    common.release_caches(), the family-wide contract.
+    """
+    from python_stream_processing_framework_spark.operators.common import (
+        maybe_broadcast,
+    )
+
+    n_planes = bands * band_bits
+    sigs_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else sign_signatures(
+            corpus, id_col=id_col, vec_col=vec_col, bands=bands,
+            band_bits=band_bits,
+        )
+    )
+    sigs_h = sign_signatures(
+        heldout, id_col=id_col, vec_col=vec_col, bands=bands,
+        band_bits=band_bits,
+    )
+    if sigs_c is None or sigs_h is None:
+        return corpus
+
+    mask = 2**band_bits - 1
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> cast(shiftright(s, cast(b * {band_bits} as int)) & {mask} as int))"
+    )
+
+    def banded(sigs: DataFrame, tag: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(f"_{tag}id"),
+            F.col("s").alias(f"_{tag}s"),
+            F.posexplode(band_keys).alias("band_idx", "band_key"),
+        )
+
+    bc_ = banded(sigs_c, "c")
+    bh = banded(sigs_h, "h")
+    if max_band_freq is not None:
+        from python_stream_processing_framework_spark.operators.dedup import (
+            _cap_band_buckets,
+        )
+
+        bh = _cap_band_buckets(bh, max_band_freq, keys=("band_idx", "band_key"))
+    max_disagree = _lsh_max_disagree(threshold, n_planes)
+    cand = (
+        bc_.join(bh, ["band_idx", "band_key"])
+        .filter(
+            F.bit_count(F.col("_cs").bitwiseXOR(F.col("_hs"))) <= max_disagree
+        )
+        .select("_cid", "_hid")
+        .distinct()
+    )
+    vc = sigs_c.select(
+        F.col(id_col).alias("_cid"), F.col("q").alias("_qc"),
+        F.col("nq2").alias("_nc2"),
+    )
+    vh = sigs_h.select(
+        F.col(id_col).alias("_hid"), F.col("q").alias("_qh"),
+        F.col("nq2").alias("_nh2"),
+    )
+    flagged = (
+        cand.join(vc, "_cid")
+        .join(vh, "_hid")
+        .filter(
+            F.round(
+                _cos_from_packed(
+                    F.col("_qc"), F.col("_qh"), F.col("_nc2"), F.col("_nh2")
+                ),
+                6,
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("_cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(maybe_broadcast(flagged), id_col, "left_anti")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (86 as of r10), so the queries whose
+len(QUERY_REGISTRY) queries (87 as of r10), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -226,6 +226,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # flag rule); repeated_span_mask held green driver rows r5-r9 —
     # makes room for the new query per the rotation policy
     "repeated_span_mask",
+    # groupBy-min keep-first shape pinned in-cap by canonical_docs
+    # (keep-best per cluster) and paragraph_dedup; url
+    # canonicalization by unit tests + url_domains parity. Green
+    # driver rows r7-r9 — makes room for semantic_decontaminate
+    "url_dedup",
 )
 
 DRIVER_CAP = 50

@@ -75,12 +75,14 @@ _QDOT = (
 )
 
 
-# Shared CTE block: quantization -> signatures -> banding -> hamming-
-# prefiltered candidates. Both cosine_lsh_pairs and dedup_semantic
-# build on this ONE definition (mirrors the Spark side, where both
-# queries call the same operators/similarity.cosine_lsh_pairs), so the
-# detector and the dedup built on it cannot diverge.
-_LSH_CTES = f"""
+# Shared CTE blocks: quantization -> signatures -> banding (the BASE
+# every sign-LSH query builds on), plus the self-join hamming-
+# prefiltered candidates. cosine_lsh_pairs, dedup_semantic, AND
+# semantic_decontaminate build on the ONE base definition (mirrors
+# the Spark side, where all three call the same sign_signatures
+# machinery), so the detector and the operators built on it cannot
+# diverge.
+_LSH_BASE_CTES = f"""
     e AS (SELECT vec_id, {_V} AS v FROM embeddings),
          q AS (
            SELECT vec_id,
@@ -102,13 +104,18 @@ _LSH_CTES = f"""
          banded AS (
            SELECT vec_id, s, b,
                   CAST((s >> CAST(4*b AS INT)) & 15 AS INT) AS band_key
-           FROM sigs, range(0, 8) t(b)),
+           FROM sigs, range(0, 8) t(b))"""
+
+_LSH_CTES = (
+    _LSH_BASE_CTES
+    + """,
          cand AS (
            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
            FROM banded x JOIN banded y
              ON x.b = y.b AND x.band_key = y.band_key
               AND x.vec_id < y.vec_id
               AND bit_count(xor(x.s, y.s)) <= 16)"""
+)
 
 _LSH_COS = (
     f"round(CAST({_QDOT.format(a='a.qv', b='b.qv')} AS DOUBLE) /"
@@ -188,6 +195,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+@query(
+    "semantic_decontaminate",
+    f"""
+    WITH {_LSH_BASE_CTES},
+         split AS (
+           SELECT vec_id,
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#split#'),
+                   1, 15))::BIGINT % 20 AS bkt
+           FROM embeddings),
+         xcand AS (
+           SELECT DISTINCT c.vec_id AS cid, h.vec_id AS hid
+           FROM banded c JOIN banded h
+             ON c.b = h.b AND c.band_key = h.band_key
+              AND bit_count(xor(c.s, h.s)) <= 16
+           WHERE c.vec_id IN (SELECT vec_id FROM split WHERE bkt != 0)
+             AND h.vec_id IN (SELECT vec_id FROM split WHERE bkt = 0)),
+         flagged AS (
+           SELECT DISTINCT cid
+           FROM xcand JOIN sigs a ON a.vec_id = cid
+                      JOIN sigs b ON b.vec_id = hid
+           WHERE {_LSH_COS} >= 0.42)
+    SELECT em.vec_id, em.label
+    FROM embeddings em JOIN split USING (vec_id)
+    WHERE split.bkt != 0
+      AND em.vec_id NOT IN (SELECT cid FROM flagged)
+    """,
+    doc="SEMANTIC corpus decontamination (operators/similarity."
+    "semantic_decontaminate): hash-split the embeddings 95/5 into "
+    "corpus and held-out (the lexical family's split discipline), "
+    "then drop every corpus row whose embedding is >= 0.42 cosine to "
+    "ANY held-out row — sign-LSH banded cross-join + hamming "
+    "prefilter + quantized-exact verify, flagged ids anti-joined "
+    "through the size-gated broadcast. The embedding-space member of "
+    "the decontamination family: catches paraphrased contamination "
+    "that shares no 13-gram and no shingle with the held-out text. "
+    "Oracle: the shared sign-LSH base CTEs crossed over the same "
+    "md5 split (engine-exact integer sums throughout).",
+)
+def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.functions.hashing import hash60
+    from python_stream_processing_framework_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    bucket = hash60(
+        F.concat(F.col("vec_id").cast("string"), F.lit("#split#"))
+    ) % 20
+    heldout = embeddings.filter(bucket == 0)
+    corpus = embeddings.filter(bucket != 0)
+    clean = semantic_decontaminate(
+        corpus, heldout, threshold=0.42, bands=8, band_bits=4
+    )
+    return clean.select("vec_id", "label")
 
 
 @query(

@@ -1728,3 +1728,41 @@ def test_span_dedup_keep_first_semantics(spark):
     (r7,) = mask_duplicate_spans_keep_first(df2, "doc_id", "text", n=3).collect()
     assert r7["text"] == f"{span} mid tail"
     assert r7["n_removed"] == 3
+
+
+def test_semantic_decontaminate_planted(spark):
+    """Planted contamination: corpus vector 100 is an exact scaled
+    copy of held-out vector 1 (cosine 1.0), corpus 101 is its
+    negation (cosine -1.0), 102 is orthogonal-ish. Only the copy is
+    dropped; null-vector corpus rows pass through."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    dim = 8
+    base = [float(i + 1) for i in range(dim)]
+    ortho = [1.0 if i == 0 else 0.0 for i in range(dim)]
+    heldout = spark.createDataFrame(
+        [(1, base)], ["vec_id", "embedding"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, [2.0 * x for x in base]),      # cos 1.0 -> dropped
+            (101, [-x for x in base]),           # cos -1.0 -> kept
+            (102, ortho),                        # low cos -> kept
+            (103, None),                         # null vector -> kept
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    try:
+        clean = semantic_decontaminate(
+            corpus, heldout, threshold=0.9, bands=8, band_bits=4
+        )
+        assert sorted(r["vec_id"] for r in clean.collect()) == [101, 102, 103]
+    finally:
+        release_caches()
