@@ -764,3 +764,10 @@ def test_image_meta_is_map_only(spark):
     t = plan_text(df)
     assert not re.search(r"\(\d+\) Exchange\b", t)
     assert "MapInPandas" in t or "mapInPandas" in t.lower()
+
+
+def test_semantic_decontaminate_not_quadratic(spark):
+    """The semantic decontamination cross-join must be an equi-join
+    on band keys (plus the anti-join), never a cartesian."""
+    df = q("semantic_decontaminate", spark)
+    assert_no_cartesian(df)
