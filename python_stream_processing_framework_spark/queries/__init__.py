@@ -8,7 +8,7 @@ cents, and functions/hashing.py for the engine-portable hashes.
 
 Driver-row curation: the round driver records CORRECTNESS rows for the
 FIRST 50 registrations (insertion order). The registry holds
-len(QUERY_REGISTRY) queries (87 as of r10), so the queries whose
+len(QUERY_REGISTRY) queries (88 as of r10), so the queries whose
 verified surfaces are multiply pinned by other in-cap rows and by the
 in-repo oracle-parity suite (tests/test_oracle_parity.py runs the
 IDENTICAL exact-DuckDB comparison over ALL entries) are deliberately
@@ -231,6 +231,11 @@ OUTSIDE_DRIVER_CAP: tuple[str, ...] = (
     # canonicalization by unit tests + url_domains parity. Green
     # driver rows r7-r9 — makes room for semantic_decontaminate
     "url_dedup",
+    # CCNet line-wise correction machinery: the line-split/rejoin
+    # shape is pinned in-cap by paragraph_dedup and the text-battery
+    # rows; green driver rows r7-r9 — makes room for audio_meta,
+    # completing the multimodal trio's driver coverage
+    "line_corrections",
 )
 
 DRIVER_CAP = 50

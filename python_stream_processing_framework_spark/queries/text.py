@@ -266,6 +266,163 @@ def image_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_meta(payloads, "doc_id")
 
 
+def _u16le(expr: str) -> str:
+    """Little-endian u16 as 4 hex chars (engine-shared: hex/lpad/%
+    behave identically in Spark SQL and DuckDB)."""
+    return (
+        f"concat(lpad(hex(({expr}) % 256), 2, '0'),"
+        f" lpad(hex((({expr}) DIV 256) % 256), 2, '0'))"
+    )
+
+
+def _u32le(expr: str) -> str:
+    return (
+        f"concat(lpad(hex(({expr}) % 256), 2, '0'),"
+        f" lpad(hex((({expr}) DIV 256) % 256), 2, '0'),"
+        f" lpad(hex((({expr}) DIV 65536) % 256), 2, '0'),"
+        f" lpad(hex((({expr}) DIV 16777216) % 256), 2, '0'))"
+    )
+
+
+# md5-derived WAV parameters (engine-portable arithmetic)
+_WAV_X1 = (
+    "cast(conv(substring(md5(concat(cast(doc_id as string), '#wav#')),"
+    " 1, 4), 16, 10) as bigint)"
+)
+_WAV_X2 = (
+    "cast(conv(substring(md5(concat(cast(doc_id as string), '#wav#')),"
+    " 5, 4), 16, 10) as bigint)"
+)
+_WAV_CH = f"(1 + {_WAV_X1} % 2)"
+_WAV_RATE = (
+    f"(CASE {_WAV_X1} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000"
+    " WHEN 2 THEN 22050 ELSE 44100 END)"
+)
+_WAV_BITS = f"(8 * (1 + ({_WAV_X1} DIV 7) % 2))"
+_WAV_DLEN = f"(1000 + {_WAV_X2} % 9000)"
+
+# 44-byte header-only WAV probe: RIFF/WAVE + complete 16-byte fmt
+# chunk + the data chunk HEADER (declared length, bytes not appended
+# — chunk-walking parsers stop at end-of-payload, the header-sniff
+# shape a metadata scan reads at 100 TB without fetching audio)
+_WAV_HEX = (
+    "concat('52494646', "  # 'RIFF'
+    + _u32le(f"36 + {_WAV_DLEN}")
+    + ", '57415645', '666D7420', "  # 'WAVE', 'fmt '
+    + _u32le("16")
+    + ", "
+    + _u16le("1")  # PCM
+    + ", "
+    + _u16le(_WAV_CH)
+    + ", "
+    + _u32le(_WAV_RATE)
+    + ", "
+    + _u32le(f"({_WAV_CH} * {_WAV_RATE} * {_WAV_BITS}) DIV 8")  # byte rate
+    + ", "
+    + _u16le(f"({_WAV_CH} * {_WAV_BITS}) DIV 8")  # block align
+    + ", "
+    + _u16le(_WAV_BITS)
+    + ", '64617461', "  # 'data'
+    + _u32le(_WAV_DLEN)
+    + ")"
+)
+
+
+@query(
+    "audio_meta",
+    f"""
+    WITH src AS (
+      SELECT doc_id, text,
+             1 + ('0x' || substr(md5(doc_id::VARCHAR || '#wav#'), 1, 4))::BIGINT % 2
+               AS ch,
+             CASE ('0x' || substr(md5(doc_id::VARCHAR || '#wav#'), 1, 4))::BIGINT % 4
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             8 * (1 + (('0x' || substr(md5(doc_id::VARCHAR || '#wav#'), 1, 4))::BIGINT // 7) % 2)
+               AS bits,
+             1000 + ('0x' || substr(md5(doc_id::VARCHAR || '#wav#'), 5, 4))::BIGINT % 9000
+               AS dlen
+      FROM documents),
+    built AS (
+      SELECT doc_id, text,
+        CASE WHEN doc_id % 5 = 0 THEN NULL ELSE
+          '52494646' ||
+          concat(lpad(hex((36 + dlen) % 256), 2, '0'),
+                 lpad(hex(((36 + dlen) // 256) % 256), 2, '0'),
+                 lpad(hex(((36 + dlen) // 65536) % 256), 2, '0'),
+                 lpad(hex(((36 + dlen) // 16777216) % 256), 2, '0')) ||
+          '57415645' || '666D7420' || '10000000' || '0100' ||
+          concat(lpad(hex(ch % 256), 2, '0'),
+                 lpad(hex((ch // 256) % 256), 2, '0')) ||
+          concat(lpad(hex(rate % 256), 2, '0'),
+                 lpad(hex((rate // 256) % 256), 2, '0'),
+                 lpad(hex((rate // 65536) % 256), 2, '0'),
+                 lpad(hex((rate // 16777216) % 256), 2, '0')) ||
+          concat(lpad(hex((ch * rate * bits // 8) % 256), 2, '0'),
+                 lpad(hex(((ch * rate * bits // 8) // 256) % 256), 2, '0'),
+                 lpad(hex(((ch * rate * bits // 8) // 65536) % 256), 2, '0'),
+                 lpad(hex(((ch * rate * bits // 8) // 16777216) % 256), 2, '0')) ||
+          concat(lpad(hex((ch * bits // 8) % 256), 2, '0'),
+                 lpad(hex(((ch * bits // 8) // 256) % 256), 2, '0')) ||
+          concat(lpad(hex(bits % 256), 2, '0'),
+                 lpad(hex((bits // 256) % 256), 2, '0')) ||
+          '64617461' ||
+          concat(lpad(hex(dlen % 256), 2, '0'),
+                 lpad(hex((dlen // 256) % 256), 2, '0'),
+                 lpad(hex((dlen // 65536) % 256), 2, '0'),
+                 lpad(hex((dlen // 16777216) % 256), 2, '0'))
+        END AS hx
+      FROM src),
+    -- byte-parse REPLAY over the constructed hex (fixed offsets: this
+    -- construction emits exactly one fmt then one data chunk): LE u16
+    -- at fmt+2 = channels, LE u32 at fmt+4 = rate, LE u16 at fmt+14 =
+    -- bits, LE u32 after 'data' = declared data length
+    parsed AS (
+      SELECT doc_id,
+        CASE WHEN hx IS NULL THEN CAST(octet_length(encode(text)) AS BIGINT)
+             ELSE CAST(strlen(hx) // 2 AS BIGINT) END AS n_bytes,
+        CASE WHEN hx IS NULL THEN 'unknown' ELSE 'wav' END AS format,
+        ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS p_ch,
+        ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2)
+              || substr(hx, 51, 2) || substr(hx, 49, 2))::BIGINT AS p_rate,
+        ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::BIGINT AS p_bits,
+        ('0x' || substr(hx, 87, 2) || substr(hx, 85, 2)
+              || substr(hx, 83, 2) || substr(hx, 81, 2))::BIGINT AS p_dlen
+      FROM built)
+    SELECT doc_id, n_bytes, format,
+           p_ch AS channels, p_rate AS sample_rate,
+           p_bits AS bits_per_sample,
+           CAST(floor(p_dlen /
+                (p_ch * p_rate * (p_bits // 8) / 1000.0)) AS BIGINT)
+             AS duration_ms
+    FROM parsed
+    """,
+    doc="Audio metadata catalog row (operators/multimodal.audio_meta, "
+    "the RIFF/WAVE header parser): deterministic 44-byte header-only "
+    "WAV probes built from doc_id (md5-derived channels/rate/bit "
+    "depth/declared data length, little-endian construction shared "
+    "verbatim between engines), every 5th doc a non-audio payload "
+    "degrading to format='unknown'. The oracle rebuilds the identical "
+    "bytes as hex and replays the parse by little-endian slicing — "
+    "byte-exact parity, completing the multimodal trio next to "
+    "binary_meta and image_meta.",
+)
+def audio_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.multimodal import (
+        audio_meta,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    payloads = documents.select(
+        "doc_id",
+        F.expr(
+            f"""CASE WHEN doc_id % 5 = 0 THEN encode(text, 'utf-8')
+                     ELSE unhex({_WAV_HEX}) END"""
+        ).alias("payload"),
+    )
+    return audio_meta(payloads, "doc_id")
+
+
 @query(
     "repetition_stats",
     f"""
