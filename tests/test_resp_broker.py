@@ -307,3 +307,47 @@ def test_cli_live_groups_reset_trim(valkey_client, valkey_url, capsys):
     assert "trimmed 6 messages" in capsys.readouterr().out
     assert c.xlen(topic) == 4
     c.delete(topic)
+
+
+def test_concurrent_producers_keep_ids_strictly_monotonic(valkey_url):
+    """The broker under concurrent XADD load (the shape executor
+    tasks produce through foreachPartition): every entry lands, ids
+    are unique and strictly increasing — the server's command lock
+    must serialize id assignment across connections."""
+    import threading
+
+    from python_stream_processing_framework_spark.sources.resp import (
+        client_from_url,
+    )
+    from python_stream_processing_framework_spark.sources.valkey import (
+        entry_id_key,
+    )
+
+    s = _stream()
+    n_threads, per = 8, 50
+    errors: list[Exception] = []
+
+    def produce(t: int) -> None:
+        try:
+            c = client_from_url(valkey_url)
+            for i in range(per):
+                c.xadd(s, {"t": str(t), "i": str(i)})
+            c.close()
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=produce, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+
+    check = client_from_url(valkey_url)
+    entries = check.xrange(s)
+    assert len(entries) == n_threads * per
+    ids = [entry_id_key(eid) for eid, _f in entries]
+    assert ids == sorted(ids)
+    assert len(set(ids)) == len(ids)  # strictly monotonic, no ties
+    check.delete(s)
+    check.close()
