@@ -92,67 +92,72 @@ def test_rows_only_queries_run(spark, name):
 
 def test_driver_cap_curation():
     """Pin the registry curation contract: insertion order is the
-    driver's CORRECTNESS selection order, so every query NOT in
-    OUTSIDE_DRIVER_CAP must sit inside the first DRIVER_CAP slots,
-    the declared outside-cap set must be exactly the tail, and every
-    outside-cap query still carries an exact oracle (verified above)."""
+    driver's CORRECTNESS selection order, ordered STALEST-FIRST from
+    the repo's CORRECTNESS history (r11 rotation policy). The first
+    DRIVER_CAP slots must be exactly the least-recently-verified
+    queries, OUTSIDE_DRIVER_CAP exactly the tail, and every outside-cap
+    query still carries an exact oracle (verified above)."""
     from python_stream_processing_framework_spark.queries import (
         DRIVER_CAP,
         OUTSIDE_DRIVER_CAP,
+        last_green_rounds,
     )
 
     names = list(QUERY_REGISTRY)
     assert len(names[:DRIVER_CAP]) == DRIVER_CAP
     assert set(names[DRIVER_CAP:]) == set(OUTSIDE_DRIVER_CAP)
-    flagships = {
-        "bpe_merges",
-        "bpe_token_counts",
-        "lm_doc_scores",
-        # repeated_span_mask rotated out r10: the gram/island/rebuild
-        # machinery is pinned in-cap by span_dedup_keep_first
-        "span_dedup_keep_first",
-        "semdedup_prune",
-        "temperature_mixture",
-        "bm25_topk",
-        "packing_assignments",
-        # domain_mixture rotated out r7: its exact-quota two-phase
-        # selection runs inside temperature_mixture's driver row
-        "shard_plan",
-        "curriculum_order",
-        # r7-session flagships
-        "setsim_pairs",
-        "bloom_decontaminate",
-    }
-    assert flagships <= set(names[:DRIVER_CAP])
+    last = last_green_rounds()
+    expected = sorted(names, key=lambda n: (last.get(n, 0), n))
+    assert names == expected, "registry must be ordered stalest-first"
     for name in OUTSIDE_DRIVER_CAP:
         assert QUERY_REGISTRY[name].oracle, f"{name} outside cap needs an oracle"
 
 
 def test_rotation_policy_no_blind_spots():
-    """Rotation policy (queries/__init__.py): only queries that have
-    already held an external driver row (a key in some
-    CORRECTNESS_r*.json) may sit outside the driver's 50-row cap.
-    Any name the external driver has NEVER checked must be inside
-    the cap so it gets checked next round — prevents recreating the
-    9-query blind spot r9 closed."""
+    """Rotation policy (queries/__init__.py, r11 staleness-driven):
+
+    1. A query the external driver has NEVER checked (no key in any
+       CORRECTNESS_r*.json) must sit inside the driver's 50-row cap so
+       it gets checked next round — prevents recreating the 9-query
+       blind spot r9 closed.
+    2. Max-staleness bound (r10 verdict #1): no query outside the cap
+       may have its last GREEN external driver row more than 3 rounds
+       behind the newest CORRECTNESS record — i.e. by next round no
+       catalog query's last green check is older than 4 rounds. With
+       88 queries and 50 slots, stalest-first ordering keeps the
+       actual bound at ceil(88/50) = 2.
+    """
     import glob
-    import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     assert files, "no CORRECTNESS_r*.json records found at repo root"
-    for path in files:
-        with open(path) as f:
-            seen |= set(json.load(f))
-    from python_stream_processing_framework_spark.queries import OUTSIDE_DRIVER_CAP
+    from python_stream_processing_framework_spark.queries import (
+        OUTSIDE_DRIVER_CAP,
+        last_green_rounds,
+    )
 
-    never_checked = [n for n in OUTSIDE_DRIVER_CAP if n not in seen]
+    last = last_green_rounds(root)
+    newest_round = max(
+        int("".join(ch for ch in os.path.basename(p) if ch.isdigit()))
+        for p in files
+    )
+    never_checked = [n for n in OUTSIDE_DRIVER_CAP if n not in last]
     assert not never_checked, (
         f"outside-cap queries never checked by the external driver: "
         f"{never_checked}; new queries must enter inside the cap for "
         ">=1 round first (rotation policy, queries/__init__.py)"
+    )
+    too_stale = {
+        n: last[n]
+        for n in OUTSIDE_DRIVER_CAP
+        if newest_round - last[n] > 3
+    }
+    assert not too_stale, (
+        f"outside-cap queries with last green driver row >3 rounds "
+        f"behind r{newest_round}: {too_stale}; stalest-first curation "
+        "should have put them inside the cap"
     )
 
 
