@@ -99,23 +99,37 @@ def migrate_index(spark: SparkSession, index_path: str) -> int:
     exactly ``transform(_shingles, x -> xxhash64(x))``, the same
     expression minhash_signatures applies (operators/dedup.py) — so
     no re-admission is needed. Each legacy ``batch=<tag>`` partition
-    is rewritten through a crash-safe three-step dance: (1) write the
+    is rewritten through a crash-safe four-step dance: (1) write the
     rehashed rows to a hidden ``.migrate-<tag>`` sibling (hidden dirs
     are invisible to Spark's partition discovery, so a half-written
-    temp never pollutes a concurrent read), (2) delete the legacy
-    dir, (3) rename the temp into place. A crash after (1) re-runs
-    the overwrite; a crash after (2) is healed by the orphan-recovery
-    sweep at the top of this function (a ``.migrate-<tag>`` with no
-    ``batch=<tag>`` is a completed rewrite awaiting its rename).
-    Single-writer per index assumed — the same contract admission
-    already has."""
+    temp never pollutes a concurrent read), (2) rename the legacy dir
+    aside to hidden ``.old-<tag>``, (3) rename the temp into place,
+    (4) delete ``.old-<tag>``. A crash after (1) re-runs the
+    overwrite; a crash after (2) or (3) is healed by the
+    orphan-recovery sweep at the top of this function (a
+    ``.migrate-<tag>`` with no ``batch=<tag>`` is a completed rewrite
+    awaiting its rename; an ``.old-<tag>`` whose ``batch=<tag>``
+    exists again is a finished swap awaiting its cleanup).
+
+    Concurrent readers: a partition is absent from discovery only
+    between the two renames of steps (2)-(3) — single-digit
+    milliseconds of metadata ops, not the full rewrite (pre-r11 this
+    window spanned a recursive delete). It is still not zero: a
+    reader that lists at exactly the wrong instant misses that one
+    partition, so migrations should run under the index's existing
+    single-writer contract with readers quiesced if a complete view
+    is required mid-migration. Steady-state reads (no migration in
+    flight) are always complete."""
     sigs = _sigs_path(index_path)
     fs, jvm, root = _fs_and_path(spark, sigs)
     if not fs.exists(root):
         return 0
     entries = [st.getPath().getName() for st in fs.listStatus(root)]
-    # Orphan recovery: finish any rename a previous migration crashed
-    # out of (temp exists, legacy dir already deleted).
+    # Orphan recovery: finish any swap a previous migration crashed
+    # out of. First land completed rewrites (temp exists, live dir
+    # renamed aside or gone) BEFORE touching any .old backup, so no
+    # crash point can lose data; then drop backups whose live dir is
+    # back in place.
     for name in entries:
         if name.startswith(".migrate-"):
             tag = name[len(".migrate-") :]
@@ -124,6 +138,12 @@ def migrate_index(spark: SparkSession, index_path: str) -> int:
                     jvm.org.apache.hadoop.fs.Path(f"{sigs}/{name}"),
                     jvm.org.apache.hadoop.fs.Path(f"{sigs}/batch={tag}"),
                 )
+                entries.append(f"batch={tag}")
+    for name in entries:
+        if name.startswith(".old-"):
+            tag = name[len(".old-") :]
+            if f"batch={tag}" in entries:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{sigs}/{name}"), True)
     migrated = 0
     for name in entries:
         if not name.startswith("batch="):
@@ -134,14 +154,19 @@ def migrate_index(spark: SparkSession, index_path: str) -> int:
         if not _is_legacy_shingles(part.schema):
             continue
         tmp = f"{sigs}/.migrate-{tag}"
+        old = f"{sigs}/.old-{tag}"
         part.withColumn("_shingles", F.expr(_REHASH)).write.mode(
             "overwrite"
         ).parquet(tmp)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(part_path), True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(part_path),
+            jvm.org.apache.hadoop.fs.Path(old),
+        )
         fs.rename(
             jvm.org.apache.hadoop.fs.Path(tmp),
             jvm.org.apache.hadoop.fs.Path(part_path),
         )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
         migrated += 1
     return migrated
 

@@ -414,18 +414,24 @@ def image_meta(
     import struct
 
     def _parse_one(p: bytes):
-        if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(p) >= 8 and p[:8] == b"\x89PNG\r\n\x1a\n":
             # IHDR must be first: length(4) 'IHDR'(4) w(4) h(4)
-            # bit_depth(1) color_type(1)
-            if p[12:16] == b"IHDR":
-                w, h = struct.unpack(">II", p[16:24])
-                depth, color = p[24], p[25]
+            # bit_depth(1) color_type(1) — 26 bytes total; payloads
+            # truncated inside the chunk degrade to 'unknown'
+            if len(p) >= 26 and p[12:16] == b"IHDR":
+                w, h, depth, color = struct.unpack(">II2B", p[16:26])
                 return ("png", w, h, depth, _PNG_CHANNELS.get(color))
             return ("unknown", None, None, None, None)
         if len(p) >= 4 and p[:2] == b"\xff\xd8":
             pos = 2
             while pos + 4 <= len(p):
                 if p[pos] != 0xFF:
+                    break
+                # any number of 0xFF fill bytes may pad before the
+                # marker byte (JPEG B.1.1.2) — skip to the last one
+                while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+                    pos += 1
+                if pos + 4 > len(p):
                     break
                 marker = p[pos + 1]
                 if marker in _JPEG_SOF:

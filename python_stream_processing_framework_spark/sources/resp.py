@@ -564,12 +564,23 @@ class _Handler(socketserver.StreamRequestHandler):
             except OSError:
                 return
 
-    @staticmethod
-    def _block_deadline(argv: list[str]) -> float | None:
+    #: BLOCK 0 means "block forever" in Redis/Valkey; a truly
+    #: unbounded poll could hang a test run on a consumer bug, so the
+    #: embedded broker caps it at this finite ceiling (documented in
+    #: docs/backends.md). Large enough that any consumer written
+    #: against the reference's blocking-read pattern sees real
+    #: blocking behavior, small enough to fail loudly instead of
+    #: deadlocking CI.
+    BLOCK_FOREVER_CAP_S = 30.0
+
+    @classmethod
+    def _block_deadline(cls, argv: list[str]) -> float | None:
         for i, a in enumerate(argv):
             if a.upper() == "BLOCK" and i + 1 < len(argv):
                 ms = int(argv[i + 1])
-                return time.monotonic() + ms / 1000.0 if ms > 0 else None
+                if ms <= 0:  # Redis semantics: BLOCK 0 blocks forever
+                    return time.monotonic() + cls.BLOCK_FOREVER_CAP_S
+                return time.monotonic() + ms / 1000.0
         return None
 
 
@@ -656,8 +667,14 @@ class MiniRespClient:
     @classmethod
     def from_url(cls, url: str, decode_responses: bool = True) -> "MiniRespClient":
         rest = url.split("://", 1)[-1]
-        if "@" in rest:  # credentials unsupported; strip for host:port
-            rest = rest.rsplit("@", 1)[-1]
+        if "@" in rest:
+            # This client speaks no AUTH/HELLO; silently stripping
+            # credentials would connect unauthenticated and fail
+            # later with opaque NOAUTH errors on every command.
+            raise RuntimeError(
+                "authenticated redis:// URLs need the 'redis' package "
+                "(MiniRespClient does not support AUTH)"
+            )
         hostport = rest.split("/", 1)[0]
         host, _, port = hostport.partition(":")
         return cls(host or "127.0.0.1", int(port or 6379))

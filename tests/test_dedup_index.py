@@ -379,3 +379,35 @@ def test_migrate_orphan_recovery(spark, tmp_path):
     healed = spark.read.parquet(f"{idx}/sigs/batch=legacy0")
     assert healed.count() == 1
     assert read_index(spark, idx).count() == 1
+
+
+def test_migrate_orphan_recovery_old_backup(spark, tmp_path):
+    """Crash points of the r11 four-step swap: (a) after the legacy
+    dir was renamed aside but before the temp renamed in — recovery
+    lands the temp THEN drops the backup; (b) after the temp renamed
+    in but before the backup delete — recovery just drops the
+    backup. Neither loses the partition or doubles it."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        migrate_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    sigs = _legacy_sigs(spark, [(1, _A)])
+    rehashed = sigs.withColumn(
+        "_shingles", F.expr("transform(_shingles, x -> xxhash64(x))")
+    )
+    # (a): temp complete, live dir renamed aside, no batch= dir
+    rehashed.write.parquet(f"{idx}/sigs/.migrate-legacy0")
+    sigs.write.parquet(f"{idx}/sigs/.old-legacy0")
+    # (b): swap done for another tag, backup not yet deleted
+    rehashed.write.parquet(f"{idx}/sigs/batch=legacy1")
+    sigs.write.parquet(f"{idx}/sigs/.old-legacy1")
+
+    assert migrate_index(spark, idx) == 0  # heals, nothing legacy left
+    import os
+
+    names = set(os.listdir(f"{idx}/sigs"))
+    assert "batch=legacy0" in names and "batch=legacy1" in names
+    assert not any(n.startswith(".old-") for n in names)
+    assert not any(n.startswith(".migrate-") for n in names)
+    assert read_index(spark, idx).count() == 2

@@ -1668,6 +1668,15 @@ def test_image_meta_parses_real_png_and_jpeg_headers(spark):
         + seg(0xC0, sof0)
         + b"\xff\xd9"
     )
+    # JPEG with legal 0xFF fill-byte padding before the SOF marker
+    # (B.1.1.2: any number of fill bytes may precede a marker)
+    jpeg_padded = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + b"\xff\xff\xff"  # fill bytes, then the SOF0 marker below
+        + seg(0xC0, sof0)
+        + b"\xff\xd9"
+    )
     df = spark.createDataFrame(
         [
             (1, bytearray(png)),
@@ -1675,6 +1684,9 @@ def test_image_meta_parses_real_png_and_jpeg_headers(spark):
             (3, bytearray(b"plain text bytes")),
             (4, bytearray(png[:10])),       # truncated PNG signature
             (5, bytearray(b"\xff\xd8\xff")),  # truncated JPEG
+            (6, bytearray(png[:24])),  # cut inside IHDR, before depth byte
+            (7, bytearray(png[:25])),  # cut between depth and color type
+            (8, bytearray(jpeg_padded)),
         ],
         "doc_id bigint, payload binary",
     )
@@ -1683,9 +1695,10 @@ def test_image_meta_parses_real_png_and_jpeg_headers(spark):
     assert (out[1]["bit_depth"], out[1]["channels"]) == (8, 3)
     assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("jpeg", 640, 480)
     assert (out[2]["bit_depth"], out[2]["channels"]) == (12, 3)
-    for bad in (3, 4, 5):
+    for bad in (3, 4, 5, 6, 7):
         assert out[bad]["format"] == "unknown"
         assert out[bad]["width"] is None and out[bad]["channels"] is None
+    assert (out[8]["format"], out[8]["width"], out[8]["height"]) == ("jpeg", 640, 480)
     assert out[1]["n_bytes"] == len(png) and out[2]["n_bytes"] == len(jpeg)
 
 
