@@ -409,7 +409,7 @@ def cosine_lsh_pairs(
 
 def semantic_decontaminate(
     corpus: DataFrame,
-    heldout: DataFrame,
+    heldout: DataFrame | None = None,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -417,6 +417,7 @@ def semantic_decontaminate(
     bands: int = 8,
     band_bits: int = 4,
     corpus_sigs: DataFrame | None = None,
+    heldout_sigs: DataFrame | None = None,
     max_band_freq: int | None = None,
 ) -> DataFrame:
     """SEMANTIC corpus decontamination: drop corpus rows whose
@@ -444,10 +445,20 @@ def semantic_decontaminate(
     Returns the clean corpus rows with all their original columns.
     Pins signature frames via materialize(); release with
     common.release_caches(), the family-wide contract.
+
+    ``heldout_sigs``: a pre-signed held-out frame (sign_signatures
+    output, e.g. the parquet the streaming facade persists at
+    registration) — MUST have been signed with the same ``bands`` /
+    ``band_bits``, since the deterministic hyperplanes are a pure
+    function of (dim, n_planes). Exactly one of ``heldout`` /
+    ``heldout_sigs`` is required.
     """
     from python_stream_processing_framework_spark.operators.common import (
         maybe_broadcast,
     )
+
+    if (heldout is None) == (heldout_sigs is None):
+        raise ValueError("pass exactly one of heldout / heldout_sigs")
 
     n_planes = bands * band_bits
     sigs_c = (
@@ -458,9 +469,13 @@ def semantic_decontaminate(
             band_bits=band_bits,
         )
     )
-    sigs_h = sign_signatures(
-        heldout, id_col=id_col, vec_col=vec_col, bands=bands,
-        band_bits=band_bits,
+    sigs_h = (
+        heldout_sigs
+        if heldout_sigs is not None
+        else sign_signatures(
+            heldout, id_col=id_col, vec_col=vec_col, bands=bands,
+            band_bits=band_bits,
+        )
     )
     if sigs_c is None or sigs_h is None:
         return corpus

@@ -873,6 +873,148 @@ class Stream:
             )
         )
 
+    def decontaminate_semantic(
+        self,
+        topic: str,
+        schema: StructType,
+        heldout: DataFrame,
+        *,
+        id_field: str = "vec_id",
+        vec_field: str = "embedding",
+        target: str | None = None,
+        flagged: str | None = None,
+        group: str | None = None,
+        index_path: str | None = None,
+        threshold: float = 0.9,
+        bands: int = 8,
+        band_bits: int = 4,
+        max_band_freq: int | None = None,
+    ) -> None:
+        """Streaming SEMANTIC decontamination: forward to ``target``
+        (default `{topic}-clean`) only rows whose embedding is NOT a
+        ``threshold``-cosine near-duplicate of any ``heldout`` row;
+        flagged rows land in ``flagged`` (default
+        `{topic}-contaminated`) for audit — the embedding-space
+        member of the decontamination family (:meth:`decontaminate`
+        is the lexical bloom member), catching PARAPHRASED benchmark
+        contamination that shares no n-gram with the held-out text.
+        Rows with a null ``vec_field`` pass through clean (they can't
+        be near anything).
+
+        State shape: the held-out side is signed ONCE at registration
+        (operators/similarity.sign_signatures — packed sign bits +
+        quantized vectors) and PERSISTED as parquet under
+        ``index_path`` (default `{broker}/_indexes/{group}`), so
+        restarts re-read the identical signatures instead of
+        re-signing — the persistent-index-side mirror of
+        :meth:`dedupe_semantic`, except the index never grows: the
+        held-out set is fixed, so per-batch adjudication is
+        STATELESS (batch signs once, band equi-join + hamming
+        prefilter + quantized-exact cosine verify + anti-join against
+        the loaded signatures) and exactly-once comes free from the
+        idempotent per-batch_id sink writes. At scale the held-out
+        side is benchmark-sized (thousands), the stream unbounded —
+        the join always broadcasts the small signed side via the
+        size-gated maybe_broadcast inside the operator.
+
+        ``max_band_freq`` caps held-out-side band-bucket occupancy
+        (the family hot-bucket guard; recommended 256 for degenerate
+        embedding mass — SCALE.md "Hot-bucket cap")."""
+        from python_stream_processing_framework_spark.operators.similarity import (
+            sign_signatures,
+        )
+
+        group = group or f"{self.name}-decontaminate-semantic"
+        self._claim(topic, group)
+        index_path = index_path or str(self.broker / "_indexes" / group)
+        sigs_path = f"{index_path}/heldout_sigs"
+        sigs = sign_signatures(
+            heldout, id_col=id_field, vec_col=vec_field, bands=bands,
+            band_bits=band_bits,
+        )
+        if sigs is not None:
+            sigs.write.mode("overwrite").parquet(sigs_path)
+        self._subscriptions.append(
+            _Subscription(
+                kind="decontaminate_semantic",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "id_field": id_field,
+                    "vec_field": vec_field,
+                    "target": target or f"{topic}-clean",
+                    "flagged": flagged or f"{topic}-contaminated",
+                    "group": group,
+                    "sigs_path": sigs_path if sigs is not None else None,
+                    "threshold": threshold,
+                    "bands": bands,
+                    "band_bits": band_bits,
+                    "max_band_freq": max_band_freq,
+                },
+            )
+        )
+
+    def _start_decontaminate_semantic(self, sub: _Subscription):
+        """Per micro-batch: load the persisted held-out signatures,
+        run the batch operator's band-join/verify/anti-join against
+        them (distributed jobs, broadcast-sized held-out side), and
+        split clean/flagged through the idempotent per-batch_id
+        writes. No evolving state — the held-out set is fixed."""
+        from python_stream_processing_framework_spark.operators.common import (
+            release_caches,
+        )
+        from python_stream_processing_framework_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        clean_dir = str(self.topic_dir(o["target"]))
+        flagged_dir = str(self.topic_dir(o["flagged"]))
+
+        def split_batch(batch: DataFrame, batch_id: int) -> None:
+            try:
+                if o["sigs_path"] is None:
+                    # empty / all-null held-out: nothing can flag
+                    _write_batch_jsonl(batch, clean_dir, batch_id)
+                    return
+                sigs_h = batch.sparkSession.read.parquet(o["sigs_path"])
+                clean = semantic_decontaminate(
+                    batch,
+                    id_col=o["id_field"],
+                    vec_col=o["vec_field"],
+                    threshold=o["threshold"],
+                    bands=o["bands"],
+                    band_bits=o["band_bits"],
+                    heldout_sigs=sigs_h,
+                    max_band_freq=o.get("max_band_freq"),
+                ).persist()
+                try:
+                    _write_batch_jsonl(clean, clean_dir, batch_id)
+                    _write_batch_jsonl(
+                        batch.join(
+                            clean.select(o["id_field"]), o["id_field"], "left_anti"
+                        ),
+                        flagged_dir,
+                        batch_id,
+                        tag="-flagged",
+                    )
+                finally:
+                    clean.unpersist()
+            finally:
+                release_caches()
+
+        return (
+            src.writeStream.foreachBatch(split_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _start_ingest_valkey(self, sub: _Subscription):
         """Valkey -> broker bridge: the valkey_live source's
         checkpointed entry-id offsets + the deterministic-file-name
@@ -1696,6 +1838,7 @@ class Stream:
             "dedupe_semantic": self._start_dedupe_semantic,
             "fold": self._start_fold,
             "decontaminate": self._start_decontaminate,
+            "decontaminate_semantic": self._start_decontaminate_semantic,
             "ingest_valkey": self._start_ingest_valkey,
             "deliver_valkey": self._start_deliver_valkey,
         }
