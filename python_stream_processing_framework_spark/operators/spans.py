@@ -197,6 +197,14 @@ def mask_repeated_spans(
     were deleted. Documents with no repeated spans pass through with
     n_removed = 0 (and their text still canonicalized — the operator
     is a projection of the token stream either way).
+
+    Parameter cost (measured, SCALE.md "Span dedup, measured"): wall
+    time is linear in corpus TOKEN count (4x corpus = 2.6x wall on a
+    planted-boilerplate corpus, asymptotically linear) and flat in
+    ``n`` (2.44/2.41/2.25 s at n=5/13/25 on 10k docs) — pick ``n``
+    for semantics (13 = the published ExactSubstr span), not cost.
+    ``min_count`` prunes AFTER the partial-aggregated count, bounding
+    reducer output only; raising it never makes the scan cheaper.
     """
     spans = repeated_spans(df, id_col, text_col, n=n, min_count=min_count)
     return _rebuild_without_spans(df, spans, id_col, text_col)
@@ -213,7 +221,10 @@ def mask_duplicate_spans_keep_first(
     duplicate_spans_keep_first): every repeated substring survives in
     exactly its earliest (doc, position) occurrence and is deleted
     everywhere else — the paper's keep-one contract. Same output
-    shape as mask_repeated_spans."""
+    shape as mask_repeated_spans, same cost profile (measured ~2-4%
+    over the count variant: the per-gram min-(doc,start) struct vs a
+    count, both partial-aggregable; linear in corpus tokens, flat in
+    ``n`` — SCALE.md "Span dedup, measured")."""
     spans = duplicate_spans_keep_first(df, id_col, text_col, n=n)
     return _rebuild_without_spans(df, spans, id_col, text_col)
 
