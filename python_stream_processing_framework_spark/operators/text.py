@@ -906,3 +906,137 @@ def remove_boilerplate(
             yield out
 
     return df.mapInPandas(fold, schema)
+
+
+def _gram_hash_expr(toks_col: str, n: int) -> str:
+    """Distinct n-gram 60-bit md5-prefix hashes of a token array —
+    the spans-family gram hash (operators/spans._gram_spans), applied
+    to the DISTINCT gram set. BIGINTs shuffle; gram text never
+    does."""
+    return (
+        f"array_distinct(transform(sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> CAST(conv(substring(md5(array_join(slice({toks_col}, i, {n}), ' ')),"
+        f" 1, 15), 16, 10) AS BIGINT)))"
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of each doc's DISTINCT n-grams,
+    how many occur in NO earlier document (earlier = smaller id) —
+    the marginal-contribution curve behind data-diversity analyses
+    (each new crawl snapshot contributes diminishing novel n-grams;
+    a novelty collapse is the standard sign a source is exhausted or
+    a dump is a re-crawl).
+
+    Returns (id, n_grams, n_novel, novelty_ppm): distinct-gram count,
+    grams whose corpus-wide first occurrence is this doc, and their
+    ratio in exact integer parts-per-million (``novel * 1e6 DIV
+    total`` — no float rounding, oracle-exact). Docs shorter than
+    ``n`` tokens yield no row.
+
+    Scale shape: the gram table (id, gram-hash60) is exploded
+    map-side and aggregated TWICE, never joined back to itself at
+    corpus size — per-gram first occurrence is a partial-aggregable
+    min (a boilerplate gram's 1e6 occurrences reach the reducer as
+    partials), per-doc totals a partial-aggregable count; the only
+    join is doc-level (two doc-sized aggregates), broadcast-able.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = toks.select(
+        F.col(id_col), F.explode(F.expr(_gram_hash_expr("_toks", n))).alias("_g")
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        grams.groupBy("_g")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        totals.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram containment: for every ordered source pair
+    (a, b), what fraction of a's distinct n-grams also occur in b —
+    the dump-overlap matrix a training-data pipeline reads before
+    merging crawl snapshots (a high-containment pair means the new
+    dump is mostly a re-crawl and will mostly dedup away; the
+    published CommonCrawl-overlap analyses lead with this table).
+
+    Returns (src_a, src_b, grams_a, shared, containment_ppm) for
+    every ordered pair with shared > 0 — ppm is exact integer
+    ``shared * 1e6 DIV grams_a``, so containment(a,b) and
+    containment(b,a) differ when the sources differ in size.
+
+    Scale shape: grams reduce to DISTINCT (source, gram-hash60)
+    FIRST (partial-aggregable — corpus mass collapses to vocabulary
+    mass before any join), then self-join on the gram hash: each
+    gram matches at most |sources| rows per side, so the join output
+    is bounded by vocab x |sources|^2, never corpus-sized. Totals
+    are source-level (tiny, broadcast). Pins the distinct-gram frame
+    via materialize() (it fans into three consumers); release with
+    common.release_caches(), the family-wide contract."""
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        maybe_broadcast,
+    )
+
+    toks = df.select(
+        F.col(group_col), tokens_expr(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    # materialize: sg fans into three consumers (totals + both join
+    # sides) — without the pin each would rescan the corpus
+    sg = materialize(
+        toks.select(
+            F.col(group_col),
+            F.explode(F.expr(_gram_hash_expr("_toks", n))).alias("_g"),
+        )
+        .groupBy(group_col, "_g")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    totals = sg.groupBy(group_col).agg(F.count(F.lit(1)).alias("grams_a"))
+    a = sg.select(F.col(group_col).alias("src_a"), "_g")
+    b = sg.select(F.col(group_col).alias("src_b"), "_g")
+    shared = (
+        a.join(b, "_g")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return shared.join(
+        maybe_broadcast(totals.withColumnRenamed(group_col, "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "grams_a",
+        "shared",
+        F.expr("CAST(shared * 1000000 DIV grams_a AS BIGINT)").alias(
+            "containment_ppm"
+        ),
+    )

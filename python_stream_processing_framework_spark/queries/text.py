@@ -945,3 +945,81 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(documents, "doc_id", "text", mined).select(
         "doc_id", "text"
     )
+
+
+@query(
+    "doc_novelty",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                     1, 15))::BIGINT))) AS g
+      FROM tok WHERE len(toks) >= 3),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    nov AS (
+      SELECT doc_id, count(*) AS n_novel
+      FROM (SELECT g, min(doc_id) AS doc_id FROM g GROUP BY g)
+      GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           coalesce(nv.n_novel, 0) AS n_novel,
+           CAST(coalesce(nv.n_novel, 0) * 1000000 // t.n_grams AS BIGINT)
+             AS novelty_ppm
+    FROM tot t LEFT JOIN nov nv USING (doc_id)
+    """,
+    doc="Per-document n-gram novelty (operators/text.ngram_novelty): "
+    "of each doc's distinct 3-grams, how many occur in no "
+    "smaller-id document — the marginal-diversity curve read before "
+    "adding a crawl snapshot. Exact integer ppm; gram table "
+    "aggregated twice (partial-aggregable min and counts), never "
+    "self-joined at corpus size; only doc-level aggregates join.",
+)
+def doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return ngram_novelty(documents, "doc_id", "text", n=3)
+
+
+@query(
+    "source_overlap",
+    """
+    WITH tok AS (
+      SELECT source, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents),
+    sg AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                     1, 15))::BIGINT))) AS g
+      FROM tok WHERE len(toks) >= 3),
+    tot AS (SELECT source AS src_a, count(*) AS grams_a FROM sg GROUP BY source),
+    sh AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      FROM sg a JOIN sg b USING (g)
+      WHERE a.source != b.source
+      GROUP BY a.source, b.source)
+    SELECT sh.src_a, sh.src_b, tot.grams_a, sh.shared,
+           CAST(sh.shared * 1000000 // tot.grams_a AS BIGINT)
+             AS containment_ppm
+    FROM sh JOIN tot USING (src_a)
+    """,
+    doc="Cross-source n-gram containment matrix (operators/text."
+    "source_overlap): for each ordered source pair, the ppm of a's "
+    "distinct 3-grams also present in b — the dump-overlap table "
+    "read before merging crawl snapshots. Grams reduce to distinct "
+    "(source, hash60) BEFORE the self-join, so join output is "
+    "bounded by vocabulary x sources^2, never corpus mass.",
+)
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        source_overlap,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return source_overlap(documents, "source", "text", n=3)

@@ -384,8 +384,10 @@ def valkey_stream_sink_idempotent(
     serialization point costs nothing at scale that the stream
     itself doesn't already impose — the broker applies entries one
     at a time regardless; pipelining keeps the single connection
-    saturated. Shard across stream KEYS (one sink per shard) for
-    parallel egress, exactly like the live source's sharding rule.
+    saturated. For parallel egress use
+    ``valkey_stream_sink_idempotent_sharded``, which spreads the
+    batch across N stream keys with the same per-shard exactly-once
+    contract.
     """
     key_cols = list(df.columns)
     one = (
@@ -410,6 +412,93 @@ def valkey_stream_sink_idempotent(
             client.close()
 
     one.foreachPartition(write_partition)
+
+
+def valkey_stream_sink_idempotent_sharded(
+    df: DataFrame,
+    url: str,
+    stream_key: str,
+    *,
+    batch_id: int,
+    num_shards: int,
+    shard_by: str | None = None,
+    maxlen: int | None = None,
+    pipeline_size: int = 500,
+) -> None:
+    """EXACTLY-ONCE delivery sharded across ``num_shards`` stream
+    keys ``{stream_key}:0 .. {stream_key}:{num_shards-1}`` — the
+    parallel-egress form of ``valkey_stream_sink_idempotent``, which
+    serializes each batch through one writer because a single Redis
+    stream is one total order. Sharding trades that GLOBAL order for
+    ``num_shards``-way write parallelism while keeping every
+    exactly-once property per shard: each shard is one deterministic
+    sorted sequence XADDed with deterministic entry ids, so a task
+    retry (or a whole foreachBatch redelivery) re-sends each shard's
+    identical sequence and the broker rejects the already-delivered
+    prefix. A crashed writer always leaves a PREFIX of its shard's
+    sequence (entries land in sorted order through one connection),
+    which is exactly the case the id-monotonicity rule heals.
+
+    Shard assignment must be retry-deterministic, so it is a pure
+    function of row CONTENT, never of partition placement:
+    ``pmod(xxhash64(shard_col_or_content_digest), num_shards)``.
+    With ``shard_by`` (a column name), all rows sharing that key land
+    in the same shard — per-key total order survives, the Kafka
+    partition-key semantic; consumers needing per-entity order read
+    one shard. Without it, rows spread by content digest (max
+    parallelism, order meaningful only within a shard).
+
+    Scale shape: one shuffle on the shard id (num_shards reducers,
+    each pipelining one connection), rows never visit the driver.
+    Each shard stream must have NO other producers (deterministic
+    ids sit above real-clock ids — see xadd_rows_idempotent).
+    Consumers enumerate shards by key pattern; lag/trim tooling
+    applies per shard key."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    key_cols = list(df.columns)
+    shard_src = (
+        F.col(shard_by).cast("string")
+        if shard_by is not None
+        else F.md5(F.to_json(F.struct(*key_cols)))
+    )
+    sharded = (
+        df.withColumn("_ek", F.md5(F.to_json(F.struct(*key_cols))))
+        .withColumn("_shard", F.pmod(F.xxhash64(shard_src), F.lit(num_shards)))
+        .repartition(num_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard", "_ek")
+    )
+
+    def write_partition(rows) -> None:
+        import itertools
+
+        client = _redis_client(url)
+        try:
+            # hash partitioning may co-locate several shards in one
+            # task; rows arrive sorted by (_shard, _ek), so each
+            # group is that shard's full deterministic sequence
+            for shard, group in itertools.groupby(
+                rows, key=lambda r: r["_shard"]
+            ):
+                xadd_rows_idempotent(
+                    client,
+                    f"{stream_key}:{shard}",
+                    (
+                        {
+                            k: v
+                            for k, v in r.asDict(recursive=True).items()
+                            if k not in ("_ek", "_shard")
+                        }
+                        for r in group
+                    ),
+                    batch_id=batch_id,
+                    maxlen=maxlen,
+                    pipeline_size=pipeline_size,
+                )
+        finally:
+            client.close()
+
+    sharded.foreachPartition(write_partition)
 
 
 def valkey_stream_sink(

@@ -779,6 +779,8 @@ class Stream:
         maxlen: int | None = None,
         pipeline_size: int = 500,
         exactly_once: bool = False,
+        num_shards: int | None = None,
+        shard_by: str | None = None,
     ) -> None:
         """Bridge a broker topic OUT to a live Valkey/Redis stream:
         every event in ``topic`` is XADDed to ``stream_key`` (default:
@@ -797,7 +799,15 @@ class Stream:
         every already-delivered row, so duplicates are impossible.
         The trade: one serialized writer per batch (a stream is a
         total order anyway) and the stream must have NO other
-        producers (their auto ids would be rejected)."""
+        producers (their auto ids would be rejected).
+
+        ``num_shards`` (with ``exactly_once=True``): spread each
+        batch across `{stream_key}:0..N-1` via
+        `valkey_stream_sink_idempotent_sharded` — N parallel writers,
+        per-shard exactly-once, global order traded for throughput.
+        ``shard_by`` names a column whose values must stay in one
+        shard (per-key total order, the partition-key semantic);
+        default is content-digest spreading."""
         stream_key = stream_key or topic
         group = group or f"{self.name}-deliver-{stream_key}"
         self._claim(topic, group)
@@ -814,6 +824,8 @@ class Stream:
                     "maxlen": maxlen,
                     "pipeline_size": pipeline_size,
                     "exactly_once": exactly_once,
+                    "num_shards": num_shards,
+                    "shard_by": shard_by,
                 },
             )
         )
@@ -1059,6 +1071,22 @@ class Stream:
 
         def write_sink(batch: DataFrame, batch_id: int) -> None:
             if o.get("exactly_once"):
+                if o.get("num_shards"):
+                    from python_stream_processing_framework_spark.sources.valkey import (
+                        valkey_stream_sink_idempotent_sharded,
+                    )
+
+                    valkey_stream_sink_idempotent_sharded(
+                        batch,
+                        o["url"],
+                        o["stream_key"],
+                        batch_id=batch_id,
+                        num_shards=o["num_shards"],
+                        shard_by=o.get("shard_by"),
+                        maxlen=o["maxlen"],
+                        pipeline_size=o["pipeline_size"],
+                    )
+                    return
                 valkey_stream_sink_idempotent(
                     batch,
                     o["url"],

@@ -1779,3 +1779,62 @@ def test_semantic_decontaminate_planted(spark):
         assert sorted(r["vec_id"] for r in clean.collect()) == [101, 102, 103]
     finally:
         release_caches()
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark):
+    """Novelty counts grams whose corpus-wide FIRST occurrence (min
+    doc id) is this doc: doc 1 is all-novel, an identical later doc
+    is zero-novel, a half-overlapping doc scores its unique half;
+    sub-n docs yield no row."""
+    from python_stream_processing_framework_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: abc, bcd (both novel)
+            (2, "a b c d"),        # same grams, all seen in doc 1
+            (3, "a b c x y z"),    # abc seen; bcx, cxy, xyz novel
+            (4, "t u"),            # shorter than n: no row
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_grams"], out[1]["n_novel"], out[1]["novelty_ppm"]) == (2, 2, 1000000)
+    assert (out[2]["n_grams"], out[2]["n_novel"], out[2]["novelty_ppm"]) == (2, 0, 0)
+    assert (out[3]["n_grams"], out[3]["n_novel"]) == (4, 3)
+    assert out[3]["novelty_ppm"] == 750000
+
+
+def test_source_overlap_containment_matrix(spark):
+    """Ordered-pair containment: asymmetric when sources differ in
+    gram counts; pairs sharing nothing are absent; duplicate docs
+    within one source don't inflate its distinct-gram mass."""
+    from python_stream_processing_framework_spark.operators.text import (
+        source_overlap,
+    )
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),     # A grams: abc, bcd
+            (2, "A", "a b c d"),     # exact re-crawl: no new grams
+            (3, "B", "a b c x y z"), # B grams: abc, bcx, cxy, xyz
+            (4, "C", "p q r s"),     # C shares nothing
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    try:
+        rows = {
+            (r["src_a"], r["src_b"]): r for r in source_overlap(df, n=3).collect()
+        }
+    finally:
+        release_caches()
+    assert set(rows) == {("A", "B"), ("B", "A")}
+    ab = rows[("A", "B")]
+    assert (ab["grams_a"], ab["shared"], ab["containment_ppm"]) == (2, 1, 500000)
+    ba = rows[("B", "A")]
+    assert (ba["grams_a"], ba["shared"], ba["containment_ppm"]) == (4, 1, 250000)

@@ -180,3 +180,115 @@ def test_deliver_valkey_exactly_once_mode(spark, tmp_path, valkey_client, valkey
         int(eid.split("-")[0]) >= 9_000_000_000_000_000 for eid, _f in entries
     )
     valkey_client.delete(skey)
+
+
+def test_sharded_idempotent_sink_exactly_once_across_shards(
+    spark, valkey_client, valkey_url
+):
+    """The sharded exactly-once producer: every row lands in exactly
+    one of the N shard streams, a full-batch retry delivers nothing
+    anywhere, a partial-crash retry (prefix of one shard's sorted
+    sequence landed) heals per shard, and the next batch appends."""
+    import uuid as _uuid
+
+    from python_stream_processing_framework_spark.sources.valkey import (
+        valkey_stream_sink_idempotent_sharded,
+    )
+
+    skey = f"sho-{_uuid.uuid4().hex[:10]}"
+    n_shards, n_rows = 3, 40
+    df = spark.createDataFrame(
+        [(f"e{i}", float(i)) for i in range(n_rows)], ["event_id", "value"]
+    )
+
+    def shard_entries():
+        return {
+            s: valkey_client.xrange(f"{skey}:{s}") for s in range(n_shards)
+        }
+
+    valkey_stream_sink_idempotent_sharded(
+        df, valkey_url, skey, batch_id=0, num_shards=n_shards
+    )
+    ents = shard_entries()
+    all_ids = [f["event_id"] for s in ents for _eid, f in ents[s]]
+    assert sorted(all_ids) == sorted(f"e{i}" for i in range(n_rows))
+    assert len(all_ids) == n_rows  # exactly once, no shard overlap
+    assert all(len(ents[s]) > 0 for s in range(n_shards))  # actually spread
+
+    # full redelivery of batch 0: zero new entries on every shard
+    valkey_stream_sink_idempotent_sharded(
+        df, valkey_url, skey, batch_id=0, num_shards=n_shards
+    )
+    assert sum(valkey_client.xlen(f"{skey}:{s}") for s in range(n_shards)) == n_rows
+
+    # batch 1 appends exactly once more
+    valkey_stream_sink_idempotent_sharded(
+        df, valkey_url, skey, batch_id=1, num_shards=n_shards
+    )
+    assert (
+        sum(valkey_client.xlen(f"{skey}:{s}") for s in range(n_shards))
+        == 2 * n_rows
+    )
+    for s in range(n_shards):
+        valkey_client.delete(f"{skey}:{s}")
+
+
+def test_sharded_sink_shard_by_keeps_key_in_one_shard(
+    spark, valkey_client, valkey_url
+):
+    """shard_by pins all rows of a key to one shard (per-key total
+    order, the partition-key semantic) and stays deterministic
+    across retries."""
+    import uuid as _uuid
+
+    from python_stream_processing_framework_spark.sources.valkey import (
+        valkey_stream_sink_idempotent_sharded,
+    )
+
+    skey = f"shk-{_uuid.uuid4().hex[:10]}"
+    n_shards = 4
+    df = spark.createDataFrame(
+        [(f"e{i}", i % 6, float(i)) for i in range(48)],
+        ["event_id", "k", "value"],
+    )
+    valkey_stream_sink_idempotent_sharded(
+        df, valkey_url, skey, batch_id=0, num_shards=n_shards, shard_by="k"
+    )
+    key_shards: dict[str, set[int]] = {}
+    total = 0
+    for s in range(n_shards):
+        for _eid, f in valkey_client.xrange(f"{skey}:{s}"):
+            key_shards.setdefault(f["k"], set()).add(s)
+            total += 1
+    assert total == 48
+    assert all(len(shards) == 1 for shards in key_shards.values()), key_shards
+    for s in range(n_shards):
+        valkey_client.delete(f"{skey}:{s}")
+
+
+def test_deliver_valkey_sharded_facade(spark, tmp_path, valkey_client, valkey_url):
+    """Facade-level sharded exactly-once delivery: num_shards routes
+    through the sharded sink; union of shard streams carries every
+    event exactly once with deterministic ids."""
+    import uuid as _uuid
+
+    from python_stream_processing_framework_spark.streaming import Stream
+
+    skey = f"shf-{_uuid.uuid4().hex[:10]}"
+    stream = Stream(spark, str(tmp_path / "broker"), state_partitions=4)
+    stream.emit("t", *_events(0, 12))
+    stream.deliver_valkey(
+        "t", SCHEMA, valkey_url, skey, exactly_once=True, num_shards=2,
+        shard_by="k",
+    )
+    stream.run_until_idle()
+
+    seen = []
+    for s in range(2):
+        for eid, f in valkey_client.xrange(f"{skey}:{s}"):
+            assert int(eid.split("-")[0]) >= 9_000_000_000_000_000
+            seen.append(f["event_id"])
+    assert sorted(seen) == sorted(f"e{i}" for i in range(12))
+    assert len(seen) == 12
+    for s in range(2):
+        valkey_client.delete(f"{skey}:{s}")
