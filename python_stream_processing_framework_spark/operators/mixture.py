@@ -331,3 +331,91 @@ def temperature_mixture(
     return domain_mixture(
         df, strata_col, weights, id_col, seed=seed, bucket_bits=bucket_bits
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    *,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al. 2023): split a
+    total training ``budget`` across strata as uniformly as possible
+    subject to a per-stratum repeat cap of ``max_epochs`` x its
+    available tokens — the published alternative to temperature
+    sampling that never over-repeats a small source (temperature
+    weights happily ask a 1 M-token language for 100 epochs; UniMax
+    caps it and waterfills the freed budget into larger sources).
+
+    Returns one row per stratum: (group, tokens, cap, alloc_tokens,
+    saturated) where cap = tokens * max_epochs and sum(alloc_tokens)
+    <= budget with equality unless every stratum saturates. All
+    integer arithmetic — the waterfill level is the closed-form scan
+    over caps ASCENDING: stratum i (1-based, ties broken by group
+    name) saturates iff ``cap_i * (n - i + 1) <= budget -
+    prefix_caps_{i-1}`` (monotone: once a cap exceeds the water
+    level, every larger cap does), saturated strata get their cap,
+    the rest get the SAME level ``(budget - saturated_mass) DIV
+    n_unsaturated`` — deterministic, engine-exact, no floats.
+
+    Scale shape: one partial-aggregable count/sum to stratum level,
+    then window functions over the stratum frame — bounded by
+    |strata| (sources/languages: dozens), metadata-sized; the corpus
+    itself never reshuffles. Feed ``alloc_tokens`` to
+    ``domain_mixture`` / ``temperature_mixture``'s quota machinery to
+    realize the selection."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    counts = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("tokens")
+    )
+    w = Window.orderBy(F.col("cap").asc(), F.col(group_col).asc())
+    ranked = (
+        counts.withColumn("cap", F.col("tokens") * F.lit(max_epochs))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "saturated",
+            F.col("cap") * (F.col("_n") - F.col("_i") + 1)
+            <= F.lit(budget) - F.col("_prefix"),
+        )
+    )
+    sat = ranked.withColumn(
+        "_sat_mass",
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("cap"))).over(
+                Window.partitionBy()
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "_n_unsat",
+        F.col("_n")
+        - F.coalesce(
+            F.sum(F.when(F.col("saturated"), 1)).over(Window.partitionBy()),
+            F.lit(0),
+        ),
+    )
+    return sat.select(
+        group_col,
+        "tokens",
+        "cap",
+        F.when(F.col("saturated"), F.col("cap"))
+        .otherwise(
+            # integer DIV, not float /: budgets can exceed 2^53
+            F.expr(f"CAST(({budget} - _sat_mass) DIV _n_unsat AS BIGINT)")
+        )
+        .alias("alloc_tokens"),
+        "saturated",
+    )

@@ -167,3 +167,77 @@ def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     kept = temperature_mixture(documents, "lang", 0.5, "doc_id", seed="temp")
     return kept.select("doc_id", "lang")
+
+
+#: UniMax catalog constants: at sf0.01 (20 sources, ~27k corpus
+#: tokens, per-source caps ~2.3-3.1k at 2 epochs, total caps ~54k) a
+#: 50k budget saturates the small sources and waterfills the rest —
+#: both branches of the closed-form scan exercise under the driver's
+#: correctness run.
+_UNIMAX_BUDGET = 50_000
+_UNIMAX_EPOCHS = 2
+
+
+@query(
+    "unimax_allocation",
+    f"""
+    WITH t AS (
+      SELECT source,
+             len(string_split(trim(lower(text)), ' ')) AS ntok
+      FROM documents),
+    c AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens
+          FROM t GROUP BY source),
+    r AS (
+      SELECT source, tokens, tokens * {_UNIMAX_EPOCHS} AS cap,
+             row_number() OVER
+               (ORDER BY tokens * {_UNIMAX_EPOCHS}, source) AS i,
+             count(*) OVER () AS n,
+             coalesce(sum(tokens * {_UNIMAX_EPOCHS}) OVER
+               (ORDER BY tokens * {_UNIMAX_EPOCHS}, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix
+      FROM c),
+    s AS (SELECT *,
+                 cap * (n - i + 1) <= {_UNIMAX_BUDGET} - prefix AS saturated
+          FROM r),
+    m AS (SELECT *,
+                 coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
+                   AS sat_mass,
+                 n - coalesce(sum(CASE WHEN saturated THEN 1 END) OVER (), 0)
+                   AS n_unsat
+          FROM s)
+    SELECT source, tokens, cap,
+           CAST(CASE WHEN saturated THEN cap
+                     ELSE ({_UNIMAX_BUDGET} - sat_mass) // n_unsat
+                END AS BIGINT) AS alloc_tokens,
+           saturated
+    FROM m
+    """,
+    doc="UniMax token-budget allocation (operators/mixture."
+    "unimax_allocation; Chung et al. 2023): waterfill a 50k-token "
+    "budget across sources, each capped at 2 epochs of its tokens — "
+    "the over-repeat-safe alternative to temperature sampling. "
+    "All-integer closed-form scan over ascending caps (saturation "
+    "test cap*(n-i+1) <= remaining, shared integer-DIV level for "
+    "the unsaturated); corpus reduces to a per-source token sum, "
+    "the waterfill runs on strata-bounded metadata.",
+)
+def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.dedup import tokens_expr
+    from python_stream_processing_framework_spark.operators.mixture import (
+        unimax_allocation,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    with_tokens = documents.select(
+        "source", F.size(tokens_expr("text")).alias("ntok")
+    )
+    return unimax_allocation(
+        with_tokens,
+        "source",
+        "ntok",
+        budget=_UNIMAX_BUDGET,
+        max_epochs=_UNIMAX_EPOCHS,
+    )

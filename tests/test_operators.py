@@ -1838,3 +1838,37 @@ def test_source_overlap_containment_matrix(spark):
     assert (ab["grams_a"], ab["shared"], ab["containment_ppm"]) == (2, 1, 500000)
     ba = rows[("B", "A")]
     assert (ba["grams_a"], ba["shared"], ba["containment_ppm"]) == (4, 1, 250000)
+
+
+def test_unimax_allocation_waterfill(spark):
+    """UniMax waterfill against hand-computed allocations: small caps
+    saturate, the rest split the remainder by integer DIV; a budget
+    below every cap goes uniform; a huge budget saturates all."""
+    from python_stream_processing_framework_spark.operators.mixture import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 10), ("B", 100), ("C", 1000)], "source string, ntok int"
+    )
+
+    def alloc(budget):
+        rows = unimax_allocation(
+            df, "source", "ntok", budget=budget, max_epochs=2
+        ).collect()
+        return {r["source"]: (r["cap"], r["alloc_tokens"], r["saturated"]) for r in rows}
+
+    # caps: A=20, B=200, C=2000
+    out = alloc(1000)
+    assert out["A"] == (20, 20, True)       # 20*3 <= 1000
+    assert out["B"] == (200, 200, True)     # 200*2 <= 980
+    assert out["C"] == (2000, 780, False)   # (1000-220) DIV 1
+    assert sum(a for _c, a, _s in out.values()) == 1000
+
+    out = alloc(30)  # below every cap*(n-i+1): uniform 30 DIV 3
+    assert all(not s for _c, a, s in out.values())
+    assert [out[k][1] for k in ("A", "B", "C")] == [10, 10, 10]
+
+    out = alloc(10_000)  # everything saturates at its cap
+    assert all(s for _c, _a, s in out.values())
+    assert sum(a for _c, a, _s in out.values()) == 2220
