@@ -771,3 +771,77 @@ def test_semantic_decontaminate_not_quadratic(spark):
     on band keys (plus the anti-join), never a cartesian."""
     df = q("semantic_decontaminate", spark)
     assert_no_cartesian(df)
+
+
+def test_doc_novelty_no_gram_scale_join(spark):
+    """ngram_novelty's 100-TB contract: the gram table is aggregated
+    (twice) but never JOINED at gram scale — the only join is the
+    doc-level totals-x-novel merge. A SortMergeJoin keyed on the gram
+    hash would mean a corpus-sized join-back snuck in."""
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("doc_novelty", spark)
+    t = plan_text(df)
+    assert_no_cartesian(df)
+    join_lines = [
+        ln for ln in t.splitlines() if "Join" in ln and "BuildSide" not in ln
+    ]
+    assert join_lines, "expected the doc-level merge join"
+    assert not any("_g" in ln for ln in join_lines), (
+        f"gram-keyed join found — the gram table must only aggregate: "
+        f"{join_lines}"
+    )
+
+
+def test_source_overlap_dedups_before_self_join(spark):
+    """source_overlap's contract: the self-join input is the DISTINCT
+    (source, gram) frame — an aggregate must sit strictly below the
+    gram-keyed join on both sides (corpus mass collapses to
+    vocabulary mass first), and the totals join is broadcast."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("source_overlap", spark)
+    try:
+        t = plan_text(df)
+        assert_no_cartesian(df)
+        # the pinned distinct frame feeds both join sides as a cached
+        # scan: the join reads InMemory scans, not raw exploded grams.
+        # (At smoke SF the tiny side broadcasts; at scale it
+        # sort-merges — either way it must be keyed on the gram hash.)
+        assert "Join" in t and "_g" in t, "expected the gram-keyed self-join"
+        assert "InMemoryTableScan" in t or "TableCacheQueryStage" in t, (
+            "distinct (source, gram) frame must be pinned (materialize)"
+        )
+        assert "BroadcastHashJoin" in t, "totals join must broadcast"
+        # both gram-join inputs must be aggregates of the cached
+        # distinct frame, never the raw exploded gram stream: the
+        # explode feeds exactly one plan node chain (inside the
+        # InMemoryRelation), not a join side
+        assert t.count("Generate explode") <= 1, (
+            "exploded grams must exist only inside the pinned frame"
+        )
+    finally:
+        release_caches()
+
+
+def test_unimax_reduces_before_window_math(spark):
+    """unimax_allocation's contract: the corpus collapses through one
+    partial-aggregable per-stratum sum BEFORE any window function —
+    window exchanges must sit above an aggregate, so the single-
+    partition window only ever sees strata-bounded metadata."""
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("unimax_allocation", spark)
+    t = plan_text(df)
+    lines = t.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert win and agg
+    # formatted plans print operators top-down: every Window node must
+    # appear ABOVE (smaller index than) some aggregate feeding it
+    assert max(agg) > min(win), (
+        "expected the per-stratum aggregate below the window operators"
+    )
