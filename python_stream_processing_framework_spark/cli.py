@@ -18,6 +18,7 @@ Usage:
   python -m python_stream_processing_framework_spark.cli cluster-status [--url URL]
   python -m python_stream_processing_framework_spark.cli groups      --broker DIR [--topic T]
   python -m python_stream_processing_framework_spark.cli reset       --broker DIR --topic T --group G
+  python -m python_stream_processing_framework_spark.cli shards      --broker URL --topic T --n-shards N
   python -m python_stream_processing_framework_spark.cli backends
 """
 
@@ -240,6 +241,49 @@ def groups(broker: str, topic: str | None) -> None:
         print(f"no consumer groups found under {root}")
 
 
+def shards(broker: str, topic: str, n_shards: int) -> None:
+    """Per-shard + rollup view of a SHARDED egress target
+    (`valkey_stream_sink_idempotent_sharded` writes `{topic}:0..N-1`):
+    entry counts, last ids, and per-group pending/lag summed across
+    every shard key — the one-screen answer to 'is the sharded sink
+    caught up'. Live brokers only (a sharded target IS a set of live
+    stream keys)."""
+    if not _is_live(broker):
+        raise SystemExit("shards: requires a live broker url (redis://...)")
+    client = _live_client(broker)
+    total_len = 0
+    group_pending: dict[str, int] = {}
+    group_lag: dict[str, int] = {}
+    for s in range(n_shards):
+        key = f"{topic}:{s}"
+        try:
+            n = client.xlen(key)
+        except Exception:  # noqa: BLE001 - missing shard key
+            n = 0
+        total_len += n
+        last = "-"
+        gs = []
+        if n:
+            info = client.xinfo_stream(key)
+            last = info.get("last-generated-id", "-")
+            gs = client.xinfo_groups(key)
+        for g in gs:
+            group_pending[g["name"]] = group_pending.get(g["name"], 0) + int(
+                g["pending"] or 0
+            )
+            lag = g.get("lag")
+            if lag is not None:
+                group_lag[g["name"]] = group_lag.get(g["name"], 0) + int(lag)
+        print(f"shard {key}: entries: {n} | last-id: {last}")
+    print(f"total: {total_len} entries across {n_shards} shards")
+    for name in sorted(group_pending):
+        lag = group_lag.get(name, "-")
+        print(
+            f"group {name}: pending: {group_pending[name]} | lag: {lag}"
+            " (summed across shards)"
+        )
+
+
 def reset(broker: str, topic: str, group: str) -> None:
     """Reset a consumer group to the beginning (reference `pspf reset`
     offset 0, pspf/cli.py:119-135). Spark's committed offsets ARE the
@@ -356,6 +400,10 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("groups")
     p.add_argument("--broker", required=True)
     p.add_argument("--topic", default=None)
+    p = sub.add_parser("shards")
+    p.add_argument("--broker", required=True)
+    p.add_argument("--topic", required=True)
+    p.add_argument("--n-shards", type=int, required=True)
     p = sub.add_parser("reset")
     p.add_argument("--broker", required=True)
     p.add_argument("--topic", required=True)
@@ -388,6 +436,8 @@ def main(argv: list[str] | None = None) -> None:
         cluster_status(args.url)
     elif args.cmd == "groups":
         groups(args.broker, args.topic)
+    elif args.cmd == "shards":
+        shards(args.broker, args.topic, args.n_shards)
     elif args.cmd == "reset":
         reset(args.broker, args.topic, args.group)
     elif args.cmd == "trim":
