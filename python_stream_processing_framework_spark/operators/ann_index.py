@@ -1,0 +1,136 @@
+"""Persisted IVF index: train once, serve many ANN queries.
+
+The serving-side complement of the in-session ANN operators
+(operators/similarity.ivf_topk trains/probes inside one plan; fine for
+one-shot analytics, wasteful when the same corpus answers thousands of
+queries). ``build_ivf_index`` pays the k-means training ONCE and lays
+the corpus out for cheap probes:
+
+    {index_path}/centroids/   k-row codebook parquet (metadata-sized)
+    {index_path}/vectors/cluster=<c>/   the corpus, hash-partitioned
+        BY CELL on disk
+
+A query then reads the codebook (driver-side metadata, like a PQ
+codebook), picks its ``n_probe`` nearest cells driver-side, and scans
+ONLY those ``cluster=`` directories — Spark's partition pruning turns
+cell probing into skipped I/O, the property that matters at 100 TB:
+a 1024-cell index probed at 8 cells reads <1% of the corpus per
+query, no shuffle, one TakeOrderedAndProject.
+
+Training reuses the deterministic Lloyd trainer the PQ/SemDeDup
+family shares (semdedup.cluster_assign -> pq_train m=1: hash-seeded
+centroids, integer-exact means), so rebuilding an index over the same
+corpus is bit-identical — the same determinism contract as every
+operator here.
+
+Beyond-reference capability (SURVEY §2.7 similarity-search charter);
+the reference's surface has no vector serving (its connectors stop at
+message streams, /root/reference/pspf/connectors/).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    iters: int = 2,
+) -> dict:
+    """Train + lay out an IVF index at ``index_path``; returns a small
+    stats dict (n_vectors, k_cells). Null vectors are excluded (they
+    can't be probed). ``k=None`` sizes cells via the SemDeDup scaling
+    rule (~100 vectors per expected cell). Overwrites any previous
+    index at the path — rebuilds are atomic per subdir because parquet
+    overwrite clears before write; serve from a new path and swap if
+    readers are live (same single-writer contract as the dedup
+    indexes)."""
+    from python_stream_processing_framework_spark.operators.semdedup import (
+        cluster_assign,
+    )
+
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    assign, cb = cluster_assign(
+        nonnull, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    cb.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    vectors = nonnull.join(assign, id_col).withColumnRenamed(
+        "cluster", "cluster_id"
+    )
+    (
+        vectors.repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_path}/vectors")
+    )
+    n = vectors.count()
+    k_cells = cb.select("code").distinct().count()
+    spark = embeddings.sparkSession
+    meta = {"n_vectors": n, "k_cells": k_cells, "id_col": id_col, "vec_col": vec_col}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    return meta
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors of ``query_vec`` from a persisted IVF
+    index: codebook read + driver-side probe selection (k_cells rows —
+    bounded metadata, the same class as every codebook collect), then
+    a partition-PRUNED scan of only the probed ``cluster=`` dirs,
+    exact cosine inside, TakeOrderedAndProject k. Returns (id,
+    cos_sim) ordered by (cos_sim DESC, id)."""
+    import math
+
+    cb = spark.read.parquet(f"{index_path}/centroids").collect()
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def _cent_dot(c) -> float:
+        cent = c["centroid"]
+        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, cent)) / (qn * cn)
+
+    probes = [
+        int(c["code"])
+        for c in sorted(cb, key=lambda c: (-_cent_dot(c), int(c["code"])))[
+            :n_probe
+        ]
+    ]
+    vectors = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cluster_id").isin(probes)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = vectors.select(
+        F.col(id_col),
+        F.round(dot / (vnorm * F.lit(qn)), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim").isNotNull())
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
