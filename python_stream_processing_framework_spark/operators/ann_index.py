@@ -81,6 +81,31 @@ def build_ivf_index(
     return meta
 
 
+def _probe_cells(
+    spark: SparkSession, index_path: str, query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The coarse probe: read the k_cells-row centroid codebook
+    (bounded metadata) and rank cells by query-to-centroid cosine
+    driver-side — ties to the smaller cell id, the module's
+    determinism rule."""
+    import math
+
+    cb = spark.read.parquet(f"{index_path}/centroids").collect()
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def _cent_dot(c) -> float:
+        cent = c["centroid"]
+        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, cent)) / (qn * cn)
+
+    return [
+        int(c["code"])
+        for c in sorted(cb, key=lambda c: (-_cent_dot(c), int(c["code"])))[
+            :n_probe
+        ]
+    ]
+
+
 def ivf_index_topk(
     spark: SparkSession,
     index_path: str,
@@ -99,20 +124,8 @@ def ivf_index_topk(
     cos_sim) ordered by (cos_sim DESC, id)."""
     import math
 
-    cb = spark.read.parquet(f"{index_path}/centroids").collect()
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-
-    def _cent_dot(c) -> float:
-        cent = c["centroid"]
-        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
-        return sum(a * b for a, b in zip(query_vec, cent)) / (qn * cn)
-
-    probes = [
-        int(c["code"])
-        for c in sorted(cb, key=lambda c: (-_cent_dot(c), int(c["code"])))[
-            :n_probe
-        ]
-    ]
+    probes = _probe_cells(spark, index_path, query_vec, n_probe)
     vectors = spark.read.parquet(f"{index_path}/vectors").filter(
         F.col("cluster_id").isin(probes)
     )
@@ -134,3 +147,89 @@ def ivf_index_topk(
         F.round(dot / (vnorm * F.lit(qn)), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim").isNotNull())
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    iters: int = 2,
+    pq_m: int = 4,
+    pq_k: int = 16,
+) -> dict:
+    """Train + lay out an IVF-PQ index: the ``build_ivf_index`` coarse
+    layout, but the per-cell payload is PQ CODES (m small ints per
+    vector) instead of float vectors — 32-512x smaller on disk, so a
+    probe's pruned scan reads codes, never the corpus. Adds
+    ``pq_codebook/`` (m*k centroid rows, metadata-sized) next to the
+    coarse ``centroids/``. The float corpus is not stored in the
+    index at all; queries run entirely off codes + codebooks, the
+    FAISS-IVFPQ serving shape."""
+    from python_stream_processing_framework_spark.operators.pq import (
+        pq_encode,
+        pq_train,
+    )
+    from python_stream_processing_framework_spark.operators.semdedup import (
+        cluster_assign,
+    )
+
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    assign, cb = cluster_assign(
+        nonnull, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    cb.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    pq_cb = pq_train(
+        nonnull, id_col=id_col, vec_col=vec_col, m=pq_m, k=pq_k, iters=iters
+    )
+    pq_cb.write.mode("overwrite").parquet(f"{index_path}/pq_codebook")
+    codes = pq_encode(nonnull, pq_cb, id_col=id_col, vec_col=vec_col).join(
+        assign, id_col
+    ).withColumnRenamed("cluster", "cluster_id")
+    (
+        codes.repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_path}/codes")
+    )
+    n = codes.count()
+    k_cells = cb.select("code").distinct().count()
+    meta = {
+        "n_vectors": n,
+        "k_cells": k_cells,
+        "pq_m": pq_m,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    spark = embeddings.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    return meta
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC distance from a persisted IVF-PQ index: the same
+    driver-side coarse probe as ``ivf_index_topk``, then a
+    partition-PRUNED scan of the probed cells' CODES joined against
+    the broadcast m*k ADC lookup table (operators/pq.pq_topk) — the
+    query never touches a float corpus vector. Returns (id, adc_dist)
+    ascending, ties on id."""
+    from python_stream_processing_framework_spark.operators.pq import pq_topk
+
+    probes = _probe_cells(spark, index_path, query_vec, n_probe)
+    pq_cb = spark.read.parquet(f"{index_path}/pq_codebook")
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cluster_id").isin(probes)
+    )
+    return pq_topk(codes, pq_cb, query_vec, id_col=id_col, k=k)

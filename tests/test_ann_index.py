@@ -99,3 +99,34 @@ def test_rebuild_is_deterministic(spark, corpus, tmp_path):
     qa = [tuple(r) for r in ivf_index_topk(spark, a, _vec(3), k=5, n_probe=1).collect()]
     qb = [tuple(r) for r in ivf_index_topk(spark, b, _vec(3), k=5, n_probe=1).collect()]
     assert qa == qb and [v for v, _c in qa] == GROUPS[3]
+
+
+def test_ivfpq_index_codes_only_query(spark, corpus, tmp_path):
+    """The IVF-PQ layout serves entirely off codes + codebooks: the
+    probed query returns the true cluster members first (crafted
+    well-separated groups quantize cleanly), the pruned scan carries
+    the cluster_id PartitionFilters pin, and the plan reads the codes
+    parquet — never a float embedding column."""
+    from python_stream_processing_framework_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(corpus, idx, k=3, iters=2, pq_m=4, pq_k=8)
+    assert meta["n_vectors"] == 15 and meta["k_cells"] == 3
+
+    df = ivfpq_index_topk(spark, idx, _vec(0), k=5, n_probe=1)
+    rows = df.collect()
+    # the probed cell's members are exactly the true cluster; WITHIN
+    # it ADC order may differ from exact cosine (PQ quantizes — the
+    # inherent compressed-domain trade), but distances come back
+    # ascending
+    assert set(r["vec_id"] for r in rows) == set(GROUPS[0])
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)
+
+    t = plan_text(df)
+    assert "PartitionFilters" in t and "cluster_id" in t
+    assert "embedding" not in t  # codes-only: no float column in the plan
