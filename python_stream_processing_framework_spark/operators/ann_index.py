@@ -7,8 +7,9 @@ queries). ``build_ivf_index`` pays the k-means training ONCE and lays
 the corpus out for cheap probes:
 
     {index_path}/centroids/   k-row codebook parquet (metadata-sized)
-    {index_path}/vectors/cluster=<c>/   the corpus, hash-partitioned
-        BY CELL on disk
+    {index_path}/vectors/batch=<tag>/cluster_id=<c>/   the corpus,
+        laid out BY CELL on disk; batch=base from the build,
+        batch=<id> siblings from streaming appends
 
 A query then reads the codebook (driver-side metadata, like a PQ
 codebook), picks its ``n_probe`` nearest cells driver-side, and scans
@@ -65,11 +66,16 @@ def build_ivf_index(
     vectors = nonnull.join(assign, id_col).withColumnRenamed(
         "cluster", "cluster_id"
     )
+    # batch=base level: streaming appends (Stream.index_embeddings)
+    # add sibling batch=<id> dirs with the same cluster_id layout —
+    # one overwrite-idempotent dir per micro-batch, the dedup-index
+    # discipline; readers discover both partition levels and still
+    # prune on cluster_id alone
     (
         vectors.repartition(F.col("cluster_id"))
         .write.mode("overwrite")
         .partitionBy("cluster_id")
-        .parquet(f"{index_path}/vectors")
+        .parquet(f"{index_path}/vectors/batch=base")
     )
     n = vectors.count()
     k_cells = cb.select("code").distinct().count()
@@ -233,3 +239,58 @@ def ivfpq_index_topk(
         F.col("cluster_id").isin(probes)
     )
     return pq_topk(codes, pq_cb, query_vec, id_col=id_col, k=k)
+
+
+def assign_to_index_cells(
+    spark: SparkSession,
+    index_path: str,
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign new vectors to a persisted index's EXISTING cells (the
+    standard IVF streaming-add contract: cells are fixed at training
+    time, arrivals slot into the nearest one). Returns the input plus
+    ``cluster_id``; null vectors are dropped (they can't be probed).
+    One broadcast-codebook Arrow pass, no shuffle."""
+    from python_stream_processing_framework_spark.operators.pq import pq_encode
+
+    cb = spark.read.parquet(f"{index_path}/centroids")
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    assigned = pq_encode(nonnull, cb, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.element_at("codes", 1).alias("cluster_id")
+    )
+    return nonnull.join(assigned, id_col)
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    embeddings: DataFrame,
+    batch_tag: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append one batch of vectors to a persisted IVF index under
+    ``vectors/batch=<tag>/cluster_id=.../`` — overwrite-idempotent
+    per tag (a retried batch rewrites exactly its own directory, the
+    dedup-index discipline), so exactly-once indexing comes from the
+    caller keying tags on its batch ids. Returns rows appended.
+
+    Lifecycle: each batch adds one directory level-2 tree; thousands
+    of micro-batches mean thousands of dirs (listing cost on query
+    scans). Rebuild the index (build_ivf_index to a fresh path, swap)
+    when batch-dir count or cell drift degrades probes — the standard
+    IVF re-train cadence, cheap next to the corpus it serves."""
+    appended = assign_to_index_cells(
+        spark, index_path, embeddings, id_col=id_col, vec_col=vec_col
+    )
+    (
+        appended.repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_path}/vectors/batch={batch_tag}")
+    )
+    return appended.count()

@@ -1027,6 +1027,79 @@ class Stream:
             .start()
         )
 
+    def index_embeddings(
+        self,
+        topic: str,
+        schema: StructType,
+        index_path: str,
+        *,
+        id_field: str = "vec_id",
+        vec_field: str = "embedding",
+        group: str | None = None,
+    ) -> None:
+        """Streaming ANN-index maintenance: every micro-batch of
+        embeddings on ``topic`` is assigned to the persisted IVF
+        index's EXISTING cells (the standard IVF streaming-add
+        contract — cells are fixed at training time) and appended
+        under ``vectors/batch=<id>/cluster_id=.../``. The index must
+        already exist (``build_ivf_index``); queries through
+        ``ivf_index_topk`` see new vectors as soon as their batch
+        lands, with the same partition-pruned probe cost.
+
+        Exactly-once: each batch overwrites exactly its own
+        ``batch=<id>`` directory (the dedup-index discipline), so a
+        foreachBatch redelivery rewrites the same files and restarts
+        never duplicate index entries. Null-vector rows are skipped
+        (nothing to probe). Rebuild-and-swap to a fresh path when
+        batch-dir count or cell drift degrades probes — see
+        append_to_ivf_index's lifecycle note."""
+        group = group or f"{self.name}-index-embeddings"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="index_embeddings",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "index_path": index_path,
+                    "id_field": id_field,
+                    "vec_field": vec_field,
+                    "group": group,
+                },
+            )
+        )
+
+    def _start_index_embeddings(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.operators.ann_index import (
+            append_to_ivf_index,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+
+        def append_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            append_to_ivf_index(
+                batch.sparkSession,
+                o["index_path"],
+                batch,
+                str(batch_id),
+                id_col=o["id_field"],
+                vec_col=o["vec_field"],
+            )
+
+        return (
+            src.writeStream.foreachBatch(append_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _start_ingest_valkey(self, sub: _Subscription):
         """Valkey -> broker bridge: the valkey_live source's
         checkpointed entry-id offsets + the deterministic-file-name
@@ -1869,6 +1942,7 @@ class Stream:
             "decontaminate_semantic": self._start_decontaminate_semantic,
             "ingest_valkey": self._start_ingest_valkey,
             "deliver_valkey": self._start_deliver_valkey,
+            "index_embeddings": self._start_index_embeddings,
         }
         for _ in range(max(1, rounds)):
             queries = []

@@ -130,3 +130,54 @@ def test_ivfpq_index_codes_only_query(spark, corpus, tmp_path):
     t = plan_text(df)
     assert "PartitionFilters" in t and "cluster_id" in t
     assert "embedding" not in t  # codes-only: no float column in the plan
+
+
+def test_stream_index_embeddings_append_and_query(spark, corpus, tmp_path):
+    """Streaming index maintenance: new vectors appended per batch
+    slot into existing cells and become probe-visible; a facade
+    restart over the same broker never duplicates index entries."""
+    from python_stream_processing_framework_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from python_stream_processing_framework_spark.streaming import Stream
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, k=3, iters=2)
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    broker = str(tmp_path / "broker")
+    s = Stream(spark, broker, state_partitions=4)
+    s.index_embeddings("vecs", schema, idx)
+    # batch 1: a new axis-0 vector (closer to the query than any base
+    # member) + a null-vector row that must be skipped
+    s.emit(
+        "vecs",
+        {"vec_id": 100, "embedding": _vec(0, eps=0.001)},
+        {"vec_id": 101, "embedding": None},
+    )
+    s.run_until_idle()
+    got = ivf_index_topk(spark, idx, _vec(0), k=6, n_probe=1).collect()
+    assert [r["vec_id"] for r in got] == [100] + GROUPS[0]
+
+    # restart over the same broker: nothing re-appends, new batch lands
+    s2 = Stream(spark, broker, state_partitions=4)
+    s2.index_embeddings("vecs", schema, idx)
+    s2.emit("vecs", {"vec_id": 102, "embedding": _vec(0, eps=0.002)})
+    s2.run_until_idle()
+    got2 = ivf_index_topk(spark, idx, _vec(0), k=10, n_probe=1).collect()
+    ids = [r["vec_id"] for r in got2]
+    assert ids == [100, 102] + GROUPS[0]
+    assert len(ids) == len(set(ids))  # no duplicate index entries
