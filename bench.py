@@ -161,6 +161,7 @@ def main() -> None:
         "corpus_pipeline_10x": _corpus_pipeline_10x_bench(spark),
         "pq_dim64": _pq_bench(spark),
         "ivfpq_query_only": _ivfpq_query_only_bench(spark, sf_dir),
+        "ann_index_serve": _ann_index_serve_bench(spark, sf_dir),
         "semdedup_20k": _semdedup_scale_bench(spark),
         "bpe_256_merges": _bpe_batched_bench(spark, sf_dir),
         "semdedup_100k": _semdedup_100k_bench(spark),
@@ -934,6 +935,55 @@ def _pq_bench(spark) -> dict:
         "m": 8,
         "k_codes": 32,
         "top10_same_cluster": all(r["vec_id"] % 25 == 123 % 25 for r in top),
+    }
+
+
+def _ann_index_serve_bench(spark, sf_dir: str) -> dict:
+    """The r11 persisted-index serving path (operators/ann_index.py):
+    build the on-disk IVF layout once (reported separately), then
+    time only the partition-pruned probe query, min-of-3 warmed —
+    the train-once/serve-many complement of _ivfpq_query_only_bench,
+    here with the cell PRUNING done by parquet partition discovery
+    instead of an in-plan join."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ann-index-")
+    idx = f"{tmp}/ivf"
+    try:
+        t0 = _t.perf_counter()
+        meta = build_ivf_index(embeddings, idx, k=32, iters=2)
+        build_s = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        spark.catalog.clearCache()
+        qv = [
+            float(x)
+            for x in embeddings.filter("vec_id = 7").first()["embedding"]
+        ]
+
+        def one_query() -> float:
+            t0 = _t.perf_counter()
+            ivf_index_topk(spark, idx, qv, k=10, n_probe=4).collect()
+            return _t.perf_counter() - t0
+
+        one_query()  # warm-up, uncounted
+        samples = [one_query() for _ in range(3)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "build_s": build_s,
+        "query_only_s": round(min(samples), 3),
+        "n_vectors": meta["n_vectors"],
+        "k_cells": meta["k_cells"],
+        "n_probe": 4,
     }
 
 
