@@ -1040,3 +1040,88 @@ def source_overlap(
             "containment_ppm"
         ),
     )
+
+
+def novelty_scores_batch(
+    batch: DataFrame,
+    index_path: str,
+    batch_tag: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """One micro-batch of the INCREMENTAL novelty score: per-doc
+    distinct n-grams scored against everything seen in EARLIER
+    batches (the persisted gram index under ``index_path``) plus the
+    within-batch first-occurrence rule of :func:`ngram_novelty`.
+    Returns (id, n_grams, n_novel, novelty_ppm); docs shorter than
+    ``n`` tokens yield no row. Callers append the batch's grams via
+    :func:`append_novelty_grams` AFTER delivering the scores — and
+    the index read here EXCLUDES ``batch_tag``'s own partition, so a
+    redelivered batch (foreachBatch's at-least-once) scores
+    identically even when its gram append already landed.
+
+    Scale shape: same as ngram_novelty (gram table aggregated, never
+    self-joined at corpus scale) plus ONE anti-join against the seen
+    set — vocabulary-sized per side, hash-join on int64 gram keys.
+    The index holds distinct grams per batch dir; grams recurring
+    across batches are stored once per batch they appear in (the
+    anti-join dedups logically), so index mass is bounded by
+    sum-of-batch vocabularies."""
+    from pyspark.sql.utils import AnalysisException
+
+    spark = batch.sparkSession
+    toks = batch.select(F.col(id_col), tokens_expr(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = toks.select(
+        F.col(id_col), F.explode(F.expr(_gram_hash_expr("_toks", n))).alias("_g")
+    )
+    try:
+        seen = (
+            spark.read.parquet(f"{index_path}/grams")
+            .filter(F.col("batch") != batch_tag)
+            .select("_g")
+        )
+    except AnalysisException:
+        seen = None
+    first = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    cand = grams.join(first, "_g").filter(F.col(id_col) == F.col("_first"))
+    if seen is not None:
+        cand = cand.join(seen, "_g", "left_anti")
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        totals.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)"),
+        )
+    )
+
+
+def append_novelty_grams(
+    batch: DataFrame,
+    index_path: str,
+    batch_tag: str,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Record one batch's distinct gram hashes under
+    ``grams/batch=<tag>`` — overwrite-idempotent per tag (the
+    dedup-index discipline), so retries rewrite exactly their own
+    partition and the index never double-counts."""
+    toks = batch.select(tokens_expr(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = toks.select(
+        F.explode(F.expr(_gram_hash_expr("_toks", n))).alias("_g")
+    ).distinct()
+    grams.write.mode("overwrite").parquet(f"{index_path}/grams/batch={batch_tag}")

@@ -1070,6 +1070,99 @@ class Stream:
             )
         )
 
+    def score_novelty(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        id_field: str = "doc_id",
+        text_field: str = "text",
+        n: int = 3,
+        target: str | None = None,
+        group: str | None = None,
+        index_path: str | None = None,
+    ) -> None:
+        """Streaming n-gram novelty scoring: every document on
+        ``topic`` gets (n_grams, n_novel, novelty_ppm) rows on
+        ``target`` (default `{topic}-novelty`), where novel = the
+        gram's corpus-wide FIRST occurrence — earlier batches via the
+        persisted gram index under ``index_path`` (default
+        `{broker}/_indexes/{group}`), within a batch via
+        ngram_novelty's min-id rule. The streaming form of the
+        `doc_novelty` catalog query: watch a feed's marginal
+        diversity decay live (a collapsing novelty curve is the
+        re-crawl / exhausted-source tell).
+
+        Exactly-once: scores deliver through the idempotent
+        per-batch_id sink FIRST; the batch's grams then land as one
+        overwrite-idempotent `grams/batch=<id>` partition, and the
+        scoring read EXCLUDES the current batch's partition — so a
+        foreachBatch redelivery scores identically whether or not
+        its gram append already landed (the dedup-index retry
+        discipline)."""
+        group = group or f"{self.name}-novelty"
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="score_novelty",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "id_field": id_field,
+                    "text_field": text_field,
+                    "n": n,
+                    "target": target or f"{topic}-novelty",
+                    "group": group,
+                    "index_path": index_path
+                    or str(self.broker / "_indexes" / group),
+                },
+            )
+        )
+
+    def _start_score_novelty(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.operators.text import (
+            append_novelty_grams,
+            novelty_scores_batch,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def score_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            scores = novelty_scores_batch(
+                batch,
+                o["index_path"],
+                str(batch_id),
+                id_col=o["id_field"],
+                text_col=o["text_field"],
+                n=o["n"],
+            )
+            _write_batch_jsonl(scores, sink_dir, batch_id)
+            # AFTER delivery: a crash between the two writes retries
+            # with the index unchanged (or, post-append, excluded by
+            # tag) — either way the same scores
+            append_novelty_grams(
+                batch,
+                o["index_path"],
+                str(batch_id),
+                text_col=o["text_field"],
+                n=o["n"],
+            )
+
+        return (
+            src.writeStream.foreachBatch(score_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _start_index_embeddings(self, sub: _Subscription):
         from python_stream_processing_framework_spark.operators.ann_index import (
             append_to_ivf_index,
@@ -1943,6 +2036,7 @@ class Stream:
             "ingest_valkey": self._start_ingest_valkey,
             "deliver_valkey": self._start_deliver_valkey,
             "index_embeddings": self._start_index_embeddings,
+            "score_novelty": self._start_score_novelty,
         }
         for _ in range(max(1, rounds)):
             queries = []
