@@ -1125,3 +1125,86 @@ def append_novelty_grams(
         F.explode(F.expr(_gram_hash_expr("_toks", n))).alias("_g")
     ).distinct()
     grams.write.mode("overwrite").parquet(f"{index_path}/grams/batch={batch_tag}")
+
+
+def token_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-distribution drift: the total-variation
+    distance between each source's token distribution and the
+    distribution of the REST of the corpus — the mixture-shift
+    monitor a training-data pipeline reads when a feed changes
+    character (a new crawl config, a language flip, a spam wave all
+    move TV before any downstream metric notices). TV is used
+    instead of KL/JS because it needs no logarithms: with
+    probabilities quantized to integer ppm it is exact integer
+    arithmetic end to end, so the DuckDB oracle replays it
+    bit-for-bit.
+
+    Returns (src, n_tokens, tv_ppm) per source: n_tokens the
+    source's token mass, tv_ppm = sum over the vocabulary of
+    |ppm_src(t) - ppm_rest(t)| / 2, where ppm_x(t) = count_x(t) *
+    1e6 DIV total_x (floor quantization; error bounded by
+    vocabulary-size micro-units on each side). 0 = identical
+    distributions, ~1e6 = disjoint vocabularies.
+
+    Scale shape: one partial-aggregable (source, token) count — the
+    corpus collapses to vocabulary x sources rows before anything
+    else; per-token rest-counts derive from a global per-token sum
+    (vocabulary-sized, the same frame re-aggregated, no second
+    corpus scan); the compare is one vocabulary-bounded join keyed
+    on the token, the per-source totals broadcast."""
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        maybe_broadcast,
+    )
+
+    toks = df.select(
+        F.col(group_col), F.explode(tokens_expr(text_col)).alias("_t")
+    )
+    # materialize: the (source, token) counts feed three consumers
+    # (totals, global counts, the compare join)
+    st = materialize(
+        toks.groupBy(group_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = st.groupBy(group_col).agg(F.sum("_c").alias("_total"))
+    glob = st.groupBy("_t").agg(F.sum("_c").alias("_gc"))
+    g_total = totals.agg(F.sum("_total").alias("_gt"))
+    with_rest = (
+        st.join(glob, "_t")
+        .join(maybe_broadcast(totals), group_col)
+        .crossJoin(F.broadcast(g_total))
+        .select(
+            F.col(group_col).alias("src"),
+            "_t",
+            F.expr("_c * 1000000 DIV _total").alias("_p_src"),
+            F.expr(
+                "CASE WHEN _gt - _total > 0"
+                " THEN (_gc - _c) * 1000000 DIV (_gt - _total)"
+                " ELSE 0 END"
+            ).alias("_p_rest"),
+            F.col("_total"),
+        )
+    )
+    # tokens the source never uses still carry rest-side mass: add
+    # sum(ppm_rest over missing tokens) = 1e6 - sum(ppm_rest over
+    # present tokens) (up to floor loss) — without it TV undercounts
+    # exactly the disjoint-vocabulary signal it exists to catch
+    present = with_rest.groupBy("src").agg(
+        F.max("_total").alias("n_tokens"),
+        F.sum(F.expr("abs(_p_src - _p_rest)")).alias("_tv_present"),
+        F.sum("_p_src").alias("_ps_sum"),
+        F.sum("_p_rest").alias("_pr_sum"),
+    )
+    return present.select(
+        "src",
+        "n_tokens",
+        F.expr(
+            "CAST(((_tv_present"
+            " + (1000000 - _ps_sum)"   # src mass on tokens absent from rest-join: none (src tokens all present); floor residue
+            " + (1000000 - _pr_sum))"  # rest mass on tokens the src never uses
+            " DIV 2) AS BIGINT)"
+        ).alias("tv_ppm"),
+    )

@@ -1023,3 +1023,48 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load(spark, sf_dir, "documents")
     return source_overlap(documents, "source", "text", n=3)
+
+
+@query(
+    "source_drift",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(lower(text)), ' ')) AS t
+      FROM documents),
+    st AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+    tot AS (SELECT source, sum(c) AS total FROM st GROUP BY source),
+    gl AS (SELECT t, sum(c) AS gc FROM st GROUP BY t),
+    gt AS (SELECT sum(total) AS gt FROM tot),
+    wr AS (
+      SELECT st.source AS src, st.t,
+             st.c * 1000000 // tot.total AS p_src,
+             CASE WHEN gt.gt - tot.total > 0
+                  THEN (gl.gc - st.c) * 1000000 // (gt.gt - tot.total)
+                  ELSE 0 END AS p_rest,
+             tot.total
+      FROM st JOIN gl USING (t) JOIN tot USING (source) CROSS JOIN gt),
+    pr AS (SELECT src, max(total) AS n_tokens,
+                  sum(abs(p_src - p_rest)) AS tvp,
+                  sum(p_src) AS ps, sum(p_rest) AS prr
+           FROM wr GROUP BY src)
+    SELECT src, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((tvp + (1000000 - ps) + (1000000 - prr)) // 2 AS BIGINT)
+             AS tv_ppm
+    FROM pr
+    """,
+    doc="Per-source token-distribution drift (operators/text."
+    "token_drift): total-variation distance between each source's "
+    "token distribution and the rest of the corpus, in exact integer "
+    "ppm (probabilities floor-quantized to micro-units; each side's "
+    "missing/floor mass folded in, so disjoint vocabularies read "
+    "~1e6) — the mixture-shift monitor read when a feed changes "
+    "character. Corpus collapses to one partial-aggregable (source, "
+    "token) count; the compare is a vocabulary-bounded join.",
+)
+def source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.text import (
+        token_drift,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return token_drift(documents, "source", "text")

@@ -1872,3 +1872,46 @@ def test_unimax_allocation_waterfill(spark):
     out = alloc(10_000)  # everything saturates at its cap
     assert all(s for _c, _a, s in out.values())
     assert sum(a for _c, a, _s in out.values()) == 2220
+
+
+def test_token_drift_total_variation(spark):
+    """TV drift against hand arithmetic: A={x:2/3,y:1/3} vs rest
+    B={x:1/2,z:1/2} has TV 1/2 (and symmetrically for B); a source
+    identical to the rest reads ~0; a single source reads 1e6
+    (disjoint-by-definition rest)."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.text import (
+        token_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "x x y"), (2, "B", "x z")],
+        "doc_id bigint, source string, text string",
+    )
+    try:
+        out = {r["src"]: r for r in token_drift(df).collect()}
+    finally:
+        release_caches()
+    assert (out["A"]["n_tokens"], out["A"]["tv_ppm"]) == (3, 500000)
+    assert (out["B"]["n_tokens"], out["B"]["tv_ppm"]) == (2, 500000)
+
+    same = spark.createDataFrame(
+        [(1, "A", "x y"), (2, "B", "x y")],
+        "doc_id bigint, source string, text string",
+    )
+    try:
+        out = {r["src"]: r["tv_ppm"] for r in token_drift(same).collect()}
+    finally:
+        release_caches()
+    assert out == {"A": 0, "B": 0}
+
+    solo = spark.createDataFrame(
+        [(1, "A", "x y z")], "doc_id bigint, source string, text string"
+    )
+    try:
+        (row,) = token_drift(solo).collect()
+    finally:
+        release_caches()
+    assert row["tv_ppm"] == 1000000
