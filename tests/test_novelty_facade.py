@@ -96,3 +96,35 @@ def test_novelty_short_docs_skipped(stream):
     out = _scores(stream)
     assert set(out) == {2}
     assert out[2] == (1, 1, 1_000_000)
+
+
+def test_novelty_redelivery_after_gram_append_scores_identically(spark, tmp_path):
+    """The crash window the facade docstring claims: a foreachBatch
+    redelivery AFTER the batch's gram append landed must score
+    identically, because the scoring read excludes the current
+    batch's own index partition."""
+    from python_stream_processing_framework_spark.operators.text import (
+        append_novelty_grams,
+        novelty_scores_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r s")], "doc_id bigint, text string"
+    )
+    before = {
+        r["doc_id"]: tuple(r)
+        for r in novelty_scores_batch(batch, idx, "7").collect()
+    }
+    append_novelty_grams(batch, idx, "7")  # the append landed...
+    after = {  # ...then the batch is redelivered with the same tag
+        r["doc_id"]: tuple(r)
+        for r in novelty_scores_batch(batch, idx, "7").collect()
+    }
+    assert before == after
+    assert before[1][1:] == (2, 2, 1_000_000)
+
+    # a LATER batch does see tag 7's grams
+    nxt = spark.createDataFrame([(3, "a b c d")], "doc_id bigint, text string")
+    (row,) = novelty_scores_batch(nxt, idx, "8").collect()
+    assert (row["n_novel"], row["novelty_ppm"]) == (0, 0)
