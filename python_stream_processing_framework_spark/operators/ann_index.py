@@ -77,9 +77,11 @@ def build_ivf_index(
         .partitionBy("cluster_id")
         .parquet(f"{index_path}/vectors/batch=base")
     )
-    n = vectors.count()
-    k_cells = cb.select("code").distinct().count()
     spark = embeddings.sparkSession
+    # count from the just-written parquet (footer metadata, no job
+    # re-runs the assignment join) instead of re-scanning `vectors`
+    n = spark.read.parquet(f"{index_path}/vectors/batch=base").count()
+    k_cells = cb.select("code").distinct().count()
     meta = {"n_vectors": n, "k_cells": k_cells, "id_col": id_col, "vec_col": vec_col}
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
         1
@@ -91,24 +93,25 @@ def _probe_cells(
     spark: SparkSession, index_path: str, query_vec: list[float], n_probe: int
 ) -> list[int]:
     """The coarse probe: read the k_cells-row centroid codebook
-    (bounded metadata) and rank cells by query-to-centroid cosine
+    (bounded metadata) and rank cells by query-to-centroid L2
     driver-side — ties to the smaller cell id, the module's
-    determinism rule."""
-    import math
+    determinism rule.
 
+    L2, not cosine, because vectors were ASSIGNED to cells by
+    nearest-centroid L2 (semdedup.cluster_assign / pq_encode): for
+    unnormalized embeddings the two orderings diverge, and a
+    cosine-ranked probe can skip a near neighbor's L2 home cell
+    even at generous n_probe — a systematic recall loss, not the
+    usual IVF approximation. With unit-normalized embeddings the
+    orderings coincide, so this is a pure fix."""
     cb = spark.read.parquet(f"{index_path}/centroids").collect()
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
 
-    def _cent_dot(c) -> float:
-        cent = c["centroid"]
-        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
-        return sum(a * b for a, b in zip(query_vec, cent)) / (qn * cn)
+    def _l2sq(c) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query_vec, c["centroid"]))
 
     return [
         int(c["code"])
-        for c in sorted(cb, key=lambda c: (-_cent_dot(c), int(c["code"])))[
-            :n_probe
-        ]
+        for c in sorted(cb, key=lambda c: (_l2sq(c), int(c["code"])))[:n_probe]
     ]
 
 
@@ -200,7 +203,10 @@ def build_ivfpq_index(
         .partitionBy("cluster_id")
         .parquet(f"{index_path}/codes")
     )
-    n = codes.count()
+    spark = embeddings.sparkSession
+    # parquet-footer count of what was written, not a second
+    # encode+join scan of the corpus
+    n = spark.read.parquet(f"{index_path}/codes").count()
     k_cells = cb.select("code").distinct().count()
     meta = {
         "n_vectors": n,
@@ -209,7 +215,6 @@ def build_ivfpq_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    spark = embeddings.sparkSession
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
@@ -293,4 +298,15 @@ def append_to_ivf_index(
         .partitionBy("cluster_id")
         .parquet(f"{index_path}/vectors/batch={batch_tag}")
     )
-    return appended.count()
+    # parquet-footer count — counting `appended` would re-run the
+    # whole assign join a second time on every streaming micro-batch.
+    # An all-null batch writes no part files (schema can't be read
+    # back): that is exactly zero rows appended.
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(
+            f"{index_path}/vectors/batch={batch_tag}"
+        ).count()
+    except AnalysisException:
+        return 0

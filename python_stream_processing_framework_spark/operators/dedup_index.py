@@ -91,6 +91,17 @@ def _fs_and_path(spark: SparkSession, path: str):
     return p.getFileSystem(hconf), jvm, p
 
 
+def _rename_or_raise(fs, jvm, src: str, dst: str) -> None:
+    """Hadoop FileSystem.rename signals failure by returning False,
+    not raising — a silent False here would let a migration delete
+    its backup and report success while the live partition is absent.
+    Surface it instead; the orphan-recovery sweep heals on retry."""
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst)
+    ):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
 def migrate_index(spark: SparkSession, index_path: str) -> int:
     """Durably upgrade a pre-r9 string-shingle index in place;
     returns the number of batch partitions rewritten.
@@ -134,10 +145,7 @@ def migrate_index(spark: SparkSession, index_path: str) -> int:
         if name.startswith(".migrate-"):
             tag = name[len(".migrate-") :]
             if f"batch={tag}" not in entries:
-                fs.rename(
-                    jvm.org.apache.hadoop.fs.Path(f"{sigs}/{name}"),
-                    jvm.org.apache.hadoop.fs.Path(f"{sigs}/batch={tag}"),
-                )
+                _rename_or_raise(fs, jvm, f"{sigs}/{name}", f"{sigs}/batch={tag}")
                 entries.append(f"batch={tag}")
     for name in entries:
         if name.startswith(".old-"):
@@ -158,14 +166,11 @@ def migrate_index(spark: SparkSession, index_path: str) -> int:
         part.withColumn("_shingles", F.expr(_REHASH)).write.mode(
             "overwrite"
         ).parquet(tmp)
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(part_path),
-            jvm.org.apache.hadoop.fs.Path(old),
-        )
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(tmp),
-            jvm.org.apache.hadoop.fs.Path(part_path),
-        )
+        # both renames are checked: a False from either would
+        # otherwise let the backup delete below destroy the only
+        # surviving copy while the live partition is absent
+        _rename_or_raise(fs, jvm, part_path, old)
+        _rename_or_raise(fs, jvm, tmp, part_path)
         fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
         migrated += 1
     return migrated
@@ -298,7 +303,11 @@ def minhash_index_admit(
     # jaccard 1.0 and a retry admits nothing.
     idx = read_index(spark, index_path)
     if idx is not None:
-        idx = idx.filter(F.col("batch") != F.lit(batch_tag))
+        # compare as STRING: all-numeric batch dirs make partition
+        # discovery infer `batch` as int, and an int-vs-non-numeric-
+        # string comparison casts the tag to null — every row would
+        # be silently excluded (or kept) instead of just this tag's
+        idx = idx.filter(F.col("batch").cast("string") != F.lit(str(batch_tag)))
     if idx is not None:
         band_vals = band_vals_expr(num_hashes, bands)
         bn = sigs_new.select(

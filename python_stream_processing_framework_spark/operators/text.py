@@ -1079,9 +1079,13 @@ def novelty_scores_batch(
         F.col(id_col), F.explode(F.expr(_gram_hash_expr("_toks", n))).alias("_g")
     )
     try:
+        # STRING compare: all-numeric batch dirs are partition-inferred
+        # as int, and int != <non-numeric tag> casts the tag to null —
+        # the whole seen set would silently drop and every gram score
+        # novel for direct API callers passing a non-numeric tag
         seen = (
             spark.read.parquet(f"{index_path}/grams")
-            .filter(F.col("batch") != batch_tag)
+            .filter(F.col("batch").cast("string") != F.lit(str(batch_tag)))
             .select("_g")
         )
     except AnalysisException:
@@ -1138,24 +1142,35 @@ def token_drift(
     monitor a training-data pipeline reads when a feed changes
     character (a new crawl config, a language flip, a spam wave all
     move TV before any downstream metric notices). TV is used
-    instead of KL/JS because it needs no logarithms: with
-    probabilities quantized to integer ppm it is exact integer
-    arithmetic end to end, so the DuckDB oracle replays it
-    bit-for-bit.
+    instead of KL/JS because it needs no logarithms: cross-multiplied
+    it is exact integer arithmetic end to end, so the DuckDB oracle
+    replays it bit-for-bit.
 
     Returns (src, n_tokens, tv_ppm) per source: n_tokens the
-    source's token mass, tv_ppm = sum over the vocabulary of
-    |ppm_src(t) - ppm_rest(t)| / 2, where ppm_x(t) = count_x(t) *
-    1e6 DIV total_x (floor quantization; error bounded by
-    vocabulary-size micro-units on each side). 0 = identical
-    distributions, ~1e6 = disjoint vocabularies.
+    source's token mass, tv_ppm = floor(1e6 * TV) with
+    TV = (1/2) * sum over the vocabulary of |c_t/T - r_t/R|
+    (c_t/T the source's token distribution, r_t/R the
+    rest-of-corpus one). Computed CROSS-MULTIPLIED — sum
+    |c_t*R - r_t*T| over the vocabulary, one final floor-DIV by
+    2*T*R — so the ONLY rounding anywhere is that last division.
+    (The pre-r12 form floor-quantized each token to integer ppm
+    first, which saturated toward 1e6 once the vocabulary passed
+    ~1e6: every sub-ppm token floored to 0 and its whole mass
+    landed in the residue — exactly the corpus scale this targets.)
+    Intermediates ride decimal(38,0) (HUGEINT in the oracle):
+    |c*R - r*T| <= T*R ~ 1e26 at 1e13-token scale, and * 1e6 still
+    < 1e38. 0 = identical distributions, 1e6 = disjoint
+    vocabularies (exact); a source that IS the whole corpus (R = 0)
+    reads 1e6 by convention.
 
     Scale shape: one partial-aggregable (source, token) count — the
     corpus collapses to vocabulary x sources rows before anything
     else; per-token rest-counts derive from a global per-token sum
     (vocabulary-sized, the same frame re-aggregated, no second
     corpus scan); the compare is one vocabulary-bounded join keyed
-    on the token, the per-source totals broadcast."""
+    on the token, the per-source totals broadcast. Tokens a source
+    never uses need no join row: their aggregate rest-side mass is
+    T*(R - sum_present(r_t)), closed-form from the present rows."""
     from python_stream_processing_framework_spark.operators.common import (
         materialize,
         maybe_broadcast,
@@ -1172,39 +1187,35 @@ def token_drift(
     totals = st.groupBy(group_col).agg(F.sum("_c").alias("_total"))
     glob = st.groupBy("_t").agg(F.sum("_c").alias("_gc"))
     g_total = totals.agg(F.sum("_total").alias("_gt"))
+    dec = "decimal(38,0)"
     with_rest = (
         st.join(glob, "_t")
         .join(maybe_broadcast(totals), group_col)
         .crossJoin(F.broadcast(g_total))
         .select(
             F.col(group_col).alias("src"),
-            "_t",
-            F.expr("_c * 1000000 DIV _total").alias("_p_src"),
-            F.expr(
-                "CASE WHEN _gt - _total > 0"
-                " THEN (_gc - _c) * 1000000 DIV (_gt - _total)"
-                " ELSE 0 END"
-            ).alias("_p_rest"),
-            F.col("_total"),
+            F.col("_c").cast(dec).alias("_c"),
+            F.col("_gc").cast(dec).alias("_gc"),
+            F.col("_total").cast(dec).alias("_tt"),
+            (F.col("_gt") - F.col("_total")).cast(dec).alias("_r"),
         )
     )
-    # tokens the source never uses still carry rest-side mass: add
-    # sum(ppm_rest over missing tokens) = 1e6 - sum(ppm_rest over
-    # present tokens) (up to floor loss) — without it TV undercounts
-    # exactly the disjoint-vocabulary signal it exists to catch
     present = with_rest.groupBy("src").agg(
-        F.max("_total").alias("n_tokens"),
-        F.sum(F.expr("abs(_p_src - _p_rest)")).alias("_tv_present"),
-        F.sum("_p_src").alias("_ps_sum"),
-        F.sum("_p_rest").alias("_pr_sum"),
+        F.max("_tt").alias("_tt"),
+        F.max("_r").alias("_r"),
+        F.sum(F.abs(F.col("_c") * F.col("_r") - (F.col("_gc") - F.col("_c")) * F.col("_tt"))).alias("_num_present"),
+        F.sum(F.col("_gc") - F.col("_c")).alias("_rest_present"),
     )
+    # tokens the source never uses contribute |0*R - r_t*T| = r_t*T
+    # each; summed over the absent vocabulary that is
+    # T*(R - sum_present(r_t)) — added in closed form, no join row
+    # per absent token
     return present.select(
         "src",
-        "n_tokens",
+        F.col("_tt").cast("bigint").alias("n_tokens"),
         F.expr(
-            "CAST(((_tv_present"
-            " + (1000000 - _ps_sum)"   # src mass on tokens absent from rest-join: none (src tokens all present); floor residue
-            " + (1000000 - _pr_sum))"  # rest mass on tokens the src never uses
-            " DIV 2) AS BIGINT)"
+            "CAST(CASE WHEN _r = 0 THEN 1000000"
+            " ELSE (_num_present + _tt * (_r - _rest_present)) * 1000000"
+            " DIV (2 * _tt * _r) END AS BIGINT)"
         ).alias("tv_ppm"),
     )

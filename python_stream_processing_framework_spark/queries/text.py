@@ -1036,30 +1036,31 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gl AS (SELECT t, sum(c) AS gc FROM st GROUP BY t),
     gt AS (SELECT sum(total) AS gt FROM tot),
     wr AS (
-      SELECT st.source AS src, st.t,
-             st.c * 1000000 // tot.total AS p_src,
-             CASE WHEN gt.gt - tot.total > 0
-                  THEN (gl.gc - st.c) * 1000000 // (gt.gt - tot.total)
-                  ELSE 0 END AS p_rest,
-             tot.total
+      SELECT st.source AS src,
+             CAST(st.c AS HUGEINT) AS c, CAST(gl.gc AS HUGEINT) AS gc,
+             CAST(tot.total AS HUGEINT) AS tt,
+             CAST(gt.gt - tot.total AS HUGEINT) AS r
       FROM st JOIN gl USING (t) JOIN tot USING (source) CROSS JOIN gt),
-    pr AS (SELECT src, max(total) AS n_tokens,
-                  sum(abs(p_src - p_rest)) AS tvp,
-                  sum(p_src) AS ps, sum(p_rest) AS prr
+    pr AS (SELECT src, max(tt) AS tt, max(r) AS r,
+                  sum(abs(c * r - (gc - c) * tt)) AS num_present,
+                  sum(gc - c) AS rest_present
            FROM wr GROUP BY src)
-    SELECT src, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST((tvp + (1000000 - ps) + (1000000 - prr)) // 2 AS BIGINT)
-             AS tv_ppm
+    SELECT src, CAST(tt AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN r = 0 THEN 1000000
+                ELSE (num_present + tt * (r - rest_present)) * 1000000
+                     // (2 * tt * r) END AS BIGINT) AS tv_ppm
     FROM pr
     """,
     doc="Per-source token-distribution drift (operators/text."
     "token_drift): total-variation distance between each source's "
-    "token distribution and the rest of the corpus, in exact integer "
-    "ppm (probabilities floor-quantized to micro-units; each side's "
-    "missing/floor mass folded in, so disjoint vocabularies read "
-    "~1e6) — the mixture-shift monitor read when a feed changes "
-    "character. Corpus collapses to one partial-aggregable (source, "
-    "token) count; the compare is a vocabulary-bounded join.",
+    "token distribution and the rest of the corpus, floor(1e6*TV) "
+    "computed CROSS-MULTIPLIED in exact integer arithmetic (the only "
+    "rounding is the final division — no per-token ppm floor, which "
+    "saturated once vocabulary passed 1e6) — the mixture-shift "
+    "monitor read when a feed changes character. Corpus collapses "
+    "to one partial-aggregable (source, token) count; the compare "
+    "is a vocabulary-bounded join; absent-token rest mass enters in "
+    "closed form.",
 )
 def source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_stream_processing_framework_spark.operators.text import (

@@ -128,3 +128,23 @@ def test_novelty_redelivery_after_gram_append_scores_identically(spark, tmp_path
     nxt = spark.createDataFrame([(3, "a b c d")], "doc_id bigint, text string")
     (row,) = novelty_scores_batch(nxt, idx, "8").collect()
     assert (row["n_novel"], row["novelty_ppm"]) == (0, 0)
+
+
+def test_novelty_non_numeric_tag_vs_numeric_partitions(spark, tmp_path):
+    """r12 ADVICE regression: when every existing grams/batch=
+    partition is numeric, Spark infers the partition column as int —
+    a NON-numeric batch_tag from a direct API caller then cast to
+    null in the exclusion filter and silently dropped the ENTIRE seen
+    set (every gram scored novel). The compare is now string-typed."""
+    from python_stream_processing_framework_spark.operators.text import (
+        append_novelty_grams,
+        novelty_scores_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    first = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    append_novelty_grams(first, idx, "7")  # numeric dir -> int inference
+
+    redo = spark.createDataFrame([(2, "a b c d")], "doc_id bigint, text string")
+    (row,) = novelty_scores_batch(redo, idx, "retry-x").collect()
+    assert (row["n_novel"], row["novelty_ppm"]) == (0, 0)

@@ -1915,3 +1915,18 @@ def test_token_drift_total_variation(spark):
     finally:
         release_caches()
     assert row["tv_ppm"] == 1000000
+
+    # no per-token floor loss (r12, ADVICE): identical sources whose
+    # probabilities are NOT ppm-representable (1/3 each) must read
+    # exactly 0 — the pre-r12 per-token ppm quantization left a
+    # residue of 1 here, and saturated toward 1e6 once vocabularies
+    # passed 1e6 tokens
+    thirds = spark.createDataFrame(
+        [(1, "A", "x y z"), (2, "B", "x y z")],
+        "doc_id bigint, source string, text string",
+    )
+    try:
+        out = {r["src"]: r["tv_ppm"] for r in token_drift(thirds).collect()}
+    finally:
+        release_caches()
+    assert out == {"A": 0, "B": 0}
