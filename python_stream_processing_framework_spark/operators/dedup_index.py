@@ -370,6 +370,75 @@ def minhash_index_admit(
 _COMPACT_PREFIX = "zz-compact-"
 
 
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    *,
+    target_files: int = 8,
+    retain_tags: tuple[str, ...] | list[str] = (),
+) -> str | None:
+    """Layout-parametric compactor for any ``<root>/batch=<tag>``
+    parquet index (r12): fold every non-retained batch partition into
+    one consolidated ``batch=zz-compact-<generation>`` partition of
+    ``target_files`` files (full-row dropDuplicates — crash-replay
+    copies collapse, legitimately distinct rows both survive), then
+    delete the source directories. Previous compact generations fold
+    in too, so repeated compaction never accumulates.
+
+    This is the shared engine behind :func:`compact_index` (the
+    ``sigs/`` MinHash + embedding signature indexes) and
+    ``operators/text.compact_novelty_grams`` (the ``grams/`` novelty
+    index) — every persisted per-micro-batch index here has the same
+    lifecycle problem (one directory per batch = 10^4 listings after
+    10^4 batches) and the same retry discipline (a tag that may
+    still be REDELIVERED must be passed in ``retain_tags``: its rows
+    must stay excludable via ``batch != tag``, which folding would
+    destroy).
+
+    Crash-safe by write-then-delete: a failure between the
+    consolidated write and the source deletes leaves duplicate rows,
+    which every consumer tolerates (admission distinct's candidate
+    pairs; novelty scoring anti-joins the seen set — duplicates are
+    idempotent in both) and the next compaction removes.
+
+    Returns the new compact tag, or None when there was nothing to
+    compact (no index, or <= 1 non-retained partition)."""
+    try:
+        idx = spark.read.parquet(root)
+    except AnalysisException:
+        return None
+    # partition-type inference can surface numeric-looking tags as
+    # ints — compare retained tags by string form, keep raw values
+    # for the isin filter
+    tags = sorted(
+        (r["batch"] for r in idx.select("batch").distinct().collect()),
+        key=str,
+    )
+    retained = {str(t) for t in retain_tags}
+    to_compact = [t for t in tags if str(t) not in retained]
+    if len(to_compact) <= 1:
+        return None
+    gen = 0
+    for t in map(str, tags):
+        if t.startswith(_COMPACT_PREFIX):
+            try:
+                gen = max(gen, int(t[len(_COMPACT_PREFIX) :]))
+            except ValueError:
+                pass
+    new_tag = f"{_COMPACT_PREFIX}{gen + 1:08d}"
+    rows = idx.filter(F.col("batch").isin(to_compact)).drop("batch")
+    rows.dropDuplicates().coalesce(max(1, target_files)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batch={new_tag}")
+    # sources go only AFTER the consolidated partition is durable
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for t in to_compact:
+        p = jvm.org.apache.hadoop.fs.Path(f"{root}/batch={t}")
+        p.getFileSystem(hconf).delete(p, True)
+    return new_tag
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,
@@ -418,36 +487,13 @@ def compact_index(
     Returns the new compact tag, or None when there was nothing to
     compact (no index, or <= 1 non-retained partition).
     """
-    idx = read_index(spark, index_path)
-    if idx is None:
+    # read_index first: its side effect durably migrates a pre-r9
+    # string-shingle index before the raw read compaction folds
+    if read_index(spark, index_path) is None:
         return None
-    # partition-type inference can surface numeric-looking tags as
-    # ints — compare retained tags by string form, keep raw values
-    # for the isin filter
-    tags = sorted(
-        (r["batch"] for r in idx.select("batch").distinct().collect()),
-        key=str,
+    return compact_partitions(
+        spark,
+        _sigs_path(index_path),
+        target_files=target_files,
+        retain_tags=retain_tags,
     )
-    retained = {str(t) for t in retain_tags}
-    to_compact = [t for t in tags if str(t) not in retained]
-    if len(to_compact) <= 1:
-        return None
-    gen = 0
-    for t in map(str, tags):
-        if t.startswith(_COMPACT_PREFIX):
-            try:
-                gen = max(gen, int(t[len(_COMPACT_PREFIX) :]))
-            except ValueError:
-                pass
-    new_tag = f"{_COMPACT_PREFIX}{gen + 1:08d}"
-    rows = idx.filter(F.col("batch").isin(to_compact)).drop("batch")
-    rows.dropDuplicates().coalesce(max(1, target_files)).write.mode(
-        "overwrite"
-    ).parquet(f"{_sigs_path(index_path)}/batch={new_tag}")
-    # sources go only AFTER the consolidated partition is durable
-    jvm = spark._jvm  # noqa: SLF001
-    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    for t in to_compact:
-        p = jvm.org.apache.hadoop.fs.Path(f"{_sigs_path(index_path)}/batch={t}")
-        p.getFileSystem(hconf).delete(p, True)
-    return new_tag

@@ -1131,6 +1131,47 @@ def append_novelty_grams(
     grams.write.mode("overwrite").parquet(f"{index_path}/grams/batch={batch_tag}")
 
 
+def compact_novelty_grams(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    target_files: int = 8,
+    retain_tags: tuple[str, ...] | list[str] = (),
+) -> str | None:
+    """Fold the per-batch ``grams/batch=<tag>`` directories into one
+    consolidated partition (r12) — the novelty index's lifecycle
+    valve: every ``append_novelty_grams`` adds a directory, so a
+    long-running ``Stream.score_novelty`` would otherwise pay 10^4
+    directory listings per scoring read after 10^4 micro-batches, and
+    cross-batch duplicate grams (boilerplate recurring in every
+    batch) would be stored once PER BATCH even though scoring only
+    consumes the distinct gram set. Compaction collapses them:
+    full-row dropDuplicates over int64 gram hashes bounds the index
+    at vocabulary size, not sum-of-batch-vocabularies.
+
+    Shares ``compact_partitions`` with the dedup signature indexes —
+    identical retry discipline: pass every tag a foreachBatch
+    redelivery may still retry (for Stream.score_novelty, the
+    current batch tag) in ``retain_tags``, or the retried batch
+    would see its own earlier grams as "seen" and score zero novel.
+    Scoring equivalence and the crash window (write-then-delete;
+    duplicate grams are anti-join-idempotent) are pinned in
+    tests/test_novelty_facade.py.
+
+    Returns the new compact tag, or None when there was nothing to
+    compact."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        compact_partitions,
+    )
+
+    return compact_partitions(
+        spark,
+        f"{index_path}/grams",
+        target_files=target_files,
+        retain_tags=retain_tags,
+    )
+
+
 def token_drift(
     df: DataFrame,
     group_col: str = "source",

@@ -1081,6 +1081,7 @@ class Stream:
         target: str | None = None,
         group: str | None = None,
         index_path: str | None = None,
+        compact_every: int | None = 64,
     ) -> None:
         """Streaming n-gram novelty scoring: every document on
         ``topic`` gets (n_grams, n_novel, novelty_ppm) rows on
@@ -1099,7 +1100,16 @@ class Stream:
         scoring read EXCLUDES the current batch's partition — so a
         foreachBatch redelivery scores identically whether or not
         its gram append already landed (the dedup-index retry
-        discipline)."""
+        discipline).
+
+        Index lifecycle: every ``compact_every`` batches the facade
+        runs ``compact_novelty_grams`` retaining ONLY the current
+        batch tag (the single batch Structured Streaming can still
+        retry; earlier tags are checkpoint-committed forever) — the
+        same valve as dedupe_near's signature index, and here it
+        also collapses cross-batch duplicate grams so the index is
+        bounded by vocabulary, not sum-of-batch-vocabularies. Set
+        ``compact_every=None`` to manage compaction externally."""
         group = group or f"{self.name}-novelty"
         self._claim(topic, group)
         self._subscriptions.append(
@@ -1116,6 +1126,7 @@ class Stream:
                     "group": group,
                     "index_path": index_path
                     or str(self.broker / "_indexes" / group),
+                    "compact_every": compact_every,
                 },
             )
         )
@@ -1123,6 +1134,7 @@ class Stream:
     def _start_score_novelty(self, sub: _Subscription):
         from python_stream_processing_framework_spark.operators.text import (
             append_novelty_grams,
+            compact_novelty_grams,
             novelty_scores_batch,
         )
 
@@ -1152,6 +1164,16 @@ class Stream:
                 text_col=o["text_field"],
                 n=o["n"],
             )
+            every = o.get("compact_every")
+            if every and batch_id > 0 and batch_id % every == 0:
+                # retain only the CURRENT tag: it is the single batch
+                # a foreachBatch redelivery can retry; earlier tags
+                # are checkpoint-committed forever (see dedupe_near)
+                compact_novelty_grams(
+                    batch.sparkSession,
+                    o["index_path"],
+                    retain_tags=[str(batch_id)],
+                )
 
         return (
             src.writeStream.foreachBatch(score_batch)
