@@ -1260,3 +1260,112 @@ def token_drift(
             " DIV (2 * _tt * _r) END AS BIGINT)"
         ).alias("tv_ppm"),
     )
+
+
+def write_drift_reference(
+    df: DataFrame, ref_path: str, *, text_col: str = "text"
+) -> int:
+    """Persist the REFERENCE token distribution the streaming drift
+    monitor compares against: ``{ref_path}/counts`` holds (token,
+    count) for the reference corpus, ``{ref_path}/total`` one row
+    with its token mass. Written once (the monitor never mutates
+    it); a rebuild is an explicit overwrite. Returns the reference's
+    token mass.
+
+    Scale shape: one partial-aggregable token count — the reference
+    corpus collapses to its vocabulary before the write; the total
+    is re-read from the written parquet (footer-cheap, no second
+    corpus scan)."""
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("_t"))
+    toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_rc")).write.mode(
+        "overwrite"
+    ).parquet(f"{ref_path}/counts")
+    spark = df.sparkSession
+    total = spark.read.parquet(f"{ref_path}/counts").agg(
+        F.coalesce(F.sum("_rc"), F.lit(0)).cast("bigint").alias("_rt")
+    )
+    total.write.mode("overwrite").parquet(f"{ref_path}/total")
+    return total.head()[0]
+
+
+def drift_scores_batch(
+    batch: DataFrame,
+    ref_path: str,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """One micro-batch of the streaming drift monitor: per-source
+    total-variation distance between the batch's token distribution
+    and the persisted reference under ``ref_path`` (see
+    :func:`write_drift_reference`). Returns (src, n_tokens, tv_ppm)
+    — the streaming form of :func:`token_drift`, with the
+    rest-of-corpus side replaced by a FIXED reference so every batch
+    is stateless and a foreachBatch redelivery scores identically by
+    construction.
+
+    Same exact integer arithmetic as token_drift: cross-multiplied
+    TV = sum |c_t*R - r_t*T| / (2*T*R) with one final floor-DIV,
+    decimal(38,0) intermediates (|c*R - r*T| <= T*R ~ 1e26 at
+    1e13-token scale, * 1e6 still < 1e38); tokens absent from the
+    batch contribute T*(R - sum_present(r_t)) in closed form. An
+    empty reference (R = 0) reads 1e6 by convention.
+
+    Scale shape: the batch side collapses to (source, token) counts
+    (micro-batch-sized); the reference — corpus-vocabulary-sized, so
+    NEVER broadcast wholesale — is pruned to the batch's vocabulary
+    by a size-gated-broadcast semi-join before the left join, so the
+    big side is scanned once and never shuffled."""
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        maybe_broadcast,
+    )
+
+    spark = batch.sparkSession
+    ref = spark.read.parquet(f"{ref_path}/counts")
+    r_total = spark.read.parquet(f"{ref_path}/total")
+    toks = batch.select(
+        F.col(group_col), F.explode(tokens_expr(text_col)).alias("_t")
+    )
+    # materialize: the (source, token) counts feed three consumers
+    # (per-source totals, the vocabulary prune, the compare join)
+    st = materialize(
+        toks.groupBy(group_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = st.groupBy(group_col).agg(F.sum("_c").alias("_total"))
+    ref_pruned = ref.join(
+        maybe_broadcast(st.select("_t").distinct()), "_t", "left_semi"
+    )
+    dec = "decimal(38,0)"
+    joined = (
+        st.join(ref_pruned, "_t", "left")
+        .join(maybe_broadcast(totals), group_col)
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            F.col(group_col).alias("src"),
+            F.col("_c").cast(dec).alias("_c"),
+            F.coalesce(F.col("_rc"), F.lit(0)).cast(dec).alias("_rc"),
+            F.col("_total").cast(dec).alias("_tt"),
+            F.col("_rt").cast(dec).alias("_rt"),
+        )
+    )
+    present = joined.groupBy("src").agg(
+        F.max("_tt").alias("_tt"),
+        F.max("_rt").alias("_rt"),
+        F.sum(
+            F.abs(F.col("_c") * F.col("_rt") - F.col("_rc") * F.col("_tt"))
+        ).alias("_num_present"),
+        F.sum("_rc").alias("_ref_present"),
+    )
+    # reference tokens the batch never uses contribute |0*R' - r_t*T|
+    # = r_t*T each; summed over that absent vocabulary this is
+    # T*(R - sum_present(r_t)) — closed form, no join row per token
+    return present.select(
+        "src",
+        F.col("_tt").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(CASE WHEN _rt = 0 THEN 1000000"
+            " ELSE (_num_present + _tt * (_rt - _ref_present)) * 1000000"
+            " DIV (2 * _tt * _rt) END AS BIGINT)"
+        ).alias("tv_ppm"),
+    )

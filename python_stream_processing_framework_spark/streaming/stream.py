@@ -1131,6 +1131,106 @@ class Stream:
             )
         )
 
+    def monitor_drift(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        reference: DataFrame | None = None,
+        source_field: str = "source",
+        text_field: str = "text",
+        target: str | None = None,
+        group: str | None = None,
+        ref_path: str | None = None,
+    ) -> None:
+        """Streaming mixture-shift alarm: every micro-batch on
+        ``topic`` emits one (batch_seq, src, n_tokens, tv_ppm) row
+        per source on ``target`` (default `{topic}-drift`) — the
+        total-variation distance between that source's batch token
+        distribution and a PERSISTED reference distribution. The
+        streaming form of the `token_drift`/`source_drift` catalog
+        queries: a feed whose tv_ppm curve jumps has changed
+        character (new crawl config, language flip, spam wave)
+        before any downstream metric notices. Plays the monitoring
+        role of the reference's processor metrics hooks
+        (pspf/processor.py:260-281) at the DATA level.
+
+        The reference counts are written ONCE, at registration, from
+        ``reference`` (skipped when ``ref_path`` already holds one —
+        so restarts and re-registrations never move the yardstick;
+        rebuilding it is an explicit `write_drift_reference` call).
+        Each batch then compares statelessly against that immutable
+        table, so exactly-once needs no index-append discipline at
+        all: the idempotent per-batch_id sink is the whole story —
+        a foreachBatch redelivery recomputes identical scores from
+        identical inputs."""
+        from python_stream_processing_framework_spark.operators.text import (
+            write_drift_reference,
+        )
+
+        group = group or f"{self.name}-drift"
+        self._claim(topic, group)
+        ref_path = ref_path or str(self.broker / "_indexes" / group)
+        try:
+            self.spark.read.parquet(f"{ref_path}/total").head()
+        except Exception:
+            if reference is None:
+                raise ValueError(
+                    "monitor_drift needs a `reference` DataFrame the "
+                    f"first time: no reference table under {ref_path}"
+                )
+            write_drift_reference(reference, ref_path, text_col=text_field)
+        self._subscriptions.append(
+            _Subscription(
+                kind="monitor_drift",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "source_field": source_field,
+                    "text_field": text_field,
+                    "target": target or f"{topic}-drift",
+                    "group": group,
+                    "ref_path": ref_path,
+                },
+            )
+        )
+
+    def _start_monitor_drift(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.operators.text import (
+            drift_scores_batch,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def drift_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            scores = drift_scores_batch(
+                batch,
+                o["ref_path"],
+                group_col=o["source_field"],
+                text_col=o["text_field"],
+            ).select(
+                F.lit(int(batch_id)).alias("batch_seq"),
+                "src",
+                "n_tokens",
+                "tv_ppm",
+            )
+            _write_batch_jsonl(scores, sink_dir, batch_id)
+
+        return (
+            src.writeStream.foreachBatch(drift_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _start_score_novelty(self, sub: _Subscription):
         from python_stream_processing_framework_spark.operators.text import (
             append_novelty_grams,
@@ -2059,6 +2159,7 @@ class Stream:
             "deliver_valkey": self._start_deliver_valkey,
             "index_embeddings": self._start_index_embeddings,
             "score_novelty": self._start_score_novelty,
+            "monitor_drift": self._start_monitor_drift,
         }
         for _ in range(max(1, rounds)):
             queries = []

@@ -1,0 +1,150 @@
+"""Streaming drift monitor (Stream.monitor_drift): per-source
+total-variation distance of each micro-batch against a persisted
+reference distribution — the streaming form of the token_drift /
+source_drift catalog queries. Stateless per batch; exactly-once
+across restarts; the reference is written once and never moved."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from python_stream_processing_framework_spark.streaming import Stream
+
+SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("batch_seq", LongType()),
+        StructField("src", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("tv_ppm", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    return Stream(spark, str(tmp_path / "broker"))
+
+
+def _rows(stream, topic="docs-drift"):
+    return {
+        (r["batch_seq"], r["src"]): (r["n_tokens"], r["tv_ppm"])
+        for r in stream.read_topic(topic, OUT_SCHEMA).collect()
+    }
+
+
+def _ref(spark):
+    # reference distribution: a=2, b=2 (R=4)
+    return spark.createDataFrame([("a a b b",)], "text string")
+
+
+def test_drift_within_batch(stream, spark):
+    stream.monitor_drift("docs", SCHEMA, reference=_ref(spark))
+    stream.emit(
+        "docs",
+        {"source": "same", "text": "a a b b"},   # identical -> 0
+        {"source": "new", "text": "c c"},        # disjoint -> 1e6
+        # a=1 b=1 c=1 d=1, T=4: sum|c*4 - r*4| = 4+4+4+4 = 16;
+        # absent-term 0; tv = 16e6 / (2*4*4) = 500000
+        {"source": "half", "text": "a b c d"},
+    )
+    stream.run_until_idle()
+    out = _rows(stream)
+    assert out[(0, "same")] == (4, 0)
+    assert out[(0, "new")] == (2, 1_000_000)
+    assert out[(0, "half")] == (4, 500_000)
+
+
+def test_drift_across_batches_stateless(stream, spark):
+    """The reference never moves: the same text scores the same
+    tv_ppm in every batch, no matter what earlier batches carried."""
+    stream.monitor_drift("docs", SCHEMA, reference=_ref(spark))
+    stream.emit("docs", {"source": "s1", "text": "c c"})
+    stream.run_until_idle()
+    stream.emit("docs", {"source": "s1", "text": "c c"})
+    stream.run_until_idle()
+    out = _rows(stream)
+    assert out[(0, "s1")] == (2, 1_000_000)
+    assert out[(1, "s1")] == (2, 1_000_000)
+
+
+def test_drift_exactly_once_after_restart(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    s1 = Stream(spark, broker)
+    s1.monitor_drift("docs", SCHEMA, reference=_ref(spark))
+    s1.emit("docs", {"source": "s1", "text": "a a b b"})
+    s1.run_until_idle()
+    assert _rows(s1)[(0, "s1")] == (4, 0)
+
+    # restart WITHOUT a reference frame: the persisted one is reused
+    s2 = Stream(spark, broker)
+    s2.monitor_drift("docs", SCHEMA)
+    s2.emit("docs", {"source": "s2", "text": "c c"})
+    s2.run_until_idle()
+    out = _rows(s2)
+    assert set(out) == {(0, "s1"), (1, "s2")}  # no batch-1 redelivery
+    assert out[(1, "s2")] == (2, 1_000_000)
+
+
+def test_drift_reference_written_once(spark, tmp_path):
+    """A re-registration with a DIFFERENT reference frame must not
+    move the yardstick — the persisted table wins."""
+    broker = str(tmp_path / "broker")
+    s1 = Stream(spark, broker)
+    s1.monitor_drift("docs", SCHEMA, reference=_ref(spark))
+    s1.emit("docs", {"source": "s1", "text": "c c"})
+    s1.run_until_idle()
+
+    s2 = Stream(spark, broker)
+    other = spark.createDataFrame([("c c",)], "text string")
+    s2.monitor_drift("docs", SCHEMA, reference=other)
+    s2.emit("docs", {"source": "s1", "text": "c c"})
+    s2.run_until_idle()
+    out = _rows(s2)
+    # still scored against the ORIGINAL a/b reference: fully disjoint
+    assert out[(1, "s1")] == (2, 1_000_000)
+
+
+def test_drift_requires_reference_first_time(spark, tmp_path):
+    s = Stream(spark, str(tmp_path / "broker"))
+    with pytest.raises(ValueError, match="reference"):
+        s.monitor_drift("docs", SCHEMA)
+
+
+def test_drift_redelivery_scores_identically(spark, tmp_path):
+    """The exactly-once claim at the operator level: the reference is
+    immutable, so re-running the same batch yields identical rows."""
+    from python_stream_processing_framework_spark.operators.text import (
+        drift_scores_batch,
+        write_drift_reference,
+    )
+
+    ref_path = str(tmp_path / "ref")
+    write_drift_reference(_ref(spark), ref_path)
+    batch = spark.createDataFrame(
+        [("s1", "a b c d"), ("s2", "c c")], "source string, text string"
+    )
+    one = sorted(tuple(r) for r in drift_scores_batch(batch, ref_path).collect())
+    two = sorted(tuple(r) for r in drift_scores_batch(batch, ref_path).collect())
+    assert one == two == [("s1", 4, 500_000), ("s2", 2, 1_000_000)]
+
+
+def test_drift_empty_reference_convention(spark, tmp_path):
+    from python_stream_processing_framework_spark.operators.text import (
+        drift_scores_batch,
+        write_drift_reference,
+    )
+
+    ref_path = str(tmp_path / "ref")
+    empty = spark.createDataFrame([], "text string")
+    assert write_drift_reference(empty, ref_path) == 0
+    batch = spark.createDataFrame([("s1", "a b")], "source string, text string")
+    rows = drift_scores_batch(batch, ref_path).collect()
+    assert [tuple(r) for r in rows] == [("s1", 2, 1_000_000)]
