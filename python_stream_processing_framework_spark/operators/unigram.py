@@ -1,0 +1,314 @@
+"""Distributed unigram-LM tokenizer induction (Kudo 2018, the
+SentencePiece unigram model) — the T5/mT5/LLaMA-adjacent counterpart
+to operators/bpe.py's GPT-lineage trainer. Beyond-reference
+capability (SURVEY §2.7).
+
+Published shape, distributed: ONE corpus pass collapses the text to
+a word-frequency table (exactly `bpe.word_frequency_table`'s move);
+the seed vocabulary is the frequent-substring table over that word
+table (every character plus the top-`seed_size` multi-character
+substrings — the suffix-array seeding of the paper, relationalized);
+each EM round is then (a) a per-word Viterbi segmentation under the
+current piece scores and (b) a vocabulary-bounded expected-count
+aggregation + re-normalization. This is the hard-EM (Viterbi-EM)
+form of the paper's algorithm: the E-step charges each word's whole
+frequency to its single best segmentation rather than
+forward-backward posteriors — the standard simplification, and the
+one that makes every step exact integer arithmetic after the one
+quantization below. Pieces whose Viterbi count is zero leave the
+vocabulary (every word's own best-path pieces survive by
+construction, so the training corpus stays fully segmentable).
+
+Determinism contract (oracle-portable, the lm.py pattern): piece
+log-probs quantize ONCE per round to integer nano-units
+(round(ln(cnt/total) * 1e9) AS BIGINT — counts enter the division as
+exact-integer-valued doubles, and the round/ln expression shape is
+mirrored verbatim in DuckDB). The Viterbi DP then runs entirely on
+BIGINT scores: dp[i] = max over candidate pieces ending at i of
+struct(dp[j].score + lp, dp[j].path + ' ' + piece), ties broken by
+the lexicographically GREATER path string — a total order both
+engines evaluate identically (struct comparison is field-by-field,
+string comparison is binary). Appending a common suffix preserves
+path order (two paths compared at the same position cover the same
+word prefix, so neither can be a strict string prefix of the other),
+which makes the per-position greedy tie-break globally consistent —
+the Spark fold and the oracle's Bellman-Ford unrolling converge to
+the same argmax. Pinned by the hypothesis parity test against an
+exhaustive sequential reference (tests/test_unigram.py) and the
+unrolled-SQL oracle (queries/unigram.py).
+
+Scale shape: after the single corpus pass, every EM round is two
+vocabulary-bounded shuffles — the span/vocab hash join (the vocab
+side size-gated, NEVER unconditionally broadcast: a real run seeds
+~1e6 substrings) and the per-word regroup — plus one
+vocabulary-bounded count aggregation; the corpus is never touched
+again, and the DP itself is a map-side fold over each word's ≤
+max_word_len * max_piece_len candidate structs. Words longer than
+``max_word_len`` are excluded from training (the SentencePiece
+max-sentencepiece-length discipline), which also bounds the oracle's
+DP unrolling depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_stream_processing_framework_spark.operators.dedup import tokens_expr
+
+#: Schema of the learned vocabulary table.
+UNIGRAM_SCHEMA = "piece string, cnt bigint, logp_nano bigint"
+
+
+def _spans_expr(word: Column, wl: Column, max_piece_len: int) -> Column:
+    """All substrings of ``word`` up to ``max_piece_len`` chars, as
+    (s, e, piece) structs — s/e are 0-based [start, end) offsets, the
+    DP's lattice edges."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), wl - 1),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), wl - s)),
+                lambda p: F.struct(
+                    s.cast("int").alias("s"),
+                    (s + p).cast("int").alias("e"),
+                    F.substr(word, s + 1, p).alias("piece"),
+                ),
+            ),
+        )
+    )
+
+
+def unigram_word_table(
+    df: DataFrame, text_col: str, *, max_word_len: int = 16
+) -> DataFrame:
+    """The one corpus pass: (word, cnt, wl) over whitespace tokens,
+    words longer than ``max_word_len`` excluded (and zero-length
+    split artifacts dropped). Output is VOCABULARY-bounded;
+    everything downstream runs on this table, never on the corpus."""
+    return (
+        df.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .filter(
+            (F.length("word") >= 1) & (F.length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("wl", F.length("word").cast("int"))
+    )
+
+
+def unigram_seed(
+    words: DataFrame, *, seed_size: int, max_piece_len: int
+) -> DataFrame:
+    """Seed vocabulary: EVERY character (coverage guarantee — round
+    1's lattice always reaches the end of every word) plus the
+    top-``seed_size`` multi-character substrings by (occurrence count
+    DESC, piece ASC) — the paper's frequent-substring seeding over
+    the word table, counts weighted by word frequency and counting
+    every (possibly overlapping) occurrence."""
+    occ = (
+        words.select(
+            "cnt",
+            F.explode(
+                _spans_expr(F.col("word"), F.col("wl"), max_piece_len)
+            ).alias("c"),
+        )
+        .select("cnt", F.col("c.piece").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    chars = occ.filter(F.length("piece") == 1)
+    multi = (
+        occ.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(seed_size)
+    )
+    return chars.unionByName(multi)
+
+
+def _with_logp(counts: DataFrame) -> DataFrame:
+    """Re-normalize: logp_nano = round(ln(cnt / total) * 1e9) — the
+    ONE quantization per round; everything after it is exact BIGINT
+    arithmetic (the lm.py nano-unit pattern, oracle-portable)."""
+    total = counts.agg(F.sum("cnt").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "piece",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("_t").cast("double"))
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("logp_nano"),
+    )
+
+
+def viterbi_segment(
+    words: DataFrame, vocab: DataFrame, *, max_piece_len: int
+) -> DataFrame:
+    """Per-word Viterbi-best segmentation under ``vocab``'s
+    (piece, logp_nano) scores: returns (word, cnt, path) with path
+    the space-joined best piece sequence; words the vocabulary cannot
+    segment yield no row. The E-step, and the encode step once a
+    vocabulary exists.
+
+    DP as a map-side fold: dp[0] = (0, ''); dp[i] = array_max over
+    candidates (s, e=i, piece, lp) of struct(dp[s].sc + lp,
+    dp[s].path + ' ' + piece) — max on the (score, path) struct is
+    the deterministic tie-break the module docstring justifies.
+    Unreachable positions are NULL (array_max skips NULL entries and
+    F.when guards NULL predecessors)."""
+    from python_stream_processing_framework_spark.operators.common import (
+        maybe_broadcast,
+    )
+
+    cand = (
+        words.select(
+            "word",
+            "cnt",
+            "wl",
+            F.explode(
+                _spans_expr(F.col("word"), F.col("wl"), max_piece_len)
+            ).alias("c"),
+        )
+        .select("word", "cnt", "wl", "c.s", "c.e", F.col("c.piece").alias("piece"))
+        .join(maybe_broadcast(vocab.select("piece", "logp_nano")), "piece")
+    )
+    per = cand.groupBy("word", "cnt", "wl").agg(
+        F.collect_list(
+            F.struct("s", "e", "piece", F.col("logp_nano").alias("lp"))
+        ).alias("cs")
+    )
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("wl")),
+        F.array(
+            F.struct(F.lit(0).cast("bigint").alias("sc"), F.lit("").alias("path"))
+        ),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.array_max(
+                    F.transform(
+                        F.filter(F.col("cs"), lambda c: c["e"] == i),
+                        lambda c: F.when(
+                            F.element_at(acc, c["s"] + 1).isNotNull(),
+                            F.struct(
+                                (
+                                    F.element_at(acc, c["s"] + 1)["sc"] + c["lp"]
+                                ).alias("sc"),
+                                F.concat(
+                                    F.element_at(acc, c["s"] + 1)["path"],
+                                    F.lit(" "),
+                                    c["piece"],
+                                ).alias("path"),
+                            ),
+                        ),
+                    )
+                )
+            ),
+        ),
+    )
+    return (
+        per.select(
+            "word", "cnt", F.element_at(dp, F.col("wl") + 1).alias("_b")
+        )
+        .filter(F.col("_b").isNotNull())
+        .select("word", "cnt", F.col("_b.path").alias("path"))
+    )
+
+
+def _viterbi_counts(best: DataFrame) -> DataFrame:
+    """M-step counts: each word charges its full frequency to every
+    piece of its single best segmentation (hard EM)."""
+    return (
+        best.select(
+            "cnt", F.explode(F.split(F.trim(F.col("path")), " ")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    seed_size: int = 64,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+) -> DataFrame:
+    """Learn a unigram-LM vocabulary from the corpus: seed, then
+    ``em_rounds`` of Viterbi-EM. Returns (piece, cnt, logp_nano) —
+    the surviving pieces after the last round with their Viterbi
+    counts and nano-unit log-probs. See the module docstring for the
+    algorithm, determinism contract, and scale shape."""
+    if em_rounds < 1:
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
+    if max_piece_len < 1 or max_word_len < 1:
+        raise ValueError("max_piece_len and max_word_len must be >= 1")
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+    )
+
+    # the word table feeds the seed pass + every EM round: one
+    # computation, cached blocks after
+    words = materialize(
+        unigram_word_table(df, text_col, max_word_len=max_word_len)
+    )
+    vocab = _with_logp(
+        unigram_seed(words, seed_size=seed_size, max_piece_len=max_piece_len)
+    )
+    for _ in range(em_rounds):
+        best = viterbi_segment(words, vocab, max_piece_len=max_piece_len)
+        # lineage truncation per round (the bpe_train discipline):
+        # each round's plan would otherwise chain on the previous
+        # round's full analyzed plan
+        vocab = _with_logp(_viterbi_counts(best)).localCheckpoint(eager=True)
+    words.unpersist()
+    return vocab
+
+
+def unigram_segment_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Tokenize the corpus under a learned vocabulary and count each
+    document's pieces — the token-budget number once the tokenizer
+    exists (the unigram counterpart of bpe_segment_counts). Output
+    (id, n_words, n_pieces); words the vocabulary cannot segment (or
+    longer than ``max_word_len``) count 1 piece each (the UNK
+    convention).
+
+    Scale shape: the corpus collapses to its distinct-word table,
+    each distinct word is Viterbi-segmented ONCE (two
+    vocabulary-bounded shuffles), and the per-document piece counts
+    come from one hash join of the exploded corpus against that
+    word→n_pieces table — the corpus is scanned once and never
+    carries the DP."""
+    seg = viterbi_segment(
+        unigram_word_table(df, text_col, max_word_len=max_word_len),
+        vocab,
+        max_piece_len=max_piece_len,
+    ).select(
+        "word",
+        F.size(F.split(F.trim(F.col("path")), " ")).cast("bigint").alias("_np"),
+    )
+    words = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("word")
+    )
+    return (
+        words.join(seg, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.coalesce(F.col("_np"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_pieces"),
+        )
+    )

@@ -52,6 +52,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     setsimq,
     zorderq,
     robustq,
+    unigram,
 )
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Unigram-LM tokenizer-induction query with an exact DuckDB oracle.
+
+The oracle unrolls the ENTIRE Viterbi-EM training loop in SQL — the
+word-frequency pass, the frequent-substring seed, then per EM round:
+the span/vocab candidate join, the Viterbi DP, the best-path piece
+counts, and the nano-unit re-normalization — exactly the way
+queries/bpe.py unrolls its merge rounds. The one non-relational step,
+the per-word Viterbi DP, unrolls as ``max_word_len`` Bellman-Ford
+iterations (each path gains one piece per iteration, so max-word-len
+iterations reach every segmentation): per (word, position) the best
+(score, path) struct is kept by ``max`` — field-by-field struct
+comparison with binary string order, the SAME total order Spark's
+fold evaluates, so both engines converge to the identical argmax
+(see operators/unigram.py's determinism contract; suffix-extension
+preserves the tie-break because two paths compared at one position
+cover the same word prefix and neither can be a string-prefix of the
+other)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_stream_processing_framework_spark.catalog import load
+from python_stream_processing_framework_spark.operators.unigram import unigram_train
+from python_stream_processing_framework_spark.queries.base import query
+
+_SEED = 24
+_MAXP = 3
+_MAXW = 10
+_ROUNDS = 2
+
+_TOKS = "string_split(trim(lower(text)), ' ')"
+
+#: all substrings up to _MAXP chars, as plain piece strings (seed pass)
+_PIECES = (
+    "flatten(list_transform(range(0, wl), s -> "
+    f"list_transform(range(1, least({_MAXP}, wl - s) + 1), p -> "
+    "substr(word, CAST(s AS INT) + 1, CAST(p AS INT)))))"
+)
+
+#: the same spans as (s, e, piece) structs (the DP's lattice edges)
+_SPANS = (
+    "flatten(list_transform(range(0, wl), s -> "
+    f"list_transform(range(1, least({_MAXP}, wl - s) + 1), p -> "
+    "{'s': CAST(s AS INT), 'e': CAST(s + p AS INT), "
+    "'piece': substr(word, CAST(s AS INT) + 1, CAST(p AS INT))})))"
+)
+
+_NORM = (
+    "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9) AS BIGINT)"
+)
+
+
+def _unigram_ctes(rounds: int, maxw: int) -> str:
+    parts = [
+        f"""
+    wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(len(word) AS INT) AS wl
+           FROM (SELECT unnest({_TOKS}) AS word FROM documents) z
+           WHERE len(word) BETWEEN 1 AND {maxw}
+           GROUP BY word),
+    occ AS MATERIALIZED (SELECT piece, SUM(cnt) AS cnt
+           FROM (SELECT cnt, unnest({_PIECES}) AS piece FROM wf) z
+           GROUP BY piece),
+    sd AS MATERIALIZED (
+           SELECT piece, cnt FROM occ WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, cnt FROM (SELECT piece, cnt FROM occ
+                  WHERE len(piece) >= 2
+                  ORDER BY cnt DESC, piece LIMIT {_SEED}) zz),
+    v0 AS MATERIALIZED (SELECT piece, {_NORM} AS lp
+           FROM sd, (SELECT SUM(cnt) AS t FROM sd) tt)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+    cand{r} AS MATERIALIZED (
+           SELECT y.word, y.cnt, y.wl,
+                  struct_extract(y.u, 's') AS s,
+                  struct_extract(y.u, 'e') AS e,
+                  struct_extract(y.u, 'piece') AS piece, v.lp
+           FROM (SELECT word, cnt, wl, unnest({_SPANS}) AS u FROM wf) y
+           JOIN v{r} v ON v.piece = struct_extract(y.u, 'piece')),
+    d{r}_0 AS (SELECT word, cnt, wl, 0 AS pos, CAST(0 AS BIGINT) AS sc,
+                      '' AS path FROM wf)"""
+        )
+        for k in range(1, maxw + 1):
+            parts.append(
+                f"""
+    d{r}_{k} AS MATERIALIZED (
+           SELECT word, cnt, wl, pos,
+                  struct_extract(st, 'sc') AS sc,
+                  struct_extract(st, 'path') AS path
+           FROM (SELECT word, cnt, wl, pos,
+                        max({{'sc': sc, 'path': path}}) AS st
+                 FROM (SELECT word, cnt, wl, pos, sc, path FROM d{r}_{k - 1}
+                       UNION ALL
+                       SELECT d.word, d.cnt, d.wl, c.e AS pos,
+                              d.sc + c.lp AS sc,
+                              d.path || ' ' || c.piece AS path
+                       FROM d{r}_{k - 1} d
+                       JOIN cand{r} c ON c.word = d.word AND c.s = d.pos) u
+                 GROUP BY word, cnt, wl, pos) g)"""
+            )
+        parts.append(
+            f"""
+    c{r} AS MATERIALIZED (SELECT piece, SUM(cnt) AS cnt
+           FROM (SELECT cnt, unnest(string_split(trim(path), ' ')) AS piece
+                 FROM d{r}_{maxw} WHERE pos = wl) z
+           GROUP BY piece),
+    v{r + 1} AS MATERIALIZED (SELECT piece, cnt, {_NORM} AS lp
+           FROM c{r}, (SELECT SUM(cnt) AS t FROM c{r}) tt)"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "unigram_vocab",
+    f"""
+    WITH {_unigram_ctes(_ROUNDS, _MAXW)}
+    SELECT piece, CAST(cnt AS BIGINT) AS cnt, lp AS logp_nano
+    FROM v{_ROUNDS}
+    """,
+    doc="Unigram-LM (SentencePiece-style) tokenizer induction (Kudo "
+    "2018, operators/unigram.py): one corpus pass collapses the text "
+    "to a word-frequency table; the seed vocabulary is every "
+    "character plus the top-24 frequent substrings; each of 2 "
+    "Viterbi-EM rounds is two vocabulary-bounded shuffles (span/"
+    "vocab candidate join + per-word regroup) with the DP itself a "
+    "map-side integer fold over nano-quantized log-probs, then a "
+    "vocabulary-bounded count aggregation. The oracle unrolls both "
+    "EM rounds (DP as 10 Bellman-Ford CTE iterations) and "
+    "value-compares the full surviving vocabulary (pieces, Viterbi "
+    "counts, nano log-probs).",
+)
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return unigram_train(
+        documents,
+        "text",
+        seed_size=_SEED,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+        em_rounds=_ROUNDS,
+    )

@@ -845,3 +845,59 @@ def test_unimax_reduces_before_window_math(spark):
     assert max(agg) > min(win), (
         "expected the per-stratum aggregate below the window operators"
     )
+
+
+def test_unigram_viterbi_corpus_never_rejoined(spark):
+    """unigram_vocab's 100-TB contract (operators/unigram.py): after
+    the one corpus pass, every EM round runs on the vocabulary-bounded
+    word table — the ONLY joins are piece-keyed (span candidates x
+    vocab scores), the Viterbi DP itself is a map-side fold (no
+    position- or score-keyed join anywhere), and nothing goes
+    cartesian."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_word_table,
+        viterbi_segment,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    docs = spark.createDataFrame(
+        [(1, "abab cd cd"), (2, "ab ab cd")], "doc_id bigint, text string"
+    )
+    words = unigram_word_table(docs, "text", max_word_len=8)
+    vocab = spark.createDataFrame(
+        [("a", -5), ("b", -7), ("ab", -9), ("c", -4), ("d", -4)],
+        "piece string, logp_nano bigint",
+    )
+    df = viterbi_segment(words, vocab, max_piece_len=2)
+    assert_no_cartesian(df)
+    t = plan_text(df)
+    key_lines = [
+        ln
+        for ln in t.splitlines()
+        if "Left keys" in ln or "Right keys" in ln
+    ]
+    assert key_lines, "expected the piece-keyed candidate join"
+    assert all("piece" in ln for ln in key_lines), (
+        f"non-piece-keyed join found in the EM round: {key_lines}"
+    )
+
+
+def test_unigram_train_rounds_lineage_truncated(spark):
+    """Each EM round checkpoints its vocabulary (the bpe_train
+    discipline): the returned frame must be a leaf — a plan that
+    still chains the whole seed + EM lattice would compound per-round
+    analysis cost at real merge counts."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_train,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id bigint, text string")
+    v = unigram_train(
+        docs, "text", seed_size=2, max_piece_len=2, max_word_len=4, em_rounds=1
+    )
+    t = plan_text(v)
+    assert "Join" not in t and "ExistingRDD" in t, (
+        "unigram_train must return a checkpointed leaf, not the live "
+        "training lattice"
+    )

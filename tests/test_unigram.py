@@ -1,0 +1,193 @@
+"""Unigram-LM tokenizer induction (operators/unigram.py, Kudo 2018
+Viterbi-EM form): hypothesis parity against an EXHAUSTIVE sequential
+reference — the reference enumerates every segmentation and takes the
+global (score, path) argmax, so any inconsistency in the distributed
+DP's greedy per-position tie-break composition would surface here."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+
+def _round_nano(x: float) -> int:
+    """HALF_UP away from zero — Spark's F.round semantics for doubles
+    (Python's round() is banker's, which would diverge on exact .5)."""
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _ref_unigram(words_list, *, seed_size, max_piece_len, max_word_len, em_rounds):
+    """Pure-Python reference: frequent-substring seed (all chars +
+    top-k multi), then hard-EM rounds where the E-step is an
+    exhaustive global argmax over all segmentations."""
+    wf = Counter(w for w in words_list if 1 <= len(w) <= max_word_len)
+
+    def spans(w):
+        return [
+            w[s : s + p]
+            for s in range(len(w))
+            for p in range(1, min(max_piece_len, len(w) - s) + 1)
+        ]
+
+    occ = Counter()
+    for w, c in wf.items():
+        for piece in spans(w):
+            occ[piece] += c
+    counts = {p: c for p, c in occ.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in occ.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]
+    counts.update(dict(multi))
+
+    def with_logp(cnts):
+        t = sum(cnts.values())
+        return {p: _round_nano(math.log(c / t) * 1e9) for p, c in cnts.items()}
+
+    def best_seg(w, lp):
+        best = None
+
+        def rec(i, score, path):
+            nonlocal best
+            if i == len(w):
+                if best is None or (score, path) > best:
+                    best = (score, path)
+                return
+            for p in range(1, min(max_piece_len, len(w) - i) + 1):
+                piece = w[i : i + p]
+                if piece in lp:
+                    rec(i + p, score + lp[piece], path + " " + piece)
+
+        rec(0, 0, "")
+        return best
+
+    lp = with_logp(counts)
+    for _ in range(em_rounds):
+        counts = Counter()
+        for w, c in wf.items():
+            b = best_seg(w, lp)
+            if b is None:
+                continue
+            for piece in b[1].split():
+                counts[piece] += c
+        counts = dict(counts)
+        lp = with_logp(counts)
+    return {p: (counts[p], lp[p]) for p in counts}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    seed_size=st.integers(1, 4),
+    max_piece_len=st.integers(2, 3),
+    em_rounds=st.integers(1, 2),
+)
+def test_unigram_matches_exhaustive_reference(
+    spark, words, seed_size, max_piece_len, em_rounds
+):
+    """Distributed Viterbi-EM == sequential exhaustive-argmax EM on
+    the same corpus: identical surviving vocabulary, counts, and
+    nano-unit log-probs. The 'ab' alphabet maximizes tie pressure on
+    the (score, path) tie-break."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    got = {
+        r["piece"]: (r["cnt"], r["logp_nano"])
+        for r in unigram_train(
+            docs,
+            "text",
+            seed_size=seed_size,
+            max_piece_len=max_piece_len,
+            max_word_len=6,
+            em_rounds=em_rounds,
+        ).collect()
+    }
+    want = _ref_unigram(
+        words,
+        seed_size=seed_size,
+        max_piece_len=max_piece_len,
+        max_word_len=6,
+        em_rounds=em_rounds,
+    )
+    assert got == want, (words, seed_size, max_piece_len, em_rounds)
+
+
+def test_unigram_known_corpus(spark):
+    """Hand-computed case: 'abab'x3 'cd'x3 'ab'x1 with a 4-piece
+    multi seed — 'cd' loses the seed cut (count ties broken piece
+    ASC put aba/ba/bab ahead), so cd segments as chars while abab
+    fuses to 'ab ab'; zero-count seed pieces leave the vocab."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_segment_counts,
+        unigram_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ab")],
+        "doc_id bigint, text string",
+    )
+    v = unigram_train(
+        df, "text", seed_size=4, max_piece_len=3, max_word_len=8, em_rounds=2
+    )
+    assert sorted(tuple(r) for r in v.collect()) == [
+        ("ab", 7, -619039208),
+        ("c", 3, -1466337069),
+        ("d", 3, -1466337069),
+    ]
+    seg = unigram_segment_counts(
+        df, "doc_id", "text", v, max_piece_len=3, max_word_len=8
+    )
+    # doc 1: abab->2 + abab->2 + cd->2 = 6; doc 2: 2+2+2+1 = 7
+    assert sorted(tuple(r) for r in seg.collect()) == [(1, 3, 6), (2, 4, 7)]
+
+
+def test_unigram_segment_counts_unk_convention(spark):
+    """Words the vocabulary cannot segment — or longer than
+    max_word_len — count 1 piece (UNK), never drop the document."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_segment_counts,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame([(1, "aa aa")], "doc_id bigint, text string")
+    v = unigram_train(
+        train, "text", seed_size=2, max_piece_len=2, max_word_len=4, em_rounds=1
+    )
+    # vocab is {'a'} after EM: seed counts weight every occurrence,
+    # so ln(4/6)*2 for 'a a' beats ln(2/6) for 'aa' and the unused
+    # 'aa' piece leaves the vocabulary
+    assert {r["piece"] for r in v.collect()} == {"a"}
+    apply = spark.createDataFrame(
+        [(1, "aa zz aaaaaa")], "doc_id bigint, text string"
+    )
+    seg = unigram_segment_counts(
+        apply, "doc_id", "text", v, max_piece_len=2, max_word_len=4
+    )
+    # aa -> 'a a' 2 pieces; zz unsegmentable -> UNK 1; aaaaaa over the
+    # length cap -> UNK 1
+    assert [tuple(r) for r in seg.collect()] == [(1, 3, 4)]
+
+
+def test_unigram_rejects_bad_params(spark):
+    import pytest
+
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        unigram_train(df, "text", em_rounds=0)
+    with pytest.raises(ValueError):
+        unigram_train(df, "text", max_piece_len=0)
