@@ -292,3 +292,127 @@ def test_deliver_valkey_sharded_facade(spark, tmp_path, valkey_client, valkey_ur
     assert len(seen) == 12
     for s in range(2):
         valkey_client.delete(f"{skey}:{s}")
+
+
+def test_sharded_sink_crash_between_shard_writes_heals(
+    spark, valkey_client, valkey_url
+):
+    """The sharded sink's crash window (r12 adversarial battery): a
+    task writes its shards SEQUENTIALLY, so a kill between shard N's
+    XADD pipeline and shard N+1's leaves shard N complete, shard N+1
+    a prefix (or absent). A full-batch redelivery must then
+    double-write nothing: every shard ends with exactly its
+    deterministic sorted sequence under the deterministic entry
+    ids."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.sources.valkey import (
+        DETERMINISTIC_ID_BASE,
+        valkey_stream_sink_idempotent_sharded,
+        xadd_rows_idempotent,
+    )
+
+    skey = f"shc-{uuid.uuid4().hex[:10]}"
+    n_shards, n_rows, batch = 3, 30, 5
+    df = spark.createDataFrame(
+        [(f"e{i}", float(i)) for i in range(n_rows)], ["event_id", "value"]
+    )
+    # the sink's exact assignment + order rule, recomputed independently
+    exp_rows = (
+        df.withColumn("_ek", F.md5(F.to_json(F.struct("event_id", "value"))))
+        .withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col("_ek")), F.lit(n_shards))
+        )
+        .orderBy("_shard", "_ek")
+        .collect()
+    )
+    seqs: dict[int, list[dict]] = {s: [] for s in range(n_shards)}
+    for r in exp_rows:
+        seqs[r["_shard"]].append(
+            {"event_id": r["event_id"], "value": r["value"]}
+        )
+    assert all(len(seqs[s]) >= 4 for s in range(n_shards))  # real spread
+
+    # simulate the mid-task crash: shard 0 fully delivered, shard 1 a
+    # 3-row prefix, shard 2 untouched — then the task dies
+    xadd_rows_idempotent(
+        valkey_client, f"{skey}:0", iter(seqs[0]), batch_id=batch
+    )
+    xadd_rows_idempotent(
+        valkey_client, f"{skey}:1", iter(seqs[1][:3]), batch_id=batch
+    )
+
+    # the whole batch redelivers (Structured Streaming's retry unit)
+    valkey_stream_sink_idempotent_sharded(
+        df, valkey_url, skey, batch_id=batch, num_shards=n_shards
+    )
+    base = DETERMINISTIC_ID_BASE + batch
+    for s in range(n_shards):
+        entries = valkey_client.xrange(f"{skey}:{s}")
+        assert [f["event_id"] for _eid, f in entries] == [
+            r["event_id"] for r in seqs[s]
+        ], f"shard {s} sequence diverged or double-wrote"
+        assert [eid for eid, _f in entries] == [
+            f"{base}-{i}" for i in range(len(seqs[s]))
+        ], f"shard {s} ids not the contiguous deterministic sequence"
+        valkey_client.delete(f"{skey}:{s}")
+
+
+def test_sharded_sink_placement_is_exactly_the_hash_rule(
+    spark, valkey_client, valkey_url
+):
+    """Cross-shard row placement matches the documented pure-content
+    rule row-for-row (not merely 'each key in one shard'):
+    pmod(xxhash64(shard_by cast to string), N) with shard_by, and
+    pmod(xxhash64(md5(to_json(struct(*cols)))), N) without."""
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.sources.valkey import (
+        valkey_stream_sink_idempotent_sharded,
+    )
+
+    n_shards = 4
+    df = spark.createDataFrame(
+        [(f"e{i}", i % 7, float(i)) for i in range(56)],
+        ["event_id", "k", "value"],
+    )
+
+    def landed(prefix: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for s in range(n_shards):
+            for _eid, f in valkey_client.xrange(f"{prefix}:{s}"):
+                assert f["event_id"] not in out
+                out[f["event_id"]] = s
+            valkey_client.delete(f"{prefix}:{s}")
+        return out
+
+    k1 = f"shp-{uuid.uuid4().hex[:10]}"
+    valkey_stream_sink_idempotent_sharded(
+        df, valkey_url, k1, batch_id=0, num_shards=n_shards, shard_by="k"
+    )
+    want_by_key = {
+        r["event_id"]: r["s"]
+        for r in df.select(
+            "event_id",
+            F.pmod(
+                F.xxhash64(F.col("k").cast("string")), F.lit(n_shards)
+            ).alias("s"),
+        ).collect()
+    }
+    assert landed(k1) == want_by_key
+
+    k2 = f"shd-{uuid.uuid4().hex[:10]}"
+    valkey_stream_sink_idempotent_sharded(
+        df, valkey_url, k2, batch_id=0, num_shards=n_shards
+    )
+    want_by_digest = {
+        r["event_id"]: r["s"]
+        for r in df.select(
+            "event_id",
+            F.pmod(
+                F.xxhash64(F.md5(F.to_json(F.struct("event_id", "k", "value")))),
+                F.lit(n_shards),
+            ).alias("s"),
+        ).collect()
+    }
+    assert landed(k2) == want_by_digest
