@@ -8,6 +8,12 @@ Env:
 Each query is forced through the `noop` sink so the full physical plan
 executes (scan -> shuffle -> agg/join) with zero sink cost — `count()`
 would let Spark prune work in the final stage.
+
+Interpreting round-over-round movers: sub-second queries move up to
+~20% between identical exclusive runs (SCALE.md "the sub-second
+variance floor, measured once" pins the per-query band for the 10
+smallest). Flag a small query against BAND-exceedance there, not
+against the generic 1.25x vs_prev detector.
 """
 
 from __future__ import annotations
