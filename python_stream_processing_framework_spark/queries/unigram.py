@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from python_stream_processing_framework_spark.catalog import load
-from python_stream_processing_framework_spark.operators.unigram import unigram_train
+from python_stream_processing_framework_spark.operators.unigram import (
+    unigram_segment_counts,
+    unigram_train,
+)
 from python_stream_processing_framework_spark.queries.base import query
 
 _SEED = 24
@@ -51,6 +54,43 @@ _NORM = (
 )
 
 
+def _dp_ctes(tag: str, vocab: str, maxw: int) -> list[str]:
+    """One Viterbi pass under vocabulary CTE ``vocab``: the candidate
+    join + ``maxw`` Bellman-Ford iterations; ``d{tag}_{maxw}`` rows
+    with pos = wl carry each word's best (score, path)."""
+    parts = [
+        f"""
+    cand{tag} AS MATERIALIZED (
+           SELECT y.word, y.cnt, y.wl,
+                  struct_extract(y.u, 's') AS s,
+                  struct_extract(y.u, 'e') AS e,
+                  struct_extract(y.u, 'piece') AS piece, v.lp
+           FROM (SELECT word, cnt, wl, unnest({_SPANS}) AS u FROM wf) y
+           JOIN {vocab} v ON v.piece = struct_extract(y.u, 'piece')),
+    d{tag}_0 AS (SELECT word, cnt, wl, 0 AS pos, CAST(0 AS BIGINT) AS sc,
+                      '' AS path FROM wf)"""
+    ]
+    for k in range(1, maxw + 1):
+        parts.append(
+            f"""
+    d{tag}_{k} AS MATERIALIZED (
+           SELECT word, cnt, wl, pos,
+                  struct_extract(st, 'sc') AS sc,
+                  struct_extract(st, 'path') AS path
+           FROM (SELECT word, cnt, wl, pos,
+                        max({{'sc': sc, 'path': path}}) AS st
+                 FROM (SELECT word, cnt, wl, pos, sc, path FROM d{tag}_{k - 1}
+                       UNION ALL
+                       SELECT d.word, d.cnt, d.wl, c.e AS pos,
+                              d.sc + c.lp AS sc,
+                              d.path || ' ' || c.piece AS path
+                       FROM d{tag}_{k - 1} d
+                       JOIN cand{tag} c ON c.word = d.word AND c.s = d.pos) u
+                 GROUP BY word, cnt, wl, pos) g)"""
+        )
+    return parts
+
+
 def _unigram_ctes(rounds: int, maxw: int) -> str:
     parts = [
         f"""
@@ -72,36 +112,7 @@ def _unigram_ctes(rounds: int, maxw: int) -> str:
            FROM sd, (SELECT SUM(cnt) AS t FROM sd) tt)"""
     ]
     for r in range(rounds):
-        parts.append(
-            f"""
-    cand{r} AS MATERIALIZED (
-           SELECT y.word, y.cnt, y.wl,
-                  struct_extract(y.u, 's') AS s,
-                  struct_extract(y.u, 'e') AS e,
-                  struct_extract(y.u, 'piece') AS piece, v.lp
-           FROM (SELECT word, cnt, wl, unnest({_SPANS}) AS u FROM wf) y
-           JOIN v{r} v ON v.piece = struct_extract(y.u, 'piece')),
-    d{r}_0 AS (SELECT word, cnt, wl, 0 AS pos, CAST(0 AS BIGINT) AS sc,
-                      '' AS path FROM wf)"""
-        )
-        for k in range(1, maxw + 1):
-            parts.append(
-                f"""
-    d{r}_{k} AS MATERIALIZED (
-           SELECT word, cnt, wl, pos,
-                  struct_extract(st, 'sc') AS sc,
-                  struct_extract(st, 'path') AS path
-           FROM (SELECT word, cnt, wl, pos,
-                        max({{'sc': sc, 'path': path}}) AS st
-                 FROM (SELECT word, cnt, wl, pos, sc, path FROM d{r}_{k - 1}
-                       UNION ALL
-                       SELECT d.word, d.cnt, d.wl, c.e AS pos,
-                              d.sc + c.lp AS sc,
-                              d.path || ' ' || c.piece AS path
-                       FROM d{r}_{k - 1} d
-                       JOIN cand{r} c ON c.word = d.word AND c.s = d.pos) u
-                 GROUP BY word, cnt, wl, pos) g)"""
-            )
+        parts.extend(_dp_ctes(str(r), f"v{r}", maxw))
         parts.append(
             f"""
     c{r} AS MATERIALIZED (SELECT piece, SUM(cnt) AS cnt
@@ -142,4 +153,52 @@ def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_MAXP,
         max_word_len=_MAXW,
         em_rounds=_ROUNDS,
+    )
+
+
+@query(
+    "unigram_token_counts",
+    f"""
+    WITH {_unigram_ctes(_ROUNDS, _MAXW)},
+    {",".join(_dp_ctes("e", f"v{_ROUNDS}", _MAXW))},
+    wp AS MATERIALIZED (
+        SELECT word,
+               CAST(len(string_split(trim(path), ' ')) AS BIGINT) AS np
+        FROM de_{_MAXW} WHERE pos = wl)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(coalesce(wp.np, 1)) AS BIGINT) AS n_pieces
+    FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) d
+    LEFT JOIN wp ON wp.word = d.word
+    GROUP BY d.doc_id
+    """,
+    doc="Tokenize the corpus under the learned unigram-LM vocabulary "
+    "and count each document's pieces — the token-budget number once "
+    "the tokenizer exists (operators/unigram.unigram_segment_counts, "
+    "the unigram counterpart of bpe_token_counts). Each DISTINCT word "
+    "is Viterbi-segmented once under the final vocabulary (two "
+    "vocabulary-bounded shuffles), then one hash join of the exploded "
+    "corpus against that word-to-piece-count table yields per-doc "
+    "sums; unsegmentable or over-length words count 1 piece (UNK). "
+    "The oracle re-derives the vocabulary (same unrolled EM CTEs), "
+    "replays one more Bellman-Ford encode pass under it, and "
+    "value-compares (doc_id, n_words, n_pieces).",
+)
+def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        documents,
+        "text",
+        seed_size=_SEED,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+        em_rounds=_ROUNDS,
+    )
+    return unigram_segment_counts(
+        documents,
+        "doc_id",
+        "text",
+        vocab,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
     )
