@@ -328,16 +328,26 @@ def ivf_index_stats(spark: SparkSession, index_path: str) -> dict:
     max_base = max((base.get(c, 0) for c in codes), default=0)
     drift = None
     if n_app:
-        cells = set(base) | set(appended)
-        drift = int(
-            round(
-                500_000
-                * sum(
-                    abs(base.get(c, 0) / n_base - appended.get(c, 0) / n_app)
-                    for c in cells
+        if not n_base:
+            # appended batches with an empty/missing base partition
+            # (e.g. a build that crashed after centroids/ landed):
+            # disjoint-by-convention, the token_drift R=0 rule —
+            # never a ZeroDivisionError inside the health check
+            drift = 1_000_000
+        else:
+            cells = set(base) | set(appended)
+            drift = int(
+                round(
+                    500_000
+                    * sum(
+                        abs(
+                            base.get(c, 0) / n_base
+                            - appended.get(c, 0) / n_app
+                        )
+                        for c in cells
+                    )
                 )
             )
-        )
     return {
         "k_cells": k_cells,
         "batch_dirs": len(batches),

@@ -202,6 +202,49 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
     return idx
 
 
+def _tag_forms(batch_tag) -> set[str]:
+    """Every string a `batch=<tag>` directory value can surface as
+    after partition-type inference: the raw tag, plus its int/float
+    canonical form when the tag is numeric (all-numeric dirs are
+    inferred as int/double, so `batch=007` reads back as 7 and casts
+    to the string '7', not '007')."""
+    tag = str(batch_tag)
+    forms = {tag}
+    try:
+        forms.add(str(int(tag)))
+    except ValueError:
+        try:
+            forms.add(str(float(tag)))
+        except ValueError:
+            pass
+    return forms
+
+
+def exclude_batch_tag(idx: DataFrame, batch_tag) -> DataFrame:
+    """Filter OUT the rows of one ``batch=<tag>`` partition — the
+    redelivery-exclusion move every persisted index shares (minhash
+    sigs, embedding LSH sigs, novelty grams): a retried batch must
+    adjudicate against all OTHER batches, never collide with its own
+    previous partial write.
+
+    Robust to partition-type inference in BOTH directions: the
+    column casts to string (an int-inferred column compared against
+    a non-numeric tag would otherwise cast the TAG to null and
+    silently drop — or keep — every row), and the tag matches any of
+    its inferred surface forms (an int-inferred '007' directory
+    reads back as '7', which a one-sided raw-string compare would
+    miss, un-excluding the retried batch's own rows). Distinct raw
+    tags that collide post-inference ('007' vs '7') are
+    indistinguishable in the column and excluded together — don't
+    mint tags that differ only by numeric padding."""
+    col = F.col("batch").cast("string")
+    pred = None
+    for f in sorted(_tag_forms(batch_tag)):
+        eq = col == F.lit(f)
+        pred = eq if pred is None else (pred | eq)
+    return idx.filter(~pred)
+
+
 def _within_batch_survivors(
     pairs: DataFrame, docs: DataFrame, id_col: str
 ) -> DataFrame:
@@ -303,11 +346,7 @@ def minhash_index_admit(
     # jaccard 1.0 and a retry admits nothing.
     idx = read_index(spark, index_path)
     if idx is not None:
-        # compare as STRING: all-numeric batch dirs make partition
-        # discovery infer `batch` as int, and an int-vs-non-numeric-
-        # string comparison casts the tag to null — every row would
-        # be silently excluded (or kept) instead of just this tag's
-        idx = idx.filter(F.col("batch").cast("string") != F.lit(str(batch_tag)))
+        idx = exclude_batch_tag(idx, batch_tag)
     if idx is not None:
         band_vals = band_vals_expr(num_hashes, bands)
         bn = sigs_new.select(
@@ -407,35 +446,55 @@ def compact_partitions(
         idx = spark.read.parquet(root)
     except AnalysisException:
         return None
-    # partition-type inference can surface numeric-looking tags as
-    # ints — compare retained tags by string form, keep raw values
-    # for the isin filter
-    tags = sorted(
-        (r["batch"] for r in idx.select("batch").distinct().collect()),
-        key=str,
+    # Work from the RAW directory names, not the partition column:
+    # type inference surfaces numeric-looking tags as int/double
+    # (batch=007 reads back as 7), so inferred values can neither
+    # match retain_tags reliably nor reconstruct delete paths. A
+    # retained tag protects every raw dir sharing any of its
+    # inferred surface forms (_tag_forms — '007' protects '7' too;
+    # post-inference the column cannot tell them apart anyway).
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(hconf)
+    raw_dirs = sorted(
+        st.getPath().getName()[len("batch=") :]
+        for st in fs.listStatus(root_path)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
     )
-    retained = {str(t) for t in retain_tags}
-    to_compact = [t for t in tags if str(t) not in retained]
+    retained_forms: set[str] = set()
+    for t in retain_tags:
+        retained_forms |= _tag_forms(t)
+    to_compact = [
+        d for d in raw_dirs if not (_tag_forms(d) & retained_forms)
+    ]
     if len(to_compact) <= 1:
         return None
     gen = 0
-    for t in map(str, tags):
+    for t in raw_dirs:
         if t.startswith(_COMPACT_PREFIX):
             try:
                 gen = max(gen, int(t[len(_COMPACT_PREFIX) :]))
             except ValueError:
                 pass
     new_tag = f"{_COMPACT_PREFIX}{gen + 1:08d}"
-    rows = idx.filter(F.col("batch").isin(to_compact)).drop("batch")
+    # select rows by the same surface-form rule the column can see
+    compact_forms: set[str] = set()
+    for d in to_compact:
+        compact_forms |= _tag_forms(d)
+    rows = idx.filter(
+        F.col("batch").cast("string").isin(sorted(compact_forms))
+    ).drop("batch")
     rows.dropDuplicates().coalesce(max(1, target_files)).write.mode(
         "overwrite"
     ).parquet(f"{root}/batch={new_tag}")
-    # sources go only AFTER the consolidated partition is durable
-    jvm = spark._jvm  # noqa: SLF001
-    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    # sources go only AFTER the consolidated partition is durable;
+    # raw names make these paths exact, so a False return here is a
+    # real failure worth surfacing rather than a silent leftover
     for t in to_compact:
         p = jvm.org.apache.hadoop.fs.Path(f"{root}/batch={t}")
-        p.getFileSystem(hconf).delete(p, True)
+        if not p.getFileSystem(hconf).delete(p, True):
+            raise OSError(f"compact_partitions: failed to delete {p}")
     return new_tag
 
 

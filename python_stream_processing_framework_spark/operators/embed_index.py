@@ -56,6 +56,7 @@ from python_stream_processing_framework_spark.operators.common import (
     maybe_broadcast,
 )
 from python_stream_processing_framework_spark.operators.dedup_index import (
+    exclude_batch_tag,
     read_index,
     _sigs_path,
 )
@@ -158,7 +159,11 @@ def embed_index_admit(
 
     idx = read_index(spark, index_path)
     if idx is not None:
-        idx = idx.filter(F.col("batch") != F.lit(batch_tag))
+        # shared inference-robust exclusion: the raw != compare
+        # nulled out for non-numeric tags on int-inferred columns
+        # (silently dropping the whole index) and missed zero-
+        # padded numeric tags — see dedup_index.exclude_batch_tag
+        idx = exclude_batch_tag(idx, batch_tag)
         keys = _band_keys_expr(bands, band_bits)
         bn = sigs_new.select(
             F.col(id_col).alias("id_new"),

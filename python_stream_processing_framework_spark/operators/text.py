@@ -1078,16 +1078,17 @@ def novelty_scores_batch(
     grams = toks.select(
         F.col(id_col), F.explode(F.expr(_gram_hash_expr("_toks", n))).alias("_g")
     )
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        exclude_batch_tag,
+    )
+
     try:
-        # STRING compare: all-numeric batch dirs are partition-inferred
-        # as int, and int != <non-numeric tag> casts the tag to null —
-        # the whole seen set would silently drop and every gram score
-        # novel for direct API callers passing a non-numeric tag
-        seen = (
-            spark.read.parquet(f"{index_path}/grams")
-            .filter(F.col("batch").cast("string") != F.lit(str(batch_tag)))
-            .select("_g")
-        )
+        # shared inference-robust exclusion (handles non-numeric tags
+        # on int-inferred columns AND zero-padded numeric tags — see
+        # dedup_index.exclude_batch_tag)
+        seen = exclude_batch_tag(
+            spark.read.parquet(f"{index_path}/grams"), batch_tag
+        ).select("_g")
     except AnalysisException:
         seen = None
     first = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))

@@ -1168,12 +1168,17 @@ class Stream:
             write_drift_reference,
         )
 
+        from pyspark.sql.utils import AnalysisException
+
         group = group or f"{self.name}-drift"
         self._claim(topic, group)
         ref_path = ref_path or str(self.broker / "_indexes" / group)
         try:
             self.spark.read.parquet(f"{ref_path}/total").head()
-        except Exception:
+        except AnalysisException:
+            # ONLY the missing-table path may trigger the write-once:
+            # a transient read failure on an EXISTING reference must
+            # surface, not silently move the yardstick
             if reference is None:
                 raise ValueError(
                     "monitor_drift needs a `reference` DataFrame the "
@@ -1194,6 +1199,109 @@ class Stream:
                     "ref_path": ref_path,
                 },
             )
+        )
+
+    def tokenize(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        vocab: DataFrame | None = None,
+        id_field: str = "doc_id",
+        text_field: str = "text",
+        target: str | None = None,
+        group: str | None = None,
+        vocab_path: str | None = None,
+        max_piece_len: int = 4,
+        max_word_len: int = 16,
+    ) -> None:
+        """Streaming token-budget meter: every document on ``topic``
+        emits one (batch_seq, id, n_words, n_pieces) row on ``target``
+        (default `{topic}-tokens`) — its piece count under a TRAINED
+        unigram-LM vocabulary (operators/unigram.py), the number a
+        budget planner reads off a live feed. Unsegmentable or
+        over-length words count 1 piece (UNK), so every document
+        always yields a row.
+
+        The vocabulary — the (piece, cnt, logp_nano) frame
+        ``unigram_train`` returns — is persisted ONCE at registration
+        under ``vocab_path`` (skipped when one already exists, the
+        monitor_drift write-once discipline: restarts and
+        re-registrations never swap tokenizers mid-stream; retraining
+        is an explicit overwrite of that path). Each batch then
+        Viterbi-segments its DISTINCT words against that immutable
+        table, so scoring is stateless per batch and exactly-once is
+        just the idempotent per-batch_id sink."""
+        from pyspark.sql.utils import AnalysisException
+
+        group = group or f"{self.name}-tokens"
+        self._claim(topic, group)
+        vocab_path = vocab_path or str(self.broker / "_indexes" / group)
+        try:
+            self.spark.read.parquet(f"{vocab_path}/vocab").head()
+        except AnalysisException:
+            if vocab is None:
+                raise ValueError(
+                    "tokenize needs a trained `vocab` DataFrame the "
+                    f"first time: no vocabulary under {vocab_path}"
+                )
+            vocab.write.mode("overwrite").parquet(f"{vocab_path}/vocab")
+        self._subscriptions.append(
+            _Subscription(
+                kind="tokenize",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "id_field": id_field,
+                    "text_field": text_field,
+                    "target": target or f"{topic}-tokens",
+                    "group": group,
+                    "vocab_path": vocab_path,
+                    "max_piece_len": max_piece_len,
+                    "max_word_len": max_word_len,
+                },
+            )
+        )
+
+    def _start_tokenize(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.operators.unigram import (
+            unigram_segment_counts,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def tokenize_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            vocab = batch.sparkSession.read.parquet(
+                f"{o['vocab_path']}/vocab"
+            )
+            counts = unigram_segment_counts(
+                batch,
+                o["id_field"],
+                o["text_field"],
+                vocab,
+                max_piece_len=o["max_piece_len"],
+                max_word_len=o["max_word_len"],
+            ).select(
+                F.lit(int(batch_id)).alias("batch_seq"),
+                o["id_field"],
+                "n_words",
+                "n_pieces",
+            )
+            _write_batch_jsonl(counts, sink_dir, batch_id)
+
+        return (
+            src.writeStream.foreachBatch(tokenize_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
 
     def _start_monitor_drift(self, sub: _Subscription):
@@ -2160,6 +2268,7 @@ class Stream:
             "index_embeddings": self._start_index_embeddings,
             "score_novelty": self._start_score_novelty,
             "monitor_drift": self._start_monitor_drift,
+            "tokenize": self._start_tokenize,
         }
         for _ in range(max(1, rounds)):
             queries = []

@@ -268,3 +268,27 @@ def test_stream_index_embeddings_append_and_query(spark, corpus, tmp_path):
     ids = [r["vec_id"] for r in got2]
     assert ids == [100, 102] + GROUPS[0]
     assert len(ids) == len(set(ids))  # no duplicate index entries
+
+
+def test_ivf_index_stats_appends_without_base(spark, corpus, tmp_path):
+    """r12 review regression: appended batches over an empty/missing
+    base partition (a build that crashed after centroids/ landed) made
+    append_drift_tv_ppm divide by zero — crashing the health check on
+    exactly the broken index it exists to diagnose. R=0 now reads the
+    token_drift convention: fully drifted, 1e6."""
+    import shutil
+
+    from python_stream_processing_framework_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_stats,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, k=4, iters=1)
+    append_to_ivf_index(spark, idx, corpus.limit(8), batch_tag="a1")
+    # simulate the crash aftermath: base partition gone, appends intact
+    shutil.rmtree(f"{idx}/vectors/batch=base")
+    stats = ivf_index_stats(spark, idx)
+    assert stats["n_base"] == 0 and stats["n_appended"] > 0
+    assert stats["append_drift_tv_ppm"] == 1_000_000

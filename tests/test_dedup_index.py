@@ -411,3 +411,54 @@ def test_migrate_orphan_recovery_old_backup(spark, tmp_path):
     assert not any(n.startswith(".old-") for n in names)
     assert not any(n.startswith(".migrate-") for n in names)
     assert read_index(spark, idx).count() == 2
+
+
+def test_compact_retains_zero_padded_numeric_tag(spark, tmp_path):
+    """r12 review regression (compact_partitions raw-dir discipline):
+    a zero-padded retained tag ('007') used to be compared against the
+    partition-INFERRED value (int 7 -> '7'), so the supposedly-retained
+    partition was folded — breaking the retry's self-exclusion — and
+    its delete path (batch=7) didn't even exist. Compaction now works
+    from the raw directory names and protects every inferred surface
+    form of a retained tag."""
+    idx = str(tmp_path / "idx")
+    try:
+        held = _docs(spark, [(5, _E)])
+        minhash_index_admit(_docs(spark, [(1, _A)]), idx, "001", **_KW).collect()
+        minhash_index_admit(_docs(spark, [(3, _C)]), idx, "002", **_KW).collect()
+        minhash_index_admit(held, idx, "007", **_KW).collect()
+        tag = compact_index(spark, idx, retain_tags=["007"])
+        assert tag is not None
+        dirs = _batch_dirs(idx)
+        # the retained partition survived; the folded sources are gone
+        assert "batch=007" in dirs
+        assert dirs == sorted(["batch=007", f"batch={tag}"])
+        # the retry of 007 still admits its own docs (self-exclusion
+        # intact across the inference gap)
+        retried = sorted(
+            r["doc_id"]
+            for r in minhash_index_admit(held, idx, "007", **_KW).collect()
+        )
+        assert retried == [5]
+        stored = read_index(spark, idx)
+        assert (
+            stored.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+            == 0
+        )
+    finally:
+        release_caches()
+
+
+def test_admit_zero_padded_tag_excludes_own_partition(spark, tmp_path):
+    """exclude_batch_tag (r12): a retry with a zero-padded numeric tag
+    must not collide with its own earlier int-inferred partition."""
+    idx = str(tmp_path / "idx")
+    try:
+        b = _docs(spark, [(9, _A)])
+        minhash_index_admit(b, idx, "07", **_KW).collect()
+        retried = sorted(
+            r["doc_id"] for r in minhash_index_admit(b, idx, "07", **_KW).collect()
+        )
+        assert retried == [9]
+    finally:
+        release_caches()

@@ -274,3 +274,42 @@ def test_admit_with_band_cap_still_admits_distinct(spark, tmp_path):
         assert a2 == [5]
     finally:
         release_caches()
+
+
+def test_admit_non_numeric_and_zero_padded_tags_vs_inference(spark, tmp_path):
+    """r12 review regression (the third exclude_batch_tag site): with
+    only numeric batch dirs the partition column is int-inferred, so
+    (a) a non-numeric retry tag cast to null and silently dropped the
+    ENTIRE signature index — duplicates sailed through — and (b) a
+    zero-padded retry tag failed to exclude its own partition and
+    admitted nothing. Both directions now route through the shared
+    inference-robust exclusion."""
+    from python_stream_processing_framework_spark.operators.embed_index import (
+        embed_index_admit,
+    )
+
+    # (a) numeric dir, then a duplicate arrives under a non-numeric
+    # tag: the index must still be SEEN (duplicate rejected)
+    idx = str(tmp_path / "idx-a")
+    try:
+        embed_index_admit(_vecs(spark, [(1, _vec(0))]), idx, "7", **_KW).collect()
+        dup = embed_index_admit(
+            _vecs(spark, [(9, _vec(0))]), idx, "retry-x", **_KW
+        ).collect()
+        assert [r["vec_id"] for r in dup] == []
+    finally:
+        release_caches()
+
+    # (b) zero-padded tag retry: own int-inferred partition excluded,
+    # the batch re-admits itself
+    idx2 = str(tmp_path / "idx-b")
+    try:
+        b = _vecs(spark, [(5, _vec(1))])
+        embed_index_admit(b, idx2, "07", **_KW).collect()
+        retried = [
+            r["vec_id"]
+            for r in embed_index_admit(b, idx2, "07", **_KW).collect()
+        ]
+        assert retried == [5]
+    finally:
+        release_caches()

@@ -13,8 +13,9 @@ from pathlib import Path
 
 import pytest
 
+from tests.conftest import SF_SMOKE as SF_DIR
+
 EXAMPLES_DIR = str(Path(__file__).resolve().parent.parent / "examples")
-SF_DIR = "/root/testdata/sf0.001"
 
 
 def _import_example(name: str):
@@ -36,6 +37,18 @@ def _tmp_mkdtemp(tmp_path, monkeypatch):
     monkeypatch.setattr(tempfile, "mkdtemp", patched)
 
 
+@pytest.fixture(autouse=True)
+def _no_stop(monkeypatch):
+    """The standalone scripts end with spark.stop() — correct for a
+    script, fatal inside the suite: get_spark's getOrCreate hands them
+    the SHARED session, and stopping it cascades AttributeError /
+    stopped-SparkContext failures through every later test file.
+    Neutralize stop() for the smoke run."""
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+
 def test_ann_serving_example(spark, monkeypatch):
     mod = _import_example("ann_serving")
     monkeypatch.setattr(mod, "SF_DIR", SF_DIR)
@@ -49,4 +62,9 @@ def test_llm_corpus_pipeline_example(spark):
 
 def test_semantic_curation_example(spark):
     mod = _import_example("semantic_curation")
+    mod.main(SF_DIR)
+
+
+def test_tokenizer_training_example(spark):
+    mod = _import_example("tokenizer_training")
     mod.main(SF_DIR)

@@ -307,3 +307,26 @@ def test_novelty_non_numeric_tag_vs_numeric_partitions(spark, tmp_path):
     redo = spark.createDataFrame([(2, "a b c d")], "doc_id bigint, text string")
     (row,) = novelty_scores_batch(redo, idx, "retry-x").collect()
     assert (row["n_novel"], row["novelty_ppm"]) == (0, 0)
+
+
+def test_novelty_zero_padded_tag_excludes_own_partition(spark, tmp_path):
+    """r12 review regression (exclude_batch_tag): a zero-padded
+    numeric tag ('07') is partition-inferred as int 7, so the old
+    one-sided raw-string compare ('7' != '07') failed to exclude the
+    redelivered batch's OWN earlier grams — a retry scored everything
+    as seen. The shared helper matches every inferred surface form."""
+    from python_stream_processing_framework_spark.operators.text import (
+        append_novelty_grams,
+        novelty_scores_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    batch = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    append_novelty_grams(batch, idx, "07")  # numeric dir -> int inference
+    # redelivery with the SAME tag: own partition excluded -> all novel
+    (row,) = novelty_scores_batch(batch, idx, "07").collect()
+    assert (row["n_novel"], row["novelty_ppm"]) == (2, 1_000_000)
+    # a DIFFERENT batch still sees tag 07's grams
+    other = spark.createDataFrame([(2, "a b c d")], "doc_id bigint, text string")
+    (row2,) = novelty_scores_batch(other, idx, "8").collect()
+    assert (row2["n_novel"], row2["novelty_ppm"]) == (0, 0)

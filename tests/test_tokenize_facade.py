@@ -1,0 +1,121 @@
+"""Streaming token-budget meter (Stream.tokenize): per-document piece
+counts under a persisted trained unigram-LM vocabulary — the streaming
+form of the unigram_token_counts catalog query. Vocabulary written
+once at registration; stateless per batch; exactly-once across
+restarts; UNK=1 for words the vocabulary cannot segment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from python_stream_processing_framework_spark.streaming import Stream
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("batch_seq", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("n_words", LongType()),
+        StructField("n_pieces", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    return Stream(spark, str(tmp_path / "broker"))
+
+
+def _rows(stream, topic="docs-tokens"):
+    return {
+        (r["batch_seq"], r["doc_id"]): (r["n_words"], r["n_pieces"])
+        for r in stream.read_topic(topic, OUT_SCHEMA).collect()
+    }
+
+
+def _vocab(spark):
+    """Train on 'abab'x3 'cd'x3 'ab' — learns {'ab','c','d'} (the
+    test_unigram_known_corpus case): abab -> 2 pieces, cd -> 2."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ab")],
+        "doc_id bigint, text string",
+    )
+    return unigram_train(
+        train, "text", seed_size=4, max_piece_len=3, max_word_len=8,
+        em_rounds=2,
+    )
+
+
+def test_tokenize_counts_and_unk(stream, spark):
+    stream.tokenize("docs", SCHEMA, vocab=_vocab(spark), max_piece_len=3,
+                    max_word_len=8)
+    stream.emit(
+        "docs",
+        {"doc_id": 1, "text": "abab cd"},      # 2 + 2 = 4 pieces
+        {"doc_id": 2, "text": "zz abab"},      # UNK 1 + 2 = 3
+        {"doc_id": 3, "text": "abababababab"}, # > max_word_len -> UNK 1
+    )
+    stream.run_until_idle()
+    out = _rows(stream)
+    assert out[(0, 1)] == (2, 4)
+    assert out[(0, 2)] == (2, 3)
+    assert out[(0, 3)] == (1, 1)
+
+
+def test_tokenize_exactly_once_after_restart(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    s1 = Stream(spark, broker)
+    s1.tokenize("docs", SCHEMA, vocab=_vocab(spark), max_piece_len=3,
+                max_word_len=8)
+    s1.emit("docs", {"doc_id": 1, "text": "abab cd"})
+    s1.run_until_idle()
+    assert _rows(s1)[(0, 1)] == (2, 4)
+
+    # restart WITHOUT a vocab frame: the persisted one is reused
+    s2 = Stream(spark, broker)
+    s2.tokenize("docs", SCHEMA, max_piece_len=3, max_word_len=8)
+    s2.emit("docs", {"doc_id": 9, "text": "cd cd"})
+    s2.run_until_idle()
+    out = _rows(s2)
+    assert set(out) == {(0, 1), (1, 9)}  # no batch-0 redelivery
+    assert out[(1, 9)] == (2, 4)
+
+
+def test_tokenize_vocab_written_once(spark, tmp_path):
+    """A re-registration with a DIFFERENT vocab must not swap
+    tokenizers mid-stream — the persisted table wins."""
+    broker = str(tmp_path / "broker")
+    s1 = Stream(spark, broker)
+    s1.tokenize("docs", SCHEMA, vocab=_vocab(spark), max_piece_len=3,
+                max_word_len=8)
+    s1.emit("docs", {"doc_id": 1, "text": "abab"})
+    s1.run_until_idle()
+
+    other = spark.createDataFrame(
+        [("a", 4, -100), ("b", 4, -100)], "piece string, cnt bigint, logp_nano bigint"
+    )
+    s2 = Stream(spark, broker)
+    s2.tokenize("docs", SCHEMA, vocab=other, max_piece_len=3, max_word_len=8)
+    s2.emit("docs", {"doc_id": 2, "text": "abab"})
+    s2.run_until_idle()
+    out = _rows(s2)
+    # still the ORIGINAL vocab: abab -> 'ab ab' = 2 pieces (the char
+    # vocab would read 4)
+    assert out[(1, 2)] == (1, 2)
+
+
+def test_tokenize_requires_vocab_first_time(spark, tmp_path):
+    s = Stream(spark, str(tmp_path / "broker"))
+    with pytest.raises(ValueError, match="vocab"):
+        s.tokenize("docs", SCHEMA)
