@@ -202,3 +202,82 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_MAXP,
         max_word_len=_MAXW,
     )
+
+
+@query(
+    "source_fertility",
+    f"""
+    WITH {_unigram_ctes(_ROUNDS, _MAXW)},
+    {",".join(_dp_ctes("e", f"v{_ROUNDS}", _MAXW))},
+    wp AS MATERIALIZED (
+        SELECT word,
+               CAST(len(string_split(trim(path), ' ')) AS BIGINT) AS np
+        FROM de_{_MAXW} WHERE pos = wl)
+    SELECT d.source AS src,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(coalesce(wp.np, 1)) AS BIGINT) AS n_pieces,
+           CAST(SUM(coalesce(wp.np, 1)) * 1000000
+                // COUNT(*) AS BIGINT) AS fertility_ppm
+    FROM (SELECT doc_id, source, unnest({_TOKS}) AS word
+          FROM documents) d
+    LEFT JOIN wp ON wp.word = d.word
+    GROUP BY d.source
+    """,
+    doc="Per-source tokenizer fertility under the learned unigram-LM "
+    "vocabulary: pieces-per-word in exact integer ppm — the number "
+    "that prices each source's token budget when planning a mixture "
+    "(a source whose fertility runs high costs more tokens per word "
+    "of content; read next to unimax_allocation / domain_mixture). "
+    "Composes the unigram encoder with a per-source rollup: each "
+    "DISTINCT word Viterbi-segments once, the corpus joins that "
+    "word table (UNK=1), and everything after is exact integer "
+    "arithmetic, so the oracle (same unrolled EM + encode CTEs, "
+    "grouped by source) value-compares bit-for-bit.",
+)
+def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    (documents,) = load(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        documents,
+        "text",
+        seed_size=_SEED,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+        em_rounds=_ROUNDS,
+    )
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_word_table,
+        viterbi_segment,
+    )
+    from python_stream_processing_framework_spark.operators.dedup import (
+        tokens_expr,
+    )
+
+    seg = viterbi_segment(
+        unigram_word_table(documents, "text", max_word_len=_MAXW),
+        vocab,
+        max_piece_len=_MAXP,
+    ).select(
+        "word",
+        F.size(F.split(F.trim(F.col("path")), " ")).cast("bigint").alias("_np"),
+    )
+    words = documents.select(
+        "doc_id", "source", F.explode(tokens_expr("text")).alias("word")
+    )
+    return (
+        words.join(seg, "word", "left")
+        .groupBy(F.col("source").alias("src"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.coalesce(F.col("_np"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_pieces"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("CAST(n_pieces * 1000000 DIV n_words AS BIGINT)"),
+        )
+    )
