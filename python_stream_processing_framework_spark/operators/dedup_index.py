@@ -204,19 +204,31 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
 
 def _tag_forms(batch_tag) -> set[str]:
     """Every string a `batch=<tag>` directory value can surface as
-    after partition-type inference: the raw tag, plus its int/float
-    canonical form when the tag is numeric (all-numeric dirs are
-    inferred as int/double, so `batch=007` reads back as 7 and casts
-    to the string '7', not '007')."""
+    after partition discovery:
+
+    - the raw tag itself;
+    - its int AND double canonical forms when numeric — all-numeric
+      dirs infer as int (`batch=007` reads back as 7 → '7'), and a
+      MIXED int/float dir set widens the column to double, so the
+      same tag also surfaces as '7.0';
+    - its Hive-unescaped form — the dirs are written with the raw
+      tag in the path, but Spark's partition reader UNESCAPES %XX
+      sequences, so a tag like 'a%3Ab' reads back as 'a:b'."""
     tag = str(batch_tag)
     forms = {tag}
     try:
-        forms.add(str(int(tag)))
+        i = int(tag)
+        forms.add(str(i))
+        forms.add(str(float(i)))
     except ValueError:
         try:
             forms.add(str(float(tag)))
         except ValueError:
             pass
+    if "%" in tag:
+        from urllib.parse import unquote
+
+        forms.add(unquote(tag))
     return forms
 
 

@@ -269,6 +269,29 @@ def unigram_train(
     return vocab
 
 
+def word_piece_counts(
+    df: DataFrame,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """The shared encode table: (word, _np) — each DISTINCT
+    segmentable word's piece count under ``vocab``. Every consumer
+    (per-doc token counts, per-source fertility) joins the exploded
+    corpus against this one table; the UNK=1 convention for words
+    absent here lives at the join's ``coalesce``."""
+    return viterbi_segment(
+        unigram_word_table(df, text_col, max_word_len=max_word_len),
+        vocab,
+        max_piece_len=max_piece_len,
+    ).select(
+        "word",
+        F.size(F.split(F.trim(F.col("path")), " ")).cast("bigint").alias("_np"),
+    )
+
+
 def unigram_segment_counts(
     df: DataFrame,
     id_col: str,
@@ -291,13 +314,12 @@ def unigram_segment_counts(
     come from one hash join of the exploded corpus against that
     word→n_pieces table — the corpus is scanned once and never
     carries the DP."""
-    seg = viterbi_segment(
-        unigram_word_table(df, text_col, max_word_len=max_word_len),
+    seg = word_piece_counts(
+        df,
+        text_col,
         vocab,
         max_piece_len=max_piece_len,
-    ).select(
-        "word",
-        F.size(F.split(F.trim(F.col("path")), " ")).cast("bigint").alias("_np"),
+        max_word_len=max_word_len,
     )
     words = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("word")

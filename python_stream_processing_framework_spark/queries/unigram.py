@@ -91,6 +91,22 @@ def _dp_ctes(tag: str, vocab: str, maxw: int) -> list[str]:
     return parts
 
 
+def _encode_ctes(rounds: int, maxw: int) -> str:
+    """The shared encode block both token-count queries append to the
+    training CTEs: one more Bellman-Ford pass (tag 'e') under the
+    final vocabulary, then ``wp`` = (word, np) — the SQL mirror of
+    operators/unigram.word_piece_counts. One definition so the UNK /
+    path-split conventions cannot desync between consumers."""
+    return (
+        ",".join(_dp_ctes("e", f"v{rounds}", maxw))
+        + f""",
+    wp AS MATERIALIZED (
+        SELECT word,
+               CAST(len(string_split(trim(path), ' ')) AS BIGINT) AS np
+        FROM de_{maxw} WHERE pos = wl)"""
+    )
+
+
 def _unigram_ctes(rounds: int, maxw: int) -> str:
     parts = [
         f"""
@@ -160,11 +176,7 @@ def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_token_counts",
     f"""
     WITH {_unigram_ctes(_ROUNDS, _MAXW)},
-    {",".join(_dp_ctes("e", f"v{_ROUNDS}", _MAXW))},
-    wp AS MATERIALIZED (
-        SELECT word,
-               CAST(len(string_split(trim(path), ' ')) AS BIGINT) AS np
-        FROM de_{_MAXW} WHERE pos = wl)
+    {_encode_ctes(_ROUNDS, _MAXW)}
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(coalesce(wp.np, 1)) AS BIGINT) AS n_pieces
@@ -208,11 +220,7 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_fertility",
     f"""
     WITH {_unigram_ctes(_ROUNDS, _MAXW)},
-    {",".join(_dp_ctes("e", f"v{_ROUNDS}", _MAXW))},
-    wp AS MATERIALIZED (
-        SELECT word,
-               CAST(len(string_split(trim(path), ' ')) AS BIGINT) AS np
-        FROM de_{_MAXW} WHERE pos = wl)
+    {_encode_ctes(_ROUNDS, _MAXW)}
     SELECT d.source AS src,
            CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -238,6 +246,13 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from python_stream_processing_framework_spark.operators.dedup import (
+        tokens_expr,
+    )
+    from python_stream_processing_framework_spark.operators.unigram import (
+        word_piece_counts,
+    )
+
     (documents,) = load(spark, sf_dir, "documents")
     vocab = unigram_train(
         documents,
@@ -247,21 +262,8 @@ def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_word_len=_MAXW,
         em_rounds=_ROUNDS,
     )
-    from python_stream_processing_framework_spark.operators.unigram import (
-        unigram_word_table,
-        viterbi_segment,
-    )
-    from python_stream_processing_framework_spark.operators.dedup import (
-        tokens_expr,
-    )
-
-    seg = viterbi_segment(
-        unigram_word_table(documents, "text", max_word_len=_MAXW),
-        vocab,
-        max_piece_len=_MAXP,
-    ).select(
-        "word",
-        F.size(F.split(F.trim(F.col("path")), " ")).cast("bigint").alias("_np"),
+    seg = word_piece_counts(
+        documents, "text", vocab, max_piece_len=_MAXP, max_word_len=_MAXW
     )
     words = documents.select(
         "doc_id", "source", F.explode(tokens_expr("text")).alias("word")
@@ -276,8 +278,15 @@ def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_pieces"),
         )
+        # cross-multiply in decimal(38,0) (the token_drift discipline):
+        # n_pieces * 1e6 wraps int64 past ~9.2e12 pieces, exactly the
+        # web-corpus scale a per-source rollup reaches; the DuckDB
+        # side already rides HUGEINT
         .withColumn(
             "fertility_ppm",
-            F.expr("CAST(n_pieces * 1000000 DIV n_words AS BIGINT)"),
+            F.expr(
+                "CAST(CAST(n_pieces AS DECIMAL(38,0)) * 1000000"
+                " DIV n_words AS BIGINT)"
+            ),
         )
     )

@@ -1171,8 +1171,9 @@ class Stream:
         from pyspark.sql.utils import AnalysisException
 
         group = group or f"{self.name}-drift"
-        self._claim(topic, group)
         ref_path = ref_path or str(self.broker / "_indexes" / group)
+        # validate BEFORE claiming: a failed registration must not
+        # poison the (topic, group) claim for the corrected retry
         try:
             self.spark.read.parquet(f"{ref_path}/total").head()
         except AnalysisException:
@@ -1185,6 +1186,7 @@ class Stream:
                     f"first time: no reference table under {ref_path}"
                 )
             write_drift_reference(reference, ref_path, text_col=text_field)
+        self._claim(topic, group)
         self._subscriptions.append(
             _Subscription(
                 kind="monitor_drift",
@@ -1220,8 +1222,10 @@ class Stream:
         (default `{topic}-tokens`) — its piece count under a TRAINED
         unigram-LM vocabulary (operators/unigram.py), the number a
         budget planner reads off a live feed. Unsegmentable or
-        over-length words count 1 piece (UNK), so every document
-        always yields a row.
+        over-length words count 1 piece (UNK), and null text is
+        metered as empty (one UNK token), so every document always
+        yields a row — a consumer reconciling rows against emitted
+        doc counts never blocks on a missing one.
 
         The vocabulary — the (piece, cnt, logp_nano) frame
         ``unigram_train`` returns — is persisted ONCE at registration
@@ -1235,8 +1239,9 @@ class Stream:
         from pyspark.sql.utils import AnalysisException
 
         group = group or f"{self.name}-tokens"
-        self._claim(topic, group)
         vocab_path = vocab_path or str(self.broker / "_indexes" / group)
+        # validate BEFORE claiming (see monitor_drift): a failed
+        # registration must not poison the claim for the retry
         try:
             self.spark.read.parquet(f"{vocab_path}/vocab").head()
         except AnalysisException:
@@ -1246,6 +1251,7 @@ class Stream:
                     f"first time: no vocabulary under {vocab_path}"
                 )
             vocab.write.mode("overwrite").parquet(f"{vocab_path}/vocab")
+        self._claim(topic, group)
         self._subscriptions.append(
             _Subscription(
                 kind="tokenize",
@@ -1278,6 +1284,12 @@ class Stream:
                 return
             vocab = batch.sparkSession.read.parquet(
                 f"{o['vocab_path']}/vocab"
+            )
+            # null text meters as empty — tokens_expr(NULL) explodes
+            # to nothing and the doc's row would silently vanish,
+            # breaking the every-doc-yields-a-row contract
+            batch = batch.withColumn(
+                o["text_field"], F.coalesce(F.col(o["text_field"]), F.lit(""))
             )
             counts = unigram_segment_counts(
                 batch,

@@ -462,3 +462,64 @@ def test_admit_zero_padded_tag_excludes_own_partition(spark, tmp_path):
         assert retried == [9]
     finally:
         release_caches()
+
+
+def test_exclude_batch_tag_float_widened_and_escaped(spark, tmp_path):
+    """r12 review regressions on exclude_batch_tag's form set: (a) a
+    MIXED int/float dir set widens the partition column to double, so
+    an integer tag's rows surface as '7.0' — the int-only form missed
+    them and a retry self-collided; (b) dirs are written with the raw
+    tag but Spark's partition reader UNESCAPES %XX, so an escaped
+    tag's rows surface under the unescaped string."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        exclude_batch_tag,
+    )
+
+    # (a) int/float widening
+    root = str(tmp_path / "idx")
+    spark.createDataFrame([(1,)], "v bigint").write.parquet(f"{root}/batch=7")
+    spark.createDataFrame([(2,)], "v bigint").write.parquet(f"{root}/batch=8.5")
+    idx = spark.read.parquet(root)
+    left = [r["v"] for r in exclude_batch_tag(idx, "7").collect()]
+    assert left == [2]
+
+    # (b) hive unescaping
+    root2 = str(tmp_path / "idx2")
+    spark.createDataFrame([(1,)], "v bigint").write.parquet(
+        f"{root2}/batch=a%3Ab"
+    )
+    spark.createDataFrame([(2,)], "v bigint").write.parquet(
+        f"{root2}/batch=other"
+    )
+    idx2 = spark.read.parquet(root2)
+    assert {r["batch"] for r in idx2.select("batch").distinct().collect()} == {
+        "a:b",
+        "other",
+    }  # the reader really does unescape
+    left2 = [r["v"] for r in exclude_batch_tag(idx2, "a%3Ab").collect()]
+    assert left2 == [2]
+
+
+def test_compact_preserves_rows_of_escaped_tag_dirs(spark, tmp_path):
+    """r12 review regression (compact_partitions): a dir whose raw
+    name contains %XX reads back under the UNESCAPED column value, so
+    matching compacted rows by raw name alone would omit them from
+    the consolidated partition while still deleting the source dir —
+    permanently losing the rows."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "grams")
+    spark.createDataFrame([(11,)], "g bigint").write.parquet(
+        f"{root}/batch=a%3Ab"
+    )
+    spark.createDataFrame([(22,)], "g bigint").write.parquet(
+        f"{root}/batch=b2"
+    )
+    tag = compact_partitions(spark, root)
+    assert tag is not None
+    rows = sorted(
+        r["g"] for r in spark.read.parquet(root).select("g").collect()
+    )
+    assert rows == [11, 22]  # nothing lost across the escape gap

@@ -119,3 +119,34 @@ def test_tokenize_requires_vocab_first_time(spark, tmp_path):
     s = Stream(spark, str(tmp_path / "broker"))
     with pytest.raises(ValueError, match="vocab"):
         s.tokenize("docs", SCHEMA)
+
+
+def test_tokenize_failed_registration_does_not_poison_claim(spark, tmp_path):
+    """r12 review regression: the missing-vocab ValueError fired AFTER
+    _claim recorded (topic, group), so the corrected retry on the same
+    Stream died with 'consumer group already registered'."""
+    s = Stream(spark, str(tmp_path / "broker"))
+    with pytest.raises(ValueError, match="vocab"):
+        s.tokenize("docs", SCHEMA)
+    # corrected call on the SAME instance must succeed
+    s.tokenize("docs", SCHEMA, vocab=_vocab(spark), max_piece_len=3,
+               max_word_len=8)
+    s.emit("docs", {"doc_id": 1, "text": "abab"})
+    s.run_until_idle()
+    assert _rows(s)[(0, 1)] == (1, 2)
+
+
+def test_tokenize_null_text_still_yields_a_row(stream, spark):
+    """The every-doc-yields-a-row contract: null text meters as empty
+    (one UNK token) instead of silently vanishing from the feed."""
+    stream.tokenize("docs", SCHEMA, vocab=_vocab(spark), max_piece_len=3,
+                    max_word_len=8)
+    stream.emit(
+        "docs",
+        {"doc_id": 1, "text": None},
+        {"doc_id": 2, "text": "abab"},
+    )
+    stream.run_until_idle()
+    out = _rows(stream)
+    assert out[(0, 1)] == (1, 1)
+    assert out[(0, 2)] == (1, 2)
