@@ -901,3 +901,26 @@ def test_unigram_train_rounds_lineage_truncated(spark):
         "unigram_train must return a checkpointed leaf, not the live "
         "training lattice"
     )
+
+
+def test_unigram_encode_joins_word_table_not_dp(spark):
+    """unigram_token_counts / source_fertility's 100-TB contract: the
+    corpus-side join is ONE hash join keyed on `word` against the
+    distinct-word piece-count table — the Viterbi DP never rides the
+    corpus scan (it lives behind the word-table aggregate), and no
+    join goes cartesian."""
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    for name in ("unigram_token_counts", "source_fertility"):
+        df = q(name, spark)
+        assert_no_cartesian(df)
+        t = plan_text(df)
+        key_lines = [
+            ln
+            for ln in t.splitlines()
+            if "Left keys" in ln or "Right keys" in ln
+        ]
+        assert key_lines, f"{name}: expected join key lines"
+        assert all(
+            "word" in ln or "piece" in ln for ln in key_lines
+        ), f"{name}: join not keyed on word/piece: {key_lines}"
