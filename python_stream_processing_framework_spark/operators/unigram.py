@@ -229,6 +229,25 @@ def _viterbi_counts(best: DataFrame) -> DataFrame:
     )
 
 
+def _prune_counts(counts: DataFrame, keep_size: int) -> DataFrame:
+    """The paper's vocabulary-prune step in its hard-EM form: keep the
+    ``keep_size`` highest-Viterbi-count pieces — count is the hard-EM
+    proxy for the paper's loss contribution (a piece's count IS the
+    mass its removal would force onto other pieces) — with every
+    single-character piece retained unconditionally (the coverage
+    floor: dropping a live character could strand words mid-training).
+    Deterministic: (cnt DESC, piece ASC); chars count against the
+    budget first, multi-character pieces fill the remainder."""
+    chars = counts.filter(F.length("piece") == 1)
+    room = max(0, keep_size - chars.count())
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(room)
+    )
+    return chars.unionByName(multi)
+
+
 def unigram_train(
     df: DataFrame,
     text_col: str,
@@ -237,16 +256,23 @@ def unigram_train(
     max_piece_len: int = 4,
     max_word_len: int = 16,
     em_rounds: int = 2,
+    keep_size: int | None = None,
 ) -> DataFrame:
     """Learn a unigram-LM vocabulary from the corpus: seed, then
-    ``em_rounds`` of Viterbi-EM. Returns (piece, cnt, logp_nano) —
-    the surviving pieces after the last round with their Viterbi
-    counts and nano-unit log-probs. See the module docstring for the
-    algorithm, determinism contract, and scale shape."""
+    ``em_rounds`` of Viterbi-EM, each round optionally pruned to the
+    ``keep_size`` best-scoring pieces (see :func:`_prune_counts` —
+    the paper's prune schedule, hard-EM form; probabilities
+    re-normalize over the survivors). Returns (piece, cnt,
+    logp_nano) — the surviving pieces after the last round with
+    their Viterbi counts and nano-unit log-probs. See the module
+    docstring for the algorithm, determinism contract, and scale
+    shape."""
     if em_rounds < 1:
         raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     if max_piece_len < 1 or max_word_len < 1:
         raise ValueError("max_piece_len and max_word_len must be >= 1")
+    if keep_size is not None and keep_size < 1:
+        raise ValueError(f"keep_size must be >= 1, got {keep_size}")
     from python_stream_processing_framework_spark.operators.common import (
         materialize,
     )
@@ -261,10 +287,13 @@ def unigram_train(
     )
     for _ in range(em_rounds):
         best = viterbi_segment(words, vocab, max_piece_len=max_piece_len)
+        counts = _viterbi_counts(best)
+        if keep_size is not None:
+            counts = _prune_counts(counts, keep_size)
         # lineage truncation per round (the bpe_train discipline):
         # each round's plan would otherwise chain on the previous
         # round's full analyzed plan
-        vocab = _with_logp(_viterbi_counts(best)).localCheckpoint(eager=True)
+        vocab = _with_logp(counts).localCheckpoint(eager=True)
     words.unpersist()
     return vocab
 

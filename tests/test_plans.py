@@ -924,3 +924,33 @@ def test_unigram_encode_joins_word_table_not_dp(spark):
         assert all(
             "word" in ln or "piece" in ln for ln in key_lines
         ), f"{name}: join not keyed on word/piece: {key_lines}"
+
+
+def test_drift_scores_batch_prunes_reference_by_semi_join(spark, tmp_path):
+    """Stream.monitor_drift's 100-TB contract: the corpus-vocabulary
+    reference table is pruned to the batch's vocabulary by a semi-join
+    BEFORE the compare join — the big side must never be broadcast
+    wholesale or shuffled unpruned."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.text import (
+        drift_scores_batch,
+        write_drift_reference,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    ref_path = str(tmp_path / "ref")
+    write_drift_reference(
+        spark.createDataFrame([("a a b b",)], "text string"), ref_path
+    )
+    batch = spark.createDataFrame(
+        [("s1", "a b c")], "source string, text string"
+    )
+    df = drift_scores_batch(batch, ref_path)
+    try:
+        t = plan_text(df)
+        assert_no_cartesian(df)
+        assert "LeftSemi" in t, "reference prune semi-join missing"
+    finally:
+        release_caches()

@@ -18,7 +18,15 @@ def _round_nano(x: float) -> int:
     return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
 
 
-def _ref_unigram(words_list, *, seed_size, max_piece_len, max_word_len, em_rounds):
+def _ref_unigram(
+    words_list,
+    *,
+    seed_size,
+    max_piece_len,
+    max_word_len,
+    em_rounds,
+    keep_size=None,
+):
     """Pure-Python reference: frequent-substring seed (all chars +
     top-k multi), then hard-EM rounds where the E-step is an
     exhaustive global argmax over all segmentations."""
@@ -63,6 +71,17 @@ def _ref_unigram(words_list, *, seed_size, max_piece_len, max_word_len, em_round
         rec(0, 0, "")
         return best
 
+    def prune(cnts):
+        chars = {p: c for p, c in cnts.items() if len(p) == 1}
+        room = max(0, keep_size - len(chars))
+        multi = sorted(
+            ((p, c) for p, c in cnts.items() if len(p) >= 2),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:room]
+        out = dict(chars)
+        out.update(dict(multi))
+        return out
+
     lp = with_logp(counts)
     for _ in range(em_rounds):
         counts = Counter()
@@ -73,6 +92,8 @@ def _ref_unigram(words_list, *, seed_size, max_piece_len, max_word_len, em_round
             for piece in b[1].split():
                 counts[piece] += c
         counts = dict(counts)
+        if keep_size is not None:
+            counts = prune(counts)
         lp = with_logp(counts)
     return {p: (counts[p], lp[p]) for p in counts}
 
@@ -87,9 +108,10 @@ def _ref_unigram(words_list, *, seed_size, max_piece_len, max_word_len, em_round
     seed_size=st.integers(1, 4),
     max_piece_len=st.integers(2, 3),
     em_rounds=st.integers(1, 2),
+    keep_size=st.one_of(st.none(), st.integers(1, 5)),
 )
 def test_unigram_matches_exhaustive_reference(
-    spark, words, seed_size, max_piece_len, em_rounds
+    spark, words, seed_size, max_piece_len, em_rounds, keep_size
 ):
     """Distributed Viterbi-EM == sequential exhaustive-argmax EM on
     the same corpus: identical surviving vocabulary, counts, and
@@ -111,6 +133,7 @@ def test_unigram_matches_exhaustive_reference(
             max_piece_len=max_piece_len,
             max_word_len=6,
             em_rounds=em_rounds,
+            keep_size=keep_size,
         ).collect()
     }
     want = _ref_unigram(
@@ -119,8 +142,9 @@ def test_unigram_matches_exhaustive_reference(
         max_piece_len=max_piece_len,
         max_word_len=6,
         em_rounds=em_rounds,
+        keep_size=keep_size,
     )
-    assert got == want, (words, seed_size, max_piece_len, em_rounds)
+    assert got == want, (words, seed_size, max_piece_len, em_rounds, keep_size)
 
 
 def test_unigram_known_corpus(spark):
@@ -191,3 +215,33 @@ def test_unigram_rejects_bad_params(spark):
         unigram_train(df, "text", em_rounds=0)
     with pytest.raises(ValueError):
         unigram_train(df, "text", max_piece_len=0)
+
+
+def test_unigram_keep_size_prunes_multi_keeps_chars(spark):
+    """keep_size (the paper's prune schedule, hard-EM form): the
+    vocabulary caps at keep_size by Viterbi count with single chars
+    retained unconditionally, and probabilities re-normalize over the
+    survivors."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ab")],
+        "doc_id bigint, text string",
+    )
+    # unpruned run learns {'ab', 'c', 'd'} (test_unigram_known_corpus);
+    # keep_size=2 leaves room for zero multi pieces after the two live
+    # chars — 'ab' is pruned, abab re-segments via chars next round
+    v = unigram_train(
+        df, "text", seed_size=4, max_piece_len=3, max_word_len=8,
+        em_rounds=2, keep_size=2,
+    )
+    rows = {r["piece"]: r["cnt"] for r in v.collect()}
+    assert set(rows) <= {"a", "b", "c", "d"}
+    assert all(len(p) == 1 for p in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        unigram_train(df, "text", keep_size=0)
