@@ -363,3 +363,50 @@ def unigram_segment_counts(
             .alias("n_pieces"),
         )
     )
+
+
+def unigram_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Tokenize the corpus under a learned vocabulary — the encode
+    step a pipeline runs at 100 TB once the tokenizer exists (the
+    unigram counterpart of bpe_encode). Output: (id, pieces
+    array<string>) — each document's full piece sequence in reading
+    order; words the vocabulary cannot segment (or longer than
+    ``max_word_len``) pass through as a single piece (the UNK
+    convention, here the verbatim word so the stream stays lossless).
+
+    Scale shape: the same one-join contract as the counting
+    consumers — each DISTINCT word Viterbi-segments once
+    (word_piece_counts' sibling keeping the PIECES, not the count),
+    then the corpus's posexploded words hash-join that
+    vocabulary-bounded table and regroup per document in word order.
+    The DP never rides a corpus-sized frame."""
+    seg = viterbi_segment(
+        unigram_word_table(df, text_col, max_word_len=max_word_len),
+        vocab,
+        max_piece_len=max_piece_len,
+    ).select("word", F.split(F.trim(F.col("path")), " ").alias("_ps"))
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("word_pos", "word"),
+    )
+    joined = words.join(seg, "word", "left").select(
+        id_col,
+        "word_pos",
+        F.coalesce(F.col("_ps"), F.array(F.col("word"))).alias("_wp"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word_pos", "_wp"))),
+                lambda x: x["_wp"],
+            )
+        ).alias("pieces")
+    )

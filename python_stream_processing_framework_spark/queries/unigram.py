@@ -290,3 +290,65 @@ def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "unigram_encode_pieces",
+    f"""
+    WITH {_unigram_ctes(_ROUNDS, _MAXW)},
+    {_encode_ctes(_ROUNDS, _MAXW)},
+    wseg AS MATERIALIZED (
+        SELECT word, string_split(trim(path), ' ') AS ps
+        FROM de_{_MAXW} WHERE pos = wl),
+    dw AS (SELECT doc_id, CAST(u.s AS INT) AS word_pos,
+                  toks[CAST(u.s AS INT) + 1] AS word
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                 WHERE doc_id % 20 = 0) z,
+                UNNEST(range(0, len(toks))) AS u(s)),
+    dwp AS (SELECT dw.doc_id, dw.word_pos,
+                   coalesce(w.ps, [dw.word]) AS ps
+            FROM dw LEFT JOIN wseg w ON w.word = dw.word),
+    enc AS (SELECT doc_id, flatten(list(ps ORDER BY word_pos)) AS pieces
+            FROM dwp GROUP BY doc_id)
+    SELECT doc_id, CAST(gs - 1 AS BIGINT) AS piece_idx, pieces[gs] AS piece
+    FROM enc, LATERAL (SELECT unnest(generate_series(1, len(enc.pieces))) AS gs) g
+    """,
+    doc="The ENCODE step under the learned unigram-LM vocabulary: "
+    "every 20th document's full piece sequence in reading order "
+    "(operators/unigram.unigram_encode, the counterpart of "
+    "bpe_encode_pieces). Each DISTINCT word Viterbi-segments once; "
+    "the corpus's only join is word-keyed against that "
+    "vocabulary-bounded piece table, then pieces regroup per doc in "
+    "word order (UNK words pass through verbatim). The oracle "
+    "re-derives the vocabulary, replays the encode pass, and "
+    "value-compares the exploded (doc_id, piece_idx, piece) stream.",
+)
+def unigram_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_encode,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        documents,
+        "text",
+        seed_size=_SEED,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+        em_rounds=_ROUNDS,
+    )
+    enc = unigram_encode(
+        documents.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        vocab,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+    )
+    return enc.select(
+        "doc_id", F.posexplode("pieces").alias("piece_idx", "piece")
+    ).select(
+        "doc_id", F.col("piece_idx").cast("bigint").alias("piece_idx"), "piece"
+    )

@@ -245,3 +245,35 @@ def test_unigram_keep_size_prunes_multi_keeps_chars(spark):
 
     with pytest.raises(ValueError):
         unigram_train(df, "text", keep_size=0)
+
+
+def test_unigram_encode_order_and_unk_passthrough(spark):
+    """unigram_encode: pieces come back in reading order across words,
+    and words the vocabulary cannot segment (or over-length) pass
+    through verbatim as one piece — the stream stays lossless."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ab")],
+        "doc_id bigint, text string",
+    )
+    v = unigram_train(
+        train, "text", seed_size=4, max_piece_len=3, max_word_len=8,
+        em_rounds=2,
+    )  # vocab {'ab','c','d'}
+    apply = spark.createDataFrame(
+        [(1, "cd abab zz"), (2, "abababababab ab")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_encode(
+            apply, "doc_id", "text", v, max_piece_len=3, max_word_len=8
+        ).collect()
+    }
+    assert out[1] == ["c", "d", "ab", "ab", "zz"]
+    # over-length word (12 chars > cap 8) passes through whole
+    assert out[2] == ["abababababab", "ab"]
