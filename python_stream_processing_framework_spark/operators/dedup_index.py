@@ -46,6 +46,8 @@ incremental near-dup admission is beyond-reference charter
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
@@ -202,6 +204,17 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
     return idx
 
 
+#: Strict ASCII numeric shapes — the only tags whose int()/float()
+#: reading agrees with Spark's partition-value inference. Python's
+#: int()/float() also accept underscores ('7_0' == 70) and non-ASCII
+#: digit scripts, which Spark never parses as numeric; minting forms
+#: from those would exclude an UNRELATED batch's partition (r12
+#: ADVICE). Exponent shapes ('1e5') are handled by the TYPED
+#: disjunct, not string forms — Java renders them its own way.
+_INT_FORM_RE = re.compile(r"[+-]?[0-9]+")
+_NUM_FORM_RE = re.compile(r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?")
+
+
 def _tag_forms(batch_tag) -> set[str]:
     """Every string a `batch=<tag>` directory value can surface as
     after partition discovery:
@@ -213,23 +226,74 @@ def _tag_forms(batch_tag) -> set[str]:
       same tag also surfaces as '7.0';
     - its Hive-unescaped form — the dirs are written with the raw
       tag in the path, but Spark's partition reader UNESCAPES %XX
-      sequences, so a tag like 'a%3Ab' reads back as 'a:b'."""
+      sequences, so a tag like 'a%3Ab' reads back as 'a:b'.
+
+    String forms deliberately do NOT try to reproduce Java's double
+    rendering (>= 1e7 surfaces as '1.0E7', not Python's
+    '10000000.0'); batch-column matching pairs these forms with the
+    typed-value disjunct in :func:`_tag_match_pred`, which compares
+    ``cast('double')`` against the numeric value directly so engine
+    string formatting never participates (r12 ADVICE)."""
     tag = str(batch_tag)
     forms = {tag}
-    try:
+    if _INT_FORM_RE.fullmatch(tag):
         i = int(tag)
         forms.add(str(i))
         forms.add(str(float(i)))
-    except ValueError:
-        try:
-            forms.add(str(float(tag)))
-        except ValueError:
-            pass
+    elif _NUM_FORM_RE.fullmatch(tag):
+        forms.add(str(float(tag)))
     if "%" in tag:
         from urllib.parse import unquote
 
         forms.add(unquote(tag))
     return forms
+
+
+def _tag_typed_value(batch_tag) -> float | None:
+    """The double Spark's partition inference would read this tag
+    as, or None for non-numeric tags. ASCII-gated like _tag_forms."""
+    tag = str(batch_tag)
+    if _NUM_FORM_RE.fullmatch(tag):
+        try:
+            return float(tag)
+        except ValueError:  # pragma: no cover — regex precludes
+            return None
+    return None
+
+
+def _tag_match_pred(tags) -> F.Column:
+    """Column predicate: this row's ``batch`` value belongs to one of
+    ``tags``. Matches on string surface forms (_tag_forms) OR — for
+    ASCII-numeric tags — on the TYPED value via ``cast('double')``,
+    which sidesteps engine-vs-Python double formatting entirely
+    (Java renders ``cast(1.0E7 as string)`` as '1.0E7'; no Python
+    string mint can chase every such shape). The typed disjunct is
+    null-coalesced to False: a non-numeric batch value casts to
+    null, and a bare ``null == 7.0`` disjunct would turn the whole
+    predicate null and make ``~pred`` silently drop OTHER batches'
+    rows."""
+    col = F.col("batch").cast("string")
+    forms: set[str] = set()
+    typed: set[float] = set()
+    for t in tags:
+        forms |= _tag_forms(t)
+        v = _tag_typed_value(t)
+        if v is not None:
+            typed.add(v)
+    pred = None
+    for f in sorted(forms):
+        eq = col == F.lit(f)
+        pred = eq if pred is None else (pred | eq)
+    for v in sorted(typed):
+        # try_cast, not cast: under ANSI mode a plain cast THROWS on
+        # the first non-numeric batch value ('zz-compact-...') instead
+        # of yielding null; and the null still coalesces to False so
+        # ~pred never null-drops other batches' rows
+        eq = F.coalesce(
+            F.col("batch").try_cast("double") == F.lit(v), F.lit(False)
+        )
+        pred = eq if pred is None else (pred | eq)
+    return pred if pred is not None else F.lit(False)
 
 
 def exclude_batch_tag(idx: DataFrame, batch_tag) -> DataFrame:
@@ -245,16 +309,14 @@ def exclude_batch_tag(idx: DataFrame, batch_tag) -> DataFrame:
     silently drop — or keep — every row), and the tag matches any of
     its inferred surface forms (an int-inferred '007' directory
     reads back as '7', which a one-sided raw-string compare would
-    miss, un-excluding the retried batch's own rows). Distinct raw
-    tags that collide post-inference ('007' vs '7') are
-    indistinguishable in the column and excluded together — don't
-    mint tags that differ only by numeric padding."""
-    col = F.col("batch").cast("string")
-    pred = None
-    for f in sorted(_tag_forms(batch_tag)):
-        eq = col == F.lit(f)
-        pred = eq if pred is None else (pred | eq)
-    return idx.filter(~pred)
+    miss, un-excluding the retried batch's own rows) plus the typed
+    double value (a double-widened column renders >= 1e7 in Java
+    scientific notation that no Python string form matches — r12
+    ADVICE). Distinct raw tags that collide post-inference ('007'
+    vs '7') are indistinguishable in the column and excluded
+    together — don't mint tags that differ only by numeric
+    padding."""
+    return idx.filter(~_tag_match_pred([batch_tag]))
 
 
 def _within_batch_survivors(
@@ -490,13 +552,16 @@ def compact_partitions(
             except ValueError:
                 pass
     new_tag = f"{_COMPACT_PREFIX}{gen + 1:08d}"
-    # select rows by the same surface-form rule the column can see
-    compact_forms: set[str] = set()
-    for d in to_compact:
-        compact_forms |= _tag_forms(d)
-    rows = idx.filter(
-        F.col("batch").cast("string").isin(sorted(compact_forms))
-    ).drop("batch")
+    # Select rows to fold by COMPLEMENT of the retained tags, never
+    # by isin(compact_forms): the source directories are deleted
+    # unconditionally below, so a batch value whose engine rendering
+    # no Python surface form anticipates (Java scientific notation —
+    # cast(1.0E7 as string) = '1.0E7') must FOLD rather than vanish
+    # (r12 ADVICE: the positive-list select silently lost such
+    # rows). Every row is either retained (its dir survives) or
+    # folded (its dir is deleted); the complement makes that a
+    # partition of the index by construction.
+    rows = idx.filter(~_tag_match_pred(retain_tags)).drop("batch")
     rows.dropDuplicates().coalesce(max(1, target_files)).write.mode(
         "overwrite"
     ).parquet(f"{root}/batch={new_tag}")

@@ -1361,7 +1361,7 @@ def drift_scores_batch(
     # reference tokens the batch never uses contribute |0*R' - r_t*T|
     # = r_t*T each; summed over that absent vocabulary this is
     # T*(R - sum_present(r_t)) — closed form, no join row per token
-    return present.select(
+    scored = present.select(
         "src",
         F.col("_tt").cast("bigint").alias("n_tokens"),
         F.expr(
@@ -1369,4 +1369,22 @@ def drift_scores_batch(
             " ELSE (_num_present + _tt * (_rt - _ref_present)) * 1000000"
             " DIV (2 * _tt * _rt) END AS BIGINT)"
         ).alias("tv_ppm"),
+    )
+    # every-source-accounted (r12 ADVICE): a source whose batch rows
+    # carry only empty/whitespace text contributes zero exploded
+    # tokens, so the aggregate above yields NO row for it — the one
+    # place a live source could silently drop off the drift feed.
+    # Right-join the batch's distinct sources back in; a token-less
+    # source reads n_tokens=0 and the maximal tv_ppm=1e6 (an empty
+    # distribution is vocabulary-disjoint from any real reference).
+    # The source list is batch-bounded and tiny — broadcast side.
+    srcs = batch.select(F.col(group_col).alias("src")).distinct()
+    return srcs.join(scored, "src", "left").select(
+        "src",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("tv_ppm"), F.lit(1000000)).cast("bigint").alias(
+            "tv_ppm"
+        ),
     )

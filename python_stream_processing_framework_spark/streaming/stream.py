@@ -1328,6 +1328,18 @@ class Stream:
         def drift_batch(batch: DataFrame, batch_id: int) -> None:
             if batch.isEmpty():
                 return
+            # null text normalizes to empty, same as _start_tokenize:
+            # tokens_expr(NULL) explodes to nothing, so a source
+            # whose batch rows all carry null text used to silently
+            # emit NO drift row for the batch — breaking the
+            # every-source-accounted posture. split('') yields one
+            # empty-string token, so the dead source reads
+            # (n_tokens=1, tv_ppm=1e6); drift_scores_batch itself
+            # also right-joins the batch's sources back in as a
+            # second line of defense (r12 ADVICE)
+            batch = batch.withColumn(
+                o["text_field"], F.coalesce(F.col(o["text_field"]), F.lit(""))
+            )
             scores = drift_scores_batch(
                 batch,
                 o["ref_path"],

@@ -523,3 +523,123 @@ def test_compact_preserves_rows_of_escaped_tag_dirs(spark, tmp_path):
         r["g"] for r in spark.read.parquet(root).select("g").collect()
     )
     assert rows == [11, 22]  # nothing lost across the escape gap
+
+
+def test_exclude_batch_tag_java_scientific_rendering(spark, tmp_path):
+    """r13 review regression (exclude_batch_tag typed disjunct): a
+    double-widened batch column renders values >= 1e7 in Java
+    scientific notation (cast(1.0E7 as string) = '1.0E7'), which no
+    Python-minted string form matches — the retry used to
+    self-collide. The typed cast('double') disjunct matches the
+    VALUE, sidestepping engine string formatting."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        exclude_batch_tag,
+    )
+
+    root = str(tmp_path / "idx")
+    spark.createDataFrame([(1,)], "v bigint").write.parquet(
+        f"{root}/batch=10000000"
+    )
+    spark.createDataFrame([(2,)], "v bigint").write.parquet(
+        f"{root}/batch=8.5"
+    )
+    idx = spark.read.parquet(root)
+    # precondition: the widened column really does render Java-style
+    rendered = {
+        r[0]
+        for r in idx.select(F.col("batch").cast("string")).distinct().collect()
+    }
+    assert "1.0E7" in rendered
+    left = [r["v"] for r in exclude_batch_tag(idx, "10000000").collect()]
+    assert left == [2]
+    # and the typed disjunct must not null-drop OTHER non-numeric
+    # batches (null == 7.0 is null; un-coalesced it would eat rows)
+    root2 = str(tmp_path / "idx2")
+    spark.createDataFrame([(3,)], "v bigint").write.parquet(
+        f"{root2}/batch=alpha"
+    )
+    spark.createDataFrame([(4,)], "v bigint").write.parquet(
+        f"{root2}/batch=7"
+    )
+    idx2 = spark.read.parquet(root2)
+    left2 = sorted(r["v"] for r in exclude_batch_tag(idx2, "7").collect())
+    assert left2 == [3]
+
+
+def test_compact_folds_java_scientific_rows(spark, tmp_path):
+    """r13 review regression (compact_partitions complement select):
+    rows whose batch value renders '1.0E7' matched no Python surface
+    form, so the positive-list isin() select omitted them from the
+    consolidated write while the delete still removed their source
+    dir — permanent row loss. Folding the COMPLEMENT of the retained
+    tags makes fold-or-retain a partition of the index."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "grams")
+    spark.createDataFrame([(11,)], "g bigint").write.parquet(
+        f"{root}/batch=10000000"
+    )
+    spark.createDataFrame([(22,)], "g bigint").write.parquet(
+        f"{root}/batch=8.5"
+    )
+    spark.createDataFrame([(33,)], "g bigint").write.parquet(
+        f"{root}/batch=other"
+    )
+    tag = compact_partitions(spark, root)
+    assert tag is not None
+    rows = sorted(r["g"] for r in spark.read.parquet(root).select("g").collect())
+    assert rows == [11, 22, 33]  # nothing lost across the rendering gap
+
+
+def test_compact_retained_java_scientific_tag_not_duplicated(spark, tmp_path):
+    """Complement-select dual of the row-loss regression: a RETAINED
+    tag whose column value renders Java-style must stay out of the
+    consolidated partition (folding it would duplicate its rows and
+    break the retry's batch != tag self-exclusion)."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "grams")
+    spark.createDataFrame([(11,)], "g bigint").write.parquet(
+        f"{root}/batch=10000000"
+    )
+    spark.createDataFrame([(22,)], "g bigint").write.parquet(
+        f"{root}/batch=8.5"
+    )
+    spark.createDataFrame([(33,)], "g bigint").write.parquet(
+        f"{root}/batch=9.5"
+    )
+    tag = compact_partitions(spark, root, retain_tags=["10000000"])
+    assert tag is not None
+    dirs = sorted(
+        p.name for p in (tmp_path / "grams").iterdir() if p.name.startswith("batch=")
+    )
+    assert dirs == sorted(["batch=10000000", f"batch={tag}"])
+    rows = sorted(r["g"] for r in spark.read.parquet(root).select("g").collect())
+    assert rows == [11, 22, 33]  # retained once, folded once, no dupes
+
+
+def test_tag_forms_ascii_numeric_gate(spark, tmp_path):
+    """r13 review regression (_tag_forms ASCII gate): Python's
+    int()/float() accept underscores (int('7_0') == 70), so the tag
+    '7_0' used to mint the form '70' and exclude the UNRELATED batch
+    '70' partition — over-exclusion that re-admits its duplicates."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        _tag_forms,
+        exclude_batch_tag,
+    )
+
+    assert "70" not in _tag_forms("7_0")
+    root = str(tmp_path / "idx")
+    spark.createDataFrame([(1,)], "v bigint").write.parquet(
+        f"{root}/batch=7_0"
+    )
+    spark.createDataFrame([(2,)], "v bigint").write.parquet(
+        f"{root}/batch=70"
+    )
+    idx = spark.read.parquet(root)
+    left = sorted(r["v"] for r in exclude_batch_tag(idx, "7_0").collect())
+    assert left == [2]  # only the tag's own partition is excluded

@@ -148,3 +148,44 @@ def test_drift_empty_reference_convention(spark, tmp_path):
     batch = spark.createDataFrame([("s1", "a b")], "source string, text string")
     rows = drift_scores_batch(batch, ref_path).collect()
     assert [tuple(r) for r in rows] == [("s1", 2, 1_000_000)]
+
+
+def test_drift_null_text_source_still_accounted(stream, spark):
+    """r13 review regression (every-source-accounted): a source whose
+    batch rows all carry NULL text used to explode to zero tokens and
+    silently emit no drift row — the one way a live feed could drop
+    off the monitor unnoticed. It now reads n_tokens=0 with the
+    maximal tv_ppm (an empty distribution is vocabulary-disjoint from
+    any real reference), same convention at the facade and the
+    operator level. At the facade, null coalesces to empty text
+    FIRST (the tokenize one-UNK discipline), and split('') yields one
+    empty-string token — so the facade row reads n_tokens=1."""
+    stream.monitor_drift("docs", SCHEMA, reference=_ref(spark))
+    stream.emit(
+        "docs",
+        {"source": "dead", "text": None},
+        {"source": "live", "text": "a a b b"},
+    )
+    stream.run_until_idle()
+    out = _rows(stream)
+    assert out[(0, "dead")] == (1, 1_000_000)
+    assert out[(0, "live")] == (4, 0)
+
+
+def test_drift_scores_batch_tokenless_source_row(spark, tmp_path):
+    """Operator-level dual of the facade regression: called WITHOUT
+    the facade's null-coalesce, a null-text-only source explodes to
+    zero token rows — it must still get a (0, 1e6) row, not
+    silence."""
+    from python_stream_processing_framework_spark.operators.text import (
+        drift_scores_batch,
+        write_drift_reference,
+    )
+
+    ref_path = str(tmp_path / "ref")
+    write_drift_reference(_ref(spark), ref_path)
+    batch = spark.createDataFrame(
+        [("s1", None), ("s2", "a a b b")], "source string, text string"
+    )
+    rows = sorted(tuple(r) for r in drift_scores_batch(batch, ref_path).collect())
+    assert rows == [("s1", 0, 1_000_000), ("s2", 4, 0)]
