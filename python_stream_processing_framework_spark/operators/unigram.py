@@ -60,6 +60,31 @@ from python_stream_processing_framework_spark.operators.dedup import tokens_expr
 UNIGRAM_SCHEMA = "piece string, cnt bigint, logp_nano bigint"
 
 
+def _char_pieces(word: Column) -> Column:
+    """Character-fallback decomposition: the word as an array of its
+    single characters — substr enumeration, not regex split (Java and
+    RE2 disagree on empty-pattern splits, and the DuckDB oracle
+    mirrors this exact substr shape). The SentencePiece
+    ``byte_fallback`` contract at character granularity: a word the
+    vocabulary cannot segment still encodes losslessly, and each
+    fallback piece is a single character — present in the vocabulary
+    whenever the trainer saw the word (the seed's coverage floor +
+    unconditional char retention in the prune). The one residual gap
+    vs true byte fallback is stated in :func:`unigram_encode`'s
+    docstring.
+
+    Empty words (double-space split artifacts) keep the verbatim
+    pass-through: sequence(1, 0) DESCENDS in Spark rather than
+    returning [], so the guard is load-bearing, not cosmetic."""
+    return F.when(
+        F.length(word) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.substr(word, i, F.lit(1)),
+        ),
+    ).otherwise(F.array(word))
+
+
 def _spans_expr(word: Column, wl: Column, max_piece_len: int) -> Column:
     """All substrings of ``word`` up to ``max_piece_len`` chars, as
     (s, e, piece) structs — s/e are 0-based [start, end) offsets, the
@@ -341,20 +366,26 @@ def unigram_segment_counts(
     *,
     max_piece_len: int = 4,
     max_word_len: int = 16,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Tokenize the corpus under a learned vocabulary and count each
     document's pieces — the token-budget number once the tokenizer
     exists (the unigram counterpart of bpe_segment_counts). Output
     (id, n_words, n_pieces); words the vocabulary cannot segment (or
     longer than ``max_word_len``) count 1 piece each (the UNK
-    convention).
+    convention) — or, with ``byte_fallback=True``, length(word)
+    pieces (the character-fallback pricing that matches what
+    :func:`unigram_encode` would emit under the same flag; a
+    downstream budget counting vocabulary pieces can then price UNK
+    words instead of undercounting them at 1).
 
     Scale shape: the corpus collapses to its distinct-word table,
     each distinct word is Viterbi-segmented ONCE (two
     vocabulary-bounded shuffles), and the per-document piece counts
     come from one hash join of the exploded corpus against that
     word→n_pieces table — the corpus is scanned once and never
-    carries the DP."""
+    carries the DP. The fallback is a length() of the already-present
+    word column — no extra shuffle, no extra join."""
     seg = word_piece_counts(
         df,
         text_col,
@@ -365,12 +396,20 @@ def unigram_segment_counts(
     words = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("word")
     )
+    # greatest(len, 1): an empty word (double-space split artifact)
+    # encodes as one verbatim piece under fallback too — the count
+    # must price what unigram_encode(byte_fallback=True) emits
+    unk = (
+        F.greatest(F.length("word"), F.lit(1)).cast("bigint")
+        if byte_fallback
+        else F.lit(1)
+    )
     return (
         words.join(seg, "word", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum(F.coalesce(F.col("_np"), F.lit(1)))
+            F.sum(F.coalesce(F.col("_np"), unk))
             .cast("bigint")
             .alias("n_pieces"),
         )
@@ -385,6 +424,7 @@ def unigram_encode(
     *,
     max_piece_len: int = 4,
     max_word_len: int = 16,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Tokenize the corpus under a learned vocabulary — the encode
     step a pipeline runs at 100 TB once the tokenizer exists (the
@@ -394,12 +434,25 @@ def unigram_encode(
     ``max_word_len``) pass through as a single piece (the UNK
     convention, here the verbatim word so the stream stays lossless).
 
+    ``byte_fallback=True`` switches the UNK convention to the
+    deployed SentencePiece contract at character granularity: an
+    unsegmentable word decomposes to its single characters
+    (:func:`_char_pieces`), still lossless, and every fallback piece
+    is in the vocabulary whenever the trainer SAW the word (chars
+    seed unconditionally and survive every prune). Residual gap vs
+    true byte fallback: a word longer than ``max_word_len`` never
+    entered training, so its characters may be absent from the
+    vocabulary — the pieces are still emitted (losslessness wins);
+    real byte fallback would guarantee ids by decomposing to the
+    256-byte alphabet, which a string-level engine cannot promise.
+
     Scale shape: the same one-join contract as the counting
     consumers — each DISTINCT word Viterbi-segments once
     (word_piece_counts' sibling keeping the PIECES, not the count),
     then the corpus's posexploded words hash-join that
     vocabulary-bounded table and regroup per document in word order.
-    The DP never rides a corpus-sized frame."""
+    The DP never rides a corpus-sized frame; the fallback is a
+    substr enumeration of the already-present word column."""
     seg = viterbi_segment(
         unigram_word_table(df, text_col, max_word_len=max_word_len),
         vocab,
@@ -409,10 +462,15 @@ def unigram_encode(
         F.col(id_col),
         F.posexplode(tokens_expr(text_col)).alias("word_pos", "word"),
     )
+    unk = (
+        _char_pieces(F.col("word"))
+        if byte_fallback
+        else F.array(F.col("word"))
+    )
     joined = words.join(seg, "word", "left").select(
         id_col,
         "word_pos",
-        F.coalesce(F.col("_ps"), F.array(F.col("word"))).alias("_wp"),
+        F.coalesce(F.col("_ps"), unk).alias("_wp"),
     )
     return joined.groupBy(id_col).agg(
         F.flatten(

@@ -292,6 +292,84 @@ def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB mirror of operators/unigram._char_pieces: substr
+#: enumeration (NOT an empty-pattern regex split — RE2 and Java
+#: disagree there), empty words keeping the verbatim pass-through.
+_FALLBACK = (
+    "CASE WHEN len(dw.word) >= 1 THEN "
+    "list_transform(range(1, len(dw.word) + 1), "
+    "i -> substr(dw.word, CAST(i AS INT), 1)) "
+    "ELSE [dw.word] END"
+)
+
+
+@query(
+    "unigram_encode_fallback",
+    f"""
+    WITH {_unigram_ctes(1, _MAXW)},
+    {_encode_ctes(1, _MAXW)},
+    wseg AS MATERIALIZED (
+        SELECT word, string_split(trim(path), ' ') AS ps
+        FROM de_{_MAXW} WHERE pos = wl),
+    dw AS (SELECT doc_id, CAST(u.s AS INT) AS word_pos,
+                  toks[CAST(u.s AS INT) + 1] AS word
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                 WHERE doc_id % 20 = 1) z,
+                UNNEST(range(0, len(toks))) AS u(s)),
+    dwp AS (SELECT dw.doc_id, dw.word_pos,
+                   coalesce(w.ps, {_FALLBACK}) AS ps
+            FROM dw LEFT JOIN wseg w ON w.word = dw.word),
+    enc AS (SELECT doc_id, flatten(list(ps ORDER BY word_pos)) AS pieces
+            FROM dwp GROUP BY doc_id)
+    SELECT doc_id, CAST(gs - 1 AS BIGINT) AS piece_idx, pieces[gs] AS piece
+    FROM enc, LATERAL (SELECT unnest(generate_series(1, len(enc.pieces))) AS gs) g
+    """,
+    doc="The encode step with CHARACTER FALLBACK — the deployed "
+    "SentencePiece byte_fallback contract at character granularity "
+    "(operators/unigram.unigram_encode(byte_fallback=True)): a word "
+    "the vocabulary cannot segment decomposes to its single "
+    "characters instead of passing through verbatim, so a consumer "
+    "counting vocabulary pieces can price UNK words (every fallback "
+    "char is in the vocabulary whenever the trainer saw the word — "
+    "chars seed unconditionally and survive every prune; only "
+    "over-max_word_len words can carry unseen chars, documented). "
+    "One EM round (the fallback convention, not the trainer, is "
+    "under test); every 20th+1 document; the oracle replays the "
+    "same substr-enumeration decomposition and value-compares the "
+    "exploded (doc_id, piece_idx, piece) stream.",
+)
+def unigram_encode_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_encode,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        documents,
+        "text",
+        seed_size=_SEED,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+        em_rounds=1,
+    )
+    enc = unigram_encode(
+        documents.filter(F.col("doc_id") % 20 == 1),
+        "doc_id",
+        "text",
+        vocab,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+        byte_fallback=True,
+    )
+    return enc.select(
+        "doc_id", F.posexplode("pieces").alias("piece_idx", "piece")
+    ).select(
+        "doc_id", F.col("piece_idx").cast("bigint").alias("piece_idx"), "piece"
+    )
+
+
 @query(
     "unigram_encode_pieces",
     f"""

@@ -1216,16 +1216,19 @@ class Stream:
         vocab_path: str | None = None,
         max_piece_len: int = 4,
         max_word_len: int = 16,
+        byte_fallback: bool = False,
     ) -> None:
         """Streaming token-budget meter: every document on ``topic``
         emits one (batch_seq, id, n_words, n_pieces) row on ``target``
         (default `{topic}-tokens`) — its piece count under a TRAINED
         unigram-LM vocabulary (operators/unigram.py), the number a
         budget planner reads off a live feed. Unsegmentable or
-        over-length words count 1 piece (UNK), and null text is
-        metered as empty (one UNK token), so every document always
-        yields a row — a consumer reconciling rows against emitted
-        doc counts never blocks on a missing one.
+        over-length words count 1 piece (UNK) — or length(word)
+        pieces with ``byte_fallback=True``, pricing what
+        unigram_encode(byte_fallback=True) would emit — and null
+        text is metered as empty (one UNK token), so every document
+        always yields a row — a consumer reconciling rows against
+        emitted doc counts never blocks on a missing one.
 
         The vocabulary — the (piece, cnt, logp_nano) frame
         ``unigram_train`` returns — is persisted ONCE at registration
@@ -1266,6 +1269,7 @@ class Stream:
                     "vocab_path": vocab_path,
                     "max_piece_len": max_piece_len,
                     "max_word_len": max_word_len,
+                    "byte_fallback": byte_fallback,
                 },
             )
         )
@@ -1298,6 +1302,7 @@ class Stream:
                 vocab,
                 max_piece_len=o["max_piece_len"],
                 max_word_len=o["max_word_len"],
+                byte_fallback=o.get("byte_fallback", False),
             ).select(
                 F.lit(int(batch_id)).alias("batch_seq"),
                 o["id_field"],

@@ -277,3 +277,78 @@ def test_unigram_encode_order_and_unk_passthrough(spark):
     assert out[1] == ["c", "d", "ab", "ab", "zz"]
     # over-length word (12 chars > cap 8) passes through whole
     assert out[2] == ["abababababab", "ab"]
+
+
+def test_unigram_encode_byte_fallback(spark):
+    """byte_fallback=True (r13, the deployed SentencePiece contract
+    at character granularity): unsegmentable and over-length words
+    decompose to single characters instead of passing through
+    verbatim — still lossless (concat of pieces reconstructs the
+    word), and a downstream consumer counting vocabulary pieces can
+    price them. Segmentable words are unaffected."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ab")],
+        "doc_id bigint, text string",
+    )
+    v = unigram_train(
+        train, "text", seed_size=4, max_piece_len=3, max_word_len=8,
+        em_rounds=2,
+    )  # vocab {'ab','c','d'}
+    apply = spark.createDataFrame(
+        [(1, "cd abab zz"), (2, "abababababab ab")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_encode(
+            apply, "doc_id", "text", v, max_piece_len=3, max_word_len=8,
+            byte_fallback=True,
+        ).collect()
+    }
+    # zz unsegmentable (no 'z' in vocab) -> chars; chars may be
+    # OUTSIDE the vocab only for words the trainer never saw — the
+    # documented residual vs true byte fallback
+    assert out[1] == ["c", "d", "ab", "ab", "z", "z"]
+    # over-length word decomposes too (lossless: ''.join == word)
+    assert out[2] == list("abababababab") + ["ab"]
+
+
+def test_unigram_segment_counts_byte_fallback_prices_encode(spark):
+    """The counting consumer under byte_fallback prices EXACTLY what
+    unigram_encode(byte_fallback=True) emits — per doc, n_pieces ==
+    len(pieces) — including empty-word split artifacts."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_encode,
+        unigram_segment_counts,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ab")],
+        "doc_id bigint, text string",
+    )
+    v = unigram_train(
+        train, "text", seed_size=4, max_piece_len=3, max_word_len=8,
+        em_rounds=2,
+    )
+    apply = spark.createDataFrame(
+        [(1, "cd abab zz"), (2, "abababababab  ab"), (3, "zz zz")],
+        "doc_id bigint, text string",
+    )  # doc 2 has a double space -> empty-word token
+    kw = dict(max_piece_len=3, max_word_len=8, byte_fallback=True)
+    enc = {
+        r["doc_id"]: len(r["pieces"])
+        for r in unigram_encode(apply, "doc_id", "text", v, **kw).collect()
+    }
+    cnt = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram_segment_counts(
+            apply, "doc_id", "text", v, **kw
+        ).collect()
+    }
+    assert enc == cnt
