@@ -19,6 +19,21 @@ quantization below. Pieces whose Viterbi count is zero leave the
 vocabulary (every word's own best-path pieces survive by
 construction, so the training corpus stays fully segmentable).
 
+Measured hard-vs-soft deviation (r13,
+tests/test_unigram.py::test_unigram_hard_vs_soft_em_deviation — a
+sequential forward-backward reference with the identical seed, three
+crafted corpora, 2 EM rounds; 3 rounds measured identical): the
+hard-EM vocabulary is a strict SUBSET of soft-EM's support every
+time (soft keeps low-posterior pieces alive with fractional expected
+counts; hard zeroes any piece outside a best path), support Jaccard
+0.22-0.67; Viterbi-ENCODED piece totals under the two final
+vocabularies were IDENTICAL on the templated and natural-ish corpora
+(36 and 39 pieces), and diverged only on a maximally ambiguous
+single-letter corpus (hard 50 vs soft 80 — hard commits to 'aa' and
+reuses it; soft's spread mass leaves char paths winning at encode).
+I.e. the simplification narrows the vocabulary, not the encode, off
+the pathological case.
+
 Determinism contract (oracle-portable, the lm.py pattern): piece
 log-probs quantize ONCE per round to integer nano-units
 (round(ln(cnt/total) * 1e9) AS BIGINT — counts enter the division as

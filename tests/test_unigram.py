@@ -352,3 +352,130 @@ def test_unigram_segment_counts_byte_fallback_prices_encode(spark):
         ).collect()
     }
     assert enc == cnt
+
+
+def _soft_ref_unigram(
+    words_list, *, seed_size, max_piece_len, max_word_len, em_rounds
+):
+    """Sequential SOFT-EM (forward-backward) reference — the paper's
+    actual E-step (Kudo 2018 §3.2), which the shipped trainer
+    simplifies to hard (Viterbi) EM. Expected piece counts via
+    alpha/beta lattice sums; the seed is identical to the trainer's
+    so the comparison isolates the E-step choice. Used only to
+    QUANTIFY the deviation (test below + module docstring numbers),
+    not as a correctness oracle."""
+    from collections import defaultdict
+
+    wf = Counter(w for w in words_list if 1 <= len(w) <= max_word_len)
+    occ = Counter()
+    for w, c in wf.items():
+        for s in range(len(w)):
+            for p in range(1, min(max_piece_len, len(w) - s) + 1):
+                occ[w[s : s + p]] += c
+    counts = {p: c for p, c in occ.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in occ.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]
+    counts.update(dict(multi))
+    t = sum(counts.values())
+    probs = {p: v / t for p, v in counts.items()}
+    for _ in range(em_rounds):
+        exp = defaultdict(float)
+        for w, c in wf.items():
+            n = len(w)
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for e in range(1, n + 1):
+                for s in range(max(0, e - max_piece_len), e):
+                    pc = w[s:e]
+                    if pc in probs:
+                        alpha[e] += alpha[s] * probs[pc]
+            if alpha[n] == 0:
+                continue
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for s in range(n - 1, -1, -1):
+                for e in range(s + 1, min(n, s + max_piece_len) + 1):
+                    pc = w[s:e]
+                    if pc in probs:
+                        beta[s] += probs[pc] * beta[e]
+            for s in range(n):
+                for e in range(s + 1, min(n, s + max_piece_len) + 1):
+                    pc = w[s:e]
+                    if pc in probs:
+                        exp[pc] += c * alpha[s] * probs[pc] * beta[e] / alpha[n]
+        counts = {p: v for p, v in exp.items() if v > 1e-12}
+        t = sum(counts.values())
+        probs = {p: v / t for p, v in counts.items()}
+    return {p: math.log(v) for p, v in probs.items()}
+
+
+def _seq_viterbi_pieces(w, lp, max_piece_len):
+    """Exhaustive-argmax piece count under log-probs ``lp``; UNK=1."""
+    best = None
+
+    def rec(i, score, path):
+        nonlocal best
+        if i == len(w):
+            if best is None or (score, path) > best:
+                best = (score, path)
+            return
+        for p in range(1, min(max_piece_len, len(w) - i) + 1):
+            piece = w[i : i + p]
+            if piece in lp:
+                rec(i + p, score + lp[piece], path + " " + piece)
+
+    rec(0, 0.0, "")
+    return len(best[1].split()) if best else 1
+
+
+def test_unigram_hard_vs_soft_em_deviation(spark):
+    """Quantifies the hard-EM (Viterbi-EM) simplification against the
+    paper's forward-backward E-step on three crafted corpora at 2 EM
+    rounds (3 rounds measured identical). Pinned findings, stated in
+    the module docstring:
+
+    - the shipped trainer's surviving vocabulary is a strict SUBSET
+      of soft-EM's support on every corpus (soft keeps low-posterior
+      pieces alive with fractional expected counts; hard zeroes any
+      piece outside a best path) — support Jaccard 0.22 / 0.67 /
+      0.56;
+    - Viterbi-ENCODED piece totals under the two final vocabularies
+      are IDENTICAL on the templated and natural-ish corpora (36 and
+      39), i.e. the extra soft-EM survivors don't change what encode
+      picks there;
+    - only the maximally ambiguous single-letter corpus diverges:
+      hard 50 vs soft 80 pieces (ratio 0.625 — hard commits to 'aa'
+      and reuses it; soft's spread mass leaves char paths winning at
+      encode time)."""
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    CORPORA = {
+        "templated": (("abab abab cd abab cd ab " * 4).strip(), 0.222, 36, 36),
+        "ambiguous": (("aaa aa aaa aaaa a aaa " * 5).strip(), 0.667, 50, 80),
+        "mixed": (("the cat sat on the mat the cat ran " * 3).strip(), 0.556, 39, 39),
+    }
+    for name, (text, exp_jac, exp_hard, exp_soft) in CORPORA.items():
+        words = text.split()
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        hard = unigram_train(
+            df, "text", seed_size=8, max_piece_len=3, max_word_len=8,
+            em_rounds=2,
+        )
+        hlp = {
+            r["piece"]: r["logp_nano"] / 1e9 for r in hard.collect()
+        }
+        slp = _soft_ref_unigram(
+            words, seed_size=8, max_piece_len=3, max_word_len=8, em_rounds=2
+        )
+        hv, sv = set(hlp), set(slp)
+        assert hv <= sv, f"{name}: hard vocab must be a soft-support subset"
+        jac = len(hv & sv) / len(hv | sv)
+        assert abs(jac - exp_jac) < 0.01, f"{name}: jaccard {jac}"
+        wf = Counter(w for w in words if len(w) <= 8)
+        tot_h = sum(_seq_viterbi_pieces(w, hlp, 3) * c for w, c in wf.items())
+        tot_s = sum(_seq_viterbi_pieces(w, slp, 3) * c for w, c in wf.items())
+        assert (tot_h, tot_s) == (exp_hard, exp_soft), f"{name}: {tot_h}/{tot_s}"
