@@ -119,6 +119,18 @@ def dedup_paragraphs(
         )
         .select(id_col, "idx")
     )
+    return _rebuild_dropping(df, removed, id_col, text_col, sep)
+
+
+def _rebuild_dropping(
+    df: DataFrame, removed: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """Shared rebuild tail (exact + near paragraph dedup): drop the
+    (id, idx) occurrences in ``removed`` and re-join the survivors.
+    Map-only over the corpus: the per-doc removed-index arrays are a
+    small build side (duplicate occurrences only), the text re-splits
+    where it lives, and a JVM higher-order filter drops positions —
+    the corpus text is scanned twice and shuffled never."""
     per_doc = removed.groupBy(id_col).agg(
         F.collect_list("idx").alias("_rm")
     )
@@ -137,6 +149,97 @@ def dedup_paragraphs(
         F.size(nonblank).cast("long").alias("n_paras"),
         F.size("_rm").cast("long").alias("n_removed"),
     )
+
+
+def dedup_paragraphs_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Paragraph-level NEAR-dup collapse — the fuzzy sibling of
+    :func:`dedup_paragraphs` (Dolma / RefinedWeb G.3: templated
+    boilerplate with small edits — a dateline, a counter, a name —
+    survives exact paragraph hashing; fuzzy dedup at paragraph grain
+    catches it).
+
+    Composition, not new machinery: split_paragraphs →
+    ``minhash_lsh_pairs`` on the PARAGRAPH frame (node id = the
+    collision-free composite string ``doc:idx``; ``expand='star'`` so
+    exact-copy clusters span linearly) → connected components →
+    keep-first collapse (the canonical survivor of each near-dup
+    component is its smallest (id, idx) occurrence, re-derived from
+    the members, NOT the component label — the label is a string min
+    over composite ids, deterministic but not positional) → the
+    shared positional rebuild (:func:`_rebuild_dropping`).
+
+    Returns (id, text, n_paras, n_removed), same contract as the
+    exact form. Paragraphs shorter than ``shingle_k`` tokens carry no
+    signature and are never dropped (the module-wide MinHash recall
+    floor — pair with the exact form, which this operator does NOT
+    subsume, for short-paragraph mass). ``max_band_freq`` is the same
+    hot-bucket guard as the document-level path: a banner repeated
+    1e8 times is exactly the hot-band scenario at crawl scale.
+
+    Scale shape: the paragraph frame is corpus-linear but NARROW
+    (id, idx, para); exact-copy mass collapses before banding
+    (collapse_exact inside minhash_lsh_pairs), so the band join sees
+    one representative per identical banner; components run on the
+    near-dup subgraph only (duplicate occurrences, a few percent of
+    positions); the rebuild never shuffles the corpus text."""
+    paras = split_paragraphs(df, id_col, text_col, sep=sep)
+    pframe = paras.select(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.col("idx").cast("string")
+        ).alias("_pid"),
+        F.col(id_col),
+        "idx",
+        "para",
+    )
+    from python_stream_processing_framework_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from python_stream_processing_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        pframe,
+        "_pid",
+        "para",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        expand="star",
+        max_band_freq=max_band_freq,
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    labeled = pframe.join(
+        comp, pframe["_pid"] == comp["node"]
+    ).select(id_col, "idx", "component")
+    firsts = labeled.groupBy("component").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("idx").alias("x"))
+        ).alias("_k")
+    )
+    removed = (
+        labeled.join(firsts, "component")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_k.i"))
+                & (F.col("idx") == F.col("_k.x"))
+            )
+        )
+        .select(id_col, "idx")
+    )
+    return _rebuild_dropping(df, removed, id_col, text_col, sep)
 
 
 #: Exact nav/boilerplate phrases removed line-wise (lower(trim)

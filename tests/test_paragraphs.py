@@ -141,3 +141,99 @@ def test_line_corrections_threshold(spark):
     assert r["n_removed"] == 1 and r["keep_doc"] is True
     (r,) = line_corrections(df, max_removed_ratio=0.04).collect()
     assert r["keep_doc"] is False
+
+
+@pytest.fixture(scope="module")
+def near_docs(spark):
+    """Templated-boilerplate corpus for the NEAR form: a 10-token
+    banner whose final token varies per doc (exact hashing can't
+    group them; 3-shingle Jaccard 7/9 = 0.78 pairwise), a clean body
+    per doc, and one short (<3 tokens) paragraph that must never be
+    touched."""
+    banner = "subscribe to our newsletter for weekly updates and offers"
+    rows = [
+        (1, f"{banner} v1\nbody one alpha beta gamma\nhi there"),
+        (2, f"{banner} v2\nbody two delta epsilon zeta\nhi there"),
+        (3, f"{banner} v3\nbody three eta theta iota"),
+        (4, "totally unrelated paragraph about something else entirely"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_near_dedup_collapses_edited_banner(near_docs):
+    """The r13 near form: one-token-edited banners collapse to the
+    first occurrence; exact bodies and sub-shingle paragraphs
+    survive. 16 hashes / 4 bands at J=0.78 gives per-pair recall
+    ~0.84 — with the deterministic md5 minhash this corpus's pairs
+    DO surface (pinned by the assert, not hoped)."""
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        dedup_paragraphs_near,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs_near(
+            near_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # doc 1 keeps its banner (smallest (id, idx)); later variants lose
+    # theirs; 'hi there' (2 tokens, sub-shingle) is NEVER touched even
+    # though it repeats exactly
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text"].count("subscribe") == 1
+    assert "hi there" in out[1]["text"]
+    assert out[2]["n_removed"] == 1
+    assert "subscribe" not in out[2]["text"]
+    assert "body two" in out[2]["text"] and "hi there" in out[2]["text"]
+    assert out[3]["n_removed"] == 1
+    assert "subscribe" not in out[3]["text"]
+    assert out[4]["n_removed"] == 0
+
+
+def test_near_dedup_keep_first_is_positional_not_label(spark):
+    """The component label is a string min over 'doc:idx' composites
+    ('10:1' < '2:1' lexicographically) — the keep rule must re-derive
+    the POSITIONAL minimum (doc_id, idx), so doc 2 keeps its banner
+    against doc 10, not the other way round."""
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        dedup_paragraphs_near,
+    )
+
+    banner = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(10, f"{banner} xa\nfiller body text here"),
+         (2, f"{banner} xb\nother filler body text")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs_near(docs, "doc_id", "text").collect()
+    }
+    assert out[2]["n_removed"] == 0
+    assert out[10]["n_removed"] == 1
+
+
+def test_near_dedup_chain_transitive(spark):
+    """A~B and B~C but A!~C (two separate one-token edits): components
+    close the chain, one survivor for all three."""
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        dedup_paragraphs_near,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = base + " t1 t2"                       # tail t1 t2
+    b = base + " t1 t9"                       # ~a (one edit), ~c
+    c = base + " t8 t9"                       # ~b, farther from a
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    # bands=8 x rows=2: per-pair miss probability ~1e-4 at J=0.67+
+    # (the default 4x4 banding deterministically missed the a~b pair
+    # on this corpus's md5 draw — recall tuning, not a bug)
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup_paragraphs_near(
+            docs, "doc_id", "text", num_hashes=16, bands=8
+        ).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 1}
