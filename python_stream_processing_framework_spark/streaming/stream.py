@@ -1142,6 +1142,9 @@ class Stream:
         target: str | None = None,
         group: str | None = None,
         ref_path: str | None = None,
+        threshold_ppm: int | None = None,
+        hysteresis: int = 1,
+        alert_target: str | None = None,
     ) -> None:
         """Streaming mixture-shift alarm: every micro-batch on
         ``topic`` emits one (batch_seq, src, n_tokens, tv_ppm) row
@@ -1154,6 +1157,25 @@ class Stream:
         before any downstream metric notices. Plays the monitoring
         role of the reference's processor metrics hooks
         (pspf/processor.py:260-281) at the DATA level.
+
+        ``threshold_ppm`` turns the raw gauge into an ALARM — the
+        reference surfaces lag as alerts against a configured
+        threshold, not as a bare counter the consumer must judge
+        (pspf/processor.py:260-281); this is the same posture for
+        data drift. When set, a source whose last ``hysteresis``
+        CONSECUTIVE observations (its own drift rows — absence from
+        a batch neither extends nor resets the run) all score
+        ``tv_ppm > threshold_ppm`` emits one
+        (batch_seq, src, n_tokens, tv_ppm) row per confirming batch
+        on ``alert_target`` (default `{topic}-drift-alerts`).
+        Level-triggered: it keeps firing while the condition holds
+        (edge detection is one lag() away for the consumer), and
+        hysteresis means one noisy batch never pages — only a
+        sustained shift does. The alert decision is a pure function
+        of the drift topic's rows up to this batch_seq (recomputed
+        identically on redelivery; same idempotent per-batch_id
+        sink), and the read-back is metadata-scale: the drift topic
+        carries ONE short row per (batch, source).
 
         The reference counts are written ONCE, at registration, from
         ``reference`` (skipped when ``ref_path`` already holds one —
@@ -1186,6 +1208,8 @@ class Stream:
                     f"first time: no reference table under {ref_path}"
                 )
             write_drift_reference(reference, ref_path, text_col=text_field)
+        if hysteresis < 1:
+            raise ValueError(f"hysteresis must be >= 1, got {hysteresis}")
         self._claim(topic, group)
         self._subscriptions.append(
             _Subscription(
@@ -1199,6 +1223,9 @@ class Stream:
                     "target": target or f"{topic}-drift",
                     "group": group,
                     "ref_path": ref_path,
+                    "threshold_ppm": threshold_ppm,
+                    "hysteresis": hysteresis,
+                    "alert_target": alert_target or f"{topic}-drift-alerts",
                 },
             )
         )
@@ -1357,6 +1384,8 @@ class Stream:
                 "tv_ppm",
             )
             _write_batch_jsonl(scores, sink_dir, batch_id)
+            if o["threshold_ppm"] is not None:
+                self._emit_drift_alerts(o, batch_id)
 
         return (
             src.writeStream.foreachBatch(drift_batch)
@@ -1366,6 +1395,65 @@ class Stream:
             )
             .trigger(availableNow=True)
             .start()
+        )
+
+    def _emit_drift_alerts(self, o: dict, batch_id: int) -> None:
+        """Hysteresis-confirmed drift alerting (monitor_drift with
+        ``threshold_ppm``): read the drift topic back — one short
+        row per (batch, source), metadata-scale — and alert every
+        source whose last ``hysteresis`` observations ALL exceed the
+        threshold, newest being this batch. The decision is a pure
+        function of the topic's rows with batch_seq <= this batch
+        (redelivery rewrote the current batch's rows byte-stable
+        before this runs), so the alert write needs nothing beyond
+        the same idempotent per-batch_id sink."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+        from pyspark.sql.window import Window
+
+        drift_schema = StructType(
+            [
+                StructField("batch_seq", LongType()),
+                StructField("src", StringType()),
+                StructField("n_tokens", LongType()),
+                StructField("tv_ppm", LongType()),
+            ]
+        )
+        k = int(o["hysteresis"])
+        thr = int(o["threshold_ppm"])
+        history = self.read_topic(o["target"], drift_schema).filter(
+            F.col("batch_seq") <= F.lit(int(batch_id))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("batch_seq").desc())
+        recent = history.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+        alerts = (
+            recent.groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min((F.col("tv_ppm") > thr).cast("int")).alias("_allex"),
+                F.max("batch_seq").alias("_newest"),
+                F.max(F.struct("batch_seq", "n_tokens", "tv_ppm")).alias("_c"),
+            )
+            .filter(
+                (F.col("_n") >= k)
+                & (F.col("_allex") == 1)
+                & (F.col("_newest") == int(batch_id))
+            )
+            .select(
+                F.lit(int(batch_id)).alias("batch_seq"),
+                "src",
+                F.col("_c.n_tokens").alias("n_tokens"),
+                F.col("_c.tv_ppm").alias("tv_ppm"),
+            )
+        )
+        _write_batch_jsonl(
+            alerts, str(self.topic_dir(o["alert_target"])), batch_id
         )
 
     def _start_score_novelty(self, sub: _Subscription):

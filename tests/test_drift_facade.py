@@ -189,3 +189,86 @@ def test_drift_scores_batch_tokenless_source_row(spark, tmp_path):
     )
     rows = sorted(tuple(r) for r in drift_scores_batch(batch, ref_path).collect())
     assert rows == [("s1", 0, 1_000_000), ("s2", 4, 0)]
+
+
+def _alerts(stream, topic="docs-drift-alerts"):
+    return {
+        (r["batch_seq"], r["src"]): (r["n_tokens"], r["tv_ppm"])
+        for r in stream.read_topic(topic, OUT_SCHEMA).collect()
+    }
+
+
+def test_drift_alert_hysteresis_planted_flip(stream, spark):
+    """The r13 alarm contract (reference surfaces lag as threshold
+    alerts, pspf/processor.py:260-281 — same posture for data
+    drift): a planted distribution flip alerts only after
+    `hysteresis` CONSECUTIVE exceeding batches, keeps firing while
+    the shift holds (level-triggered), and stops when the source
+    recovers. A steady control source never alerts."""
+    stream.monitor_drift(
+        "docs", SCHEMA, reference=_ref(spark),
+        threshold_ppm=400_000, hysteresis=2,
+    )
+    flips = ["a a b b", "c c", "c c", "c c", "a a b b"]
+    for text in flips:  # batch i: drifting source flips at batch 1
+        stream.emit(
+            "docs",
+            {"source": "hot", "text": text},
+            {"source": "ctl", "text": "a a b b"},
+        )
+        stream.run_until_idle()
+    alerts = _alerts(stream)
+    # batch 0: in-band; batch 1: first exceed (streak 1 < 2) — quiet;
+    # batches 2-3: streak confirmed — fires each batch; batch 4:
+    # recovery — quiet. Control never appears.
+    assert set(alerts) == {(2, "hot"), (3, "hot")}
+    assert alerts[(2, "hot")] == (2, 1_000_000)
+    assert alerts[(3, "hot")] == (2, 1_000_000)
+
+
+def test_drift_alert_absence_preserves_streak(stream, spark):
+    """Streak counts a source's OWN observations: a batch the source
+    sits out neither resets nor extends the run, so exceed /
+    absent / exceed still confirms at hysteresis=2."""
+    stream.monitor_drift(
+        "docs", SCHEMA, reference=_ref(spark),
+        threshold_ppm=400_000, hysteresis=2,
+    )
+    stream.emit("docs", {"source": "hot", "text": "c c"})
+    stream.run_until_idle()
+    stream.emit("docs", {"source": "other", "text": "a a b b"})
+    stream.run_until_idle()
+    stream.emit("docs", {"source": "hot", "text": "c c"})
+    stream.run_until_idle()
+    assert set(_alerts(stream)) == {(2, "hot")}
+
+
+def test_drift_alert_threshold_is_strict(stream, spark):
+    """tv_ppm == threshold_ppm is IN band (alerting is `>`): the
+    half-shifted source scores exactly 500k and stays quiet."""
+    stream.monitor_drift(
+        "docs", SCHEMA, reference=_ref(spark),
+        threshold_ppm=500_000, hysteresis=1,
+    )
+    stream.emit("docs", {"source": "edge", "text": "a b c d"})  # 500k
+    stream.run_until_idle()
+    stream.emit("docs", {"source": "edge", "text": "a b c d"})
+    stream.run_until_idle()
+    assert _alerts(stream) == {}
+
+
+def test_drift_alert_no_threshold_no_topic(stream, spark):
+    """Without threshold_ppm the facade is the raw gauge only — no
+    alert rows are ever produced."""
+    stream.monitor_drift("docs", SCHEMA, reference=_ref(spark))
+    stream.emit("docs", {"source": "hot", "text": "c c"})
+    stream.run_until_idle()
+    assert _alerts(stream) == {}
+
+
+def test_drift_alert_hysteresis_validated(stream, spark):
+    with pytest.raises(ValueError, match="hysteresis"):
+        stream.monitor_drift(
+            "docs", SCHEMA, reference=_ref(spark),
+            threshold_ppm=1, hysteresis=0,
+        )
