@@ -14,6 +14,14 @@ Interpreting round-over-round movers: sub-second queries move up to
 variance floor, measured once" pins the per-query band for the 10
 smallest). Flag a small query against BAND-exceedance there, not
 against the generic 1.25x vs_prev detector.
+
+Self-adjudicating flags (r13): `python bench.py --record-bands` stores
+exclusive per-query min/max-of-N bands for the FULL catalog in
+BANDS.json; every normal run then emits `band_exceeded` — only queries
+that leave their own band after window-ratio normalization AND whose
+module files changed since the bands were recorded — so `vs_prev`
+flags without a `band_exceeded` entry are pre-adjudicated as
+variance/load and need no re-measure.
 """
 
 from __future__ import annotations
@@ -40,6 +48,151 @@ N_REPEATS = 3
 #: clean: r9's record inflated ~20 heavy queries 15-60% in bursts that
 #: spanned all 3 repeats, which the >2x spread heuristic cannot see.
 VS_PREV_FLAG = 1.25
+
+#: normalized-band headroom: a query flags only when its min-of-N,
+#: divided by the run's window ratio (the median timing/band-min over
+#: all banded queries — the same unmoved-controls normalization the
+#: round judging applies by hand), exceeds its recorded band max by
+#: this factor. Steady-state repeats of identical plans vary 10-30%
+#: (SCALE.md); the window ratio removes the shared component, this
+#: margin absorbs the per-query remainder.
+BAND_MARGIN = 1.15
+
+
+def _load_bands(sf) -> dict:
+    """The checked-in per-query variance bands (BANDS.json at the repo
+    root): exclusive min/max-of-N wall times for the full catalog,
+    recorded ONCE by `python bench.py --record-bands` on a quiet box,
+    plus the commit they were recorded at. Returns {} when absent or
+    recorded at a different scale factor."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BANDS.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("sf") != sf:
+            return {}
+        return rec
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _files_touched_since(commit: str) -> set | None:
+    """Repo-relative paths changed since ``commit`` (the band
+    recording), or None when git can't answer (band exceedance is
+    then reported unfiltered rather than silently dropped)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", f"{commit}..HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            check=True,
+        )
+        return {line.strip() for line in out.stdout.splitlines() if line.strip()}
+    except Exception:  # noqa: BLE001 - detached/missing git must not kill bench
+        return None
+
+
+def _package_import_closure() -> dict:
+    """module file -> set of package files it (transitively) imports,
+    built from one regex pass over the package source. Used to map a
+    query to every file whose change could move its timing: the
+    query's own module plus the operator/streaming modules it pulls in
+    (imports inside function bodies included — the source scan sees
+    them where runtime introspection would not)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = "python_stream_processing_framework_spark"
+    edges: dict[str, set[str]] = {}
+    for path in glob.glob(os.path.join(root, pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, root)
+        try:
+            src = open(path).read()
+        except OSError:
+            continue
+        deps = set()
+        for m in re.finditer(rf"from ({pkg}[\w.]*) import", src):
+            mod = m.group(1).replace(".", os.sep)
+            for cand in (mod + ".py", os.path.join(mod, "__init__.py")):
+                if os.path.exists(os.path.join(root, cand)):
+                    deps.add(cand)
+                    break
+        edges[rel] = deps
+    closure: dict[str, set[str]] = {}
+
+    def visit(node: str) -> set:
+        if node in closure:
+            return closure[node]
+        closure[node] = {node}  # cycle guard: self while in progress
+        out = {node}
+        for dep in edges.get(node, ()):
+            out |= visit(dep)
+        closure[node] = out
+        return out
+
+    for node in list(edges):
+        visit(node)
+    return closure
+
+
+def _query_files(name: str, closure: dict) -> set:
+    """Every package file whose change could legitimately move this
+    query's timing (its queries/ module + transitive operator deps)."""
+    import inspect
+
+    entry = QUERY_REGISTRY.get(name)
+    if entry is None:
+        return set()
+    mod = sys.modules.get(entry.fn.__module__)
+    try:
+        rel = os.path.relpath(
+            inspect.getfile(mod), os.path.dirname(os.path.abspath(__file__))
+        )
+    except (TypeError, ValueError):
+        return set()
+    return closure.get(rel, {rel})
+
+
+def _band_exceeded(
+    timings: dict, bands_rec: dict
+) -> tuple[dict, dict, float, int]:
+    """Self-adjudicating bench flags (r13): compare this run's
+    min-of-N against each query's recorded exclusive band, normalized
+    by the run's window ratio, and keep only exceeders whose module
+    files changed since the bands were recorded — an untouched query
+    outside its band is load/variance by definition and lands in the
+    informational `band_exceeded_untouched` instead of the actionable
+    flag. A catalog-WIDE regression would inflate the window ratio and
+    hide here; the vs_prev total comparison still catches that case."""
+    bands = bands_rec.get("bands") or {}
+    common = [n for n in timings if n in bands and bands[n].get("min", 0) > 0]
+    if not common:
+        return {}, {}, 1.0, len(timings)
+    ratios = sorted(timings[n] / bands[n]["min"] for n in common)
+    window_ratio = max(1.0, ratios[len(ratios) // 2])
+    touched = _files_touched_since(bands_rec.get("recorded_commit", ""))
+    closure = _package_import_closure()
+    flagged: dict = {}
+    untouched: dict = {}
+    for n in common:
+        norm = timings[n] / window_ratio
+        if norm <= bands[n]["max"] * BAND_MARGIN:
+            continue
+        detail = {
+            "t": timings[n],
+            "norm": round(norm, 3),
+            "band_max": bands[n]["max"],
+        }
+        if touched is None or (touched & _query_files(n, closure)):
+            flagged[n] = detail
+        else:
+            untouched[n] = detail
+    return flagged, untouched, round(window_ratio, 3), len(timings) - len(common)
 
 
 def _load_prev_bench(sf: float | str) -> tuple[int | None, dict[str, float]]:
@@ -105,6 +258,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    maxima: dict[str, float] = {}
     for name in sorted(QUERY_REGISTRY):
         fn = QUERY_REGISTRY[name].fn
         samples: list[float] = []
@@ -119,6 +273,7 @@ def main() -> None:
             release_caches()
             spark.catalog.clearCache()
         timings[name] = round(min(samples), 3)
+        maxima[name] = round(max(samples), 3)
         # max/min of the N repeats. min-of-N is robust to load landing
         # on SOME passes, but when a load burst spans the whole repeat
         # window even the min is contaminated (r4: dedup_exact reported
@@ -140,6 +295,43 @@ def main() -> None:
     #     (b) too — the cost is one harmless extra re-run and the
     #     vs_prev ratio it reports is the honest number either way.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    if "--record-bands" in sys.argv:
+        # band-recording mode: persist this run's exclusive per-query
+        # min/max-of-N as the catalog's variance bands and stop —
+        # extras/streaming/flag machinery are the normal run's job.
+        # MUST be run on a quiet box (same discipline as trusting any
+        # bench number).
+        import subprocess
+
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=30,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                check=True,
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            commit = ""
+        rec = {
+            "sf": sf_val,
+            "cpus": cpus,
+            "n_repeats": N_REPEATS,
+            "recorded_commit": commit,
+            "bands": {
+                n: {"min": timings[n], "max": maxima[n]} for n in timings
+            },
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BANDS.json"
+        )
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        print(json.dumps({"recorded_bands": len(timings), "path": path}))
+        return
+
     prev_round, prev_timings = _load_prev_bench(sf_val)
 
     def _vs_prev() -> dict[str, float]:
@@ -193,6 +385,11 @@ def main() -> None:
         spark.catalog.clearCache()
     vs_prev = _vs_prev()
 
+    bands_rec = _load_bands(sf_val)
+    band_exceeded, band_untouched, band_window_ratio, bands_missing = (
+        _band_exceeded(timings, bands_rec) if bands_rec else ({}, {}, 1.0, 0)
+    )
+
     total = round(sum(timings.values()), 3)
     # Rich record first: full-precision timings + every diagnostic,
     # for anyone reading the complete log.
@@ -231,6 +428,20 @@ def main() -> None:
                 # `queries` — both windows reported, per the
                 # re-run-in-a-later-window contract.
                 "suspect_initial_s": suspect_initial_s,
+                # r13 self-adjudicating flags: queries whose min-of-N,
+                # normalized by this run's window ratio, left their
+                # recorded exclusive band (BANDS.json) AND whose module
+                # files changed since the bands were recorded. These
+                # are the ONLY movers that need human adjudication;
+                # band_exceeded_untouched lists exceeders with no
+                # touching commit (variance by definition).
+                "band_exceeded": band_exceeded,
+                "band_exceeded_untouched": band_untouched,
+                "band_window_ratio": band_window_ratio,
+                "bands_missing": bands_missing,
+                "bands_recorded_at": (bands_rec or {}).get(
+                    "recorded_commit", ""
+                )[:12],
             }
         )
     )
@@ -251,6 +462,8 @@ def main() -> None:
             prev_round=prev_round,
             vs_prev=vs_prev,
             suspect_load=suspect_load,
+            band_exceeded=band_exceeded,
+            band_window_ratio=band_window_ratio,
         )
     )
 
@@ -284,6 +497,8 @@ def _tail_safe_line(
     prev_round: int | None = None,
     vs_prev: dict | None = None,
     suspect_load: list | None = None,
+    band_exceeded: dict | None = None,
+    band_window_ratio: float = 1.0,
 ) -> str:
     """One compact JSON line guaranteed under ``budget`` bytes.
 
@@ -309,6 +524,13 @@ def _tail_safe_line(
         base["n_vs_prev_over_125"] = sum(
             1 for r in vs_prev.values() if r > VS_PREV_FLAG
         )
+        # the r13 self-adjudicating flag: band-leavers WITH a touching
+        # commit since BANDS.json was recorded. The authoritative
+        # mover list — vs_prev flags without a band_exceeded entry are
+        # pre-adjudicated as variance (see bench docstring).
+        base["n_band_exceeded"] = len(band_exceeded or {})
+        base["band_exceeded"] = sorted(band_exceeded or {})[:12]
+        base["band_window_ratio"] = band_window_ratio
         # flagged queries' final ratios only — bounded, highest first
         base["vs_prev_flagged"] = dict(
             sorted(
