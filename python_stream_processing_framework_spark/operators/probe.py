@@ -1,0 +1,221 @@
+"""Linear-probe classifier over embedding columns — distributed
+full-batch gradient descent in exact integer arithmetic.
+
+The data-curation "linear probe" pattern: train a one-vs-rest
+least-squares linear head on a frozen `array<float>` embedding
+column (quality raters, domain filters, topic gates over a corpus's
+embedding table), then serve it as a map-side scoring expression.
+The reference ships no trained classifiers; this extends the
+engine's LLM-data-pipeline family alongside
+operators/classifier.py's one-pass token-weight scorer (that one
+learns independent per-token posteriors; this one fits a joint
+linear head on dense features by gradient descent).
+
+Scale shape, per GD round: ONE corpus scan — the residuals are
+map-side expressions against weight LITERALS (the model is
+classes x dim nano-ints, bounded driver metadata, the same
+centroids-on-the-driver discipline as semdedup/pq's Lloyd rounds) —
+followed by ONE dim-keyed shuffle whose reduce side is `dim` rows,
+partial-aggregated map-side. The corpus never shuffles, the model
+never rides a row, and prediction is a pure map (argmax of
+class-many dot products). At 1e9 documents a round costs exactly
+one scan — the same class as any quality pass.
+
+Arithmetic contract (shared bit-for-bit with the DuckDB oracles,
+the lm.py / unigram.py quantization discipline):
+
+- features quantize ONCE: ``xq_j = round(x_j * 1e6)`` (double ->
+  BIGINT, round half away from zero in both engines);
+- weights live in nano-units (true weight * 1e9), labels one-hot in
+  nano-units;
+- per-doc class score ``z_nano = tdiv(sum_j w_j * xq_j, 1e6)`` with
+  the dot summed exactly in decimal(38,0) (HUGEINT oracle-side);
+- residual ``r = z_nano - y_nano``; gradient
+  ``g_cj = sum_docs r * xq_j`` (exact, so partition-order
+  invariant);
+- update ``w -= tdiv(lr_ppb * tdiv(g, n), 1e15)``.
+
+Every division is integer TRUNCATION toward zero — Spark's `div` /
+DuckDB's integer-`//` / :func:`tdiv` below — never Python's
+flooring `//`, so both engines agree on negative gradients.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: fixed-point scales (see module docstring)
+_MICRO = 1_000_000
+_NANO = 1_000_000_000
+_FEMTO = _MICRO * _NANO
+
+WEIGHTS_SCHEMA = "label bigint, dim int, w_nano bigint"
+
+
+def tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (SQL `div` semantics;
+    Python's // floors, which disagrees on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def quantize_features(df: DataFrame, vec_col: str) -> DataFrame:
+    """xq_j = round(x_j * 1e6) as array<long> in `_xq` — the one
+    float->integer boundary; everything downstream is exact."""
+    return df.withColumn(
+        "_xq",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(_MICRO))).cast(
+                "long"
+            ),
+        ),
+    )
+
+
+def _dot_nano(w_row: list[int]):
+    """z_nano column for one class: exact decimal dot of `_xq` with
+    the weight literals, then trunc-div by 1e6. The trunc-div is the
+    ``(a - a % d) / d`` identity — Spark's % follows the dividend's
+    sign, so the subtraction lands exactly on a multiple of d and
+    the final / is exact; floor-based idioms would disagree with the
+    oracle's HUGEINT `//` on negative dots."""
+    w_arr = F.array(
+        *[F.lit(int(w)).cast("decimal(18,0)") for w in w_row]
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_xq"), w_arr, lambda x, w: x.cast("decimal(18,0)") * w
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v.cast("decimal(38,0)"),
+    )
+    d = F.lit(_MICRO).cast("decimal(38,0)")
+    return ((dot - dot % d) / d).cast("long")
+
+
+def linear_probe_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    *,
+    rounds: int = 2,
+    lr_ppb: int = 500_000_000,
+    classes: list[int] | None = None,
+) -> DataFrame:
+    """Train a one-vs-rest linear probe by full-batch GD; returns the
+    weight table (label, dim, w_nano), `classes * dim` rows.
+
+    ``classes`` defaults to the distinct label values (collected
+    once — a probe's class set is bounded vocabulary, not data).
+    ``lr_ppb`` is the learning rate in parts-per-billion
+    (500_000_000 = 0.5). Deterministic and partition-order invariant
+    by construction: every sum is exact integer arithmetic, every
+    division truncates — two runs (or any repartitioning) produce
+    identical weights, and the DuckDB oracle replays each round as
+    one CTE pair (gradient, update).
+    """
+    spark = df.sparkSession
+    q = quantize_features(df, vec_col).select(
+        F.col(label_col).cast("long").alias("_y"), "_xq"
+    )
+    # one metadata scan for corpus size + class set (bounded: a
+    # probe's classes are vocabulary, not data)
+    meta = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(F.collect_set("_y")).alias("cls"),
+    ).head()
+    n = meta["n"]
+    if n == 0:
+        raise ValueError("linear_probe_train: empty input")
+    if classes is None:
+        classes = meta["cls"]
+    classes = [int(c) for c in classes]
+    dim = len(q.select("_xq").head()["_xq"])
+    weights = {c: [0] * dim for c in classes}
+    for _ in range(rounds):
+        resid = q.select(
+            "_xq",
+            *[
+                (
+                    _dot_nano(weights[c])
+                    - F.when(F.col("_y") == c, F.lit(_NANO))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                ).alias(f"_r{i}")
+                for i, c in enumerate(classes)
+            ],
+        )
+        grads = (
+            resid.select(
+                F.posexplode("_xq").alias("_dim", "_x"),
+                *[f"_r{i}" for i in range(len(classes))],
+            )
+            .groupBy("_dim")
+            .agg(
+                *[
+                    F.sum(
+                        F.col(f"_r{i}").cast("decimal(18,0)")
+                        * F.col("_x").cast("decimal(18,0)")
+                    ).alias(f"_g{i}")
+                    for i in range(len(classes))
+                ]
+            )
+            .collect()
+        )
+        for row in grads:
+            j = row["_dim"]
+            for i, c in enumerate(classes):
+                g = int(row[f"_g{i}"])
+                weights[c][j] -= tdiv(lr_ppb * tdiv(g, n), _FEMTO)
+    return spark.createDataFrame(
+        [
+            (int(c), j, int(weights[c][j]))
+            for c in classes
+            for j in range(dim)
+        ],
+        WEIGHTS_SCHEMA,
+    )
+
+
+def _collect_weights(weights: DataFrame) -> dict[int, list[int]]:
+    rows = weights.collect()  # classes x dim rows: bounded model size
+    dim = 1 + max(r["dim"] for r in rows)
+    out: dict[int, list[int]] = {}
+    for r in rows:
+        out.setdefault(int(r["label"]), [0] * dim)[r["dim"]] = int(
+            r["w_nano"]
+        )
+    return out
+
+
+def linear_probe_predict(
+    df: DataFrame,
+    weights: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score every row against the trained probe: appends `pred`
+    (argmax class; ties break to the smallest label — pinned, not
+    engine-dependent) and `z_nano` (the winning score). Pure map:
+    the weight table is collected (bounded model metadata) into
+    literal arrays; no join, no shuffle, serving cost = one scan."""
+    w = _collect_weights(weights)
+    scored = quantize_features(df, vec_col)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot_nano(w[c]).alias("z"),
+                    F.lit(-int(c)).cast("long").alias("negc"),
+                )
+                for c in sorted(w)
+            ]
+        )
+    )
+    return (
+        scored.withColumn("_best", best)
+        .withColumn("pred", -F.col("_best.negc"))
+        .withColumn("z_nano", F.col("_best.z"))
+        .drop("_xq", "_best")
+    )

@@ -53,6 +53,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     zorderq,
     robustq,
     unigram,
+    probe,
 )
 
 # ---------------------------------------------------------------------------
