@@ -54,6 +54,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     robustq,
     unigram,
     probe,
+    wordpiece,
 )
 
 # ---------------------------------------------------------------------------
