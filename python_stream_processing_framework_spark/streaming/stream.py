@@ -1244,43 +1244,74 @@ class Stream:
         max_piece_len: int = 4,
         max_word_len: int = 16,
         byte_fallback: bool = False,
+        tokenizer: str = "unigram",
     ) -> None:
         """Streaming token-budget meter: every document on ``topic``
         emits one (batch_seq, id, n_words, n_pieces) row on ``target``
         (default `{topic}-tokens`) — its piece count under a TRAINED
-        unigram-LM vocabulary (operators/unigram.py), the number a
-        budget planner reads off a live feed. Unsegmentable or
-        over-length words count 1 piece (UNK) — or length(word)
-        pieces with ``byte_fallback=True``, pricing what
-        unigram_encode(byte_fallback=True) would emit — and null
-        text is metered as empty (one UNK token), so every document
-        always yields a row — a consumer reconciling rows against
-        emitted doc counts never blocks on a missing one.
+        vocabulary, the number a budget planner reads off a live
+        feed. ``tokenizer`` picks the lineage: ``"unigram"`` (the
+        (piece, cnt, logp_nano) frame ``unigram_train`` returns,
+        Viterbi segmentation) or ``"wordpiece"`` (the (piece, cnt)
+        frame ``wordpiece_vocab`` builds from the TRAINING corpus,
+        greedy longest-match). Unsegmentable or over-length words
+        count 1 piece (UNK) — or length(word) pieces with
+        ``byte_fallback=True``, pricing what
+        unigram_encode(byte_fallback=True) would emit (unigram only:
+        WordPiece makes no char-coverage promise, so the option
+        raises there) — and null text is metered as empty (one UNK
+        token), so every document always yields a row — a consumer
+        reconciling rows against emitted doc counts never blocks on
+        a missing one.
 
-        The vocabulary — the (piece, cnt, logp_nano) frame
-        ``unigram_train`` returns — is persisted ONCE at registration
-        under ``vocab_path`` (skipped when one already exists, the
+        The vocabulary is persisted ONCE at registration under
+        ``vocab_path`` (skipped when one already exists, the
         monitor_drift write-once discipline: restarts and
         re-registrations never swap tokenizers mid-stream; retraining
-        is an explicit overwrite of that path). Each batch then
-        Viterbi-segments its DISTINCT words against that immutable
-        table, so scoring is stateless per batch and exactly-once is
-        just the idempotent per-batch_id sink."""
+        is an explicit overwrite of that path) — WITH the tokenizer
+        kind stamped in, so a re-registration under a different
+        ``tokenizer=`` fails loudly instead of silently re-scoring
+        the same table under another algorithm. Each batch then
+        segments its DISTINCT words against that immutable table, so
+        scoring is stateless per batch and exactly-once is just the
+        idempotent per-batch_id sink."""
         from pyspark.sql.utils import AnalysisException
 
+        if tokenizer not in ("unigram", "wordpiece"):
+            raise ValueError(
+                f"tokenizer must be 'unigram' or 'wordpiece', got {tokenizer!r}"
+            )
+        if byte_fallback and tokenizer == "wordpiece":
+            raise ValueError(
+                "byte_fallback is the unigram char-coverage contract; "
+                "WordPiece UNKs whole words (count 1)"
+            )
         group = group or f"{self.name}-tokens"
         vocab_path = vocab_path or str(self.broker / "_indexes" / group)
         # validate BEFORE claiming (see monitor_drift): a failed
         # registration must not poison the claim for the retry
         try:
-            self.spark.read.parquet(f"{vocab_path}/vocab").head()
+            head = self.spark.read.parquet(f"{vocab_path}/vocab").head()
+            existing = (
+                head["_tokenizer"]
+                if head is not None and "_tokenizer" in head.asDict()
+                else "unigram"  # pre-r13 tables carry no stamp
+            )
+            if head is not None and existing != tokenizer:
+                raise ValueError(
+                    f"vocabulary under {vocab_path} was persisted for "
+                    f"tokenizer={existing!r}; re-register with that or "
+                    "explicitly overwrite the path to retrain"
+                )
         except AnalysisException:
             if vocab is None:
                 raise ValueError(
                     "tokenize needs a trained `vocab` DataFrame the "
                     f"first time: no vocabulary under {vocab_path}"
                 )
-            vocab.write.mode("overwrite").parquet(f"{vocab_path}/vocab")
+            vocab.withColumn("_tokenizer", F.lit(tokenizer)).write.mode(
+                "overwrite"
+            ).parquet(f"{vocab_path}/vocab")
         self._claim(topic, group)
         self._subscriptions.append(
             _Subscription(
@@ -1297,6 +1328,7 @@ class Stream:
                     "max_piece_len": max_piece_len,
                     "max_word_len": max_word_len,
                     "byte_fallback": byte_fallback,
+                    "tokenizer": tokenizer,
                 },
             )
         )
@@ -1322,15 +1354,29 @@ class Stream:
             batch = batch.withColumn(
                 o["text_field"], F.coalesce(F.col(o["text_field"]), F.lit(""))
             )
-            counts = unigram_segment_counts(
-                batch,
-                o["id_field"],
-                o["text_field"],
-                vocab,
-                max_piece_len=o["max_piece_len"],
-                max_word_len=o["max_word_len"],
-                byte_fallback=o.get("byte_fallback", False),
-            ).select(
+            if o.get("tokenizer", "unigram") == "wordpiece":
+                from python_stream_processing_framework_spark.operators.wordpiece import (  # noqa: E501
+                    wordpiece_segment_counts,
+                )
+
+                segmented = wordpiece_segment_counts(
+                    batch,
+                    o["id_field"],
+                    o["text_field"],
+                    vocab,
+                    max_word_len=o["max_word_len"],
+                )
+            else:
+                segmented = unigram_segment_counts(
+                    batch,
+                    o["id_field"],
+                    o["text_field"],
+                    vocab,
+                    max_piece_len=o["max_piece_len"],
+                    max_word_len=o["max_word_len"],
+                    byte_fallback=o.get("byte_fallback", False),
+                )
+            counts = segmented.select(
                 F.lit(int(batch_id)).alias("batch_seq"),
                 o["id_field"],
                 "n_words",

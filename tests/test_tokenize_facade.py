@@ -150,3 +150,81 @@ def test_tokenize_null_text_still_yields_a_row(stream, spark):
     out = _rows(stream)
     assert out[(0, 1)] == (1, 1)
     assert out[(0, 2)] == (1, 2)
+
+
+def _wp_vocab(spark):
+    """WordPiece vocab trained on the hugs corpus (5 merges — the
+    test_wordpiece canonical example): 'hugging' -> hu ##g ##g ##in
+    ##g (5 pieces), 'the' -> 1, 'hug' -> 2."""
+    from python_stream_processing_framework_spark.operators.wordpiece import (
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "hugging hugs the hug"), (2, "hugging hugging pugs hug bug")],
+        "doc_id bigint, text string",
+    )
+    return wordpiece_vocab(
+        train, "text", wordpiece_train(train, "text", n_merges=5)
+    )
+
+
+def test_tokenize_wordpiece_counts_and_unk(stream, spark):
+    """r13: the meter under the WordPiece lineage — greedy
+    longest-match counts, UNK=1 for words with unseen characters,
+    null text still yields the (1, 1) row."""
+    stream.tokenize(
+        "docs", SCHEMA, vocab=_wp_vocab(spark), tokenizer="wordpiece"
+    )
+    stream.emit(
+        "docs",
+        {"doc_id": 1, "text": "hugging the hug"},   # 5 + 1 + 2
+        {"doc_id": 2, "text": "xyz hug"},           # UNK(1) + 2
+        {"doc_id": 3, "text": None},                # empty -> 1 UNK
+    )
+    stream.run_until_idle()
+    out = _rows(stream)
+    assert out[(0, 1)] == (3, 8)
+    assert out[(0, 2)] == (2, 3)
+    assert out[(0, 3)] == (1, 1)
+
+
+def test_tokenize_kind_is_write_once(spark, tmp_path):
+    """The persisted vocabulary carries its tokenizer kind: a
+    re-registration under a different tokenizer= must fail loudly
+    (silently re-scoring a unigram table as WordPiece — or vice
+    versa — would corrupt the meter), and the original keeps
+    working."""
+    broker = str(tmp_path / "broker")
+    s1 = Stream(spark, broker)
+    s1.tokenize("docs", SCHEMA, vocab=_vocab(spark), max_piece_len=3,
+                max_word_len=8)
+    s1.emit("docs", {"doc_id": 1, "text": "abab"})
+    s1.run_until_idle()
+
+    s2 = Stream(spark, broker)
+    with pytest.raises(ValueError, match="tokenizer='unigram'"):
+        s2.tokenize(
+            "docs", SCHEMA, vocab=_wp_vocab(spark), tokenizer="wordpiece"
+        )
+    s3 = Stream(spark, broker)
+    s3.tokenize("docs", SCHEMA)  # same kind: persisted table reused
+    s3.emit("docs", {"doc_id": 2, "text": "abab"})
+    s3.run_until_idle()
+    assert _rows(s3)[(1, 2)] == (1, 2)
+
+
+def test_tokenize_wordpiece_rejects_byte_fallback(spark, tmp_path):
+    s = Stream(spark, str(tmp_path / "broker"))
+    with pytest.raises(ValueError, match="byte_fallback"):
+        s.tokenize(
+            "docs", SCHEMA, vocab=_wp_vocab(spark),
+            tokenizer="wordpiece", byte_fallback=True,
+        )
+
+
+def test_tokenize_rejects_unknown_tokenizer(spark, tmp_path):
+    s = Stream(spark, str(tmp_path / "broker"))
+    with pytest.raises(ValueError, match="tokenizer"):
+        s.tokenize("docs", SCHEMA, tokenizer="bpe")
