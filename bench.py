@@ -370,6 +370,7 @@ def main() -> None:
         "zipf_text": _zipf_text_bench(spark, sf_dir),
         "hot_bucket_cap": _hot_bucket_cap_bench(spark),
         "unigram_zipf": _unigram_zipf_bench(spark),
+        "wordpiece_zipf": _wordpiece_zipf_bench(spark),
     }
 
     # ...and the flagged queries' re-run, taken AFTER the extras above
@@ -1188,6 +1189,70 @@ def _unigram_zipf_bench(spark) -> dict:
     ratio = {
         k: round(ten_x[k] / one_x[k], 2)
         for k in ("word_table_s", "train_s", "encode_s")
+        if one_x[k] > 0
+    }
+    return {"1x": one_x, "10x": ten_x, "stage_ratio_10x_over_1x": ratio}
+
+
+def _wordpiece_zipf_bench(spark) -> dict:
+    """WordPiece training + greedy encode at a REAL vocabulary (the
+    unigram_zipf discipline applied to the r13 trainer): the catalog's
+    wordpiece queries ride the ~31-distinct-word documents corpus,
+    which cannot evidence the claims that matter at scale — that each
+    merge round's cost is bounded by the DISTINCT-word table (Zipf-
+    sublinear), not the corpus, and that the greedy encode is one
+    corpus-linear join. Runs wordpiece_train (16 merges — per-merge
+    wall is the scale-relevant number; a 30k-merge vocabulary is
+    n_merges/batch driver round-trips exactly as bpe.py documents),
+    wordpiece_vocab, and wordpiece_segment_counts on the Zipf corpus
+    at 10k and 100k docs with per-stage walls and 10x ratios. Healthy:
+    train ratio well under 10, encode ratio ~10."""
+    import time as _t
+
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.wordpiece import (
+        wordpiece_segment_counts,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    N_MERGES = 16
+
+    def run(n_docs: int) -> dict:
+        docs = materialize(_zipf_docs(spark, n_docs))
+        out: dict = {"docs": docs.count()}
+        t0 = _t.perf_counter()
+        merges = wordpiece_train(
+            docs, "text", n_merges=N_MERGES, max_word_len=8
+        )
+        out["train_s"] = round(_t.perf_counter() - t0, 3)
+        out["per_merge_s"] = round(out["train_s"] / N_MERGES, 3)
+        t0 = _t.perf_counter()
+        vocab = materialize(
+            wordpiece_vocab(docs, "text", merges, max_word_len=8)
+        )
+        out["vocab_size"] = vocab.count()
+        out["vocab_s"] = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        wordpiece_segment_counts(
+            docs, "doc_id", "text", vocab, max_word_len=8
+        ).write.mode("overwrite").format("noop").save()
+        out["encode_s"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        docs.unpersist()
+        vocab.unpersist()
+        spark.catalog.clearCache()
+        return out
+
+    run(2_000)  # uncounted JIT/codegen warm-up (the 10x-bench rule)
+    one_x = run(10_000)
+    ten_x = run(100_000)
+    ratio = {
+        k: round(ten_x[k] / one_x[k], 2)
+        for k in ("train_s", "vocab_s", "encode_s")
         if one_x[k] > 0
     }
     return {"1x": one_x, "10x": ten_x, "stage_ratio_10x_over_1x": ratio}

@@ -103,6 +103,8 @@ def linear_probe_train(
     rounds: int = 2,
     lr_ppb: int = 500_000_000,
     classes: list[int] | None = None,
+    sample_ppb: int | None = None,
+    sample_key: str | None = None,
 ) -> DataFrame:
     """Train a one-vs-rest linear probe by full-batch GD; returns the
     weight table (label, dim, w_nano), `classes * dim` rows.
@@ -115,10 +117,25 @@ def linear_probe_train(
     division truncates — two runs (or any repartitioning) produce
     identical weights, and the DuckDB oracle replays each round as
     one CTE pair (gradient, update).
+
+    ``sample_ppb`` is the scale knob for when full-batch rounds
+    dominate: each round trains on the deterministic hash sample
+    ``pmod(xxhash64(sample_key, round), 1e9) < sample_ppb`` — a
+    DIFFERENT slice every round (the round index salts the hash),
+    still exactly reproducible, with the gradient mean taken over
+    the round's actual sampled count (measured in the same gradient
+    aggregate — no extra scan). ``sample_ppb=1_000_000_000`` is
+    bit-identical to full batch; a round whose sample is empty
+    leaves the weights unchanged. Requires ``sample_key`` (a stable
+    unique row key, e.g. vec_id) — sampling must not depend on
+    partitioning.
     """
+    if sample_ppb is not None and sample_key is None:
+        raise ValueError("sample_ppb requires sample_key (a stable row key)")
     spark = df.sparkSession
+    key_cols = [F.col(sample_key).alias("_k")] if sample_ppb is not None else []
     q = quantize_features(df, vec_col).select(
-        F.col(label_col).cast("long").alias("_y"), "_xq"
+        F.col(label_col).cast("long").alias("_y"), "_xq", *key_cols
     )
     # one metadata scan for corpus size + class set (bounded: a
     # probe's classes are vocabulary, not data)
@@ -134,8 +151,16 @@ def linear_probe_train(
     classes = [int(c) for c in classes]
     dim = len(q.select("_xq").head()["_xq"])
     weights = {c: [0] * dim for c in classes}
-    for _ in range(rounds):
-        resid = q.select(
+    for rnd in range(rounds):
+        src = q
+        if sample_ppb is not None:
+            src = q.filter(
+                F.pmod(
+                    F.xxhash64(F.col("_k"), F.lit(int(rnd))), F.lit(_NANO)
+                )
+                < F.lit(int(sample_ppb))
+            )
+        resid = src.select(
             "_xq",
             *[
                 (
@@ -153,22 +178,29 @@ def linear_probe_train(
                 *[f"_r{i}" for i in range(len(classes))],
             )
             .groupBy("_dim")
+            # the per-dim row count IS the round's sampled corpus
+            # size (each row contributes one posexploded row per
+            # dim): the gradient mean's divisor rides the same scan
             .agg(
+                F.count(F.lit(1)).alias("_n"),
                 *[
                     F.sum(
                         F.col(f"_r{i}").cast("decimal(18,0)")
                         * F.col("_x").cast("decimal(18,0)")
                     ).alias(f"_g{i}")
                     for i in range(len(classes))
-                ]
+                ],
             )
             .collect()
         )
+        if not grads:
+            continue  # empty sampled round: weights unchanged
+        n_round = int(grads[0]["_n"])
         for row in grads:
             j = row["_dim"]
             for i, c in enumerate(classes):
                 g = int(row[f"_g{i}"])
-                weights[c][j] -= tdiv(lr_ppb * tdiv(g, n), _FEMTO)
+                weights[c][j] -= tdiv(lr_ppb * tdiv(g, n_round), _FEMTO)
     return spark.createDataFrame(
         [
             (int(c), j, int(weights[c][j]))

@@ -140,3 +140,52 @@ def test_train_empty_raises(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         linear_probe_train(df)
+
+
+def test_sampled_rounds_full_rate_is_full_batch(crafted, spark):
+    """sample_ppb=1e9 admits every row each round, so the sampled
+    path must be bit-identical to full batch (same divisor, same
+    sums)."""
+    _, df = crafted
+    df = df.withColumn("vec_id", df["vec_id"])
+    full = sorted(
+        tuple(r) for r in linear_probe_train(df, rounds=3).collect()
+    )
+    sampled = sorted(
+        tuple(r)
+        for r in linear_probe_train(
+            df, rounds=3, sample_ppb=1_000_000_000, sample_key="vec_id"
+        ).collect()
+    )
+    assert full == sampled
+
+
+def test_sampled_rounds_deterministic_and_partition_invariant(crafted, spark):
+    _, df = crafted
+    kw = dict(rounds=3, sample_ppb=500_000_000, sample_key="vec_id")
+    one = sorted(
+        tuple(r) for r in linear_probe_train(df.coalesce(1), **kw).collect()
+    )
+    two = sorted(
+        tuple(r)
+        for r in linear_probe_train(df.repartition(5), **kw).collect()
+    )
+    assert one == two
+    # and the half-rate sample actually trained (nonzero weights)
+    assert any(t[2] != 0 for t in one)
+
+
+def test_sampled_rounds_empty_sample_is_noop(crafted, spark):
+    """sample_ppb=0 admits nothing: every round is an empty sample
+    and the weights stay at initialization."""
+    _, df = crafted
+    w = linear_probe_train(
+        df, rounds=2, sample_ppb=0, sample_key="vec_id"
+    ).collect()
+    assert all(r["w_nano"] == 0 for r in w)
+
+
+def test_sample_ppb_requires_key(crafted, spark):
+    _, df = crafted
+    with pytest.raises(ValueError, match="sample_key"):
+        linear_probe_train(df, sample_ppb=1)
