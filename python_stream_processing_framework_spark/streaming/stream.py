@@ -1333,6 +1333,117 @@ class Stream:
             )
         )
 
+    def classify(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        weights: DataFrame | None = None,
+        id_field: str = "doc_id",
+        vec_field: str = "embedding",
+        target: str | None = None,
+        group: str | None = None,
+        weights_path: str | None = None,
+    ) -> None:
+        """Streaming probe serving: every document on ``topic`` emits
+        one (batch_seq, id, pred, z_nano) row on ``target`` (default
+        `{topic}-classes`) — its argmax class under a TRAINED linear
+        probe (operators/probe.py), the live form of the
+        `probe_confusion` catalog query's serve step. The curation
+        gate a feed actually runs: quality/domain routing of incoming
+        documents by their frozen-embedding scores.
+
+        The weight table — linear_probe_train's (label, dim, w_nano)
+        frame — is persisted ONCE at registration under
+        ``weights_path`` (the tokenize/monitor_drift write-once
+        discipline: restarts and re-registrations never swap models
+        mid-stream; retraining is an explicit overwrite). Scoring is
+        a PURE MAP per batch (argmax over class-many literal dot
+        products, no join), stateless, so exactly-once is just the
+        idempotent per-batch_id sink. Null or wrong-dimension
+        embedding values classify as the ZERO vector (z=0 for every
+        class, pred = smallest label) — deterministic, and every
+        document always yields a row."""
+        from pyspark.sql.utils import AnalysisException
+
+        group = group or f"{self.name}-classes"
+        weights_path = weights_path or str(self.broker / "_indexes" / group)
+        # validate BEFORE claiming (see monitor_drift): a failed
+        # registration must not poison the claim for the retry
+        try:
+            self.spark.read.parquet(f"{weights_path}/weights").head()
+        except AnalysisException:
+            if weights is None:
+                raise ValueError(
+                    "classify needs a trained `weights` DataFrame the "
+                    f"first time: no weight table under {weights_path}"
+                )
+            weights.write.mode("overwrite").parquet(
+                f"{weights_path}/weights"
+            )
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="classify",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "id_field": id_field,
+                    "vec_field": vec_field,
+                    "target": target or f"{topic}-classes",
+                    "group": group,
+                    "weights_path": weights_path,
+                },
+            )
+        )
+
+    def _start_classify(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.operators.probe import (
+            linear_probe_predict,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def classify_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            weights = batch.sparkSession.read.parquet(
+                f"{o['weights_path']}/weights"
+            )
+            dim = 1 + weights.agg(F.max("dim")).head()[0]
+            # null / wrong-dim vectors -> the zero vector: every doc
+            # yields a row, deterministically (z=0, smallest label)
+            zero = F.array(*[F.lit(0.0)] * dim)
+            vec = F.col(o["vec_field"])
+            batch = batch.withColumn(
+                o["vec_field"],
+                F.when(
+                    vec.isNotNull() & (F.size(vec) == dim), vec
+                ).otherwise(zero),
+            )
+            out = linear_probe_predict(
+                batch, weights, o["vec_field"]
+            ).select(
+                F.lit(int(batch_id)).alias("batch_seq"),
+                o["id_field"],
+                "pred",
+                "z_nano",
+            )
+            _write_batch_jsonl(out, sink_dir, batch_id)
+
+        return (
+            src.writeStream.foreachBatch(classify_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _start_tokenize(self, sub: _Subscription):
         from python_stream_processing_framework_spark.operators.unigram import (
             unigram_segment_counts,
@@ -2432,6 +2543,7 @@ class Stream:
             "score_novelty": self._start_score_novelty,
             "monitor_drift": self._start_monitor_drift,
             "tokenize": self._start_tokenize,
+            "classify": self._start_classify,
         }
         for _ in range(max(1, rounds)):
             queries = []
