@@ -222,6 +222,36 @@ def _collect_weights(weights: DataFrame) -> dict[int, list[int]]:
     return out
 
 
+def linear_probe_margin(
+    df: DataFrame,
+    weights: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    positive: int,
+) -> DataFrame:
+    """The binary curation gate: appends `margin_nano` — the
+    ``positive`` class's score minus the best OTHER class's score —
+    the number a selection pipeline thresholds or top-k's on
+    (positive margin == the probe prefers the target class). Pure
+    map like :func:`linear_probe_predict`; exact integer, so a
+    downstream top-k has a stable deterministic order."""
+    w = _collect_weights(weights)
+    if int(positive) not in w:
+        raise ValueError(
+            f"positive class {positive} not in the weight table"
+        )
+    if len(w) < 2:
+        raise ValueError("margin needs >= 2 classes in the weight table")
+    scored = quantize_features(df, vec_col)
+    other_dots = [_dot_nano(w[c]) for c in sorted(w) if c != int(positive)]
+    others = (
+        other_dots[0] if len(other_dots) == 1 else F.greatest(*other_dots)
+    )
+    return scored.withColumn(
+        "margin_nano", _dot_nano(w[int(positive)]) - others
+    ).drop("_xq")
+
+
 def linear_probe_predict(
     df: DataFrame,
     weights: DataFrame,

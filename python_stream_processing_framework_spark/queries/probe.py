@@ -134,3 +134,49 @@ def probe_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred")
     )
+
+
+@query(
+    "probe_select",
+    f"""
+    WITH {_TRAIN_CTES},
+    z3 AS (
+      SELECT q.vec_id, q.label, w2.c,
+             SUM(CAST(w2.w AS HUGEINT) * q.xq[w2.j]) // 1000000 AS z
+      FROM q, w2 GROUP BY q.vec_id, q.label, w2.c),
+    mg AS (
+      SELECT vec_id, label,
+             CAST(MAX(CASE WHEN c = 0 THEN z END)
+                  - MAX(CASE WHEN c <> 0 THEN z END) AS BIGINT)
+               AS margin_nano
+      FROM z3 GROUP BY vec_id, label)
+    SELECT vec_id, label, margin_nano
+    FROM mg ORDER BY margin_nano DESC, vec_id LIMIT 25
+    """,
+    doc="Curation-gate selection (operators/probe."
+    "linear_probe_margin): train the 2-round probe, then take the 25 "
+    "documents whose one-vs-rest margin for class 0 (its score minus "
+    "the best other class's score, exact nano-integers) is highest — "
+    "the top-k half of a threshold gate, deterministic to the unit "
+    "with a (margin DESC, vec_id) tie-break. Pure map scoring "
+    "against weight literals + TakeOrderedAndProject; no join, no "
+    "wide shuffle.",
+)
+def probe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.probe import (
+        linear_probe_margin,
+        linear_probe_train,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    w = linear_probe_train(
+        embeddings, "embedding", "label", rounds=2, lr_ppb=500_000_000
+    )
+    out = linear_probe_margin(embeddings, w, "embedding", positive=0)
+    return (
+        out.select(
+            "vec_id", F.col("label").cast("long").alias("label"), "margin_nano"
+        )
+        .orderBy(F.col("margin_nano").desc(), "vec_id")
+        .limit(25)
+    )

@@ -189,3 +189,23 @@ def test_sample_ppb_requires_key(crafted, spark):
     _, df = crafted
     with pytest.raises(ValueError, match="sample_key"):
         linear_probe_train(df, sample_ppb=1)
+
+
+def test_margin_gate_on_crafted_classes(crafted, spark):
+    """The binary curation gate: class-0 rows carry positive margin,
+    class-1 rows negative; validation rejects unknown positives and
+    degenerate single-class tables."""
+    from python_stream_processing_framework_spark.operators.probe import (
+        linear_probe_margin,
+    )
+
+    rows, df = crafted
+    w = linear_probe_train(df, rounds=6, lr_ppb=800_000_000)
+    out = linear_probe_margin(df, w, positive=0).collect()
+    for r in out:
+        assert (r["margin_nano"] > 0) == (r["label"] == 0), r
+    with pytest.raises(ValueError, match="not in the weight table"):
+        linear_probe_margin(df, w, positive=7)
+    single = w.filter("label = 0")
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        linear_probe_margin(df, single, positive=0)
