@@ -954,3 +954,89 @@ def test_drift_scores_batch_prunes_reference_by_semi_join(spark, tmp_path):
         assert "LeftSemi" in t, "reference prune semi-join missing"
     finally:
         release_caches()
+
+
+def test_probe_gradient_round_is_one_narrow_exchange(spark):
+    """linear_probe_train's 100-TB contract (SCALE.md): a GD round is
+    ONE corpus scan feeding ONE dim-keyed exchange (64 reduce rows,
+    map-side partials) — residuals are literal expressions, the model
+    never rides a row, no join anywhere in the round."""
+    from python_stream_processing_framework_spark.operators.probe import (
+        _dot_nano,
+        quantize_features,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q_ = quantize_features(df, "embedding").select(
+        F.col("label").cast("long").alias("_y"), "_xq"
+    )
+    w = [1] * 64
+    resid = q_.select(
+        "_xq",
+        (
+            _dot_nano(w)
+            - F.when(F.col("_y") == 0, F.lit(10**9)).otherwise(F.lit(0))
+            .cast("long")
+        ).alias("_r0"),
+    )
+    grads = (
+        resid.select(F.posexplode("_xq").alias("_dim", "_x"), "_r0")
+        .groupBy("_dim")
+        .agg(
+            F.sum(
+                F.col("_r0").cast("decimal(18,0)")
+                * F.col("_x").cast("decimal(18,0)")
+            ).alias("_g0")
+        )
+    )
+    assert_no_cartesian(grads)
+    assert count_exchanges(grads) == 1
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    assert "Join" not in plan_text(grads)
+
+
+def test_probe_predict_is_pure_map(spark):
+    """Serving a trained probe is shuffle-free: argmax over literal
+    dot products, no join, zero exchanges."""
+    from python_stream_processing_framework_spark.operators.probe import (
+        linear_probe_predict,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    w = spark.createDataFrame(
+        [(c, j, (c + 1) * (j + 1)) for c in range(3) for j in range(64)],
+        "label bigint, dim int, w_nano bigint",
+    )
+    out = linear_probe_predict(df, w, "embedding")
+    assert count_exchanges(out) == 0
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    assert "Join" not in plan_text(out)
+
+
+def test_wordpiece_encode_joins_word_table_not_walk(spark):
+    """wordpiece_segment_counts' 100-TB contract: the corpus-side
+    join is ONE hash join keyed on `word` against the distinct-word
+    segmentation; the greedy walk and the lattice join live behind
+    the word-table aggregate (keys word/form/piece only); nothing
+    goes cartesian."""
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = q("wordpiece_token_counts", spark)
+    assert_no_cartesian(df)
+    t = plan_text(df)
+    key_lines = [
+        ln for ln in t.splitlines() if "Left keys" in ln or "Right keys" in ln
+    ]
+    assert key_lines, "expected join key lines"
+    assert all(
+        "word" in ln or "form" in ln or "piece" in ln for ln in key_lines
+    ), f"join not keyed on word/form/piece: {key_lines}"
+
+
+def test_paragraph_near_dedup_no_cartesian(spark):
+    """dedup_paragraphs_near composes LSH banding + components + the
+    shared rebuild: every join is keyed (band values, composite ids,
+    doc ids) — nothing may go cartesian at any stage."""
+    assert_no_cartesian(q("paragraph_dedup_near", spark))
