@@ -119,25 +119,13 @@ def bpe_train(
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
     spark = df.sparkSession
-    durable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _truncate(d: DataFrame) -> DataFrame:
-        # Lineage truncation per round (the operators/graph.py:86
-        # pattern). persist() alone is NOT enough: each round's plan
-        # chains on the previous round's full ANALYZED plan, and
-        # per-round analysis cost compounds — measured ~2x per round
-        # past round 9 (~20 s/round by round 15) with plain
-        # materialize(). Checkpointing makes every round's input a
-        # leaf, holding per-round cost flat.
-        return d.checkpoint(eager=True) if durable else d.localCheckpoint(eager=True)
-
-    def _release(d: DataFrame) -> None:
-        # localCheckpoint storage is an internal LogicalRDD persist
-        # that DataFrame.unpersist cannot reach; best-effort free.
-        try:
-            d._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:  # noqa: BLE001 - freeing a dead round is best-effort
-            pass
+    # Lineage truncation per round (the shared iterative-loop
+    # helpers; see checkpoint_truncate's docstring for the measured
+    # compounding-analysis-cost rationale)
+    from python_stream_processing_framework_spark.operators.common import (
+        checkpoint_truncate as _truncate,
+        release_checkpoint as _release,
+    )
 
     merges: list[tuple[int, str, str, int]] = []
     prev = _truncate(

@@ -77,24 +77,10 @@ def connected_components(
     one (local dev / tests), falls back to `localCheckpoint()`.
     """
     from python_stream_processing_framework_spark.operators.common import (
+        checkpoint_truncate as truncate,
+        release_checkpoint as ck_unpersist,
         track_release,
     )
-
-    sc = edges.sparkSession.sparkContext
-    durable = sc.getCheckpointDir() is not None
-
-    def truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if durable else df.localCheckpoint(eager=True)
-
-    def ck_unpersist(df: DataFrame) -> None:
-        # localCheckpoint storage is an internal LogicalRDD persist
-        # that DataFrame.unpersist cannot reach; free it through the
-        # plan accessor. Best-effort: the accessor is private API, and
-        # leaving a superseded round cached is harmless vs failing.
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
 
     # Adaptive iteration parallelism, PLAN-LOCAL: the per-round cost
     # of a SMALL graph (the common near-dup case — pairs are a tiny

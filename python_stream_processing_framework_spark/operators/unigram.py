@@ -327,25 +327,24 @@ def unigram_train(
     )
     for _ in range(em_rounds):
         best = viterbi_segment(words, vocab, max_piece_len=max_piece_len)
-        counts = _viterbi_counts(best)
-        cached = None
+        # materialize EVERY round, prune or not: the round's counts
+        # plan is consumed twice regardless — _with_logp's broadcast
+        # total aggregate is one action, the checkpoint projection
+        # another (and with keep_size, _prune_counts' chars.count()
+        # probe a third) — and without cached blocks each extra
+        # consumer re-executes the round's entire Viterbi DP
+        # (r12 ADVICE; the r13 review caught the no-prune path still
+        # paying the double-DP). The cache is dropped as soon as the
+        # round's checkpoint has copied the survivors out.
+        cached = materialize(_viterbi_counts(best))
+        counts = cached
         if keep_size is not None:
-            # materialize BEFORE the prune: _prune_counts probes
-            # chars.count() — an action over the counts plan — and
-            # without cached blocks that probe would execute the
-            # round's entire Viterbi DP a second time (once for the
-            # count, once for the checkpoint below), doubling
-            # per-round cost (r12 ADVICE). The cache is dropped as
-            # soon as the round's checkpoint has copied the
-            # survivors out.
-            cached = materialize(counts)
             counts = _prune_counts(cached, keep_size)
         # lineage truncation per round (the bpe_train discipline):
         # each round's plan would otherwise chain on the previous
         # round's full analyzed plan
         vocab = _with_logp(counts).localCheckpoint(eager=True)
-        if cached is not None:
-            cached.unpersist()
+        cached.unpersist()
     words.unpersist()
     return vocab
 

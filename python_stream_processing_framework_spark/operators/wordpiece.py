@@ -98,16 +98,10 @@ def wordpiece_train(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = df.sparkSession
-    durable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _truncate(d: DataFrame) -> DataFrame:
-        return d.checkpoint(eager=True) if durable else d.localCheckpoint(eager=True)
-
-    def _release(d: DataFrame) -> None:
-        try:
-            d._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:  # noqa: BLE001 - freeing a dead round is best-effort
-            pass
+    from python_stream_processing_framework_spark.operators.common import (
+        checkpoint_truncate as _truncate,
+        release_checkpoint as _release,
+    )
 
     merges: list[tuple[int, str, str, int, int]] = []
     prev = _truncate(

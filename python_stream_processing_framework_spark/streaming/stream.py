@@ -1517,18 +1517,15 @@ class Stream:
         def drift_batch(batch: DataFrame, batch_id: int) -> None:
             if batch.isEmpty():
                 return
-            # null text normalizes to empty, same as _start_tokenize:
-            # tokens_expr(NULL) explodes to nothing, so a source
-            # whose batch rows all carry null text used to silently
-            # emit NO drift row for the batch — breaking the
-            # every-source-accounted posture. split('') yields one
-            # empty-string token, so the dead source reads
-            # (n_tokens=1, tv_ppm=1e6); drift_scores_batch itself
-            # also right-joins the batch's sources back in as a
-            # second line of defense (r12 ADVICE)
-            batch = batch.withColumn(
-                o["text_field"], F.coalesce(F.col(o["text_field"]), F.lit(""))
-            )
+            # null text needs NO facade normalization here (unlike
+            # _start_tokenize, where every doc must price): a null
+            # row contributes zero tokens, which is the honest
+            # distribution — coalescing to '' would mint one phantom
+            # empty-string token per null row and DISTORT the TV of
+            # sources mixing null and real rows (r13 review). The
+            # every-source-accounted posture is drift_scores_batch's
+            # own sources join: an all-null source still emits its
+            # (n_tokens=0, tv_ppm=1e6) row.
             scores = drift_scores_batch(
                 batch,
                 o["ref_path"],
@@ -1557,13 +1554,25 @@ class Stream:
     def _emit_drift_alerts(self, o: dict, batch_id: int) -> None:
         """Hysteresis-confirmed drift alerting (monitor_drift with
         ``threshold_ppm``): read the drift topic back — one short
-        row per (batch, source), metadata-scale — and alert every
-        source whose last ``hysteresis`` observations ALL exceed the
-        threshold, newest being this batch. The decision is a pure
-        function of the topic's rows with batch_seq <= this batch
-        (redelivery rewrote the current batch's rows byte-stable
-        before this runs), so the alert write needs nothing beyond
-        the same idempotent per-batch_id sink."""
+        row per (batch, source) — and alert every source whose last
+        ``hysteresis`` observations ALL exceed the threshold, newest
+        being this batch. The decision is a pure function of the
+        topic's rows with batch_seq <= this batch (redelivery
+        rewrote the current batch's rows byte-stable before this
+        runs), so the alert write needs nothing beyond the same
+        idempotent per-batch_id sink.
+
+        BOUNDED read (r13 review): reading the whole topic every
+        batch is O(batches^2) cumulative over the stream's lifetime;
+        only the newest k observations per source can affect the
+        decision, so the read is limited to the trailing
+        ``max(64, 8*k)`` batch ids' sink files (deterministic
+        `batch-<id>` names — filename-pruned, never listed into
+        Spark). The one semantic consequence is documented, not
+        silent: a source so sparse that its last k observations do
+        not fit in that window cannot confirm a streak and stays
+        quiet — bounded per-batch work wins over alerting on feeds
+        quieter than ~one row per 8k/64 batches."""
         from pyspark.sql.types import (
             LongType,
             StringType,
@@ -1582,9 +1591,19 @@ class Stream:
         )
         k = int(o["hysteresis"])
         thr = int(o["threshold_ppm"])
-        history = self.read_topic(o["target"], drift_schema).filter(
-            F.col("batch_seq") <= F.lit(int(batch_id))
-        )
+        lookback = max(64, 8 * k)
+        floor = int(batch_id) - lookback
+        paths = []
+        for p in self.topic_dir(o["target"]).glob("batch-*.json"):
+            try:
+                seq = int(p.name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if floor < seq <= int(batch_id):
+                paths.append(str(p))
+        if not paths:
+            return
+        history = self.spark.read.schema(drift_schema).json(paths)
         w = Window.partitionBy("src").orderBy(F.col("batch_seq").desc())
         recent = history.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= k

@@ -151,32 +151,35 @@ def test_drift_empty_reference_convention(spark, tmp_path):
 
 
 def test_drift_null_text_source_still_accounted(stream, spark):
-    """r13 review regression (every-source-accounted): a source whose
-    batch rows all carry NULL text used to explode to zero tokens and
-    silently emit no drift row — the one way a live feed could drop
-    off the monitor unnoticed. It now reads n_tokens=0 with the
-    maximal tv_ppm (an empty distribution is vocabulary-disjoint from
-    any real reference), same convention at the facade and the
-    operator level. At the facade, null coalesces to empty text
-    FIRST (the tokenize one-UNK discipline), and split('') yields one
-    empty-string token — so the facade row reads n_tokens=1."""
+    """Every-source-accounted (r12 ADVICE), refined by the r13
+    review: a source whose batch rows all carry NULL text must still
+    emit its drift row — (n_tokens=0, maximal tv_ppm), from
+    drift_scores_batch's own sources join, the SAME convention as
+    the operator level. Null rows contribute zero tokens — the
+    facade must NOT coalesce null to '' (that minted one phantom
+    empty-string token per null row and distorted the TV of sources
+    mixing null and real rows: 'mixed' below must score 0 against
+    the matching reference, not drift upward)."""
     stream.monitor_drift("docs", SCHEMA, reference=_ref(spark))
     stream.emit(
         "docs",
         {"source": "dead", "text": None},
         {"source": "live", "text": "a a b b"},
+        {"source": "mixed", "text": "a a b b"},
+        {"source": "mixed", "text": None},
     )
     stream.run_until_idle()
     out = _rows(stream)
-    assert out[(0, "dead")] == (1, 1_000_000)
+    assert out[(0, "dead")] == (0, 1_000_000)
     assert out[(0, "live")] == (4, 0)
+    assert out[(0, "mixed")] == (4, 0)
 
 
 def test_drift_scores_batch_tokenless_source_row(spark, tmp_path):
-    """Operator-level dual of the facade regression: called WITHOUT
-    the facade's null-coalesce, a null-text-only source explodes to
-    zero token rows — it must still get a (0, 1e6) row, not
-    silence."""
+    """Operator-level form of the every-source-accounted rule: a
+    null-text-only source explodes to zero token rows — it must
+    still get a (0, 1e6) row, not silence. (The facade adds nothing
+    on top: this sources join IS the accounting, r13 review.)"""
     from python_stream_processing_framework_spark.operators.text import (
         drift_scores_batch,
         write_drift_reference,
