@@ -261,6 +261,27 @@ def _tag_typed_value(batch_tag) -> float | None:
     return None
 
 
+def _tag_try_double(tag) -> float | None:
+    """The double ``try_cast('double')`` would read this tag's column
+    value as, or None — the DIR-side mirror of the typed disjunct in
+    :func:`_tag_match_pred`. try_cast trims whitespace, so a
+    non-canonical tag like ``' 7'`` (dir ``batch= 7``) still reads as
+    7.0 on the row side; the dir-side protection check must see the
+    same value or compaction deletes a directory whose rows the
+    retention predicate kept (r13 ADVICE — retained-from-fold rows in
+    a deleted dir are lost). Python ``float`` accepts a superset of
+    try_cast's grammar (underscores, 'inf'), which only ever
+    OVER-protects a directory — the safe direction: a protected dir
+    whose rows also folded yields tolerated duplicates, removed by
+    the next compaction."""
+    for s in sorted(_tag_forms(tag)):
+        try:
+            return float(s.strip())
+        except ValueError:
+            continue
+    return None
+
+
 def _tag_match_pred(tags) -> F.Column:
     """Column predicate: this row's ``batch`` value belongs to one of
     ``tags``. Matches on string surface forms (_tag_forms) OR — for
@@ -537,10 +558,26 @@ def compact_partitions(
         if st.isDirectory() and st.getPath().getName().startswith("batch=")
     )
     retained_forms: set[str] = set()
+    retained_typed: set[float] = set()
     for t in retain_tags:
         retained_forms |= _tag_forms(t)
+        v = _tag_typed_value(t)
+        if v is not None:
+            retained_typed.add(v)
+    # Dir protection must be a SUPERSET of row retention
+    # (_tag_match_pred over retain_tags): a dir whose rows the
+    # retention predicate keeps but whose name the string-form check
+    # misses (try_cast trims whitespace — dir 'batch= 7' vs retained
+    # '7') would be deleted WITH its retained-from-fold rows. Mirror
+    # the typed disjunct on the dir name; over-protection is safe
+    # (duplicates fold next compaction), under-protection loses rows.
     to_compact = [
-        d for d in raw_dirs if not (_tag_forms(d) & retained_forms)
+        d
+        for d in raw_dirs
+        if not (_tag_forms(d) & retained_forms)
+        and not (
+            retained_typed and _tag_try_double(d) in retained_typed
+        )
     ]
     if len(to_compact) <= 1:
         return None

@@ -148,10 +148,27 @@ def linear_probe_train(
         F.count(F.lit(1)).alias("n"),
         F.sort_array(F.collect_set("_y")).alias("cls"),
         F.max(F.size("_xq")).alias("dim"),
+        # coalesce: under ANSI size(NULL) is NULL, which min/max
+        # would silently skip — a null embedding must surface as -1
+        F.min(F.coalesce(F.size("_xq"), F.lit(-1))).alias("dim_min"),
     ).head()
     n = meta["n"]
     if n == 0:
         raise ValueError("linear_probe_train: empty input")
+    # Ragged or null vectors break the determinism contract: a short
+    # vector posexplodes fewer rows so per-dim _n differs (the
+    # gradient divisor would become plan-order dependent) while its
+    # zip_with dot nulls out yet still dilutes the mean — and a null
+    # embedding (size = -1) contributes nothing at all. Refuse
+    # loudly; serving-side null handling is Stream.classify's
+    # zero-vector fallback, not the trainer's job (r13 ADVICE).
+    if int(meta["dim_min"]) != int(meta["dim"]):
+        raise ValueError(
+            "linear_probe_train: ragged or null embeddings "
+            f"(size range [{meta['dim_min']}, {meta['dim']}]); "
+            "training requires one fixed dimension — filter or pad "
+            "upstream"
+        )
     if classes is None:
         classes = meta["cls"]
     classes = [int(c) for c in classes]
@@ -201,7 +218,10 @@ def linear_probe_train(
         )
         if not grads:
             continue  # empty sampled round: weights unchanged
-        n_round = int(grads[0]["_n"])
+        # uniform by the ragged-input raise above; max() rather than
+        # an arbitrary collect()-order row keeps the divisor
+        # plan-order independent by construction
+        n_round = max(int(row["_n"]) for row in grads)
         for row in grads:
             j = row["_dim"]
             for i, c in enumerate(classes):

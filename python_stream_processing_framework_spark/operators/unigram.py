@@ -166,18 +166,26 @@ def unigram_seed(
     return chars.unionByName(multi)
 
 
-def _with_logp(counts: DataFrame) -> DataFrame:
+def _with_logp(counts: DataFrame, total: int | None = None) -> DataFrame:
     """Re-normalize: logp_nano = round(ln(cnt / total) * 1e9) — the
     ONE quantization per round; everything after it is exact BIGINT
-    arithmetic (the lm.py nano-unit pattern, oracle-portable)."""
-    total = counts.agg(F.sum("cnt").alias("_t"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    arithmetic (the lm.py nano-unit pattern, oracle-portable).
+
+    ``total`` (a precomputed exact-integer sum of ``cnt``) inlines as
+    a literal instead of the broadcast aggregate — same double value
+    in the same division expression, bit-identical logp. The no-prune
+    train loop passes it so the round's ONLY remaining consumer of
+    the counts plan is the checkpoint action (see unigram_train)."""
+    if total is not None:
+        t = F.lit(float(total))
+    else:
+        agg = counts.agg(F.sum("cnt").alias("_t"))
+        counts = counts.crossJoin(F.broadcast(agg))
+        t = F.col("_t").cast("double")
+    return counts.select(
         "piece",
         F.col("cnt").cast("bigint").alias("cnt"),
-        F.round(
-            F.log(F.col("cnt").cast("double") / F.col("_t").cast("double"))
-            * F.lit(1e9)
-        )
+        F.round(F.log(F.col("cnt").cast("double") / t) * F.lit(1e9))
         .cast("bigint")
         .alias("logp_nano"),
     )
@@ -327,23 +335,36 @@ def unigram_train(
     )
     for _ in range(em_rounds):
         best = viterbi_segment(words, vocab, max_piece_len=max_piece_len)
-        # materialize EVERY round, prune or not: the round's counts
-        # plan is consumed twice regardless — _with_logp's broadcast
-        # total aggregate is one action, the checkpoint projection
-        # another (and with keep_size, _prune_counts' chars.count()
-        # probe a third) — and without cached blocks each extra
-        # consumer re-executes the round's entire Viterbi DP
-        # (r12 ADVICE; the r13 review caught the no-prune path still
-        # paying the double-DP). The cache is dropped as soon as the
-        # round's checkpoint has copied the survivors out.
-        cached = materialize(_viterbi_counts(best))
-        counts = cached
+        # persist EVERY round, prune or not: the round's counts plan
+        # has several consumers and without cached blocks each one
+        # re-executes the round's entire Viterbi DP (r12 ADVICE).
+        # The POPULATION differs by path (r13 verdict: the eager
+        # count the prune path needs cost the no-prune path an extra
+        # pass at small scale):
+        #  - prune: three consumers, two of them (_prune_counts'
+        #    chars-budget probe, the checkpoint) planned while the
+        #    third (_with_logp's broadcast total) races them — the
+        #    eager count() forces one computation pass first.
+        #  - no-prune: the total is collected as its OWN bounded
+        #    action (one exact-integer sum, inlined as a literal into
+        #    _with_logp — bit-identical logp), so the two consumers
+        #    are SEQUENTIAL actions on a lazy persist: the total
+        #    aggregate populates the cache, the checkpoint reads
+        #    blocks. One DP pass, no extra count action.
+        # The cache is dropped as soon as the round's checkpoint has
+        # copied the survivors out.
         if keep_size is not None:
+            cached = materialize(_viterbi_counts(best))
             counts = _prune_counts(cached, keep_size)
+            logp = _with_logp(counts)
+        else:
+            cached = _viterbi_counts(best).persist()
+            total = cached.agg(F.sum("cnt")).head()[0]
+            logp = _with_logp(cached, total=int(total))
         # lineage truncation per round (the bpe_train discipline):
         # each round's plan would otherwise chain on the previous
         # round's full analyzed plan
-        vocab = _with_logp(counts).localCheckpoint(eager=True)
+        vocab = logp.localCheckpoint(eager=True)
         cached.unpersist()
     words.unpersist()
     return vocab

@@ -1194,8 +1194,23 @@ class Stream:
 
         group = group or f"{self.name}-drift"
         ref_path = ref_path or str(self.broker / "_indexes" / group)
-        # validate BEFORE claiming: a failed registration must not
-        # poison the (topic, group) claim for the corrected retry
+        # cheap validations FIRST — before the claim AND before the
+        # write-once reference side effect, so a failed registration
+        # poisons nothing for the corrected retry
+        if hysteresis < 1:
+            raise ValueError(f"hysteresis must be >= 1, got {hysteresis}")
+        drift_target = target or f"{topic}-drift"
+        alert_target = alert_target or f"{topic}-drift-alerts"
+        # alert rows share the drift topic's 4-column shape: pointed
+        # at the drift topic itself they'd be read back by the
+        # hysteresis history glob and corrupt the streak computation
+        # (r13 ADVICE) — refuse at registration, not mid-stream
+        if alert_target == drift_target:
+            raise ValueError(
+                "monitor_drift: alert_target must differ from the "
+                f"drift target ({drift_target!r}) — alert rows would "
+                "be read back as drift history"
+            )
         try:
             self.spark.read.parquet(f"{ref_path}/total").head()
         except AnalysisException:
@@ -1208,8 +1223,6 @@ class Stream:
                     f"first time: no reference table under {ref_path}"
                 )
             write_drift_reference(reference, ref_path, text_col=text_field)
-        if hysteresis < 1:
-            raise ValueError(f"hysteresis must be >= 1, got {hysteresis}")
         self._claim(topic, group)
         self._subscriptions.append(
             _Subscription(
@@ -1220,12 +1233,12 @@ class Stream:
                 options={
                     "source_field": source_field,
                     "text_field": text_field,
-                    "target": target or f"{topic}-drift",
+                    "target": drift_target,
                     "group": group,
                     "ref_path": ref_path,
                     "threshold_ppm": threshold_ppm,
                     "hysteresis": hysteresis,
-                    "alert_target": alert_target or f"{topic}-drift-alerts",
+                    "alert_target": alert_target,
                 },
             )
         )
@@ -1414,14 +1427,21 @@ class Stream:
                 f"{o['weights_path']}/weights"
             )
             dim = 1 + weights.agg(F.max("dim")).head()[0]
-            # null / wrong-dim vectors -> the zero vector: every doc
-            # yields a row, deterministically (z=0, smallest label)
+            # null / wrong-dim / element-null vectors -> the zero
+            # vector: every doc yields a row, deterministically
+            # (z=0, smallest label). The forall guard matters: a
+            # correct-length vector with a null ELEMENT would null
+            # the dot product and degrade pred via null-struct
+            # ordering (r13 ADVICE)
             zero = F.array(*[F.lit(0.0)] * dim)
             vec = F.col(o["vec_field"])
             batch = batch.withColumn(
                 o["vec_field"],
                 F.when(
-                    vec.isNotNull() & (F.size(vec) == dim), vec
+                    vec.isNotNull()
+                    & (F.size(vec) == dim)
+                    & F.forall(vec, lambda x: x.isNotNull()),
+                    vec,
                 ).otherwise(zero),
             )
             out = linear_probe_predict(

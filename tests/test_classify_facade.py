@@ -116,3 +116,20 @@ def test_classify_requires_weights_first_time(spark, tmp_path):
     s = Stream(spark, str(tmp_path / "broker"))
     with pytest.raises(ValueError, match="weights"):
         s.classify("docs", SCHEMA)
+
+
+def test_classify_element_null_vector_falls_back_to_zero(stream, spark):
+    """r13 ADVICE: a correct-LENGTH embedding containing null
+    elements used to pass the guard, null the dot product, and
+    degrade pred via null-struct ordering. It now classifies as the
+    zero vector like null/wrong-dim inputs: (pred=0, z=0)."""
+    stream.classify("docs", SCHEMA, weights=_weights(spark))
+    stream.emit(
+        "docs",
+        {"doc_id": 1, "embedding": [0.95, None, 0.0, 0.0]},
+        {"doc_id": 2, "embedding": [0.0, 0.9, 0.0, 0.0]},
+    )
+    stream.run_until_idle()
+    out = _rows(stream)
+    assert out[(0, 1)] == (0, 0)
+    assert out[(0, 2)][0] == 1 and out[(0, 2)][1] > 0

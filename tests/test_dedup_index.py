@@ -643,3 +643,40 @@ def test_tag_forms_ascii_numeric_gate(spark, tmp_path):
     idx = spark.read.parquet(root)
     left = sorted(r["v"] for r in exclude_batch_tag(idx, "7_0").collect())
     assert left == [2]  # only the tag's own partition is excluded
+
+
+def test_compact_protects_whitespace_numeric_tag_dir(spark, tmp_path):
+    """r13 ADVICE regression (compact_partitions predicate split):
+    dir protection matched string surface forms only, while row
+    retention (_tag_match_pred) also matches on try_cast('double'),
+    which TRIMS whitespace. A non-canonical dir 'batch= 7' retained
+    under tag '7' therefore had its rows kept OUT of the fold while
+    its directory was deleted — losing the rows. Dir protection now
+    mirrors the typed disjunct (a superset: over-protection only
+    duplicates, which the next compaction folds)."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "idx")
+    spark.createDataFrame([(1,)], "v bigint").write.parquet(
+        f"{root}/batch= 7"
+    )
+    spark.createDataFrame([(2,)], "v bigint").write.parquet(
+        f"{root}/batch=a"
+    )
+    spark.createDataFrame([(3,)], "v bigint").write.parquet(
+        f"{root}/batch=b"
+    )
+    tag = compact_partitions(spark, root, retain_tags=["7"])
+    assert tag is not None
+    # the whitespace dir is typed-protected (its rows would have been
+    # retained from the fold); no row of the index is lost
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(root) if d.startswith("batch=")
+    )
+    assert "batch= 7" in dirs
+    vals = sorted(r["v"] for r in spark.read.parquet(root).collect())
+    assert vals == [1, 2, 3]

@@ -275,3 +275,22 @@ def test_drift_alert_hysteresis_validated(stream, spark):
             "docs", SCHEMA, reference=_ref(spark),
             threshold_ppm=1, hysteresis=0,
         )
+
+
+def test_drift_alert_target_must_differ_from_drift_target(stream, spark):
+    """r13 ADVICE: alert rows share the drift topic's 4-column shape,
+    so alerts pointed at the drift topic itself would be read back by
+    the hysteresis history glob and corrupt the streak computation.
+    Refused at registration — and BEFORE the write-once reference
+    side effect, so the corrected retry starts clean."""
+    with pytest.raises(ValueError, match="alert_target"):
+        stream.monitor_drift(
+            "docs", SCHEMA, reference=_ref(spark),
+            threshold_ppm=1, alert_target="docs-drift",
+        )
+    # the failed registration wrote nothing: the retry still needs
+    # (and accepts) the reference
+    stream.monitor_drift(
+        "docs", SCHEMA, reference=_ref(spark),
+        threshold_ppm=1, alert_target="docs-alerts",
+    )

@@ -209,3 +209,22 @@ def test_margin_gate_on_crafted_classes(crafted, spark):
     single = w.filter("label = 0")
     with pytest.raises(ValueError, match=">= 2 classes"):
         linear_probe_margin(df, single, positive=0)
+
+
+def test_train_ragged_or_null_embeddings_raise(spark):
+    """r13 ADVICE: ragged embeddings make per-dim _n differ (the
+    gradient divisor would depend on plan order) while short vectors
+    null out of the dot yet still dilute the mean; null embeddings
+    (size -1) contribute nothing. The trainer refuses both loudly."""
+    ragged = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0, 0.5])],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged or null"):
+        linear_probe_train(ragged)
+    withnull = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 1, None)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged or null"):
+        linear_probe_train(withnull)
