@@ -1235,6 +1235,25 @@ def _wordpiece_zipf_bench(spark) -> dict:
         )
         out["train_s"] = round(_t.perf_counter() - t0, 3)
         out["per_merge_s"] = round(out["train_s"] / N_MERGES, 3)
+        # batched training (r13 verdict #2): identical merge table by
+        # construction (acceptance is exact — see wordpiece_train),
+        # fewer driver round-trips; merges/round is the scale number
+        # (a 30k-merge vocabulary is 30k/mpr sequential rounds)
+        rounds: list = []
+        t0 = _t.perf_counter()
+        wordpiece_train(
+            docs,
+            "text",
+            n_merges=N_MERGES,
+            max_word_len=8,
+            batch=8,
+            rounds_out=rounds,
+        )
+        out["train_batch8_s"] = round(_t.perf_counter() - t0, 3)
+        out["batch8_rounds"] = len(rounds)
+        out["batch8_merges_per_round"] = round(
+            N_MERGES / max(1, len(rounds)), 2
+        )
         t0 = _t.perf_counter()
         vocab = materialize(
             wordpiece_vocab(docs, "text", merges, max_word_len=8)

@@ -82,6 +82,8 @@ def wordpiece_train(
     *,
     n_merges: int = 6,
     max_word_len: int = 16,
+    batch: int = 1,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` WordPiece merges; returns WP_MERGES_SCHEMA
     rows in application order. Stops early when no pair remains.
@@ -90,13 +92,42 @@ def wordpiece_train(
     structurally) with one extra vocabulary-bounded shuffle per round
     for the symbol counts the likelihood denominator needs; the
     vocabulary re-checkpoints per round (lineage truncation) and dead
-    rounds release eagerly. ``batch>1`` merge batching is deliberately
-    not replicated here — the WordPiece score's denominators change
-    whenever EITHER symbol is touched, so the symbol-disjoint
-    commutation argument bpe.py documents covers counts but not
-    scores; sequential selection is the honest contract."""
+    rounds release eagerly.
+
+    ``batch`` > 1 is the driver-latency scale knob (a real 30k-merge
+    vocabulary at batch=1 is 30k sequential driver round-trips): each
+    round collects the top-N scored pairs plus trigram-derived bounds
+    for the pairs a merge would mint, then replays up to ``batch``
+    sequential argmax steps DRIVER-SIDE, accepting exactly as many as
+    the collected evidence makes provable (see _accept_batch) — the
+    merge table is bit-identical to sequential selection on every
+    corpus, not an approximation. bpe.py's symbol-disjoint
+    commutation covers pair COUNTS but not WordPiece SCORES (a merge
+    moves the denominators of every pair touching either symbol and
+    mints new pairs around the merged symbol), and on a Zipf corpus
+    consecutive argmaxes CHAIN on the hot symbols ((b,##a), (c,##a),
+    (d,##a), ... — each merge shrinks count(##a) and boosts the whole
+    family), so a disjointness-only batch degenerates to 1
+    merge/round. The simulator rides the chain instead: counts of
+    same-left/same-right siblings are provably unchanged and their
+    denominators exactly tracked, so their post-merge scores are
+    EXACT; everything else (shrinking pairs, the uncollected tail,
+    minted pairs via trigram evidence) is upper-bounded, and the
+    batch stops at the first comparison that is not strict. Anything
+    rejected waits for the next round, so batch mode trades nothing:
+    merges/round >= 1 always, more whenever the corpus allows.
+    Parity is pinned by hypothesis tests (identical tables vs
+    batch=1 on random corpora) and the driver oracle replays the
+    batch=1 contract unchanged.
+
+    ``rounds_out`` (telemetry, optional): a list the trainer appends
+    one int per driver round — the number of merges that round
+    accepted — so harnesses can report merges/round-trip without
+    instrumenting the loop."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     spark = df.sparkSession
     from python_stream_processing_framework_spark.operators.common import (
         checkpoint_truncate as _truncate,
@@ -130,7 +161,7 @@ def wordpiece_train(
         den = F.col("_cl").cast("decimal(19,0)") * F.col("_cr").cast(
             "decimal(19,0)"
         )
-        top = (
+        scored = (
             pairs.join(
                 symcnt.select(F.col("sym").alias("l"), F.col("c").alias("_cl")),
                 "l",
@@ -145,36 +176,323 @@ def wordpiece_train(
                 "score_q",
                 ((num - num % den) / den).cast("long"),
             )
-            .orderBy(F.col("score_q").desc(), "l", "r")
-            .limit(1)
-            .collect()
         )
-        if not top:
+        want = min(batch, n_merges - len(merges))
+        if want == 1:
+            accepted = [
+                (r["l"], r["r"], int(r["total"]), int(r["score_q"]))
+                for r in scored.orderBy(
+                    F.col("score_q").desc(), "l", "r"
+                )
+                .limit(1)
+                .collect()
+            ]
+        else:
+            ncollect = max(32, 8 * want)
+            top = (
+                scored.orderBy(F.col("score_q").desc(), "l", "r")
+                .limit(ncollect)
+                .collect()
+            )
+            # each accepted tuple carries the EXACT score at its own
+            # sequential step (chain-accepted merges see boosted
+            # denominators, so the pre-round score_q would be wrong)
+            accepted = _accept_batch(
+                prev, symcnt, top, want, collected_cap=ncollect
+            )
+        if not accepted:
             break
-        left, right = top[0]["l"], top[0]["r"]
-        merges.append(
-            (
-                len(merges),
-                left,
-                right,
-                int(top[0]["total"]),
-                int(top[0]["score_q"]),
+        if rounds_out is not None:
+            rounds_out.append(len(accepted))
+        seq_col = F.col("seq")
+        for left, right, pc, sc in accepted:
+            merges.append((len(merges), left, right, pc, sc))
+            # ONE rewrite pass per batch: the replaces chain in
+            # acceptance order inside one column expression, so each
+            # pattern is applied to exactly the string state the
+            # sequential trainer would have had at its step —
+            # sequential application by construction
+            seq_col = F.replace(
+                seq_col,
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {_merged_form(left, right)} "),
             )
-        )
-        nxt = _truncate(
-            prev.withColumn(
-                "seq",
-                F.replace(
-                    F.col("seq"),
-                    F.lit(f" {left}  {right} "),
-                    F.lit(f" {_merged_form(left, right)} "),
-                ),
-            )
-        )
+        nxt = _truncate(prev.withColumn("seq", seq_col))
         _release(prev)
         prev = nxt
     _release(prev)
     return spark.createDataFrame(merges, WP_MERGES_SCHEMA)
+
+
+def _tri_expr(syms):
+    """Adjacent symbol TRIPLES as 'a<US>b<US>c' strings (every
+    occurrence) — the batched trainer's minted-pair evidence: each
+    post-merge occurrence of a pair involving a minted symbol traces
+    to exactly one pre-merge trigram through the merge site."""
+    n = F.size(syms)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                "\x1f",
+                F.element_at(syms, i),
+                F.element_at(syms, i + 1),
+                F.element_at(syms, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: "infinite" sentinel for minted-pair raw bounds whose exact decimal
+#: quotient would not fit the precision budget — the simulator treats
+#: any raw >= this as unbounded and stops the batch (conservative).
+_RAW_CAP = 10**24
+
+
+def _minted_raw_bounds(prev, symcnt, cand):
+    """Per candidate j, sound upper bounds for the scores of pairs
+    involving j's minted symbol m_j, shaped so the simulator can
+    divide by the EXACT minted count at accept time:
+
+        score(any pair touching m_j at any later step)
+            <= raw_j // count(m_j)
+
+    Left-extension pairs (x, m_j) arise only at merge-j sites, one per
+    pre-merge trigram (x, l_j, r_j); right-extension (m_j, y) per
+    (l_j, r_j, y). Counts only shrink afterwards, so the pre-round
+    trigram count is an upper numerator. The extension symbol's
+    post-merge count is lower-bounded by count(x) - dec_ub(x) (dec_ub
+    = total consumption if EVERY candidate touching x were accepted)
+    and, when x is itself some candidate k's consumed symbol whose
+    site becomes m_k, by pc_k (the minted count) — the min of the two
+    is sound for both the plain and the minted-neighbor reading
+    ((m_k, m_j) cross pairs trace to trigrams (r_k, l_j, r_j), where
+    the x slot holds r_k). One vocabulary-bounded aggregation over
+    the trigram table restricted to the candidate pairs; <= 2 rows
+    per candidate come back."""
+    spark = prev.sparkSession
+    sep = "\x1f"
+    key_j = {f"{l}{sep}{r}": j for j, (l, r, _) in enumerate(cand)}
+    dec_ub: dict[str, int] = {}
+    right_pc: dict[str, int] = {}
+    left_pc: dict[str, int] = {}
+    for left, right, pc in cand:
+        dec_ub[left] = dec_ub.get(left, 0) + (2 * pc if left == right else pc)
+        if left != right:
+            dec_ub[right] = dec_ub.get(right, 0) + pc
+        right_pc[right] = min(right_pc.get(right, pc), pc)
+        left_pc[left] = min(left_pc.get(left, pc), pc)
+
+    def _map(d: dict):
+        args: list = []
+        for k in sorted(d):
+            args += [F.lit(k), F.lit(d[k])]
+        return F.create_map(*args)
+
+    dec_map, rpc_map, lpc_map = _map(dec_ub), _map(right_pc), _map(left_pc)
+    syms = F.split(F.trim(F.col("seq")), "  ")
+    tri = (
+        prev.select(F.explode(_tri_expr(syms)).alias("t"), "cnt")
+        .groupBy("t")
+        .agg(F.sum("cnt").alias("total"))
+        .select(
+            F.split_part(F.col("t"), F.lit(sep), F.lit(1)).alias("a"),
+            F.split_part(F.col("t"), F.lit(sep), F.lit(2)).alias("b"),
+            F.split_part(F.col("t"), F.lit(sep), F.lit(3)).alias("c"),
+            "total",
+        )
+    )
+    keys = list(key_j)
+    jmap = _map(key_j)
+    lext = tri.filter(
+        F.concat_ws(sep, "b", "c").isin(keys)
+    ).select(
+        F.element_at(jmap, F.concat_ws(sep, "b", "c")).alias("j"),
+        F.col("a").alias("x"),
+        "total",
+        F.lit("L").alias("side"),
+    )
+    rext = tri.filter(
+        F.concat_ws(sep, "a", "b").isin(keys)
+    ).select(
+        F.element_at(jmap, F.concat_ws(sep, "a", "b")).alias("j"),
+        F.col("c").alias("x"),
+        "total",
+        F.lit("R").alias("side"),
+    )
+    ext = lext.unionByName(rext).join(
+        symcnt.select(F.col("sym").alias("x"), F.col("c").alias("_cx")),
+        "x",
+    )
+    # the extension symbol's post-merge count lower bound: when x sits
+    # LEFT of a merge site it may itself have been minted from r_k
+    # (right_pc applies); RIGHT of a site, from l_k (left_pc)
+    den_plain = F.greatest(
+        F.lit(1).cast("long"),
+        F.col("_cx") - F.coalesce(_at_map(dec_map, "x"), F.lit(0)).cast("long"),
+    )
+    den = F.when(
+        F.col("side") == "L",
+        F.least(den_plain, F.coalesce(_at_map(rpc_map, "x").cast("long"), den_plain)),
+    ).otherwise(
+        F.least(den_plain, F.coalesce(_at_map(lpc_map, "x").cast("long"), den_plain))
+    )
+    n = F.col("total").cast("decimal(38,0)") * F.lit(_SCORE_SCALE)
+    d = den.cast("decimal(19,0)")
+    # 10**24 exceeds the long literal range: route through a string
+    cap = F.lit(str(_RAW_CAP)).cast("decimal(38,0)")
+    q = F.when((n - n % cap) / cap >= d, cap).otherwise((n - n % d) / d)
+    rows = (
+        ext.select("j", q.alias("q"))
+        .groupBy("j")
+        .agg(F.max("q").alias("q"))
+        .collect()
+    )
+    raws = {j: 0 for j in range(len(cand))}
+    for r in rows:
+        raws[int(r["j"])] = max(raws[int(r["j"])], int(r["q"]))
+    return raws
+
+
+def _at_map(mp, col):
+    return F.element_at(mp, F.col(col))
+
+
+def _accept_batch(prev, symcnt, top, want, *, collected_cap):
+    """Exact batched acceptance: replay the sequential argmax
+    driver-side for as many steps as the collected evidence makes
+    PROVABLE, and stop at the first uncertain comparison. The output
+    is bit-identical to ``want`` sequential rounds' prefix — batching
+    trades driver round-trips, never semantics.
+
+    Why this works: merging (l_j, r_j) -> m_j (distinct symbols, the
+    block-aligned rewrite) changes the corpus state in fully
+    characterized ways —
+
+    - symbol counts: l_j and r_j each lose EXACTLY pair_count
+      occurrences (the pattern cannot self-overlap when l != r), m_j
+      gains exactly pair_count; every other symbol is untouched.
+    - a pair (u, v) keeps its count EXACTLY unless u == r_j (its u
+      may be consumed when preceded by l_j), v == l_j (consumed when
+      followed by r_j), (u, v) == (l_j, r_j) itself (drops to zero),
+      or a side is the minted m_j. In particular sharing only the
+      LEFT symbol with a merge's left (u == l_j, v != r_j) or only
+      the RIGHT with its right leaves the count untouched — which is
+      exactly the hot-symbol chain shape ((b,##a), (c,##a), (d,##a)
+      ...) a Zipf corpus produces.
+
+    So after any accepted set, a collected pair's score computed as
+    pre_count * S // (cnt'(u) * cnt'(v)) with exactly-tracked symbol
+    counts is EXACT when the count-preservation conditions hold
+    ("crownable") and a sound UPPER bound otherwise (counts only
+    shrink). A step's winner is accepted iff it is crownable and
+    strictly dominates (with exact lexicographic tie-breaks against
+    other exact values only):
+
+    - every other collected pair's value,
+    - the uncollected tail: any pair outside the collected top-N had
+      pre-score <= the N-th score; its score can only grow by
+      denominator shrink, bounded by (tail+1) * the two largest
+      count/count' boost ratios among touched symbols (dead symbols
+      with count' = 0 are excluded — pairs touching them have count'
+      0). When the whole pair table was collected there is no tail.
+    - minted pairs: raw_j // minted_count_j per accepted j (see
+      _minted_raw_bounds), with raw >= _RAW_CAP treated as infinite.
+
+    Additional stop conditions keep every exactness precondition
+    honest: self-pair candidates (consumption not exact) and merged
+    forms colliding with a live symbol or an earlier minted form
+    (their pairs could GAIN count) are accepted only as the FIRST
+    merge of the round — where acceptance is definitionally
+    sequential — and end the batch. Stopping is always sound: the
+    next round re-derives the true state and sequential semantics
+    resume natively."""
+    if not top:
+        return []
+    a_rows = top
+    cand = [(r["l"], r["r"], int(r["total"])) for r in a_rows]
+    m_strings = [_merged_form(l, r) for l, r, _ in cand]
+    cnt0 = {
+        r["sym"]: int(r["c"])
+        for r in symcnt.filter(F.col("sym").isin(m_strings)).collect()
+    }
+    raws = _minted_raw_bounds(prev, symcnt, cand)
+    tail = int(top[-1]["score_q"]) if len(top) == collected_cap else None
+
+    pre_cnt: dict[str, int] = {}
+    for r in top:
+        pre_cnt[r["l"]] = int(r["_cl"])
+        pre_cnt[r["r"]] = int(r["_cr"])
+    dec: dict[str, int] = {}
+    accepted: list = []
+    acc_idx: list[int] = []
+    minted_cnt: list[int] = []
+    minted_strings: set[str] = set()
+
+    def _cur(s: str) -> int:
+        return pre_cnt[s] - dec.get(s, 0)
+
+    while len(accepted) < want:
+        vals = []  # (value, l, r, exact, idx)
+        for idx, p in enumerate(top):
+            if idx in acc_idx:
+                continue
+            u, v = p["l"], p["r"]
+            cu, cv = _cur(u), _cur(v)
+            if cu <= 0 or cv <= 0:
+                continue  # both bound and true count are 0
+            value = (int(p["total"]) * _SCORE_SCALE) // (cu * cv)
+            exact = all(
+                u != top[k]["r"] and v != top[k]["l"] for k in acc_idx
+            )
+            vals.append((value, u, v, exact, idx))
+        if not vals:
+            break
+        vals.sort(key=lambda t: (-t[0], t[1], t[2]))
+        value, u, v, exact, idx = vals[0]
+        first = not accepted
+        ok = exact
+        if len(vals) > 1 and vals[1][0] == value and not vals[1][3]:
+            ok = False  # tie with a mere bound: argmax uncertain
+        if ok and not first and tail is not None:
+            # exact max boost product over (ordered, with repetition)
+            # touched-symbol pairs — an uncollected pair can touch at
+            # most two touched symbols; dead symbols (count' 0) zero
+            # any pair touching them and are excluded
+            live = [(pre_cnt[s], _cur(s)) for s in dec if _cur(s) > 0]
+            best_ub = tail + 1  # no touched side: score unchanged
+            for n1, d1 in live:
+                for n2, d2 in live:
+                    best_ub = max(
+                        best_ub, ((tail + 1) * n1 * n2) // (d1 * d2)
+                    )
+                best_ub = max(best_ub, ((tail + 1) * n1) // d1)
+            if best_ub >= value:
+                ok = False
+        if ok and not first:
+            for k, mc in zip(acc_idx, minted_cnt):
+                if raws[k] >= _RAW_CAP or raws[k] // mc >= value:
+                    ok = False
+                    break
+        if not ok:
+            break
+        m = _merged_form(u, v)
+        degenerate = (
+            u == v or cnt0.get(m, 0) > 0 or m in minted_strings
+        )
+        if degenerate and not first:
+            break
+        pc = int(top[idx]["total"])
+        accepted.append((u, v, pc, value))
+        acc_idx.append(idx)
+        minted_cnt.append(pc)
+        minted_strings.add(m)
+        if degenerate:
+            break  # sequential-identical single step; state not exact
+        dec[u] = dec.get(u, 0) + pc
+        dec[v] = dec.get(v, 0) + pc
+    return accepted
 
 
 def wordpiece_vocab(

@@ -210,3 +210,107 @@ def test_wordpiece_rejects_bad_params(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with pytest.raises(ValueError, match="n_merges"):
         wordpiece_train(docs, "text", n_merges=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=14,
+    ),
+    n_merges=st.integers(1, 5),
+    batch=st.integers(2, 6),
+)
+def test_wordpiece_batch_is_bit_identical_to_sequential(
+    spark, words, n_merges, batch
+):
+    """batch>1 is latency, not semantics: the acceptance rule
+    (string-disjoint prefix + strict score dominance over a sound
+    bound on every boosted/minted score) guarantees the merge table
+    is IDENTICAL to the sequential trainer's on every corpus — the
+    'abc' alphabet plus random repetition stresses exactly the
+    failure modes (denominator boosts, freshly-minted pairs
+    outranking pre-round candidates, self-pairs, merged forms
+    colliding with live symbols)."""
+    words = [w for w in words if w] or ["a"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    seq = [
+        tuple(r)
+        for r in wordpiece_train(docs, "text", n_merges=n_merges)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in wordpiece_train(
+            docs, "text", n_merges=n_merges, batch=batch
+        )
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == seq, (words, n_merges, batch)
+
+
+def test_wordpiece_batch_reduces_driver_rounds(spark, monkeypatch):
+    """The point of batch mode: symbol-disjoint dominant merges land
+    in ONE driver round-trip. Two independent sub-corpora ('ab' words
+    and 'cd' words, equal shape) give two equal-score disjoint top
+    candidates; batch=4 must accept both in the first round. Rounds
+    are observed via the per-round lineage-truncation call."""
+    from python_stream_processing_framework_spark.operators import common
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd cd cd")], "doc_id bigint, text string"
+    )
+    calls = {"n": 0}
+    real = common.checkpoint_truncate
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(common, "checkpoint_truncate", counting)
+    seq = wordpiece_train(docs, "text", n_merges=2).collect()
+    seq_rounds = calls["n"] - 1  # minus the initial word-table truncate
+    calls["n"] = 0
+    got = wordpiece_train(docs, "text", n_merges=2, batch=4).collect()
+    batch_rounds = calls["n"] - 1
+    assert sorted(map(tuple, got)) == sorted(map(tuple, seq))
+    assert seq_rounds == 2
+    assert batch_rounds == 1
+
+
+def test_wordpiece_batch_rejects_when_minted_pair_would_outrank(spark):
+    """The soundness half: merging the top pair can mint a pair a
+    rare neighbor makes dominant (score S/(cnt(x)*cnt(m))), which
+    sequential picks NEXT — a naive disjoint-prefix batch would
+    instead take the pre-round runner-up. 'xab' plants exactly that:
+    after (a, ##b) -> 'ab' merges, (##x-era) ... the rare '##a ##b'
+    context mints '##ab' pairs that outrank the 'cd' family. Batch
+    output must still equal sequential exactly."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab ab ab xab cd cd")], "doc_id bigint, text string"
+    )
+    for n in (2, 3, 4):
+        seq = [
+            tuple(r)
+            for r in wordpiece_train(docs, "text", n_merges=n)
+            .orderBy("merge_idx")
+            .collect()
+        ]
+        got = [
+            tuple(r)
+            for r in wordpiece_train(docs, "text", n_merges=n, batch=4)
+            .orderBy("merge_idx")
+            .collect()
+        ]
+        assert got == seq, n
+
+
+def test_wordpiece_batch_rejects_bad_param(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="batch"):
+        wordpiece_train(docs, "text", batch=0)
