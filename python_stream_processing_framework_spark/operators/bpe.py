@@ -38,12 +38,69 @@ from python_stream_processing_framework_spark.operators.dedup import tokens_expr
 MERGES_SCHEMA = "merge_idx int, left string, right string, pair_count bigint"
 
 
+def _bytes_to_unicode() -> list[str]:
+    """The GPT-2 reversible byte<->unicode table (Radford et al.
+    2019, the published `bytes_to_unicode`): printable latin-1 bytes
+    map to themselves, every other byte to an unused codepoint
+    256 + n — so any byte sequence renders as a printable string and
+    decodes back losslessly. Index b holds byte b's surface char."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    out: list[str] = [""] * 256
+    for b in bs:
+        out[b] = chr(b)
+    n = 0
+    for b in range(256):
+        if not out[b]:
+            out[b] = chr(256 + n)
+            n += 1
+    return out
+
+
+_BYTE_CHARS = _bytes_to_unicode()
+#: codepoints of _BYTE_CHARS — the SQL oracle rebuilds the identical
+#: table from these ints (no string-literal escaping concerns)
+_BYTE_CODEPOINTS = [ord(c) for c in _BYTE_CHARS]
+
+
 def _seq_expr(word: Column) -> Column:
     """Initial symbol sequence of a word: characters joined by DOUBLE
     spaces with single-space ends (the block-aligned merge-pattern
     anchors — see the module docstring)."""
     chars = F.regexp_extract_all(word, F.lit("."), F.lit(0))
     return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def _byte_seq_expr(word: Column) -> Column:
+    """Byte-level initial sequence (the GPT-2 deployed contract): the
+    word's UTF-8 BYTES, each rendered through the reversible
+    byte<->unicode table, double-space delimited. Every byte is a
+    seed symbol, so every word is segmentable — no UNK exists at any
+    vocabulary size. JVM-side: hex the encoded word and fold 2-char
+    chunks through the 256-entry literal array."""
+    hexs = F.hex(F.encode(word, "UTF-8"))
+    syms = F.transform(
+        F.sequence(F.lit(1), (F.length(hexs) / F.lit(2)).cast("int")),
+        lambda i: F.element_at(
+            F.lit(_BYTE_CHARS),
+            F.conv(F.substr(hexs, i * 2 - 1, F.lit(2)), 16, 10).cast(
+                "int"
+            )
+            + 1,
+        ),
+    )
+    return F.concat(F.lit(" "), F.array_join(syms, "  "), F.lit(" "))
+
+
+def _seed_expr(level: str):
+    if level == "char":
+        return _seq_expr
+    if level == "byte":
+        return _byte_seq_expr
+    raise ValueError(f"level must be 'char' or 'byte', got {level!r}")
 
 
 def _pairs_expr(syms: Column) -> Column:
@@ -78,8 +135,18 @@ def bpe_train(
     *,
     n_merges: int = 8,
     batch: int = 1,
+    level: str = "char",
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus.
+
+    ``level``: ``"char"`` (default — symbols are the word's
+    characters) or ``"byte"`` — the GPT-2 deployed contract: symbols
+    are the word's UTF-8 bytes rendered through the standard
+    reversible byte<->unicode table (_bytes_to_unicode), so no UNK
+    can ever exist (all 256 byte symbols seed the vocabulary) and
+    learned pieces decode back to exact byte sequences. On pure
+    printable-ASCII corpora byte == char bit-exactly (the table maps
+    printable ASCII to itself — pinned by test).
 
     Returns the merge table (merge_idx, left, right, pair_count) —
     merge_idx is application order. Each round: count every adjacent
@@ -118,6 +185,7 @@ def bpe_train(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
+    seed = _seed_expr(level)
     spark = df.sparkSession
     # Lineage truncation per round (the shared iterative-loop
     # helpers; see checkpoint_truncate's docstring for the measured
@@ -130,7 +198,7 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     prev = _truncate(
         word_frequency_table(df, text_col).select(
-            _seq_expr(F.col("word")).alias("seq"), F.col("cnt")
+            seed(F.col("word")).alias("seq"), F.col("cnt")
         )
     )
     while len(merges) < n_merges:
@@ -190,6 +258,8 @@ def bpe_segment_counts(
     id_col: str,
     text_col: str,
     merges,
+    *,
+    level: str = "char",
 ) -> DataFrame:
     """Apply a learned merge table to the corpus and count the BPE
     pieces each document tokenizes to.
@@ -212,8 +282,10 @@ def bpe_segment_counts(
     else:
         pairs = [(l, r) for l, r in merges]
 
+    seed = _seed_expr(level)
+
     def _pieces(word: Column) -> Column:
-        acc = _seq_expr(word)
+        acc = seed(word)
         for left, right in pairs:
             acc = F.replace(
                 acc, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
@@ -237,6 +309,8 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     merges,
+    *,
+    level: str = "char",
 ) -> DataFrame:
     """Tokenize the corpus under a learned merge table — the encode
     step a training pipeline actually runs at 100 TB once the
@@ -259,8 +333,10 @@ def bpe_encode(
     else:
         pairs = [(l, r) for l, r in merges]
 
+    seed = _seed_expr(level)
+
     def _segmented(word: Column) -> Column:
-        acc = _seq_expr(word)
+        acc = seed(word)
         for left, right in pairs:
             acc = F.replace(
                 acc, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")

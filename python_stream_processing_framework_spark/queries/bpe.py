@@ -31,18 +31,45 @@ _N_MERGES = 8
 _TOKS = "string_split(trim(lower(text)), ' ')"
 
 
-def _bpe_ctes(n_merges: int) -> str:
-    """CTE chain: word frequencies -> v0 (char sequences) -> per
-    round r: p{r} pair counts, b{r} argmax, v{r+1} rewrite."""
-    parts = [
-        f"""
-    wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM (SELECT unnest({_TOKS}) AS word FROM documents) z
-           GROUP BY word),
+def _byte_map_sql() -> str:
+    """The GPT-2 byte<->unicode table as a DuckDB list literal,
+    rebuilt from the SAME codepoint ints the Spark operator uses
+    (operators/bpe._BYTE_CODEPOINTS) — identical by construction."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        _BYTE_CODEPOINTS,
+    )
+
+    cps = ", ".join(str(c) for c in _BYTE_CODEPOINTS)
+    return (
+        f"list_transform([{cps}], c -> chr(CAST(c AS INT)))"
+    )
+
+
+def _bpe_ctes(n_merges: int, *, level: str = "char", toks: str = _TOKS) -> str:
+    """CTE chain: word frequencies -> v0 (char or byte-mapped
+    sequences) -> per round r: p{r} pair counts, b{r} argmax, v{r+1}
+    rewrite."""
+    if level == "byte":
+        seed = (
+            "' ' || array_to_string("
+            "list_transform(range(1, octet_length(encode(word)) + 1),"
+            " i -> bmap.cs[CAST('0x' || substr(hex(encode(word)),"
+            " CAST(i*2-1 AS INT), 2) AS INT) + 1]), '  ') || ' '"
+        )
+        v0 = f"""
+    bmap AS (SELECT {_byte_map_sql()} AS cs),
+    v0 AS MATERIALIZED (SELECT {seed} AS seq, cnt FROM wf, bmap)"""
+    else:
+        v0 = """
     v0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
                     || ' ' AS seq,
                   cnt
            FROM wf)"""
+    parts = [
+        f"""
+    wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest({toks}) AS word FROM documents) z
+           GROUP BY word),{v0}"""
     ]
     for r in range(n_merges):
         parts.append(
@@ -90,6 +117,39 @@ def _merges_union(n_merges: int) -> str:
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return bpe_train(documents, "text", n_merges=_N_MERGES)
+
+
+#: accent injection so the ASCII testdata genuinely exercises
+#: multi-byte UTF-8 (é = C3 A9): identical deterministic transform on
+#: both engines
+_ACCENT_TOKS = "string_split(trim(replace(lower(text), 'e', 'é')), ' ')"
+
+
+@query(
+    "bpe_byte_merges",
+    f"""
+    WITH {_bpe_ctes(_N_MERGES, level="byte", toks=_ACCENT_TOKS)}
+    {_merges_union(_N_MERGES)}
+    """,
+    doc="BYTE-level BPE induction (the GPT-2 deployed contract, "
+    "operators/bpe.bpe_train(level='byte')): seed symbols are each "
+    "word's UTF-8 bytes rendered through the published reversible "
+    "byte<->unicode table, so all 256 byte symbols exist and no UNK "
+    "is possible at any vocabulary size. The corpus is accented "
+    "deterministically (e -> é) on both engines so multi-byte UTF-8 "
+    "is genuinely on the merge path (é contributes C3 A9, two "
+    "symbols). The oracle rebuilds the identical byte table from the "
+    "operator's codepoint list and unrolls all 8 rounds; same merge "
+    "loop, scale shape, and argmax contract as bpe_merges.",
+)
+def bpe_byte_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    (documents,) = load(spark, sf_dir, "documents")
+    accented = documents.withColumn(
+        "text", F.replace(F.lower(F.col("text")), F.lit("e"), F.lit("é"))
+    )
+    return bpe_train(accented, "text", n_merges=_N_MERGES, level="byte")
 
 
 @query(

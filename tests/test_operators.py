@@ -1930,3 +1930,83 @@ def test_token_drift_total_variation(spark):
     finally:
         release_caches()
     assert out == {"A": 0, "B": 0}
+
+
+def test_bpe_byte_level_equals_char_on_ascii(spark):
+    """level='byte' on pure printable-ASCII text is bit-identical to
+    level='char': the GPT-2 byte table maps printable ASCII to
+    itself, so seeds, merges, counts, and encodes all coincide."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hug hug hugs pug pug bug"), (2, "hugging bugs hug")],
+        "doc_id bigint, text string",
+    )
+    char_m = [
+        tuple(r)
+        for r in bpe_train(docs, "text", n_merges=5).orderBy("merge_idx").collect()
+    ]
+    byte_m = [
+        tuple(r)
+        for r in bpe_train(docs, "text", n_merges=5, level="byte")
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert byte_m == char_m
+    ec = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(
+            docs, "doc_id", "text", [(m[1], m[2]) for m in char_m]
+        ).collect()
+    }
+    eb = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(
+            docs, "doc_id", "text", [(m[1], m[2]) for m in byte_m], level="byte"
+        ).collect()
+    }
+    assert eb == ec
+
+
+def test_bpe_byte_level_multibyte_no_unk_and_reversible(spark):
+    """Multi-byte UTF-8: 'é' seeds as its TWO bytes (C3 A9) rendered
+    through the reversible table, every word is segmentable with
+    zero merges (no UNK can exist), and mapping the piece chars back
+    through the table recovers the exact original bytes."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        _BYTE_CHARS,
+        bpe_encode,
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "héé héé bé")], "doc_id bigint, text string"
+    )
+    # zero-knowledge vocabulary: untrained encode still segments all
+    enc = bpe_encode(docs, "doc_id", "text", [], level="byte").head()
+    back_to_byte = {c: b for b, c in enumerate(_BYTE_CHARS)}
+    decoded = bytes(
+        back_to_byte[c] for piece in enc["pieces"] for c in piece
+    ).decode("utf-8")
+    assert decoded == "hééhéébé"  # whitespace is the word boundary
+    assert len(enc["pieces"]) == 13  # héé=5 bytes x2 + bé=3 bytes
+    (c,) = bpe_segment_counts(docs, "doc_id", "text", [], level="byte").collect()
+    assert (c["n_words"], c["n_pieces"]) == (3, 13)
+    # training merges multi-byte symbols: top pair is the é byte pair
+    m = bpe_train(docs, "text", n_merges=1, level="byte").head()
+    assert (m["left"], m["right"]) == (_BYTE_CHARS[0xC3], _BYTE_CHARS[0xA9])
+    assert m["pair_count"] == 5
+
+
+def test_bpe_level_validated(spark):
+    from python_stream_processing_framework_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="level"):
+        bpe_train(docs, "text", level="word")
