@@ -1145,6 +1145,7 @@ class Stream:
         threshold_ppm: int | None = None,
         hysteresis: int = 1,
         alert_target: str | None = None,
+        edge_only: bool = False,
     ) -> None:
         """Streaming mixture-shift alarm: every micro-batch on
         ``topic`` emits one (batch_seq, src, n_tokens, tv_ppm) row
@@ -1168,10 +1169,18 @@ class Stream:
         ``tv_ppm > threshold_ppm`` emits one
         (batch_seq, src, n_tokens, tv_ppm) row per confirming batch
         on ``alert_target`` (default `{topic}-drift-alerts`).
-        Level-triggered: it keeps firing while the condition holds
-        (edge detection is one lag() away for the consumer), and
-        hysteresis means one noisy batch never pages — only a
-        sustained shift does. The alert decision is a pure function
+        Level-triggered by default: it keeps firing while the
+        condition holds, and hysteresis means one noisy batch never
+        pages — only a sustained shift does. ``edge_only=True`` is
+        the pager contract (r13 verdict #6): emit only STREAK-START
+        rows — an alert whose condition did NOT already hold at the
+        source's previous observation — computed as one extra lag
+        inside the same bounded read (the k+1-th trailing
+        observation). Sparse-source caveat inherited from the
+        bounded read: a streak so old its k+1-th observation fell
+        out of the lookback window re-reports an edge rather than
+        staying silent (fail-noisy, never fail-quiet).
+        The alert decision is a pure function
         of the drift topic's rows up to this batch_seq (recomputed
         identically on redelivery; same idempotent per-batch_id
         sink), and the read-back is metadata-scale: the drift topic
@@ -1239,6 +1248,7 @@ class Stream:
                     "threshold_ppm": threshold_ppm,
                     "hysteresis": hysteresis,
                     "alert_target": alert_target,
+                    "edge_only": bool(edge_only),
                 },
             )
         )
@@ -1625,16 +1635,22 @@ class Stream:
             return
         history = self.spark.read.schema(drift_schema).json(paths)
         w = Window.partitionBy("src").orderBy(F.col("batch_seq").desc())
+        # k+1 trailing observations: rows 1..k decide the alert, row
+        # 2..k+1 decide whether it already held at the PREVIOUS
+        # observation (the edge_only lag)
         recent = history.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") <= k
+            F.col("_rn") <= k + 1
         )
+        ex = (F.col("tv_ppm") > thr).cast("int")
         alerts = (
             recent.groupBy("src")
             .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.min((F.col("tv_ppm") > thr).cast("int")).alias("_allex"),
+                F.sum((F.col("_rn") <= k).cast("int")).alias("_n"),
+                F.min(F.when(F.col("_rn") <= k, ex)).alias("_allex"),
                 F.max("batch_seq").alias("_newest"),
                 F.max(F.struct("batch_seq", "n_tokens", "tv_ppm")).alias("_c"),
+                F.sum((F.col("_rn") >= 2).cast("int")).alias("_pn"),
+                F.min(F.when(F.col("_rn") >= 2, ex)).alias("_pallex"),
             )
             .filter(
                 (F.col("_n") >= k)
@@ -1646,8 +1662,14 @@ class Stream:
                 "src",
                 F.col("_c.n_tokens").alias("n_tokens"),
                 F.col("_c.tv_ppm").alias("tv_ppm"),
+                ((F.col("_pn") >= k) & (F.col("_pallex") == 1)).alias(
+                    "_held"
+                ),
             )
         )
+        if o.get("edge_only"):
+            alerts = alerts.filter(~F.col("_held"))
+        alerts = alerts.drop("_held")
         _write_batch_jsonl(
             alerts, str(self.topic_dir(o["alert_target"])), batch_id
         )

@@ -294,3 +294,50 @@ def test_drift_alert_target_must_differ_from_drift_target(stream, spark):
         "docs", SCHEMA, reference=_ref(spark),
         threshold_ppm=1, alert_target="docs-alerts",
     )
+
+
+def test_drift_alert_edge_only_emits_streak_starts(stream, spark):
+    """edge_only=True (r13 verdict #6): the pager contract — only
+    STREAK-START rows. A flip that holds for three batches emits ONE
+    edge (at confirmation); recovery emits nothing; a second flip
+    emits exactly one more edge. Level-triggered rows for the same
+    feed would be 5 (batches 2,3,4 then 7,8)."""
+    stream.monitor_drift(
+        "docs", SCHEMA, reference=_ref(spark),
+        threshold_ppm=400_000, hysteresis=2, edge_only=True,
+    )
+    texts = [
+        "a a b b",  # 0 in-band
+        "c c", "c c", "c c",  # 1-3: exceed; streak confirms at 2
+        "a a b b",  # 4 recover
+        "c c", "c c", "c c",  # 5-7: second flip; confirms at 6
+    ]
+    for text in texts:
+        stream.emit(
+            "docs",
+            {"source": "hot", "text": text},
+            {"source": "ctl", "text": "a a b b"},
+        )
+        stream.run_until_idle()
+    alerts = _alerts(stream)
+    assert set(alerts) == {(2, "hot"), (6, "hot")}
+
+
+def test_drift_alert_edge_only_redelivery_stable(spark, tmp_path):
+    """The edge decision is a pure function of the drift topic up to
+    the batch: a restart mid-stream redelivers byte-identical edge
+    rows, never duplicates."""
+    broker = str(tmp_path / "broker")
+    kw = dict(threshold_ppm=400_000, hysteresis=2, edge_only=True)
+    s1 = Stream(spark, broker)
+    s1.monitor_drift("docs", SCHEMA, reference=_ref(spark), **kw)
+    for text in ["c c", "c c"]:
+        s1.emit("docs", {"source": "hot", "text": text})
+        s1.run_until_idle()
+    assert set(_alerts(s1)) == {(1, "hot")}
+    s2 = Stream(spark, broker)
+    s2.monitor_drift("docs", SCHEMA, **kw)
+    s2.emit("docs", {"source": "hot", "text": "c c"})
+    s2.run_until_idle()
+    # batch 2 continues the streak: level would fire, edge stays quiet
+    assert set(_alerts(s2)) == {(1, "hot")}
