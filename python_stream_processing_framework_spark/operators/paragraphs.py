@@ -242,6 +242,98 @@ def dedup_paragraphs_near(
     return _rebuild_dropping(df, removed, id_col, text_col, sep)
 
 
+def _positional_pid(df: DataFrame, id_col: str) -> Column:
+    """Composite paragraph key whose STRING order equals the batch
+    operator's positional (id, idx) struct order: idx is always
+    zero-padded; a numeric doc id is zero-padded too (string ids
+    already compare in their native order). The admission index's
+    within-batch keep rule is the string-min node id, so this padding
+    is what makes the streaming survivor choice match
+    :func:`dedup_paragraphs_near`'s keep-first-positional collapse.
+    Non-negative numeric ids assumed (crawl/batch ids are); negative
+    ids would fall back to deterministic-but-not-positional order."""
+    from pyspark.sql.types import NumericType
+
+    idc = F.col(id_col).cast("string")
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        idc = F.lpad(idc, 24, "0")
+    return F.concat(idc, F.lit(":"), F.lpad(F.col("idx").cast("string"), 10, "0"))
+
+
+def dedup_paragraphs_near_admit(
+    batch: DataFrame,
+    index_path: str,
+    batch_tag: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Incremental paragraph-grain NEAR-dup admission (the streaming
+    tier of :func:`dedup_paragraphs_near`, r13 verdict #4): fuzzy-
+    dedup this batch's paragraphs against each other AND against
+    every paragraph ADMITTED by earlier batches, then rebuild each
+    document without its losing paragraphs. Returns (id, text,
+    n_paras, n_removed) — the batch operator's contract, computed
+    batch-incrementally.
+
+    Composition, not new machinery: split_paragraphs → the persisted
+    MinHash admission index (operators/dedup_index.minhash_index_admit)
+    at paragraph grain — node ids are positional composite keys
+    (:func:`_positional_pid`), signatures land in
+    ``sigs/batch=<batch_tag>`` idempotently (a redelivery
+    re-adjudicates against all OTHER batches and rewrites its own
+    partition, the facade-wide write-twice contract) — → the shared
+    positional rebuild (:func:`_rebuild_dropping`).
+
+    Inherited semantics: within-batch near-dup components keep their
+    positionally-first member (the padding makes string-min ==
+    positional min); a paragraph near-dupping any earlier-admitted
+    paragraph is removed; paragraphs shorter than ``shingle_k``
+    tokens carry no signature — admitted verbatim, never indexed,
+    never dropped (the module-wide MinHash recall floor). Exact-copy
+    mass inside a batch collapses before banding exactly as the batch
+    operator does (minhash_lsh_pairs' collapse-first shape rides
+    inside the admit).
+
+    Scale shape: the paragraph frame is batch-linear and NARROW; the
+    cross-index band join is banded, never all-pairs; the rebuild is
+    map-only over the batch. Caller releases caches after consuming
+    (the minhash_index_admit contract)."""
+    from python_stream_processing_framework_spark.operators.dedup_index import (
+        minhash_index_admit,
+    )
+
+    paras = split_paragraphs(batch, id_col, text_col, sep=sep)
+    pframe = paras.select(
+        _positional_pid(paras, id_col).alias("_pid"),
+        F.col(id_col),
+        "idx",
+        "para",
+    )
+    admitted = minhash_index_admit(
+        pframe,
+        index_path,
+        batch_tag,
+        id_col="_pid",
+        text_col="para",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        max_band_freq=max_band_freq,
+    )
+    removed = pframe.join(
+        admitted.select("_pid"), "_pid", "left_anti"
+    ).select(id_col, "idx")
+    return _rebuild_dropping(batch, removed, id_col, text_col, sep)
+
+
 #: Exact nav/boilerplate phrases removed line-wise (lower(trim)
 #: match) — the RefinedWeb G.2 list's shape.
 NAV_PHRASES = (

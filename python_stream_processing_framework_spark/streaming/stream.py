@@ -592,12 +592,29 @@ class Stream:
         shingle_k: int = 3,
         max_band_freq: int | None = None,
         compact_every: int | None = 64,
+        granularity: str = "doc",
+        sep: str = "\n",
     ) -> None:
         """Streaming NEAR-duplicate admission: forward to ``target``
         (default `{topic}-unique`) only documents that are not
         near-duplicates — of anything in this micro-batch (component-
         canonical, min id survives) or of any document admitted by an
         EARLIER batch. Content-level dedup, where `dedupe` is key-level.
+
+        ``granularity="paragraph"`` (r13 verdict #4) switches the
+        admission grain: each document's ``sep``-split paragraphs are
+        fuzzy-deduped against this batch's AND every earlier-admitted
+        batch's paragraphs (the same persisted MinHash index, keyed
+        by positional composite ``doc:idx`` ids), and the document is
+        forwarded REBUILT without its losing paragraphs — output rows
+        are (id, text, n_paras, n_removed), the
+        dedup_paragraphs_near batch-operator contract, so a live
+        crawl feed sheds templated boilerplate continuously. Every
+        doc yields a row (possibly with empty text if all its
+        paragraphs lost); redelivery semantics, compaction, and the
+        hot-bucket guard are identical to the doc grain. Recommended
+        knobs at paragraph grain follow the batch operator: lower
+        bands (4) / threshold (0.5) than doc-level defaults.
 
         State is the persisted MinHash signature index
         (operators/dedup_index.py) under ``index_path`` (default
@@ -628,6 +645,10 @@ class Stream:
         cap". Off (None) by default because inside a capped bucket
         near-dup recall is zero; leave it off for curated corpora.
         """
+        if granularity not in ("doc", "paragraph"):
+            raise ValueError(
+                f"granularity must be 'doc' or 'paragraph', got {granularity!r}"
+            )
         group = group or f"{self.name}-dedupe-near"
         self._claim(topic, group)
         self._subscriptions.append(
@@ -649,6 +670,8 @@ class Stream:
                     "shingle_k": shingle_k,
                     "max_band_freq": max_band_freq,
                     "compact_every": compact_every,
+                    "granularity": granularity,
+                    "sep": sep,
                 },
             )
         )
@@ -2480,24 +2503,43 @@ class Stream:
             minhash_index_admit,
         )
 
+        from python_stream_processing_framework_spark.operators.paragraphs import (
+            dedup_paragraphs_near_admit,
+        )
+
         src = self.stream_topic(sub.topic, sub.schema)
         o = sub.options
         sink_dir = str(self.topic_dir(o["target"]))
 
         def admit_batch(batch: DataFrame, batch_id: int) -> None:
             try:
-                admitted = minhash_index_admit(
-                    batch,
-                    o["index_path"],
-                    str(batch_id),
-                    id_col=o["id_field"],
-                    text_col=o["text_field"],
-                    num_hashes=o["num_hashes"],
-                    bands=o["bands"],
-                    shingle_k=o["shingle_k"],
-                    threshold=o["threshold"],
-                    max_band_freq=o["max_band_freq"],
-                )
+                if o.get("granularity") == "paragraph":
+                    admitted = dedup_paragraphs_near_admit(
+                        batch,
+                        o["index_path"],
+                        str(batch_id),
+                        id_col=o["id_field"],
+                        text_col=o["text_field"],
+                        sep=o["sep"],
+                        num_hashes=o["num_hashes"],
+                        bands=o["bands"],
+                        shingle_k=o["shingle_k"],
+                        threshold=o["threshold"],
+                        max_band_freq=o["max_band_freq"],
+                    )
+                else:
+                    admitted = minhash_index_admit(
+                        batch,
+                        o["index_path"],
+                        str(batch_id),
+                        id_col=o["id_field"],
+                        text_col=o["text_field"],
+                        num_hashes=o["num_hashes"],
+                        bands=o["bands"],
+                        shingle_k=o["shingle_k"],
+                        threshold=o["threshold"],
+                        max_band_freq=o["max_band_freq"],
+                    )
                 # idempotent per batch_id — see _write_batch_jsonl
                 _write_batch_jsonl(admitted, sink_dir, batch_id)
                 every = o.get("compact_every")
