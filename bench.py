@@ -376,6 +376,7 @@ def main() -> None:
         "hot_bucket_cap": _hot_bucket_cap_bench(spark),
         "unigram_zipf": _unigram_zipf_bench(spark),
         "wordpiece_zipf": _wordpiece_zipf_bench(spark),
+        "probe_dim768": _probe_dim768_bench(spark),
     }
 
     # ...and the flagged queries' re-run, taken AFTER the extras above
@@ -1280,6 +1281,78 @@ def _wordpiece_zipf_bench(spark) -> dict:
         if one_x[k] > 0
     }
     return {"1x": one_x, "10x": ten_x, "stage_ratio_10x_over_1x": ratio}
+
+
+def _probe_dim768_bench(spark) -> dict:
+    """Linear probe at a PRODUCTION embedding dimension (r13 verdict
+    #3): the catalog's probe queries ride 64-dim fixtures, but real
+    curation probes score 768/1024-dim embeddings, where each round's
+    plan carries classes x dim weight-array literals and the
+    posexplode gradient shuffle is dim-wide. Runs 2 GD rounds + a
+    full predict at 768 dims x 10 classes on 10k vs 100k synthetic
+    rows (JVM-generated, class signal on d % 10 + hash noise) and a
+    10%-sample_ppb round pair at 100k — per-stage walls, the 10x
+    ratio, and the plan-bound floor are the numbers SCALE.md quotes.
+    Healthy: train ratio well under 10 at this size (per-round plan
+    compile amortizes), predict ratio ~10 (corpus-linear map)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.probe import (
+        linear_probe_predict,
+        linear_probe_train,
+    )
+
+    def vecs(n: int):
+        return spark.range(n).repartition(32).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 10).cast("int").alias("label"),
+            F.expr(
+                "transform(sequence(1, 768), d -> cast("
+                " (case when (d % 10) = (id % 10) then 0.8 else 0.0 end)"
+                " + pmod(xxhash64(id, d), 1000) / 5000.0 as float))"
+            ).alias("embedding"),
+        )
+
+    def run(n: int) -> dict:
+        df = vecs(n).persist()
+        out: dict = {"rows": df.count()}
+        t0 = _t.perf_counter()
+        w = linear_probe_train(df, rounds=2)
+        out["train_s"] = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        linear_probe_predict(df, w).select("vec_id", "pred").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["predict_s"] = round(_t.perf_counter() - t0, 3)
+        df.unpersist()
+        return out
+
+    run(2_000)  # uncounted JIT/codegen warm-up (the 10x-bench rule)
+    one_x = run(10_000)
+    ten_x = run(100_000)
+    # the sample_ppb knob at the larger size: 10% per round, same
+    # plan shape, scan mass down 10x per round
+    df = vecs(100_000).persist()
+    df.count()
+    t0 = _t.perf_counter()
+    linear_probe_train(
+        df, rounds=2, sample_ppb=100_000_000, sample_key="vec_id"
+    )
+    sampled_s = round(_t.perf_counter() - t0, 3)
+    df.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "1x": one_x,
+        "10x": ten_x,
+        "stage_ratio_10x_over_1x": {
+            k: round(ten_x[k] / one_x[k], 2)
+            for k in ("train_s", "predict_s")
+            if one_x[k] > 0
+        },
+        "train_100k_sample10pct_s": sampled_s,
+    }
 
 
 def _pq_bench(spark) -> dict:
