@@ -200,6 +200,31 @@ def _band_exceeded(
     return flagged, untouched, round(window_ratio, 3), len(timings) - len(common)
 
 
+def _bands_commit_drift(bands_rec: dict | None) -> bool:
+    """True when HEAD moved since BANDS.json was recorded — the
+    provenance notice that band flags on touched queries are expected
+    and the round should re-record as its LAST code-affecting step
+    (the r13 failure mode: 8 flags, 6 of them noise, because two
+    commits landed after recording)."""
+    import subprocess
+
+    rec = (bands_rec or {}).get("recorded_commit", "")
+    if not rec:
+        return False
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        return False
+    return head != rec
+
+
 def _load_prev_bench(sf: float | str) -> tuple[int | None, dict[str, float]]:
     """Per-query timings from the newest BENCH_r*.json at the repo
     root whose scale factor matches — the cross-round reference for
@@ -320,6 +345,34 @@ def main() -> None:
             ).stdout.strip()
         except Exception:  # noqa: BLE001
             commit = ""
+        # provenance guard (r13 verdict #1: bands recorded mid-round,
+        # then operator commits landed after — 8 flags, 6 noise): a
+        # DIRTY tree means recorded_commit will not describe the code
+        # that produced these numbers; recording should be the LAST
+        # code-affecting step of a round
+        try:
+            dirty = bool(
+                subprocess.run(
+                    ["git", "status", "--porcelain"],
+                    capture_output=True,
+                    text=True,
+                    timeout=30,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    check=True,
+                ).stdout.strip()
+            )
+        except Exception:  # noqa: BLE001
+            dirty = False
+        if dirty:
+            print(
+                json.dumps(
+                    {
+                        "warning": "recording bands on a DIRTY tree —"
+                        " recorded_commit will not match the code that"
+                        " produced these numbers; commit first"
+                    }
+                )
+            )
         rec = {
             "sf": sf_val,
             "cpus": cpus,
@@ -449,6 +502,12 @@ def main() -> None:
                 "bands_recorded_at": (bands_rec or {}).get(
                     "recorded_commit", ""
                 )[:12],
+                # r14 provenance notice (the r13 failure: bands
+                # recorded mid-round, operator commits after): True
+                # means HEAD moved since recording — band flags on
+                # TOUCHED queries are then expected and the round
+                # should re-record as its last code-affecting step
+                "bands_commit_drift": _bands_commit_drift(bands_rec),
             }
         )
     )
