@@ -82,16 +82,21 @@ def _byte_seq_expr(word: Column) -> Column:
     vocabulary size. JVM-side: hex the encoded word and fold 2-char
     chunks through the 256-entry literal array."""
     hexs = F.hex(F.encode(word, "UTF-8"))
-    syms = F.transform(
-        F.sequence(F.lit(1), (F.length(hexs) / F.lit(2)).cast("int")),
-        lambda i: F.element_at(
-            F.lit(_BYTE_CHARS),
-            F.conv(F.substr(hexs, i * 2 - 1, F.lit(2)), 16, 10).cast(
-                "int"
-            )
-            + 1,
+    # the empty-word guard matters: sequence(1, 0) counts DOWN in
+    # Spark, which would index byte -1 instead of yielding no symbols
+    syms = F.when(
+        F.length(hexs) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (F.length(hexs) / F.lit(2)).cast("int")),
+            lambda i: F.element_at(
+                F.lit(_BYTE_CHARS),
+                F.conv(F.substr(hexs, i * 2 - 1, F.lit(2)), 16, 10).cast(
+                    "int"
+                )
+                + 1,
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return F.concat(F.lit(" "), F.array_join(syms, "  "), F.lit(" "))
 
 

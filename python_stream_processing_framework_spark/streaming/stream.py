@@ -1291,24 +1291,30 @@ class Stream:
         max_word_len: int = 16,
         byte_fallback: bool = False,
         tokenizer: str = "unigram",
+        level: str = "char",
     ) -> None:
         """Streaming token-budget meter: every document on ``topic``
         emits one (batch_seq, id, n_words, n_pieces) row on ``target``
         (default `{topic}-tokens`) — its piece count under a TRAINED
         vocabulary, the number a budget planner reads off a live
-        feed. ``tokenizer`` picks the lineage: ``"unigram"`` (the
-        (piece, cnt, logp_nano) frame ``unigram_train`` returns,
-        Viterbi segmentation) or ``"wordpiece"`` (the (piece, cnt)
-        frame ``wordpiece_vocab`` builds from the TRAINING corpus,
-        greedy longest-match). Unsegmentable or over-length words
-        count 1 piece (UNK) — or length(word) pieces with
-        ``byte_fallback=True``, pricing what
+        feed. ``tokenizer`` picks the lineage — the full trio:
+        ``"unigram"`` (the (piece, cnt, logp_nano) frame
+        ``unigram_train`` returns, Viterbi segmentation),
+        ``"wordpiece"`` (the (piece, cnt) frame ``wordpiece_vocab``
+        builds from the TRAINING corpus, greedy longest-match), or
+        ``"bpe"`` (r14 — the merge table ``bpe_train`` returns,
+        map-only merge replay; ``level="byte"`` serves the GPT-2
+        byte-level contract and is stamped into the persisted table
+        so a re-registration under the other level fails loudly).
+        Unsegmentable or over-length words count 1 piece (UNK) — or
+        length(word) pieces with ``byte_fallback=True``, pricing what
         unigram_encode(byte_fallback=True) would emit (unigram only:
-        WordPiece makes no char-coverage promise, so the option
-        raises there) — and null text is metered as empty (one UNK
-        token), so every document always yields a row — a consumer
-        reconciling rows against emitted doc counts never blocks on
-        a missing one.
+        WordPiece makes no char-coverage promise and BPE never UNKs
+        at all — its seed symbols cover every word — so the option
+        raises for both) — and null text is metered as empty, so
+        every document always yields a row — a consumer reconciling
+        rows against emitted doc counts never blocks on a missing
+        one.
 
         The vocabulary is persisted ONCE at registration under
         ``vocab_path`` (skipped when one already exists, the
@@ -1323,15 +1329,24 @@ class Stream:
         idempotent per-batch_id sink."""
         from pyspark.sql.utils import AnalysisException
 
-        if tokenizer not in ("unigram", "wordpiece"):
+        if tokenizer not in ("unigram", "wordpiece", "bpe"):
             raise ValueError(
-                f"tokenizer must be 'unigram' or 'wordpiece', got {tokenizer!r}"
+                "tokenizer must be 'unigram', 'wordpiece', or 'bpe', "
+                f"got {tokenizer!r}"
             )
-        if byte_fallback and tokenizer == "wordpiece":
+        if byte_fallback and tokenizer != "unigram":
             raise ValueError(
                 "byte_fallback is the unigram char-coverage contract; "
-                "WordPiece UNKs whole words (count 1)"
+                "WordPiece UNKs whole words (count 1) and BPE never "
+                "UNKs at all"
             )
+        if level != "char" and tokenizer != "bpe":
+            raise ValueError(
+                f"level={level!r} is a BPE option (char/byte seed "
+                "symbols); unigram and WordPiece are char-level"
+            )
+        if tokenizer == "bpe" and level not in ("char", "byte"):
+            raise ValueError(f"level must be 'char' or 'byte', got {level!r}")
         group = group or f"{self.name}-tokens"
         vocab_path = vocab_path or str(self.broker / "_indexes" / group)
         # validate BEFORE claiming (see monitor_drift): a failed
@@ -1349,15 +1364,26 @@ class Stream:
                     f"tokenizer={existing!r}; re-register with that or "
                     "explicitly overwrite the path to retrain"
                 )
+            existing_level = (
+                head["_level"]
+                if head is not None and "_level" in head.asDict()
+                else "char"
+            )
+            if head is not None and existing_level != level:
+                raise ValueError(
+                    f"vocabulary under {vocab_path} was persisted at "
+                    f"level={existing_level!r}; byte and char merge "
+                    "tables are not interchangeable"
+                )
         except AnalysisException:
             if vocab is None:
                 raise ValueError(
                     "tokenize needs a trained `vocab` DataFrame the "
                     f"first time: no vocabulary under {vocab_path}"
                 )
-            vocab.withColumn("_tokenizer", F.lit(tokenizer)).write.mode(
-                "overwrite"
-            ).parquet(f"{vocab_path}/vocab")
+            vocab.withColumn("_tokenizer", F.lit(tokenizer)).withColumn(
+                "_level", F.lit(level)
+            ).write.mode("overwrite").parquet(f"{vocab_path}/vocab")
         self._claim(topic, group)
         self._subscriptions.append(
             _Subscription(
@@ -1375,6 +1401,7 @@ class Stream:
                     "max_word_len": max_word_len,
                     "byte_fallback": byte_fallback,
                     "tokenizer": tokenizer,
+                    "level": level,
                 },
             )
         )
@@ -1529,6 +1556,18 @@ class Stream:
                     o["text_field"],
                     vocab,
                     max_word_len=o["max_word_len"],
+                )
+            elif o.get("tokenizer", "unigram") == "bpe":
+                from python_stream_processing_framework_spark.operators.bpe import (  # noqa: E501
+                    bpe_segment_counts,
+                )
+
+                segmented = bpe_segment_counts(
+                    batch,
+                    o["id_field"],
+                    o["text_field"],
+                    vocab,
+                    level=o.get("level", "char"),
                 )
             else:
                 segmented = unigram_segment_counts(

@@ -227,4 +227,92 @@ def test_tokenize_wordpiece_rejects_byte_fallback(spark, tmp_path):
 def test_tokenize_rejects_unknown_tokenizer(spark, tmp_path):
     s = Stream(spark, str(tmp_path / "broker"))
     with pytest.raises(ValueError, match="tokenizer"):
-        s.tokenize("docs", SCHEMA, tokenizer="bpe")
+        s.tokenize("docs", SCHEMA, tokenizer="sentencepiece")
+
+
+def _bpe_merges(spark, level="char"):
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "hug hug hugs pug pug bug"), (2, "hugging bugs hug")],
+        "doc_id bigint, text string",
+    )
+    return bpe_train(train, "text", n_merges=4, level=level)
+
+
+def test_tokenize_bpe_counts_match_operator(stream, spark):
+    """r14: the meter under the BPE lineage completes the streaming
+    trio — merge-replay counts per batch against the persisted merge
+    table, matching the batch operator exactly; BPE never UNKs (char
+    seeds cover every word) and null text meters as empty."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        bpe_segment_counts,
+    )
+
+    merges = _bpe_merges(spark)
+    stream.tokenize("docs", SCHEMA, vocab=merges, tokenizer="bpe")
+    probe = [
+        {"doc_id": 1, "text": "hugging the hug"},
+        {"doc_id": 2, "text": "xyz hug"},
+        {"doc_id": 3, "text": None},
+    ]
+    stream.emit("docs", *probe)
+    stream.run_until_idle()
+    out = _rows(stream)
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in bpe_segment_counts(
+            spark.createDataFrame(
+                [(p["doc_id"], p["text"] or "") for p in probe],
+                "doc_id bigint, text string",
+            ),
+            "doc_id",
+            "text",
+            merges,
+        ).collect()
+    }
+    assert {d: out[(0, d)] for d in (1, 2, 3)} == want
+    # 'xyz' has no learned merges but never UNKs: 3 char pieces
+    assert out[(0, 2)][1] == want[2][1] >= 3 + 1
+
+
+def test_tokenize_bpe_byte_level_stamped(spark, tmp_path):
+    """The persisted BPE table carries its LEVEL: byte and char merge
+    tables are not interchangeable, so re-registration under the
+    other level fails loudly and the surviving meter stays
+    byte-level."""
+    broker = str(tmp_path / "broker")
+    s1 = Stream(spark, broker)
+    s1.tokenize(
+        "docs", SCHEMA, vocab=_bpe_merges(spark, level="byte"),
+        tokenizer="bpe", level="byte",
+    )
+    s1.emit("docs", {"doc_id": 1, "text": "hug"})
+    s1.run_until_idle()
+    assert _rows(s1)[(0, 1)][0] == 1
+
+    s2 = Stream(spark, broker)
+    with pytest.raises(ValueError, match="level"):
+        s2.tokenize(
+            "docs", SCHEMA, vocab=_bpe_merges(spark), tokenizer="bpe"
+        )
+
+
+def test_tokenize_bpe_rejects_bad_options(spark, tmp_path):
+    s = Stream(spark, str(tmp_path / "broker"))
+    with pytest.raises(ValueError, match="byte_fallback"):
+        s.tokenize(
+            "docs", SCHEMA, vocab=_bpe_merges(spark), tokenizer="bpe",
+            byte_fallback=True,
+        )
+    with pytest.raises(ValueError, match="level"):
+        s.tokenize(
+            "docs", SCHEMA, vocab=_vocab(spark), level="byte"
+        )
+    with pytest.raises(ValueError, match="level"):
+        s.tokenize(
+            "docs", SCHEMA, vocab=_bpe_merges(spark), tokenizer="bpe",
+            level="word",
+        )
