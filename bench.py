@@ -201,28 +201,24 @@ def _band_exceeded(
 
 
 def _bands_commit_drift(bands_rec: dict | None) -> bool:
-    """True when HEAD moved since BANDS.json was recorded — the
+    """True when CODE moved since BANDS.json was recorded — the
     provenance notice that band flags on touched queries are expected
     and the round should re-record as its LAST code-affecting step
     (the r13 failure mode: 8 flags, 6 of them noise, because two
-    commits landed after recording)."""
-    import subprocess
-
+    commits landed after recording). Only package source and bench.py
+    count: the BANDS commit itself (and docs/results commits) must
+    not alarm forever."""
     rec = (bands_rec or {}).get("recorded_commit", "")
     if not rec:
         return False
-    try:
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            capture_output=True,
-            text=True,
-            timeout=30,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            check=True,
-        ).stdout.strip()
-    except Exception:  # noqa: BLE001
+    touched = _files_touched_since(rec)
+    if touched is None:
         return False
-    return head != rec
+    return any(
+        t == "bench.py"
+        or t.startswith("python_stream_processing_framework_spark/")
+        for t in touched
+    )
 
 
 def _load_prev_bench(sf: float | str) -> tuple[int | None, dict[str, float]]:
