@@ -205,9 +205,12 @@ def _bands_commit_drift(bands_rec: dict | None) -> bool:
     provenance notice that band flags on touched queries are expected
     and the round should re-record as its LAST code-affecting step
     (the r13 failure mode: 8 flags, 6 of them noise, because two
-    commits landed after recording). Only package source and bench.py
-    count: the BANDS commit itself (and docs/results commits) must
-    not alarm forever."""
+    commits landed after recording). Only PACKAGE source counts —
+    the same universe the per-query touch filter adjudicates with:
+    the BANDS commit itself, docs/results commits, and bench.py flag
+    plumbing must not alarm forever (a bench.py METHODOLOGY change —
+    repeats, warm-up, timing — is a manual re-record trigger by
+    policy; no file heuristic can tell it from plumbing)."""
     rec = (bands_rec or {}).get("recorded_commit", "")
     if not rec:
         return False
@@ -215,8 +218,7 @@ def _bands_commit_drift(bands_rec: dict | None) -> bool:
     if touched is None:
         return False
     return any(
-        t == "bench.py"
-        or t.startswith("python_stream_processing_framework_spark/")
+        t.startswith("python_stream_processing_framework_spark/")
         for t in touched
     )
 
