@@ -816,3 +816,88 @@ def test_count_min_matches_sequential(spark, docs, width):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        # mixed 1- and 2-byte UTF-8 (é = C3 A9) plus ASCII: byte-level
+        # seeds differ from char-level wherever é appears
+        st.text(alphabet="aé", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(1, 4),
+)
+def test_bpe_byte_level_matches_reference(spark, words, n_merges):
+    """r14 byte-level BPE == the sequential reference run over
+    GPT-2-mapped UTF-8 byte symbols: identical merge tables and
+    per-doc piece counts on corpora where multi-byte characters make
+    byte and char seeds genuinely diverge."""
+    from python_stream_processing_framework_spark.operators.bpe import (
+        _BYTE_CHARS,
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    def byte_syms(w: str) -> list[str]:
+        return [_BYTE_CHARS[b] for b in w.encode("utf-8")]
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(
+            docs, "text", n_merges=n_merges, level="byte"
+        ).collect()
+    ]
+    # the reference loop is seed-agnostic: feed it byte-symbol tuples
+    from collections import Counter
+
+    wf = Counter(words)
+    vocab = {tuple(byte_syms(w)): c for w, c in wf.items()}
+    want = []
+    for i in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), total = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((i, l, r, total))
+        nv = {}
+        for syms, c in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert got == want, (words, n_merges)
+
+    pairs = [(l, r) for _, l, r, _ in want]
+    got_seg = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_segment_counts(
+            docs, "doc_id", "text", pairs, level="byte"
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        syms = byte_syms(w)
+        for l, r in pairs:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        assert got_seg[i] == len(syms), (w, pairs)

@@ -314,3 +314,43 @@ def test_wordpiece_batch_rejects_bad_param(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with pytest.raises(ValueError, match="batch"):
         wordpiece_train(docs, "text", batch=0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab#", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(1, 4),
+    batch=st.integers(2, 6),
+)
+def test_wordpiece_batch_parity_with_hash_symbols(
+    spark, words, n_merges, batch
+):
+    """'#' in words makes PLAIN symbols collide with ## continuation
+    surface forms (the word '##' seeds as ['#', '###'], and a merge
+    of ('#', '###') mints '##' — a live plain symbol equal to the
+    continuation PREFIX), stressing every string-keyed map in the
+    batch simulator: merged forms, touched/minted lookups, trigram
+    keys. Batch output must still equal sequential bit-exactly."""
+    words = [w for w in words if w] or ["#"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    seq = [
+        tuple(r)
+        for r in wordpiece_train(docs, "text", n_merges=n_merges)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in wordpiece_train(
+            docs, "text", n_merges=n_merges, batch=batch
+        )
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == seq, (words, n_merges, batch)
