@@ -141,12 +141,20 @@ def wordpiece_train(
         )
     )
     while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
         syms = F.split(F.trim(F.col("seq")), "  ")
         symcnt = (
             prev.select(F.explode(syms).alias("sym"), "cnt")
             .groupBy("sym")
             .agg(F.sum("cnt").alias("c"))
         )
+        if want > 1:
+            # batch mode reads symcnt from FOUR plans (both scored
+            # joins, the merged-form cnt0 probe, the minted-bound
+            # extension join); lazily persisted, the top-collect
+            # action populates the blocks and the bounded follow-up
+            # collects read them instead of re-scanning prev
+            symcnt = symcnt.persist()
         pairs = (
             prev.select(F.explode(_pairs_expr(syms)).alias("pair"), "cnt")
             .groupBy("pair")
@@ -177,7 +185,6 @@ def wordpiece_train(
                 ((num - num % den) / den).cast("long"),
             )
         )
-        want = min(batch, n_merges - len(merges))
         if want == 1:
             accepted = [
                 (r["l"], r["r"], int(r["total"]), int(r["score_q"]))
@@ -200,6 +207,7 @@ def wordpiece_train(
             accepted = _accept_batch(
                 prev, symcnt, top, want, collected_cap=ncollect
             )
+            symcnt.unpersist()
         if not accepted:
             break
         if rounds_out is not None:
@@ -292,8 +300,21 @@ def _minted_raw_bounds(prev, symcnt, cand):
 
     dec_map, rpc_map, lpc_map = _map(dec_ub), _map(right_pc), _map(left_pc)
     syms = F.split(F.trim(F.col("seq")), "  ")
+    keys = list(key_j)
+    jmap = _map(key_j)
+    # ONE filtered aggregation: the candidate-key filter sits on the
+    # grouping key's prefix/suffix, applied BEFORE the shuffle, and
+    # both extension sides derive from the same aggregated frame via
+    # an entry array — the previous lext/rext branches each re-ran
+    # the full trigram explode+aggregate (half of batch-mode's
+    # per-round wall at bench scale)
+    ab = F.concat_ws(sep, F.split_part(F.col("t"), F.lit(sep), F.lit(1)),
+                     F.split_part(F.col("t"), F.lit(sep), F.lit(2)))
+    bc = F.concat_ws(sep, F.split_part(F.col("t"), F.lit(sep), F.lit(2)),
+                     F.split_part(F.col("t"), F.lit(sep), F.lit(3)))
     tri = (
         prev.select(F.explode(_tri_expr(syms)).alias("t"), "cnt")
+        .filter(ab.isin(keys) | bc.isin(keys))
         .groupBy("t")
         .agg(F.sum("cnt").alias("total"))
         .select(
@@ -303,25 +324,34 @@ def _minted_raw_bounds(prev, symcnt, cand):
             "total",
         )
     )
-    keys = list(key_j)
-    jmap = _map(key_j)
-    lext = tri.filter(
-        F.concat_ws(sep, "b", "c").isin(keys)
-    ).select(
-        F.element_at(jmap, F.concat_ws(sep, "b", "c")).alias("j"),
-        F.col("a").alias("x"),
-        "total",
-        F.lit("L").alias("side"),
+    sides = F.filter(
+        F.array(
+            F.when(
+                F.element_at(jmap, F.concat_ws(sep, "b", "c")).isNotNull(),
+                F.struct(
+                    F.element_at(jmap, F.concat_ws(sep, "b", "c")).alias("j"),
+                    F.col("a").alias("x"),
+                    F.lit("L").alias("side"),
+                ),
+            ),
+            F.when(
+                F.element_at(jmap, F.concat_ws(sep, "a", "b")).isNotNull(),
+                F.struct(
+                    F.element_at(jmap, F.concat_ws(sep, "a", "b")).alias("j"),
+                    F.col("c").alias("x"),
+                    F.lit("R").alias("side"),
+                ),
+            ),
+        ),
+        lambda e: e.isNotNull(),
     )
-    rext = tri.filter(
-        F.concat_ws(sep, "a", "b").isin(keys)
-    ).select(
-        F.element_at(jmap, F.concat_ws(sep, "a", "b")).alias("j"),
-        F.col("c").alias("x"),
+    exts = tri.select("total", F.explode(sides).alias("e")).select(
+        F.col("e.j").alias("j"),
+        F.col("e.x").alias("x"),
         "total",
-        F.lit("R").alias("side"),
+        F.col("e.side").alias("side"),
     )
-    ext = lext.unionByName(rext).join(
+    ext = exts.join(
         symcnt.select(F.col("sym").alias("x"), F.col("c").alias("_cx")),
         "x",
     )
@@ -417,7 +447,18 @@ def _accept_batch(prev, symcnt, top, want, *, collected_cap):
         r["sym"]: int(r["c"])
         for r in symcnt.filter(F.col("sym").isin(m_strings)).collect()
     }
-    raws = _minted_raw_bounds(prev, symcnt, cand)
+    # LAZY minted bounds: the trigram aggregation is ~half of batch-
+    # mode's per-round wall (measured 15.9 s of 33.4 s over 16 Zipf
+    # merges), but it is only consulted when a step-2+ candidate has
+    # already cleared the exactness/tie/tail checks — rounds that
+    # stop earlier never pay it
+    raws_box: dict = {}
+
+    def _raws() -> dict:
+        if not raws_box:
+            raws_box["v"] = _minted_raw_bounds(prev, symcnt, cand)
+        return raws_box["v"]
+
     tail = int(top[-1]["score_q"]) if len(top) == collected_cap else None
 
     pre_cnt: dict[str, int] = {}
@@ -472,7 +513,8 @@ def _accept_batch(prev, symcnt, top, want, *, collected_cap):
                 ok = False
         if ok and not first:
             for k, mc in zip(acc_idx, minted_cnt):
-                if raws[k] >= _RAW_CAP or raws[k] // mc >= value:
+                raw = _raws()[k]
+                if raw >= _RAW_CAP or raw // mc >= value:
                     ok = False
                     break
         if not ok:
