@@ -250,14 +250,39 @@ def _positional_pid(df: DataFrame, id_col: str) -> Column:
     within-batch keep rule is the string-min node id, so this padding
     is what makes the streaming survivor choice match
     :func:`dedup_paragraphs_near`'s keep-first-positional collapse.
-    Non-negative numeric ids assumed (crawl/batch ids are); negative
-    ids would fall back to deterministic-but-not-positional order."""
+
+    The separator is ``\\x01``, which sorts BELOW every printable
+    character: with a printable separator such as ':', prefix-related
+    string ids invert ('doc1' < 'doc10' positionally, but
+    'doc1:...' > 'doc10...' string-wise since ':' > '0' — the r14
+    ADVICE finding). Ids containing ``\\x01`` themselves are out of
+    contract. Negative numeric ids are REFUSED at execution
+    (zero-padding cannot order a leading '-'; mirroring the probe
+    trainer's ragged-input refusal rather than silently falling back
+    to a non-positional survivor)."""
     from pyspark.sql.types import NumericType
 
     idc = F.col(id_col).cast("string")
     if isinstance(df.schema[id_col].dataType, NumericType):
-        idc = F.lpad(idc, 24, "0")
-    return F.concat(idc, F.lit(":"), F.lpad(F.col("idx").cast("string"), 10, "0"))
+        idc = F.when(
+            F.col(id_col) >= 0, F.lpad(idc, 24, "0")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "_positional_pid: negative numeric doc id "
+                    ),
+                    idc,
+                    F.lit(
+                        " cannot be positionally ordered by "
+                        "zero-padding; use non-negative ids"
+                    ),
+                )
+            )
+        )
+    return F.concat(
+        idc, F.lit("\x01"), F.lpad(F.col("idx").cast("string"), 10, "0")
+    )
 
 
 def dedup_paragraphs_near_admit(

@@ -147,10 +147,22 @@ def linear_probe_train(
     meta = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.sort_array(F.collect_set("_y")).alias("cls"),
-        F.max(F.size("_xq")).alias("dim"),
-        # coalesce: under ANSI size(NULL) is NULL, which min/max
-        # would silently skip — a null embedding must surface as -1
+        # coalesce BOTH bounds: under ANSI size(NULL) is NULL, which
+        # min/max would silently skip — a null embedding must surface
+        # as -1 on each side (an all-null column would otherwise make
+        # dim None and the int() below a TypeError, r14 ADVICE)
+        F.max(F.coalesce(F.size("_xq"), F.lit(-1))).alias("dim"),
         F.min(F.coalesce(F.size("_xq"), F.lit(-1))).alias("dim_min"),
+        # element-null probe, riding the SAME aggregate (no extra
+        # scan): a correct-LENGTH vector with a null element passes
+        # the size check yet null-skips out of the gradient sums
+        # while _n still counts it — diluting the mean (r14 ADVICE)
+        F.min(
+            F.coalesce(
+                F.forall("_xq", lambda e: e.isNotNull()).cast("int"),
+                F.lit(0),
+            )
+        ).alias("elems_ok"),
     ).head()
     n = meta["n"]
     if n == 0:
@@ -159,14 +171,22 @@ def linear_probe_train(
     # vector posexplodes fewer rows so per-dim _n differs (the
     # gradient divisor would become plan-order dependent) while its
     # zip_with dot nulls out yet still dilutes the mean — and a null
-    # embedding (size = -1) contributes nothing at all. Refuse
-    # loudly; serving-side null handling is Stream.classify's
-    # zero-vector fallback, not the trainer's job (r13 ADVICE).
-    if int(meta["dim_min"]) != int(meta["dim"]):
+    # embedding (size = -1) or a null ELEMENT contributes nothing at
+    # all while _n still counts the row. Refuse loudly; serving-side
+    # null handling is Stream.classify's zero-vector fallback, not
+    # the trainer's job (r13 + r14 ADVICE).
+    if int(meta["dim_min"]) != int(meta["dim"]) or int(meta["dim"]) <= 0:
         raise ValueError(
             "linear_probe_train: ragged or null embeddings "
             f"(size range [{meta['dim_min']}, {meta['dim']}]); "
             "training requires one fixed dimension — filter or pad "
+            "upstream"
+        )
+    if int(meta["elems_ok"]) == 0:
+        raise ValueError(
+            "linear_probe_train: embeddings contain null ELEMENTS; "
+            "a null element null-skips out of the gradient sums while "
+            "the row still counts toward the mean — filter or impute "
             "upstream"
         )
     if classes is None:

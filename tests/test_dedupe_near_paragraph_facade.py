@@ -174,6 +174,67 @@ def test_paragraph_dedupe_positional_survivor_numeric_ids(spark, tmp_path):
         release_caches()
 
 
+def test_paragraph_dedupe_positional_survivor_prefix_string_ids(
+    spark, tmp_path
+):
+    """Prefix-related STRING ids ('doc1' < 'doc10' positionally):
+    with a printable separator the composite inverts (':' > '0' so
+    'doc1:...' > 'doc10...'), which made the streaming admit keep
+    doc10 while the batch operator keeps doc1 — the r14 ADVICE
+    finding. The \\x01 separator sorts below every printable char,
+    restoring the string-min == positional-min contract."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        dedup_paragraphs_near,
+        dedup_paragraphs_near_admit,
+    )
+
+    idx = str(tmp_path / "pidx")
+    batch = spark.createDataFrame(
+        [("doc1", _P), ("doc10", _PE)], "doc_id string, text string"
+    )
+    try:
+        admit = {
+            r["doc_id"]: r["n_removed"]
+            for r in dedup_paragraphs_near_admit(
+                batch, idx, "0", **_KW
+            ).collect()
+        }
+        ref = {
+            r["doc_id"]: r["n_removed"]
+            for r in dedup_paragraphs_near(batch, **_KW).collect()
+        }
+        # 'doc1' < 'doc10' in struct order, so doc1's paragraph
+        # survives in BOTH tiers
+        assert admit == ref == {"doc1": 0, "doc10": 1}
+    finally:
+        release_caches()
+
+
+def test_paragraph_dedupe_negative_numeric_id_refused(spark, tmp_path):
+    """Zero-padding cannot positionally order a leading '-': negative
+    numeric doc ids are refused at execution rather than silently
+    degrading to a non-positional survivor (r14 verdict #6)."""
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.paragraphs import (
+        dedup_paragraphs_near_admit,
+    )
+
+    idx = str(tmp_path / "pidx")
+    batch = spark.createDataFrame(
+        [(-2, _P), (10, _PE)], "doc_id bigint, text string"
+    )
+    try:
+        with pytest.raises(Exception, match="negative numeric doc id"):
+            dedup_paragraphs_near_admit(batch, idx, "0", **_KW).collect()
+    finally:
+        release_caches()
+
+
 def test_paragraph_dedupe_short_paragraphs_never_drop(spark, tmp_path):
     """Paragraphs shorter than shingle_k tokens carry no signature:
     admitted verbatim, never indexed, never dropped — the module-wide

@@ -228,3 +228,28 @@ def test_train_ragged_or_null_embeddings_raise(spark):
     )
     with pytest.raises(ValueError, match="ragged or null"):
         linear_probe_train(withnull)
+
+
+def test_train_all_null_embeddings_raise_cleanly(spark):
+    """r14 ADVICE: with EVERY embedding null (n>0), max(size) over
+    all-null was None, so the comparison raised TypeError instead of
+    the intended refusal. Both bounds now coalesce to -1."""
+    allnull = spark.createDataFrame(
+        [(0, 0, None), (1, 1, None)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged or null"):
+        linear_probe_train(allnull)
+
+
+def test_train_null_element_raises(spark):
+    """r14 ADVICE: a correct-LENGTH vector with a null ELEMENT passes
+    the size check, yet null-skips out of the gradient sums while _n
+    still counts the row — diluting the mean. The trainer now probes
+    element nulls in the same metadata aggregate and refuses."""
+    elemnull = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 1, [None, 1.0])],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="null ELEMENTS"):
+        linear_probe_train(elemnull)
