@@ -428,6 +428,7 @@ def main() -> None:
         "unigram_zipf": _unigram_zipf_bench(spark),
         "wordpiece_zipf": _wordpiece_zipf_bench(spark),
         "probe_dim768": _probe_dim768_bench(spark),
+        "streaming_chain": _streaming_chain_bench(spark),
     }
 
     # ...and the flagged queries' re-run, taken AFTER the extras above
@@ -1409,6 +1410,72 @@ def _probe_dim768_bench(spark) -> dict:
             if one_x[k] > 0
         },
         "train_100k_sample10pct_s": sampled_s,
+    }
+
+
+def _streaming_chain_bench(spark) -> dict:
+    """The composed streaming corpus pipeline end-to-end (r14 verdict
+    #1): six chained facade subscriptions over five topic handoffs
+    (docs -> paragraph near-dup -> byte-BPE token meter -> featurize
+    -> probe classify; docs-unique -> source tag -> drift monitor),
+    the topology of examples/streaming_corpus_pipeline.py, driven on
+    a synthetic 1k-doc web feed with 30% templated-banner near-dup
+    paragraph mass. One timed pass = emit + run_until_idle(rounds=
+    CHAIN_DEPTH) — 24 availableNow query starts, so the wall is
+    dominated by per-query startup overhead (~fixed), making docs/s
+    here a CHAIN-OVERHEAD gauge, not a data-rate: at production batch
+    sizes the same 24 starts amortize over millions of rows."""
+    import shutil
+    import sys as _sys
+    import tempfile
+    import time as _t
+    from pathlib import Path
+
+    from python_stream_processing_framework_spark.streaming import Stream
+
+    ex_dir = str(Path(__file__).resolve().parent / "examples")
+    if ex_dir not in _sys.path:
+        _sys.path.insert(0, ex_dir)
+    import streaming_corpus_pipeline as topo
+
+    n_docs = 1_000
+    root = Path(tempfile.mkdtemp(prefix="bench-chain-"))
+    stream = Stream(spark, str(root / "broker"), state_partitions=8)
+    topo.register_stages(stream)
+    docs = []
+    for i in range(n_docs):
+        if i % 10 < 3:  # 30% banner mass, each with a distinct edit
+            text = topo.banner(f"edit{i}") + "\n" + topo.content(f"w{i}")
+        else:
+            text = topo.content(f"w{i}") + "\n" + topo.content(f"x{i}")
+        docs.append({"doc_id": f"web/{i:05d}", "text": text})
+    for off in range(0, n_docs, 100):  # realistic many-file broker shape
+        stream.emit("docs", *docs[off : off + 100])
+    t0 = _t.perf_counter()
+    stream.run_until_idle(rounds=topo.CHAIN_DEPTH)
+    wall = _t.perf_counter() - t0
+    counts = {
+        t: sum(
+            1
+            for p in (root / "broker" / t).glob("*.json")
+            for _ in open(p)
+        )
+        for t in (
+            "docs-unique",
+            "docs-unique-tokens",
+            "docs-feat",
+            "docs-feat-classes",
+            "docs-clean",
+        )
+    }
+    assert all(c == n_docs for c in counts.values()), counts
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "stages": 6,
+        "query_starts": 6 * topo.CHAIN_DEPTH,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(n_docs / wall, 1),
     }
 
 
