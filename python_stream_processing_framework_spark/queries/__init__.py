@@ -55,6 +55,7 @@ from python_stream_processing_framework_spark.queries import (  # noqa: F401, E4
     unigram,
     probe,
     wordpiece,
+    charclf,
 )
 
 # ---------------------------------------------------------------------------
