@@ -150,6 +150,96 @@ def duplicate_spans_keep_first(
     return _merge_islands(flagged, id_col)
 
 
+def maximal_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Maximal MATCHED runs — the seed-and-extend refinement of the
+    fixed-window tier (r14 verdict #3, toward Lee et al.'s true
+    contract). ``duplicate_spans_keep_first`` merges flagged windows
+    that merely OVERLAP in a document, so two unrelated duplicates
+    sitting side by side fuse into one island that is NOT itself a
+    duplicated substring. This operator instead aligns every later
+    occurrence of a repeated gram against that gram's EARLIEST corpus
+    occurrence and extends runs of CONSECUTIVE matching windows along
+    each (source doc, alignment offset) diagonal — the genomics
+    seed-and-extend move expressed as gaps-and-islands, no suffix
+    array, every shuffled row still (id, position, BIGINT hash).
+
+    Output: (id, span_start, span_end, src_id, src_start) — 1-based
+    inclusive token ranges: ``id[span_start..span_end]`` matches
+    ``src_id[src_start..src_start + length - 1]`` token-for-token,
+    and neither endpoint extends along THIS alignment (the adjacent
+    window either is not repeated or has its earliest occurrence on
+    a different diagonal — pairwise maximality against the earliest
+    copy). A document repeating its own earlier text reports itself
+    as ``src_id``. The per-gram earliest occurrence is a
+    partial-aggregable struct-min, so pairing stays LINEAR in
+    occurrences (never the all-pairs k^2 a hot boilerplate gram
+    would mint).
+
+    Coverage contract (pinned by test): the union of these spans
+    covers exactly the keep-first flagged mass — every masked
+    position of ``mask_duplicate_spans_keep_first`` — so masking can
+    keep using that operator; this one adds the TRUE span structure
+    (boundaries + provenance) the fixed-window islands overestimate.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    grams = _gram_spans(toks, id_col, n)
+    first = grams.groupBy("g").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
+        ).alias("_f")
+    )
+    matches = (
+        grams.join(first, "g")
+        .filter(
+            (F.col(id_col) != F.col("_f.d")) | (F.col("start") != F.col("_f.s"))
+        )
+        .select(
+            id_col,
+            "start",
+            F.col("_f.d").alias("src_id"),
+            (F.col("start") - F.col("_f.s")).alias("_diag"),
+        )
+    )
+    # gaps-and-islands per (doc, source, diagonal): window starts are
+    # unique there, so "consecutive" is start == lag(start) + 1
+    w = Window.partitionBy(id_col, "src_id", "_diag").orderBy("start")
+    prev = F.lag("start").over(w)
+    runs = matches.select(
+        id_col,
+        "src_id",
+        "_diag",
+        "start",
+        F.when(prev.isNull() | (F.col("start") > prev + 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_brk"),
+    ).select(
+        id_col,
+        "src_id",
+        "_diag",
+        "start",
+        F.sum("_brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_run"),
+    )
+    return (
+        runs.groupBy(id_col, "src_id", "_diag", "_run")
+        .agg(F.min("start").alias("span_start"), F.max("start").alias("_last"))
+        .select(
+            id_col,
+            "span_start",
+            (F.col("_last") + F.lit(n - 1)).alias("span_end"),
+            "src_id",
+            (F.col("span_start") - F.col("_diag")).alias("src_start"),
+        )
+    )
+
+
 def _merge_islands(flagged: DataFrame, id_col: str) -> DataFrame:
     """Merge overlapping/adjacent flagged windows into maximal spans:
     the classic gaps-and-islands window (a window starts a new span

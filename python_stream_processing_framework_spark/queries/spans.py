@@ -164,3 +164,73 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_removed").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+_MAXIMAL_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i AS s,
+             ('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15))::BIGINT AS g
+      FROM tok, unnest(range(1, len(toks) - 11)) AS u(i)
+      WHERE len(toks) >= 13),
+    ranked AS (
+      SELECT doc_id, s, g,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rk
+      FROM g),
+    firsts AS (SELECT g, doc_id AS d0, s AS s0 FROM ranked WHERE rk = 1),
+    m AS (
+      SELECT r.doc_id, r.s AS start, f.d0 AS src_id, r.s - f.s0 AS diag
+      FROM g r JOIN firsts f USING (g)
+      WHERE NOT (r.doc_id = f.d0 AND r.s = f.s0)),
+    brk AS (
+      SELECT doc_id, src_id, diag, start,
+             CASE WHEN lag(start) OVER w IS NULL
+                    OR start > lag(start) OVER w + 1
+                  THEN 1 ELSE 0 END AS b
+      FROM m
+      WINDOW w AS (PARTITION BY doc_id, src_id, diag ORDER BY start)),
+    run AS (
+      SELECT doc_id, src_id, diag, start,
+             sum(b) OVER (PARTITION BY doc_id, src_id, diag ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS k
+      FROM brk)
+    SELECT doc_id,
+           min(start) AS span_start,
+           max(start) + 12 AS span_end,
+           src_id,
+           min(start) - diag AS src_start
+    FROM run GROUP BY doc_id, src_id, diag, k
+    ORDER BY doc_id, span_start, src_id, src_start LIMIT 200
+    """
+
+
+@query(
+    "maximal_dup_spans",
+    _MAXIMAL_ORACLE,
+    doc="Maximal matched runs — the seed-and-extend refinement of the "
+    "fixed-window ExactSubstr tier (operators/spans."
+    "maximal_duplicate_spans, r14 verdict #3): align every later "
+    "occurrence of a repeated 13-token window against the gram's "
+    "EARLIEST corpus occurrence and extend runs of consecutive "
+    "matches along each (source, offset) diagonal via "
+    "gaps-and-islands — per-span provenance (src doc + position) and "
+    "pairwise-maximal boundaries, where the island merge fuses "
+    "adjacent unrelated duplicates into pseudo-spans. Pairing is "
+    "LINEAR (struct-min earliest, never all-pairs); shuffled rows "
+    "stay (id, position, BIGINT). Oracle replays hashing, the "
+    "earliest-occurrence rank, diagonal islands, and boundary "
+    "arithmetic exactly.",
+)
+def maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.spans import (
+        maximal_duplicate_spans,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    spans = maximal_duplicate_spans(documents, "doc_id", "text", n=13)
+    return spans.orderBy(
+        "doc_id", "span_start", "src_id", "src_start"
+    ).limit(200)

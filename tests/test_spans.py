@@ -132,3 +132,133 @@ def test_mask_matches_sequential_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------- maximal matched runs
+
+
+def test_maximal_spans_split_fused_islands(spark):
+    """The crafted overlapping-repeat case (r14 verdict #3): two
+    UNRELATED duplicated strings sit adjacent in one doc. The
+    fixed-window island merge fuses them into one span that is not
+    itself a duplicated substring; maximal_duplicate_spans reports
+    the two true matches with their provenance."""
+    from python_stream_processing_framework_spark.operators.spans import (
+        duplicate_spans_keep_first,
+        maximal_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e q r s t u"),        # sources, doc 1 earliest
+            (2, "m1 m2 a b c d e q r s t u m3"),  # S1 then S2, adjacent
+        ],
+        "doc_id int, text string",
+    )
+    fused = sorted(
+        tuple(r)
+        for r in duplicate_spans_keep_first(df, n=3).collect()
+    )
+    # windows over doc 1's FULL text all repeat in doc 2 (it embeds
+    # the whole string), so keep-first flags doc 2's copy as ONE
+    # island 3..12
+    assert fused == [(2, 3, 12)]
+    maximal = sorted(
+        tuple(r) for r in maximal_duplicate_spans(df, n=3).collect()
+    )
+    # one run per alignment: doc 2 positions 3..12 match doc 1
+    # positions 1..10 on a single diagonal — and the span is exactly
+    # the duplicated substring (pairwise maximal: m2/m3 break it)
+    assert maximal == [(2, 3, 12, 1, 1)]
+
+
+def test_maximal_spans_true_boundaries_on_adjacent_duplicates(spark):
+    """Two duplicated strings from DIFFERENT sources, adjacent in the
+    target: the island merge reports one fused pseudo-span; the
+    maximal operator reports each true match separately with exact
+    boundaries."""
+    from python_stream_processing_framework_spark.operators.spans import (
+        duplicate_spans_keep_first,
+        maximal_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e k1 k2 k3"),   # S1 = a b c d e
+            (2, "v w x y z k4 k5 k6"),   # S2 = v w x y z
+            (3, "h1 h2 a b c d e v w x y z h3"),
+        ],
+        "doc_id int, text string",
+    )
+    fused = sorted(
+        tuple(r) for r in duplicate_spans_keep_first(df, n=3).collect()
+    )
+    # junction windows ("d e v", "e v w") occur once -> not flagged,
+    # but S1's island (3..7) and S2's (8..12) touch, so the merge
+    # fuses them into 3..12 — a span duplicated NOWHERE as a whole
+    assert fused == [(3, 3, 12)]
+    maximal = sorted(
+        tuple(r) for r in maximal_duplicate_spans(df, n=3).collect()
+    )
+    assert maximal == [(3, 3, 7, 1, 1), (3, 8, 12, 2, 1)]
+
+
+def test_maximal_spans_self_repeat_and_exact_maximality(spark):
+    """A doc repeating its own earlier paragraph reports itself as
+    src; boundaries are exactly the duplicated substring (no
+    extension possible on either side)."""
+    from python_stream_processing_framework_spark.operators.spans import (
+        maximal_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "s1 s2 a b c d s3 s4 a b c d s5")],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        tuple(r) for r in maximal_duplicate_spans(df, n=3).collect()
+    )
+    # second "a b c d" at 9..12 matches the first at 3..6; windows
+    # "s4 a b" / "c d s5" are unique so the run is exactly 4 tokens
+    assert got == [(7, 9, 12, 7, 3)]
+
+
+def test_maximal_spans_cover_keep_first_mass(spark):
+    """Coverage contract: the union of maximal matched runs covers
+    every position the keep-first island tier masks (masked mass is
+    a superset — here equality by construction, asserted as >=)."""
+    from python_stream_processing_framework_spark.operators.spans import (
+        duplicate_spans_keep_first,
+        maximal_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e q r s t u a b c d e"),
+            (2, "m1 m2 a b c d e q r s t u m3 q r s t u"),
+            (3, "q r s t u zz a b c d e"),
+            (4, "nothing shared here at all friends"),
+        ],
+        "doc_id int, text string",
+    )
+
+    def coverage(rows, s_field, e_field):
+        cov = set()
+        for r in rows:
+            cov.update(
+                (r["doc_id"], p)
+                for p in range(r[s_field], r[e_field] + 1)
+            )
+        return cov
+
+    fused = coverage(
+        duplicate_spans_keep_first(df, n=3).collect(),
+        "span_start",
+        "span_end",
+    )
+    maximal = coverage(
+        maximal_duplicate_spans(df, n=3).collect(),
+        "span_start",
+        "span_end",
+    )
+    assert maximal >= fused
