@@ -149,11 +149,11 @@ def wordpiece_train(
             .agg(F.sum("cnt").alias("c"))
         )
         if want > 1:
-            # batch mode reads symcnt from FOUR plans (both scored
-            # joins, the merged-form cnt0 probe, the minted-bound
-            # extension join); lazily persisted, the top-collect
-            # action populates the blocks and the bounded follow-up
-            # collects read them instead of re-scanning prev
+            # batch mode reads symcnt from several plans (both scored
+            # joins, the merged-form probe, the trigram-escalation
+            # join); lazily persisted, the top-collect action
+            # populates the blocks and the bounded follow-up collects
+            # read them instead of re-scanning prev
             symcnt = symcnt.persist()
         pairs = (
             prev.select(F.explode(_pairs_expr(syms)).alias("pair"), "cnt")
@@ -195,7 +195,30 @@ def wordpiece_train(
                 .collect()
             ]
         else:
-            ncollect = max(32, 8 * want)
+            # fold the merged-form count probe into the SAME rows the
+            # top collect brings back — it used to be its own driver
+            # job per round (r14 verdict #4)
+            mform = F.concat(
+                F.col("l"),
+                F.when(
+                    F.col("r").startswith("##"),
+                    F.expr("substring(r, 3)"),
+                ).otherwise(F.col("r")),
+            )
+            scored = scored.join(
+                symcnt.select(
+                    F.col("sym").alias("_msym"), F.col("c").alias("_cm")
+                ),
+                mform == F.col("_msym"),
+                "left",
+            ).drop("_msym")
+            # 128 floor: when the whole pair-type table fits (small
+            # corpora, late training), the collect covers it entirely
+            # and the uncollected-tail bound vanishes (tail = None) —
+            # measured the difference between 1.6 and 2+ merges/round
+            # on the Zipf bench corpus; at real vocabularies a
+            # TakeOrdered of 128 rows is the same job as 64
+            ncollect = max(128, 8 * want)
             top = (
                 scored.orderBy(F.col("score_q").desc(), "l", "r")
                 .limit(ncollect)
@@ -252,10 +275,89 @@ def _tri_expr(syms):
     ).otherwise(F.array().cast("array<string>"))
 
 
+#: optional diagnostics: when a list, _accept_batch appends one
+#: str per batch-stopping rejection ("tie"/"tail"/"minted"/
+#: "degenerate"/"exact") — the evidence SCALE.md quotes for why
+#: a corpus's rounds stop where they do. Never affects decisions.
+ACCEPT_DIAG: list | None = None
+
+
 #: "infinite" sentinel for minted-pair raw bounds whose exact decimal
 #: quotient would not fit the precision budget — the simulator treats
 #: any raw >= this as unbounded and stops the batch (conservative).
 _RAW_CAP = 10**24
+
+#: max extension rows _minted_raw_bounds collects for the exact
+#: driver-side judge; above it the distributed max-bound fallback
+#: runs instead (real-vocabulary rounds where a hot symbol has
+#: thousands of neighbors).
+_EVIDENCE_CAP = 4096
+
+
+def _cand_maps(cand):
+    """Per-candidate consumption bookkeeping shared by both minted-
+    bound tiers: dec_ub = total consumption of a symbol if EVERY
+    candidate touching it were accepted; right_pc / left_pc = the
+    smallest minted count a symbol could have been created with when
+    it is itself some candidate's merged site (see
+    _minted_raw_bounds)."""
+    dec_ub: dict[str, int] = {}
+    right_pc: dict[str, int] = {}
+    left_pc: dict[str, int] = {}
+    for left, right, pc in cand:
+        dec_ub[left] = dec_ub.get(left, 0) + (2 * pc if left == right else pc)
+        if left != right:
+            dec_ub[right] = dec_ub.get(right, 0) + pc
+        right_pc[right] = min(right_pc.get(right, pc), pc)
+        left_pc[left] = min(left_pc.get(left, pc), pc)
+    return dec_ub, right_pc, left_pc
+
+
+def _ext_raws(ext, cand):
+    """Shared tail of both minted-bound tiers: ``ext`` carries one
+    row per extension occurrence class (j, x, total, _cx, side) —
+    candidate index, extension symbol, numerator upper bound, the
+    extension symbol's pre-round count, and which side of the minted
+    symbol it extends. Returns {j: raw} with raw such that
+    score(pair touching m_j) <= raw // minted_count_j, _RAW_CAP
+    meaning unbounded."""
+    dec_ub, right_pc, left_pc = _cand_maps(cand)
+
+    def _map(d: dict):
+        args: list = []
+        for k in sorted(d):
+            args += [F.lit(k), F.lit(d[k])]
+        return F.create_map(*args)
+
+    dec_map, rpc_map, lpc_map = _map(dec_ub), _map(right_pc), _map(left_pc)
+    # the extension symbol's post-merge count lower bound: when x sits
+    # LEFT of a merge site it may itself have been minted from r_k
+    # (right_pc applies); RIGHT of a site, from l_k (left_pc)
+    den_plain = F.greatest(
+        F.lit(1).cast("long"),
+        F.col("_cx") - F.coalesce(_at_map(dec_map, "x"), F.lit(0)).cast("long"),
+    )
+    den = F.when(
+        F.col("side") == "L",
+        F.least(den_plain, F.coalesce(_at_map(rpc_map, "x").cast("long"), den_plain)),
+    ).otherwise(
+        F.least(den_plain, F.coalesce(_at_map(lpc_map, "x").cast("long"), den_plain))
+    )
+    n = F.col("total").cast("decimal(38,0)") * F.lit(_SCORE_SCALE)
+    d = den.cast("decimal(19,0)")
+    # 10**24 exceeds the long literal range: route through a string
+    cap = F.lit(str(_RAW_CAP)).cast("decimal(38,0)")
+    q = F.when((n - n % cap) / cap >= d, cap).otherwise((n - n % d) / d)
+    rows = (
+        ext.select("j", q.alias("q"))
+        .groupBy("j")
+        .agg(F.max("q").alias("q"))
+        .collect()
+    )
+    raws = {j: 0 for j in range(len(cand))}
+    for r in rows:
+        raws[int(r["j"])] = max(raws[int(r["j"])], int(r["q"]))
+    return raws
 
 
 def _minted_raw_bounds(prev, symcnt, cand):
@@ -278,27 +380,18 @@ def _minted_raw_bounds(prev, symcnt, cand):
     ((m_k, m_j) cross pairs trace to trigrams (r_k, l_j, r_j), where
     the x slot holds r_k). One vocabulary-bounded aggregation over
     the trigram table restricted to the candidate pairs; <= 2 rows
-    per candidate come back."""
-    spark = prev.sparkSession
+    per candidate come back. Returns ("rows", evidence) when the
+    extension row set fits _EVIDENCE_CAP — the driver then judges
+    minted pairs EXACTLY (_judge_minted) — else ("raws", bounds),
+    the distributed max-bound fallback."""
     sep = "\x1f"
     key_j = {f"{l}{sep}{r}": j for j, (l, r, _) in enumerate(cand)}
-    dec_ub: dict[str, int] = {}
-    right_pc: dict[str, int] = {}
-    left_pc: dict[str, int] = {}
-    for left, right, pc in cand:
-        dec_ub[left] = dec_ub.get(left, 0) + (2 * pc if left == right else pc)
-        if left != right:
-            dec_ub[right] = dec_ub.get(right, 0) + pc
-        right_pc[right] = min(right_pc.get(right, pc), pc)
-        left_pc[left] = min(left_pc.get(left, pc), pc)
 
     def _map(d: dict):
         args: list = []
         for k in sorted(d):
             args += [F.lit(k), F.lit(d[k])]
         return F.create_map(*args)
-
-    dec_map, rpc_map, lpc_map = _map(dec_ub), _map(right_pc), _map(left_pc)
     syms = F.split(F.trim(F.col("seq")), "  ")
     keys = list(key_j)
     jmap = _map(key_j)
@@ -355,34 +448,116 @@ def _minted_raw_bounds(prev, symcnt, cand):
         symcnt.select(F.col("sym").alias("x"), F.col("c").alias("_cx")),
         "x",
     )
-    # the extension symbol's post-merge count lower bound: when x sits
-    # LEFT of a merge site it may itself have been minted from r_k
-    # (right_pc applies); RIGHT of a site, from l_k (left_pc)
-    den_plain = F.greatest(
-        F.lit(1).cast("long"),
-        F.col("_cx") - F.coalesce(_at_map(dec_map, "x"), F.lit(0)).cast("long"),
-    )
-    den = F.when(
-        F.col("side") == "L",
-        F.least(den_plain, F.coalesce(_at_map(rpc_map, "x").cast("long"), den_plain)),
-    ).otherwise(
-        F.least(den_plain, F.coalesce(_at_map(lpc_map, "x").cast("long"), den_plain))
-    )
-    n = F.col("total").cast("decimal(38,0)") * F.lit(_SCORE_SCALE)
-    d = den.cast("decimal(19,0)")
-    # 10**24 exceeds the long literal range: route through a string
-    cap = F.lit(str(_RAW_CAP)).cast("decimal(38,0)")
-    q = F.when((n - n % cap) / cap >= d, cap).otherwise((n - n % d) / d)
-    rows = (
-        ext.select("j", q.alias("q"))
-        .groupBy("j")
-        .agg(F.max("q").alias("q"))
-        .collect()
-    )
-    raws = {j: 0 for j in range(len(cand))}
-    for r in rows:
-        raws[int(r["j"])] = max(raws[int(r["j"])], int(r["q"]))
-    return raws
+    # EXACT evidence when bounded: collect the per-extension rows so
+    # the driver can compute minted-pair scores exactly (they are
+    # exact trigram counts — see _judge_minted) instead of only
+    # max-bounds; above the cap, fall back to the distributed
+    # max-bound aggregation
+    rows = ext.limit(_EVIDENCE_CAP + 1).collect()
+    if len(rows) > _EVIDENCE_CAP:
+        return "raws", _ext_raws(ext, cand)
+    return "rows", [
+        (int(r["j"]), r["x"], int(r["total"]), int(r["_cx"]), r["side"])
+        for r in rows
+    ]
+
+
+
+
+def _judge_minted(rows, top, acc_idx, minted_cnt, dec, value, uv):
+    """Judge this step's argmax against the minted-pair mass using
+    the collected trigram evidence — EXACTLY where possible.
+
+    A minted pair's count is an exact pre-round trigram count when
+    nothing disturbs its sites: merging (l_j, r_j) -> m_j rewrites
+    every ``l_j r_j`` adjacency (block-aligned, no self-overlap for
+    l != r), so each post-merge ``(x, m_j)`` adjacency corresponds
+    one-to-one to a pre-merge trigram ``(x, l_j, r_j)`` — provided
+    the extension symbol x was not consumed or minted by ANY accepted
+    merge (x outside every accepted merge's symbol set) and merge j's
+    own sites were not clipped by another accepted merge (j's symbols
+    disjoint from every other accepted merge's). Under those
+    conditions cnt'(x) = pre-round count (untouched) and
+    cnt'(m_j) = pair_count_j, so the minted pair's sequential score
+    is computed exactly; every other extension row falls back to an
+    upper bound whose denominator uses the exactly-tracked actual
+    consumption (tighter than _ext_raws' all-candidates worst case,
+    which the distributed fallback must still assume).
+
+    Returns:
+    - "dominated": every minted score/bound is strictly below
+      ``value`` (lex-tie-break against exact ones) — the collected
+      candidate survives;
+    - (score, l, r, count): the lex-min highest-scoring EXACT minted
+      pair provably beats the collected winner, every other exact
+      minted pair, and every bound — it IS the sequential argmax
+      (the caller still checks the uncollected tail at this score);
+    - "stop": uncertain either way."""
+    acc_pos = {j: i for i, j in enumerate(acc_idx)}
+    touched: set = set()
+    for j in acc_idx:
+        touched.add(top[j]["l"])
+        touched.add(top[j]["r"])
+    disjoint = {}
+    for j in acc_idx:
+        mine = {top[j]["l"], top[j]["r"]}
+        others: set = set()
+        for j2 in acc_idx:
+            if j2 != j:
+                others.add(top[j2]["l"])
+                others.add(top[j2]["r"])
+        disjoint[j] = not (mine & others)
+    exacts = []  # (score, l, r, count)
+    max_bound = 0
+    for j, x, total, cx, side in rows:
+        pos = acc_pos.get(j)
+        if pos is None:
+            continue  # unaccepted candidate: no minted symbol exists
+        mc = minted_cnt[pos]
+        mk = _merged_form(top[j]["l"], top[j]["r"])
+        if disjoint[j] and x not in touched:
+            if cx <= 0:
+                continue
+            score = (total * _SCORE_SCALE) // (cx * mc)
+            l_, r_ = (x, mk) if side == "L" else (mk, x)
+            exacts.append((score, l_, r_, total))
+        else:
+            # unlike _ext_raws (which must assume EVERY candidate
+            # might be accepted), the judge knows the actual accepted
+            # set, so the denominator uses the exactly-tracked count:
+            # reading 1 — x survives with cnt'(x) = cx - dec(x);
+            # reading 2 — x was consumed into an accepted merge's
+            # minted symbol (the (m_k, m_j) cross pair), denominator
+            # count pc_k. The bound takes the worst (smallest) live
+            # denominator; a row with no live reading cannot form a
+            # pair at all.
+            dens = []
+            d1 = cx - dec.get(x, 0)
+            if d1 > 0:
+                dens.append(d1)
+            for j2, pos2 in acc_pos.items():
+                consumed_side = top[j2]["r"] if side == "L" else top[j2]["l"]
+                if consumed_side == x:
+                    dens.append(minted_cnt[pos2])
+            if not dens:
+                continue
+            max_bound = max(
+                max_bound, (total * _SCORE_SCALE) // (min(dens) * mc)
+            )
+    u, v = uv
+    if max_bound < value and all(
+        sc < value or (sc == value and (l_, r_) > (u, v))
+        for sc, l_, r_, _c in exacts
+    ):
+        return "dominated"
+    if not exacts:
+        return "stop"
+    exacts.sort(key=lambda e: (-e[0], e[1], e[2]))
+    v_m, ml, mr, mcount = exacts[0]
+    beats_collected = v_m > value or (v_m == value and (ml, mr) < (u, v))
+    if beats_collected and max_bound < v_m:
+        return (v_m, ml, mr, mcount)
+    return "stop"
 
 
 def _at_map(mp, col):
@@ -427,8 +602,16 @@ def _accept_batch(prev, symcnt, top, want, *, collected_cap):
       count/count' boost ratios among touched symbols (dead symbols
       with count' = 0 are excluded — pairs touching them have count'
       0). When the whole pair table was collected there is no tail.
-    - minted pairs: raw_j // minted_count_j per accepted j (see
-      _minted_raw_bounds), with raw >= _RAW_CAP treated as infinite.
+    - minted pairs: judged from the trigram evidence
+      (_minted_raw_bounds). When the extension row set is bounded the
+      driver computes each minted pair's score EXACTLY
+      (_judge_minted) — a collected winner passes when every minted
+      score is strictly (or lex-) dominated, and when a minted pair
+      is itself the provable argmax it is ACCEPTED as the next merge
+      and the batch stops (the true Zipf chain t+##h -> th,
+      th+##e -> the, which a bound-only simulator can never follow).
+      Above _EVIDENCE_CAP rows the raw_j // minted_count_j max-bound
+      fallback applies, with raw >= _RAW_CAP treated as infinite.
 
     Additional stop conditions keep every exactness precondition
     honest: self-pair candidates (consumption not exact) and merged
@@ -442,22 +625,23 @@ def _accept_batch(prev, symcnt, top, want, *, collected_cap):
         return []
     a_rows = top
     cand = [(r["l"], r["r"], int(r["total"])) for r in a_rows]
-    m_strings = [_merged_form(l, r) for l, r, _ in cand]
+    # merged-form counts ride the top rows themselves (the _cm column
+    # joined into `scored` — no per-round probe job)
     cnt0 = {
-        r["sym"]: int(r["c"])
-        for r in symcnt.filter(F.col("sym").isin(m_strings)).collect()
+        _merged_form(r["l"], r["r"]): int(r["_cm"])
+        for r in a_rows
+        if r["_cm"] is not None
     }
-    # LAZY minted bounds: the trigram aggregation is ~half of batch-
-    # mode's per-round wall (measured 15.9 s of 33.4 s over 16 Zipf
-    # merges), but it is only consulted when a step-2+ candidate has
-    # already cleared the exactness/tie/tail checks — rounds that
-    # stop earlier never pay it
-    raws_box: dict = {}
+    # LAZY minted evidence: the trigram aggregation is consulted
+    # only when a step-2+ candidate has already cleared the
+    # exactness/tie/tail checks — rounds that stop earlier never pay
+    # it. One aggregation per round at most (the box caches it).
+    ev_box: dict = {}
 
-    def _raws() -> dict:
-        if not raws_box:
-            raws_box["v"] = _minted_raw_bounds(prev, symcnt, cand)
-        return raws_box["v"]
+    def _evidence():
+        if not ev_box:
+            ev_box["v"] = _minted_raw_bounds(prev, symcnt, cand)
+        return ev_box["v"]
 
     tail = int(top[-1]["score_q"]) if len(top) == collected_cap else None
 
@@ -473,6 +657,21 @@ def _accept_batch(prev, symcnt, top, want, *, collected_cap):
 
     def _cur(s: str) -> int:
         return pre_cnt[s] - dec.get(s, 0)
+
+    def _tail_blocks(v: int) -> bool:
+        # exact max boost product over (ordered, with repetition)
+        # touched-symbol pairs — an uncollected pair can touch at
+        # most two touched symbols; dead symbols (count' 0) zero
+        # any pair touching them and are excluded
+        if tail is None:
+            return False
+        live = [(pre_cnt[s], _cur(s)) for s in dec if _cur(s) > 0]
+        best_ub = tail + 1  # no touched side: score unchanged
+        for n1, d1 in live:
+            for n2, d2 in live:
+                best_ub = max(best_ub, ((tail + 1) * n1 * n2) // (d1 * d2))
+            best_ub = max(best_ub, ((tail + 1) * n1) // d1)
+        return best_ub >= v
 
     while len(accepted) < want:
         vals = []  # (value, l, r, exact, idx)
@@ -494,36 +693,54 @@ def _accept_batch(prev, symcnt, top, want, *, collected_cap):
         value, u, v, exact, idx = vals[0]
         first = not accepted
         ok = exact
+        why = None if exact else "exact"
         if len(vals) > 1 and vals[1][0] == value and not vals[1][3]:
             ok = False  # tie with a mere bound: argmax uncertain
-        if ok and not first and tail is not None:
-            # exact max boost product over (ordered, with repetition)
-            # touched-symbol pairs — an uncollected pair can touch at
-            # most two touched symbols; dead symbols (count' 0) zero
-            # any pair touching them and are excluded
-            live = [(pre_cnt[s], _cur(s)) for s in dec if _cur(s) > 0]
-            best_ub = tail + 1  # no touched side: score unchanged
-            for n1, d1 in live:
-                for n2, d2 in live:
-                    best_ub = max(
-                        best_ub, ((tail + 1) * n1 * n2) // (d1 * d2)
-                    )
-                best_ub = max(best_ub, ((tail + 1) * n1) // d1)
-            if best_ub >= value:
-                ok = False
+            why = why or "tie"
+        if ok and not first and _tail_blocks(value):
+            ok = False
+            why = "tail"
+        minted_accept = None
         if ok and not first:
-            for k, mc in zip(acc_idx, minted_cnt):
-                raw = _raws()[k]
-                if raw >= _RAW_CAP or raw // mc >= value:
+            kind, data = _evidence()
+            if kind == "raws":
+                for k, mc in zip(acc_idx, minted_cnt):
+                    raw = data[k]
+                    if raw >= _RAW_CAP or raw // mc >= value:
+                        ok = False
+                        why = "minted"
+                        break
+            else:
+                verdict = _judge_minted(
+                    data, top, acc_idx, minted_cnt, dec, value, (u, v)
+                )
+                if verdict != "dominated":
                     ok = False
-                    break
+                    why = "minted"
+                    if verdict != "stop":
+                        # a minted pair is the provable argmax of this
+                        # step — accept it as the next merge (it still
+                        # must clear the uncollected tail at its OWN
+                        # score) and end the batch: its second-
+                        # generation extensions have no evidence
+                        mv, ml, mr, mcount = verdict
+                        if not _tail_blocks(mv):
+                            minted_accept = (ml, mr, mcount, mv)
         if not ok:
+            if minted_accept is not None:
+                accepted.append(minted_accept)
+                if ACCEPT_DIAG is not None:
+                    ACCEPT_DIAG.append("minted-accept")
+            elif ACCEPT_DIAG is not None and not first:
+                ACCEPT_DIAG.append(why)
             break
         m = _merged_form(u, v)
         degenerate = (
             u == v or cnt0.get(m, 0) > 0 or m in minted_strings
         )
         if degenerate and not first:
+            if ACCEPT_DIAG is not None:
+                ACCEPT_DIAG.append("degenerate")
             break
         pc = int(top[idx]["total"])
         accepted.append((u, v, pc, value))

@@ -354,3 +354,46 @@ def test_wordpiece_batch_parity_with_hash_symbols(
         .collect()
     ]
     assert got == seq, (words, n_merges, batch)
+
+
+def test_wordpiece_batch_accepts_minted_chain(spark):
+    """r14 verdict #4: on the true Zipf chain the sequential argmax
+    sequence RUNS THROUGH minted symbols (t+##h -> th, then
+    th+##e -> the) — a bound-only simulator stops at 1 merge/round
+    forever. With exact trigram evidence the batch both (a) accepts
+    the minted pair when it provably wins and (b) proves collected
+    siblings past the minted mass. Pin: bit-identical table AND
+    strictly fewer rounds than merges (so multi-accept actually
+    happened), with at least one minted-accept recorded."""
+    import python_stream_processing_framework_spark.operators.wordpiece as wp
+
+    # 'the' dominates so (t,##h) then (th,##e) chain; 'other' words
+    # keep a candidate pool alive
+    docs = spark.createDataFrame(
+        [(1, " ".join(["the"] * 30 + ["they"] * 9 + ["then"] * 7
+                      + ["cat"] * 4 + ["dog"] * 3))],
+        "doc_id bigint, text string",
+    )
+    seq = [
+        tuple(r)
+        for r in wordpiece_train(docs, "text", n_merges=6)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    old_diag = wp.ACCEPT_DIAG
+    wp.ACCEPT_DIAG = diag = []
+    rounds: list = []
+    try:
+        got = [
+            tuple(r)
+            for r in wordpiece_train(
+                docs, "text", n_merges=6, batch=6, rounds_out=rounds
+            )
+            .orderBy("merge_idx")
+            .collect()
+        ]
+    finally:
+        wp.ACCEPT_DIAG = old_diag
+    assert got == seq
+    assert len(rounds) < 6, rounds  # multi-accept happened
+    assert "minted-accept" in diag, (rounds, diag)
