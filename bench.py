@@ -429,6 +429,7 @@ def main() -> None:
         "wordpiece_zipf": _wordpiece_zipf_bench(spark),
         "probe_dim768": _probe_dim768_bench(spark),
         "streaming_chain": _streaming_chain_bench(spark),
+        "ann_recall_curve": _ann_recall_curve_bench(spark, sf_dir),
     }
 
     # ...and the flagged queries' re-run, taken AFTER the extras above
@@ -1519,6 +1520,114 @@ def _pq_bench(spark) -> dict:
         "k_codes": 32,
         "top10_same_cluster": all(r["vec_id"] % 25 == 123 % 25 for r in top),
     }
+
+
+def _ann_recall_curve_bench(spark, sf_dir: str) -> dict:
+    """Recall-vs-nprobe curve for BOTH persisted ANN layouts (r14
+    verdict #5): the knob evidence an operator needs at 100 TB —
+    IVF and IVF-PQ have recall tests at fixed probes, but choosing
+    nprobe in production means reading THIS curve. Builds each index
+    once, then sweeps nprobe over {1, 2, 4, 8, 16} with 8 query
+    vectors drawn from the corpus, reporting recall@10 against the
+    layout's own exact metric (IVF: exact cosine with the operator's
+    6-dp rounding + (cos DESC, id) ties; IVF-PQ: exact L2 — ADC
+    recall also absorbs quantization error, so it plateaus below 1.0
+    even at full probe; that plateau is the m/k codebook knob's
+    signal, not the nprobe knob's) and the min warmed per-query wall.
+    Ground truth is computed bench-side over the collected corpus
+    (2k x 64 floats — evaluation data, not an operator path)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    import numpy as np
+
+    from python_stream_processing_framework_spark.catalog import load
+    from python_stream_processing_framework_spark.operators.ann_index import (
+        build_ivf_index,
+        build_ivfpq_index,
+        ivf_index_topk,
+        ivfpq_index_topk,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    rows = embeddings.select("vec_id", "embedding").filter(
+        "embedding IS NOT NULL"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    q_ids = [int(i) for i in ids[:8]]
+    queries = {qid: X[ids == qid][0] for qid in q_ids}
+    true_cos: dict[int, set] = {}
+    true_l2: dict[int, set] = {}
+    for qid, qv in queries.items():
+        qn = np.linalg.norm(qv) or 1.0
+        cos = (X @ qv) / (norms * qn)
+        order = sorted(
+            range(len(ids)), key=lambda i: (-round(float(cos[i]), 6), ids[i])
+        )
+        true_cos[qid] = {int(ids[i]) for i in order[:10]}
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (float(d2[i]), ids[i]))
+        true_l2[qid] = {int(ids[i]) for i in order[:10]}
+
+    tmp = tempfile.mkdtemp(prefix="ann-recall-")
+    out: dict = {
+        "n_vectors": int(len(ids)),
+        "n_queries": len(q_ids),
+        "k": 10,
+        "k_cells": 32,
+        "ivf": {},
+        "ivfpq": {},
+    }
+    try:
+        t0 = _t.perf_counter()
+        build_ivf_index(embeddings, f"{tmp}/ivf", k=32, iters=2)
+        out["ivf_build_s"] = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        build_ivfpq_index(
+            embeddings, f"{tmp}/ivfpq", k=32, iters=2, pq_m=8, pq_k=16
+        )
+        out["ivfpq_build_s"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        spark.catalog.clearCache()
+        for n_probe in (1, 2, 4, 8, 16):
+            for layout, topk, truth in (
+                ("ivf", ivf_index_topk, true_cos),
+                ("ivfpq", ivfpq_index_topk, true_l2),
+            ):
+                hits, walls = 0, []
+                # warm-up, uncounted (plan compile + FS listing)
+                topk(
+                    spark,
+                    f"{tmp}/{layout}",
+                    [float(x) for x in queries[q_ids[0]]],
+                    k=10,
+                    n_probe=n_probe,
+                ).collect()
+                for qid in q_ids:
+                    t0 = _t.perf_counter()
+                    got = {
+                        int(r["vec_id"])
+                        for r in topk(
+                            spark,
+                            f"{tmp}/{layout}",
+                            [float(x) for x in queries[qid]],
+                            k=10,
+                            n_probe=n_probe,
+                        ).collect()
+                    }
+                    walls.append(_t.perf_counter() - t0)
+                    hits += len(got & truth[qid])
+                out[layout][str(n_probe)] = {
+                    "recall_at_10": round(hits / (10.0 * len(q_ids)), 3),
+                    "query_s": round(min(walls), 3),
+                }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _ann_index_serve_bench(spark, sf_dir: str) -> dict:
