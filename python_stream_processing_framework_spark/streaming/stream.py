@@ -1471,6 +1471,126 @@ class Stream:
             )
         )
 
+    def classify_text(
+        self,
+        topic: str,
+        schema: StructType,
+        *,
+        model: DataFrame | None = None,
+        id_field: str = "doc_id",
+        text_field: str = "text",
+        target: str | None = None,
+        group: str | None = None,
+        model_path: str | None = None,
+        n: int = 3,
+        n_buckets: int = 4_096,
+    ) -> None:
+        """Streaming TEXT-classifier serving: every document on
+        ``topic`` emits one (batch_seq, id, pred, score_nano) row on
+        ``target`` (default `{topic}-textclass`) — its argmax class
+        under a TRAINED char-n-gram model (operators/charclf.py, the
+        fastText lang-id shape). The text-side sibling of
+        :meth:`classify` (which gates on frozen embeddings): the
+        lang/topic routing a raw-text feed runs before any embedding
+        exists.
+
+        The model — charclf_train's (label, bucket, w_nano) table —
+        is persisted ONCE at registration under ``model_path`` (the
+        classify/tokenize write-once discipline) WITH the
+        featurization knobs stamped in (``n``/``n_buckets`` ride as
+        literal columns): a re-registration under different knobs
+        fails loudly instead of silently bucketing grams against the
+        wrong hash space. Scoring per batch is charclf_predict's
+        one-shuffle shape (broadcast pivoted model + id-keyed sum +
+        map-only argmax), stateless, so exactly-once is the
+        idempotent per-batch_id sink; null or zero-gram text scores
+        on the class priors alone — every document always yields a
+        row."""
+        from pyspark.sql.utils import AnalysisException
+
+        group = group or f"{self.name}-textclass"
+        model_path = model_path or str(self.broker / "_indexes" / group)
+        # validate BEFORE claiming (the monitor_drift discipline)
+        try:
+            head = self.spark.read.parquet(f"{model_path}/model").head()
+            if head is not None:
+                stamped = (int(head["_n"]), int(head["_n_buckets"]))
+                if stamped != (int(n), int(n_buckets)):
+                    raise ValueError(
+                        f"model under {model_path} was persisted with "
+                        f"(n, n_buckets)={stamped}; grams would hash "
+                        "into a different bucket space — re-register "
+                        "with those knobs or explicitly overwrite the "
+                        "path to retrain"
+                    )
+        except AnalysisException:
+            if model is None:
+                raise ValueError(
+                    "classify_text needs a trained `model` DataFrame "
+                    f"the first time: no model table under {model_path}"
+                )
+            model.withColumn("_n", F.lit(int(n))).withColumn(
+                "_n_buckets", F.lit(int(n_buckets))
+            ).write.mode("overwrite").parquet(f"{model_path}/model")
+        self._claim(topic, group)
+        self._subscriptions.append(
+            _Subscription(
+                kind="classify_text",
+                topic=topic,
+                handler=lambda: None,
+                schema=schema,
+                options={
+                    "id_field": id_field,
+                    "text_field": text_field,
+                    "target": target or f"{topic}-textclass",
+                    "group": group,
+                    "model_path": model_path,
+                    "n": int(n),
+                    "n_buckets": int(n_buckets),
+                },
+            )
+        )
+
+    def _start_classify_text(self, sub: _Subscription):
+        from python_stream_processing_framework_spark.operators.charclf import (
+            charclf_predict,
+        )
+
+        o = sub.options
+        src = self.stream_topic(sub.topic, sub.schema)
+        sink_dir = str(self.topic_dir(o["target"]))
+
+        def classify_text_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            model = batch.sparkSession.read.parquet(
+                f"{o['model_path']}/model"
+            ).drop("_n", "_n_buckets")
+            out = charclf_predict(
+                batch.select(o["id_field"], o["text_field"]),
+                model,
+                o["id_field"],
+                o["text_field"],
+                n=o["n"],
+                n_buckets=o["n_buckets"],
+            ).select(
+                F.lit(int(batch_id)).alias("batch_seq"),
+                o["id_field"],
+                "pred",
+                "score_nano",
+            )
+            _write_batch_jsonl(out, sink_dir, batch_id)
+
+        return (
+            src.writeStream.foreachBatch(classify_text_batch)
+            .option(
+                "checkpointLocation",
+                str(self.checkpoints / f"{sub.topic}-{o['group']}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _start_classify(self, sub: _Subscription):
         from python_stream_processing_framework_spark.operators.probe import (
             linear_probe_predict,
@@ -2686,6 +2806,7 @@ class Stream:
             "monitor_drift": self._start_monitor_drift,
             "tokenize": self._start_tokenize,
             "classify": self._start_classify,
+            "classify_text": self._start_classify_text,
         }
         for _ in range(max(1, rounds)):
             queries = []
