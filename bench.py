@@ -1467,14 +1467,15 @@ def _streaming_chain_bench(spark) -> dict:
             "docs-feat",
             "docs-feat-classes",
             "docs-clean",
+            "docs-clean-textclass",
         )
     }
     assert all(c == n_docs for c in counts.values()), counts
     shutil.rmtree(root, ignore_errors=True)
     return {
         "docs": n_docs,
-        "stages": 6,
-        "query_starts": 6 * topo.CHAIN_DEPTH,
+        "stages": 7,
+        "query_starts": 7 * topo.CHAIN_DEPTH,
         "wall_s": round(wall, 3),
         "docs_per_s": round(n_docs / wall, 1),
     }

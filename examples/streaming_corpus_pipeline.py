@@ -10,8 +10,9 @@ examples/chaos_demo.py:126-137):
           docs-feat ──classify(linear probe)──▶ docs-feat-classes
       docs-unique ──pipeline().map(tag source)──▶ docs-clean
         docs-clean ──monitor_drift(edge_only=True)──▶ docs-clean-drift(+alerts)
+        docs-clean ──classify_text(char-n-gram lang gate)──▶ docs-clean-textclass
 
-Six subscriptions, five topic boundaries. Every stage is exactly-once
+Seven subscriptions, six topic boundaries. Every stage is exactly-once
 on its own (idempotent per-batch_id sinks, write-once model tables,
 checkpointed offsets); this example — and the crash test over it,
 tests/test_streaming_corpus_chain.py — proves they stay exactly-once
@@ -23,8 +24,12 @@ row at ANY boundary.
 Models are trained once at registration (the write-once facade
 discipline): a byte-level BPE merge table from a training corpus, a
 linear probe over (n_words, n_pieces) token-budget features (verbose
-vs terse docs — the curation gate shape), and a drift reference
-distribution from the same training corpus.
+vs terse docs — the curation gate shape), a drift reference
+distribution from the same training corpus, and a trained
+char-n-gram text classifier (operators/charclf.py, the fastText
+lang-id shape) routing each cleaned document by vocabulary family —
+the trained replacement for heuristic lang_id, running live in the
+same chain.
 
 Run: python examples/streaming_corpus_pipeline.py
 """
@@ -97,6 +102,14 @@ DRIFT = StructType(
         StructField("tv_ppm", LongType()),
     ]
 )
+TEXTCLASS = StructType(
+    [
+        StructField("batch_seq", LongType()),
+        StructField("doc_id", StringType()),
+        StructField("pred", StringType()),
+        StructField("score_nano", LongType()),
+    ]
+)
 
 #: paragraph-dedup knobs — the facade-test arithmetic: 40-token
 #: paragraphs, a one-word edit is Jaccard 35/41 = 0.854 (near-dup at
@@ -127,10 +140,12 @@ def content(prefix: str, n: int = 12) -> str:
 
 
 def train_frames(spark):
-    """(corpus_df, feature_df) used to train the write-once models:
-    the BPE vocabulary + drift reference come from ``corpus_df``; the
-    probe trains on (n_words, n_pieces) features — class 0 = terse
-    (few pieces per word), class 1 = verbose."""
+    """(corpus_df, feature_df, lang_df) used to train the write-once
+    models: the BPE vocabulary + drift reference come from
+    ``corpus_df``; the probe trains on (n_words, n_pieces) features —
+    class 0 = terse (few pieces per word), class 1 = verbose;
+    ``lang_df`` carries (text, label) rows for the char-n-gram
+    router (web vs spam vocabulary families)."""
     corpus = spark.createDataFrame(
         [
             (0, banner() + "\n" + content("beta")),
@@ -150,7 +165,16 @@ def train_frames(spark):
         ],
         "vec_id bigint, label int, embedding array<float>",
     )
-    return corpus, feats
+    lang = spark.createDataFrame(
+        [
+            (0, content("beta") + " " + content("gamma"), "web"),
+            (1, banner() + " " + content("delta"), "web"),
+            (2, " ".join(f"zz{i}" for i in range(30, 60)), "spam"),
+            (3, " ".join(f"zz{i}" for i in range(60, 90)), "spam"),
+        ],
+        "doc_id bigint, text string, label string",
+    )
+    return corpus, feats, lang
 
 
 def _nested():
@@ -193,12 +217,15 @@ def register_stages(stream, *, feat_map=featurize) -> None:
     the exact same models. ``feat_map`` lets a chaos test inject a
     crashing featurize worker."""
     from python_stream_processing_framework_spark.operators.bpe import bpe_train
+    from python_stream_processing_framework_spark.operators.charclf import (
+        charclf_train,
+    )
     from python_stream_processing_framework_spark.operators.probe import (
         linear_probe_train,
     )
 
     spark = stream.spark
-    corpus, feats = train_frames(spark)
+    corpus, feats, lang = train_frames(spark)
     vocab_path = str(stream.broker / "_indexes" / "stream-tokens")
     first_time = not os.path.exists(vocab_path)
 
@@ -230,6 +257,15 @@ def register_stages(stream, *, feat_map=featurize) -> None:
         threshold_ppm=DRIFT_THRESHOLD_PPM,
         hysteresis=1,
         edge_only=True,
+    )
+    stream.classify_text(
+        "docs-clean",
+        CLEAN,
+        model=charclf_train(lang, "doc_id", "text", "label", n=3, n_buckets=512)
+        if first_time
+        else None,
+        n=3,
+        n_buckets=512,
     )
 
 
@@ -272,6 +308,7 @@ def main() -> None:
     classes = stream.read_topic("docs-feat-classes", CLASSES)
     drift = stream.read_topic("docs-clean-drift", DRIFT)
     alerts = stream.read_topic("docs-clean-drift-alerts", DRIFT)
+    routed = stream.read_topic("docs-clean-textclass", TEXTCLASS)
 
     print("docs-unique (banner shed downstream of web/001):")
     for r in sorted(uniq.collect(), key=lambda r: r["doc_id"]):
@@ -283,6 +320,9 @@ def main() -> None:
     print("alert edges (exactly one, for spam):")
     for r in alerts.collect():
         print(f"  src={r['src']} tv_ppm={r['tv_ppm']}")
+    print("trained lang-gate routing (charclf, web vs spam):")
+    for r in sorted(routed.collect(), key=lambda r: r["doc_id"]):
+        print(f"  {r['doc_id']}: pred={r['pred']}")
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ examples/chaos_demo.py:126-137):
           -> classify -> docs-feat-classes
       -> pipeline(tag source) -> docs-clean
         -> monitor_drift(edge_only) -> docs-clean-drift(+alerts)
+        -> classify_text(char-n-gram lang gate) -> docs-clean-textclass
 
 The chaos move mirrors tests/test_chaos.py: a "worker kill" is an
 exception from inside a stage (here the featurize mapInPandas worker,
@@ -224,6 +225,17 @@ def test_chain_exactly_once_across_all_boundaries_after_midchain_crash(
     alerts = s2.read_topic("docs-clean-drift-alerts", topo.DRIFT).collect()
     assert [(r["src"], r["tv_ppm"]) for r in alerts] == [("spam", 1_000_000)]
 
+    # ---- boundary 6 (docs-clean -> textclass): the trained
+    # char-n-gram gate routes each doc by vocabulary family, exactly
+    # once, across the crash
+    assert _counts_per_key(s2, "docs-clean-textclass", topo.TEXTCLASS) == {
+        i: 1 for i in ALL_IDS
+    }
+    routed = _rows(s2, "docs-clean-textclass", topo.TEXTCLASS)
+    for i in ALL_IDS:
+        want = "spam" if i.startswith("spam/") else "web"
+        assert routed[i]["pred"] == want, (i, routed[i])
+
 
 def test_chain_clean_run_reconciles_every_boundary(spark, tmp_path):
     """No chaos: one app, both waves, full drain — every boundary
@@ -242,6 +254,7 @@ def test_chain_clean_run_reconciles_every_boundary(spark, tmp_path):
         ("docs-feat", topo.FEAT),
         ("docs-feat-classes", topo.CLASSES),
         ("docs-clean", topo.CLEAN),
+        ("docs-clean-textclass", topo.TEXTCLASS),
     ]:
         assert _counts_per_key(s, topic, schema) == {i: 1 for i in ALL_IDS}, topic
     alerts = s.read_topic("docs-clean-drift-alerts", topo.DRIFT).collect()
