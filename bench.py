@@ -430,6 +430,7 @@ def main() -> None:
         "probe_dim768": _probe_dim768_bench(spark),
         "streaming_chain": _streaming_chain_bench(spark),
         "ann_recall_curve": _ann_recall_curve_bench(spark, sf_dir),
+        "charclf_zipf": _charclf_zipf_bench(spark),
     }
 
     # ...and the flagged queries' re-run, taken AFTER the extras above
@@ -1340,6 +1341,67 @@ def _wordpiece_zipf_bench(spark) -> dict:
         if one_x[k] > 0
     }
     return {"1x": one_x, "10x": ten_x, "stage_ratio_10x_over_1x": ratio}
+
+
+
+def _charclf_zipf_bench(spark) -> dict:
+    """Trained char-n-gram classifier at corpus scale (r15, the
+    unigram_zipf discipline): train + predict on the 50k-rank Zipf
+    corpus at 10k vs 100k docs with 6 synthetic classes. The claims
+    under test: training is ONE corpus explode into a (label, bucket)
+    groupBy bounded by |labels| x n_buckets (ratio ~ corpus-linear in
+    the explode, flat in the model), and serving is one broadcast
+    join + ONE id-keyed shuffle (corpus-linear). Healthy: both ratios
+    near 10 or below (explode-dominated), never super-linear."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.charclf import (
+        charclf_predict,
+        charclf_train,
+    )
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        release_caches,
+    )
+
+    def run(n_docs: int) -> dict:
+        docs = materialize(
+            _zipf_docs(spark, n_docs).withColumn(
+                "label", F.concat(F.lit("c"), (F.col("doc_id") % 6))
+            )
+        )
+        out: dict = {"docs": docs.count()}
+        t0 = _t.perf_counter()
+        model = materialize(
+            charclf_train(docs, "doc_id", "text", "label")
+        )
+        out["model_rows"] = model.count()
+        out["train_s"] = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        charclf_predict(docs, model, "doc_id", "text").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["predict_s"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        docs.unpersist()
+        model.unpersist()
+        spark.catalog.clearCache()
+        return out
+
+    run(2_000)  # uncounted JIT/codegen warm-up (the 10x-bench rule)
+    one_x = run(10_000)
+    ten_x = run(100_000)
+    return {
+        "1x": one_x,
+        "10x": ten_x,
+        "stage_ratio_10x_over_1x": {
+            k: round(ten_x[k] / one_x[k], 2)
+            for k in ("train_s", "predict_s")
+            if one_x[k] > 0
+        },
+    }
 
 
 def _probe_dim768_bench(spark) -> dict:

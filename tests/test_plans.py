@@ -1040,3 +1040,43 @@ def test_paragraph_near_dedup_no_cartesian(spark):
     shared rebuild: every join is keyed (band values, composite ids,
     doc ids) — nothing may go cartesian at any stage."""
     assert_no_cartesian(q("paragraph_dedup_near", spark))
+
+
+def test_charclf_predict_broadcasts_model_single_id_shuffle(spark):
+    """charclf_predict's 100-TB contract (r15): the gram stream
+    broadcast-joins the label-pivoted model (bounded by observed
+    buckets x labels) and pays ONE id-keyed shuffle for the per-label
+    sums; priors/argmax are driver-literal map expressions. No
+    cartesian anywhere; the only non-broadcast exchanges are the
+    id-keyed aggregate and the bare-id zero-gram restore join."""
+    from python_stream_processing_framework_spark.operators.charclf import (
+        charclf_predict,
+        charclf_train,
+    )
+    from python_stream_processing_framework_spark.plans import plan_text
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    model = charclf_train(
+        df.limit(50), "doc_id", "text", "lang", n=3, n_buckets=128
+    )
+    out = charclf_predict(df, model, "doc_id", "text", n=3, n_buckets=128)
+    assert_no_cartesian(out)
+    assert_broadcast_join(out)
+    txt = plan_text(out)
+    # the corpus-scale gram stream must reach its aggregate through a
+    # hashpartitioning on the doc id, never a label-keyed shuffle
+    assert "hashpartitioning(doc_id" in txt
+
+
+def test_maximal_dup_spans_narrow_rows_no_cartesian(spark):
+    """maximal_duplicate_spans' scale shape (r15): pairing is the
+    per-gram struct-min (partial-aggregable groupBy), never an
+    occurrence self-join — no cartesian product, and the gram rows
+    that shuffle carry only (id, position, BIGINT hash)."""
+    from python_stream_processing_framework_spark.operators.spans import (
+        maximal_duplicate_spans,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = maximal_duplicate_spans(df, "doc_id", "text", n=13)
+    assert_no_cartesian(out)

@@ -262,3 +262,71 @@ def test_maximal_spans_cover_keep_first_mass(spark):
         "span_end",
     )
     assert maximal >= fused
+
+
+def test_maximal_spans_hypothesis_parity():
+    """Property parity with a sequential reference over random tiny
+    corpora (small alphabet forces repeats): per-gram earliest
+    occurrence, diagonal runs, boundary arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_stream_processing_framework_spark.operators.spans import (
+        maximal_duplicate_spans,
+    )
+    from python_stream_processing_framework_spark.session import get_spark
+
+    def ref(docs: list[tuple[int, str]], n: int):
+        grams: dict[str, tuple[int, int]] = {}  # gram -> earliest (doc, start)
+        per_doc = {}
+        for d, text in docs:
+            toks = text.strip().lower().split()
+            per_doc[d] = toks
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                key = (d, i + 1)
+                if g not in grams or key < grams[g]:
+                    grams[g] = min(grams.get(g, key), key)
+        matches: dict[tuple[int, int, int], list[int]] = {}
+        for d, toks in per_doc.items():
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                d0, s0 = grams[g]
+                start = i + 1
+                if (d0, s0) == (d, start):
+                    continue
+                matches.setdefault((d, d0, start - s0), []).append(start)
+        spans = set()
+        for (d, d0, diag), starts in matches.items():
+            starts.sort()
+            run = [starts[0]]
+            for s in starts[1:]:
+                if s == run[-1] + 1:
+                    run.append(s)
+                else:
+                    spans.add((d, run[0], run[-1] + n - 1, d0, run[0] - diag))
+                    run = [s]
+            spans.add((d, run[0], run[-1] + n - 1, d0, run[0] - diag))
+        return spans
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        st.sampled_from([2, 3]),
+    )
+    def prop(word_lists, n):
+        spark = get_spark("spans-hyp")
+        docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            tuple(r) for r in maximal_duplicate_spans(df, n=n).collect()
+        }
+        assert got == ref(docs, n)
+
+    prop()
