@@ -225,6 +225,7 @@ def charclf_predict(
     *,
     n: int = 3,
     n_buckets: int = 4_096,
+    margin: bool = False,
 ) -> DataFrame:
     """Score every document against a trained model and pick the
     argmax class. Output: (id, pred, score_nano) — ``score_nano`` is
@@ -233,7 +234,14 @@ def charclf_predict(
     buckets take the label's unseen weight). Ties break to the
     lexicographically smallest label; every input doc yields exactly
     one row (a zero-gram doc scores on priors alone). ``n`` /
-    ``n_buckets`` MUST equal the training values."""
+    ``n_buckets`` MUST equal the training values.
+
+    ``margin=True`` appends ``margin_nano`` — the winner's lead over
+    the runner-up class (0 on an exact tie) — the confidence signal a
+    curation gate thresholds on (the DCLM keep-if-confident pattern:
+    route low-margin docs to review instead of trusting the argmax).
+    Still map-only (an array_sort of the |labels|-entry struct array);
+    requires >= 2 classes."""
     # the label set + per-label unseen/prior are bounded model
     # metadata — collect them ONCE to driver literals (the probe's
     # classes-on-the-driver discipline), which buys the one-shuffle
@@ -292,8 +300,10 @@ def charclf_predict(
     # restore zero-gram docs (priors alone), then a MAP-ONLY argmax:
     # array_min over (-score, label) structs of literal-prior sums —
     # ties to the smallest label, partition-order invariant
+    if margin and len(labels) < 2:
+        raise ValueError("charclf_predict: margin requires >= 2 classes")
     scored = df.select(id_col).join(sums, id_col, "left")
-    best = F.array_min(
+    ranked = F.array_sort(
         F.array(
             *[
                 F.struct(
@@ -309,8 +319,16 @@ def charclf_predict(
             ]
         )
     )
-    return scored.select(
+    best = ranked[0]
+    cols = [
         F.col(id_col),
         best["_l"].alias("pred"),
         (-best["_neg"]).cast("bigint").alias("score_nano"),
-    )
+    ]
+    if margin:
+        cols.append(
+            (ranked[1]["_neg"] - best["_neg"]).cast("bigint").alias(
+                "margin_nano"
+            )
+        )
+    return scored.select(*cols)

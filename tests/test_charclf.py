@@ -295,3 +295,55 @@ def test_trained_classifier_beats_lang_id_heuristics(spark):
     acc_heur = sum(heur[i] == truth[i] for i in truth) / n
     assert acc_ours > acc_heur
     assert acc_ours >= 0.9, (acc_ours, ours, truth)
+
+
+def test_predict_margin_is_winner_lead(spark):
+    """margin_nano = winner score minus runner-up score, exact
+    integers; 0 on a tie; single-class models refuse the option."""
+    df = spark.createDataFrame(TRAIN, "doc_id bigint, text string, lang string")
+    model = charclf_train(df, "doc_id", "text", "lang", n=3, n_buckets=64)
+    test = [(10, "the cats sleep"), (13, "")]
+    tdf = spark.createDataFrame(test, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in charclf_predict(
+            tdf, model, "doc_id", "text", n=3, n_buckets=64, margin=True
+        ).collect()
+    }
+    ref_model, observed, labels = _ref_train(TRAIN, 3, 64)
+    for i, text in test:
+        feats = Counter(
+            _bucket(g, 64) for g in _ref_grams(text, 3)
+        )
+        scores = sorted(
+            (
+                sum(
+                    cnt
+                    * (
+                        ref_model[(label, b)]
+                        if b in observed
+                        else ref_model[(label, UNSEEN_BUCKET)]
+                    )
+                    for b, cnt in feats.items()
+                )
+                + ref_model[(label, PRIOR_BUCKET)]
+                for label in labels
+            ),
+            reverse=True,
+        )
+        assert got[i]["score_nano"] == scores[0]
+        assert got[i]["margin_nano"] == scores[0] - scores[1]
+    single = spark.createDataFrame(
+        [(0, "hello", "en")], "doc_id bigint, text string, lang string"
+    )
+    m1 = charclf_train(single, "doc_id", "text", "lang", n=3, n_buckets=64)
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        charclf_predict(
+            spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string"),
+            m1,
+            "doc_id",
+            "text",
+            n=3,
+            n_buckets=64,
+            margin=True,
+        )
