@@ -148,9 +148,19 @@ def charclf_train(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
     )
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+    )
+
     # multinomial counts: one explode -> (label, bucket) groupBy,
-    # partial-aggregated map-side; output <= |labels| * n_buckets
-    counts = (
+    # partial-aggregated map-side; output <= |labels| * n_buckets.
+    # MATERIALIZED (bounded rows, never corpus mass): the model frame
+    # fans out into totals/observed/dense here and again into the
+    # meta collect + wide pivot + broadcast probe in charclf_predict —
+    # unpersisted, each consumer re-ran the corpus explode (measured
+    # 3x the training scan in the charclf_predict build; r15
+    # optimization pass, guide §2.4 "remove shuffles outright").
+    counts = materialize(
         labeled.select(
             "label", F.explode(_char_grams_expr("_text", n)).alias("_g")
         )
@@ -162,15 +172,20 @@ def charclf_train(
     # label set comes from DOC counts, not gram counts — a label all
     # of whose docs are zero-gram still owns unseen + prior rows
     # (t = 0, pure smoothing)
-    doc_counts = labeled.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nd")
+    # doc counts materialized too (|labels| rows): consumed by totals,
+    # prior, AND the corpus-size scalar below — one label-column scan
+    # instead of three (r15 optimization pass)
+    doc_counts = materialize(
+        labeled.groupBy("label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd")
+        )
     )
     totals = (
         doc_counts.select("label")
         .join(counts.groupBy("label").agg(F.sum("c").alias("t")), "label", "left")
         .select("label", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
     )
-    n_docs = labeled.count()
+    n_docs = doc_counts.agg(F.sum("nd")).head()[0] or 0
     if n_docs == 0:
         raise ValueError("charclf_train: empty training frame")
     # dense (observed bucket) x (label) grid: a bucket one class saw

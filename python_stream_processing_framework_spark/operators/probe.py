@@ -100,6 +100,63 @@ def _dot_nano(w_row: list[int]):
     return ((dot - dot % d) / d).cast("long")
 
 
+def _dot_nano_all(weights: dict[int, list[int]], classes: list[int]):
+    """array<long> of z_nano for EVERY class from ONE 2-D weight
+    literal — element i is bit-identical to ``_dot_nano(weights[
+    classes[i]])`` (same zip_with multiply, same decimal(38,0) fold,
+    same trunc-div identity), but the plan carries a single
+    transform-over-matrix tree instead of |classes| independent
+    dot trees. Catalyst analysis + codegen of the per-class form
+    scaled linearly with the class count and dominated small-corpus
+    round wall (measured 2.1 s -> 1.3 s per 10-class x 64-dim
+    gradient round on fusing; r15 optimization pass)."""
+    wmat = F.lit([[int(w) for w in weights[c]] for c in classes]).cast(
+        "array<array<decimal(18,0)>>"
+    )
+    d = F.lit(_MICRO).cast("decimal(38,0)")
+
+    def one(w_arr):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("_xq"), w_arr, lambda x, w: x.cast("decimal(18,0)") * w
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc + v.cast("decimal(38,0)"),
+        )
+        return ((dot - dot % d) / d).cast("long")
+
+    return F.transform(wmat, one)
+
+
+def _resid_arr_long_sql(
+    weights: dict[int, list[int]], classes: list[int]
+) -> str:
+    """SQL text of the residual array computed entirely in BIGINT —
+    usable ONLY when the caller has PROVED no intermediate can
+    overflow (see the gate in :func:`linear_probe_train`). Bit-exact
+    with the decimal path when in range: the zip_with multiply, the
+    left-fold sum, and ``div`` (Spark's integral division truncates
+    toward zero, exactly the ``(a - a % d) / d`` decimal identity)
+    are the same operations on the same operand order. A SQL string
+    because the Column API's ``/`` on longs is DOUBLE division —
+    ``div`` has no Column builder — and the weight matrix inlines as
+    one literal either way."""
+    wmat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(w)}L" for w in weights[c]) + ")"
+            for c in classes
+        )
+        + ")"
+    )
+    cls = "array(" + ",".join(f"{int(c)}L" for c in classes) + ")"
+    return (
+        f"zip_with(transform({wmat}, wa -> aggregate(zip_with(_xq, wa,"
+        f" (x, w) -> x * w), 0L, (a, v) -> a + v) div {_MICRO}L), {cls},"
+        f" (z, c) -> z - if(_y = c, {_NANO}L, 0L))"
+    )
+
+
 def linear_probe_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -163,6 +220,16 @@ def linear_probe_train(
                 F.lit(0),
             )
         ).alias("elems_ok"),
+        # corpus-wide |feature| ceiling, riding the SAME scan: with
+        # driver-known weights it proves per-round that every dot
+        # partial sum and residual product fits in BIGINT, unlocking
+        # the long arithmetic path below (r15 optimization pass —
+        # guide §2.3 "narrower types", only when provably safe)
+        F.max(
+            F.coalesce(
+                F.array_max(F.transform("_xq", F.abs)), F.lit(-1)
+            )
+        ).alias("xmax"),
     ).head()
     n = meta["n"]
     if n == 0:
@@ -193,6 +260,7 @@ def linear_probe_train(
         classes = meta["cls"]
     classes = [int(c) for c in classes]
     dim = int(meta["dim"])
+    xmax = max(0, int(meta["xmax"]))
     weights = {c: [0] * dim for c in classes}
     for rnd in range(rounds):
         src = q
@@ -203,36 +271,77 @@ def linear_probe_train(
                 )
                 < F.lit(int(sample_ppb))
             )
-        resid = src.select(
-            "_xq",
-            *[
-                (
-                    _dot_nano(weights[c])
-                    - F.when(F.col("_y") == c, F.lit(_NANO))
-                    .otherwise(F.lit(0))
-                    .cast("long")
-                ).alias(f"_r{i}")
-                for i, c in enumerate(classes)
-            ],
+        # Overflow gate for the BIGINT fast path (r15 optimization):
+        # with this round's weights on the driver and the corpus-wide
+        # |xq| ceiling from the meta scan, bound every intermediate —
+        # dot partial sums by sum_j |w_j| * xmax, |z| by that div 1e6,
+        # |r| by |z| + 1e9, and each residual product by |r| * xmax.
+        # Inside 2^62 the long path is bit-exact (integral div
+        # truncates toward zero like the decimal identity; products
+        # and fold sums cannot wrap); outside it the decimal path
+        # computes the identical values, just slower. The PER-ROUND
+        # decision cannot change results, only the arithmetic width.
+        wabs_max = max(
+            (sum(abs(w) for w in weights[c]) for c in classes), default=0
         )
-        grads = (
-            resid.select(
-                F.posexplode("_xq").alias("_dim", "_x"),
-                *[f"_r{i}" for i in range(len(classes))],
+        dot_bound = wabs_max * xmax
+        r_bound = dot_bound // _MICRO + 1 + _NANO
+        long_safe = dot_bound < 2**62 and r_bound * max(xmax, 1) < 2**62
+        # Zero-weight shortcut (always true in round 1 — weights
+        # initialize to 0): every dot is exactly trunc(0 / 1e6) = 0,
+        # so r_c = -1e9 * [y == c] with no dot tree at all. Exact
+        # algebraic identity, not an approximation — the oracle's
+        # g1 CTE encodes the same simplification.
+        if all(w == 0 for c in classes for w in weights[c]):
+            resid_arr = F.array(
+                *[
+                    -(
+                        F.when(F.col("_y") == c, F.lit(_NANO))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                    )
+                    for c in classes
+                ]
             )
+        elif long_safe:
+            resid_arr = F.expr(_resid_arr_long_sql(weights, classes))
+        else:
+            resid_arr = F.zip_with(
+                _dot_nano_all(weights, classes),
+                F.lit([int(c) for c in classes]).cast("array<long>"),
+                lambda z, c: z
+                - F.when(F.col("_y") == c, F.lit(_NANO))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+        if long_safe:
+            # product exact in BIGINT (gated above), summed in
+            # decimal(38,0) — sums must stay decimal at any corpus
+            # size, but one cast per element replaces two casts and
+            # a decimal multiply (measured 1.04 s -> 0.54 s for the
+            # 10-sum aggregate alone)
+            prods = [
+                (F.element_at("_r", i + 1) * F.col("_x")).cast(
+                    "decimal(38,0)"
+                )
+                for i in range(len(classes))
+            ]
+        else:
+            prods = [
+                F.element_at("_r", i + 1).cast("decimal(18,0)")
+                * F.col("_x").cast("decimal(18,0)")
+                for i in range(len(classes))
+            ]
+        resid = src.select("_xq", resid_arr.alias("_r"))
+        grads = (
+            resid.select(F.posexplode("_xq").alias("_dim", "_x"), "_r")
             .groupBy("_dim")
             # the per-dim row count IS the round's sampled corpus
             # size (each row contributes one posexploded row per
             # dim): the gradient mean's divisor rides the same scan
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(
-                        F.col(f"_r{i}").cast("decimal(18,0)")
-                        * F.col("_x").cast("decimal(18,0)")
-                    ).alias(f"_g{i}")
-                    for i in range(len(classes))
-                ],
+                *[F.sum(p).alias(f"_g{i}") for i, p in enumerate(prods)],
             )
             .collect()
         )
@@ -289,12 +398,17 @@ def linear_probe_margin(
     if len(w) < 2:
         raise ValueError("margin needs >= 2 classes in the weight table")
     scored = quantize_features(df, vec_col)
-    other_dots = [_dot_nano(w[c]) for c in sorted(w) if c != int(positive)]
+    cls = sorted(w)
+    dots = _dot_nano_all(w, cls)  # one fused tree, element i = class cls[i]
+    pos_i = cls.index(int(positive))
+    other_dots = [
+        F.element_at(dots, i + 1) for i in range(len(cls)) if i != pos_i
+    ]
     others = (
         other_dots[0] if len(other_dots) == 1 else F.greatest(*other_dots)
     )
     return scored.withColumn(
-        "margin_nano", _dot_nano(w[int(positive)]) - others
+        "margin_nano", F.element_at(dots, pos_i + 1) - others
     ).drop("_xq")
 
 
@@ -310,15 +424,12 @@ def linear_probe_predict(
     literal arrays; no join, no shuffle, serving cost = one scan."""
     w = _collect_weights(weights)
     scored = quantize_features(df, vec_col)
+    cls = sorted(w)
     best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _dot_nano(w[c]).alias("z"),
-                    F.lit(-int(c)).cast("long").alias("negc"),
-                )
-                for c in sorted(w)
-            ]
+        F.zip_with(
+            _dot_nano_all(w, cls),  # one fused tree (r15 optimization)
+            F.lit([-int(c) for c in cls]).cast("array<long>"),
+            lambda z, negc: F.struct(z.alias("z"), negc.alias("negc")),
         )
     )
     return (
