@@ -70,7 +70,31 @@ def setsim_join(
         .filter(F.size("_toks") >= shingle_k)
         .select(F.col(id_col).alias("_id"), set_expr.alias("_s"))
     )
-    toks = sets.select("_id", F.explode("_s").alias("_t"))
+    # Hash the shingle sets to 64-bit images ONCE, up front, and
+    # materialize (r15 optimization pass). Everything downstream —
+    # df ranking, prefix build, candidate join, verification — now
+    # runs on fixed 8 B longs instead of variable-length shingle
+    # text, and the scan+tokenize+shingle pipeline executes once
+    # instead of four times (the unpersisted form recomputed it under
+    # toks, under both prefix sides, and under each verification
+    # side). ~8 B/shingle of MEMORY_AND_DISK cache — far below the
+    # text it replaces; release_caches() drains it. Collisions can
+    # only merge two distinct shingles into one identity, which
+    # over-keeps candidates and was already the verification
+    # contract's accepted ~n^2/2^64 risk (docstring below).
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+    )
+
+    hsets = materialize(
+        sets.select(
+            "_id",
+            F.expr("array_distinct(transform(_s, s -> xxhash64(s)))").alias(
+                "_h"
+            ),
+        )
+    )
+    toks = hsets.select("_id", F.explode("_h").alias("_t"))
     # Size-gated broadcast: the distinct-SHINGLE df table is strictly
     # LARGER than the vocabulary (~1e10 2-word shingles on web-scale
     # text), so the hint applies only under the row cap; above it the
@@ -79,8 +103,11 @@ def setsim_join(
         toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")),
         max_rows=broadcast_row_cap,
     )
-    # global rarity order: (df asc, token asc) — a total order, so
-    # every engine sorts prefixes identically
+    # global rarity order: (df asc, token-hash asc) — a total order
+    # shared by every doc, which is all prefix-filter correctness
+    # needs (rarity gives the PRUNING POWER; the tie-break among
+    # equal-df tokens is arbitrary and the exact verification decides
+    # membership regardless)
     ranked = toks.join(dfc, "_t").select(
         "_id", F.struct(F.col("_df"), F.col("_t")).alias("_k"), "_t"
     )
@@ -94,8 +121,12 @@ def setsim_join(
     # extra indexed token per doc.
     # prefix rows carry (token, 1-based position in rarity order, set
     # size) so the join can apply PPJoin's positional filter, not just
-    # bare AllPairs token sharing
-    prefixes = (
+    # bare AllPairs token sharing. Materialized (r15): the index and
+    # probe sides of the candidate join are both derived from this
+    # frame, and unpersisted each re-ran the rank join + per-doc
+    # sort + posexplode. Prefix rows are a ~(1-t) fraction of the
+    # token explode — the smallest corpus-scale frame in the join.
+    prefixes = materialize(
         ranked.groupBy("_id")
         .agg(F.collect_list("_k").alias("_ks"))
         .select(
@@ -159,10 +190,10 @@ def setsim_join(
     # unless two distinct shingles of the same PAIR collide in 64
     # bits (~n^2/2^64 ~ 1e-12 per pair on 1e3-shingle docs) — far
     # below any realistic corpus noise floor; the brute-force oracle
-    # tests would surface a collision deterministically.
-    hset = F.expr("array_distinct(transform(_s, s -> xxhash64(s)))")
-    a = sets.select(F.col("_id").alias("id_a"), hset.alias("_sa"))
-    b = sets.select(F.col("_id").alias("id_b"), hset.alias("_sb"))
+    # tests would surface a collision deterministically. Both sides
+    # read the materialized hsets frame (r15) — no re-scan.
+    a = hsets.select(F.col("_id").alias("id_a"), F.col("_h").alias("_sa"))
+    b = hsets.select(F.col("_id").alias("id_b"), F.col("_h").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = inter.cast("double") / (
         (F.size("_sa") + F.size("_sb") - inter).cast("double")
