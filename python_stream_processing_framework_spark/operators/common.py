@@ -128,6 +128,25 @@ def maybe_broadcast(
     return F.broadcast(df) if n <= cap else df
 
 
+def persist_lazy(df: DataFrame) -> DataFrame:
+    """persist() WITHOUT the eager count — tracked for
+    release_caches() like materialize().
+
+    For frames whose consumers run SEQUENTIALLY (an unrolled
+    iterative loop, or reuse inside one downstream action): the first
+    consumer populates the cache and later ones read it, with no
+    extra materialization job. Prefer :func:`materialize` when the
+    consumers are planned as CONCURRENT stages (its docstring's
+    scheduling race) — the eager count is the fix for that race, and
+    this helper deliberately skips it. Added r15: materialize()'s
+    count job costs more than it saves on small frames inside
+    per-query fixed-cost paths (measured +0.5 s on the 3-round
+    pagerank from three eager counts the loop didn't need)."""
+    df.persist()
+    _TRACKED_FRAMES.append(df)
+    return df
+
+
 def track_broadcast(bc):
     """Register a SparkContext broadcast for release_caches() destroy.
 

@@ -273,14 +273,30 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
+
+    # Persisted (r15 optimization): every unrolled round reads the
+    # node table and the out-degree table again — and because rounds
+    # CHAIN, the unpersisted form re-derived both from the raw source
+    # multiplicatively (~48 source scans in the 3-round catalog
+    # plan). Caching the two NODE-BOUNDED tables makes plan growth
+    # linear (the edge projection is read once per round, a plain
+    # columnar scan at any scale); the corpus-linear edge list itself
+    # deliberately stays uncached — writing it to cache cost more
+    # than the scans it saved (measured). The LAZY persist costs zero
+    # extra jobs: nodes.count() below fills the nodes cache, outdeg
+    # fills on round 1.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
+    nodes = persist_lazy(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()  # one scalar; the only driver value
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()  # one scalar; the only driver value — and the
+    # action that fills the nodes cache above
+    outdeg = persist_lazy(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     init = int(round(1e9 / n))
     base = int(round((100 - damping_pct) * 1e9 / n / 100))
     ranks = nodes.withColumn("rank_nano", F.lit(init).cast("bigint"))
@@ -360,10 +376,23 @@ def triangle_counts(
     da = deg.select(F.col("node").alias("a"), F.struct(F.col("deg"), F.col("node")).alias("ka"))
     db = deg.select(F.col("node").alias("b"), F.struct(F.col("deg"), F.col("node")).alias("kb"))
     keyed = und.join(da, "a").join(db, "b")
-    oriented = keyed.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+    )
+
+    # Materialized (r15 optimization): the oriented edge list fans out
+    # into BOTH wedge sides and the closing join — unpersisted, each
+    # consumer re-ran edge dedup + degree aggregation + both degree
+    # joins, and since those subtrees nest (deg reads und twice), the
+    # executed plan re-scanned the raw edge source ~180x at three
+    # consumers cubed. One narrow (long, long, struct) corpus-linear
+    # cache; release_caches() drains it.
+    oriented = materialize(
+        keyed.select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+        )
     )
     o1 = oriented.select(F.col("src"), F.col("dst").alias("y"), F.col("kdst").alias("ky"))
     o2 = oriented.select(F.col("src"), F.col("dst").alias("z"), F.col("kdst").alias("kz"))
@@ -372,10 +401,11 @@ def triangle_counts(
     )
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     tris = wedges.join(closing, ["y", "z"])
-    corners = (
-        tris.select(F.col("x").alias("node"))
-        .unionByName(tris.select(F.col("y").alias("node")))
-        .unionByName(tris.select(F.col("z").alias("node")))
+    # one corner row per triangle endpoint via a map-side explode —
+    # the 3-way union evaluated the tris subtree (and its O(m^1.5)
+    # wedge join) three times (r15 optimization)
+    corners = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("triangles")

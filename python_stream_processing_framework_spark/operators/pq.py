@@ -403,7 +403,21 @@ def ivfpq_topk(
     cells raise n_probe (at n_probe ~ cells the result equals full
     ADC, verified on the embeddings table).
     """
-    enc = encoded.join(cells.select(F.col(id_col), F.col(cell_col)), id_col)
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+    )
+
+    # Materialized (r15 optimization): the code table fans out into
+    # the probe-selection subtree (which lands inside a BROADCAST
+    # build) and the final member-scoring pass — unpersisted, each
+    # consumer re-ran the whole Arrow-batched encode assignment.
+    # Codes are the 32-512x-compressed representation (m small ints
+    # per vector); caching them IS the IVFPQ serving shape (the
+    # persisted-index operators in ann_index.py write exactly this
+    # frame to parquet), and release_caches() drains it.
+    enc = materialize(
+        encoded.join(cells.select(F.col(id_col), F.col(cell_col)), id_col)
+    )
     # reconstruct each member approximately: per (cell, subspace, code)
     # frequency times centroid, averaged per cell — all tiny frames
     # after the first groupBy (cells x m x k upper bound).
