@@ -301,7 +301,12 @@ def charclf_predict(
     # unseen fallback riding a per-label coalesce (an unobserved
     # bucket nulls every _wi) — map-side combined, reduce rows = docs
     sums = (
-        feats.join(maybe_broadcast(wide), "bucket", "left")
+        # known_count: the pivot is keyed by observed bucket, so its
+        # row count is bounded by n_buckets a priori — skipping the
+        # probe's persist + bounded-count job (r15 optimization)
+        feats.join(
+            maybe_broadcast(wide, known_count=int(n_buckets)), "bucket", "left"
+        )
         .groupBy(id_col)
         .agg(
             *[
