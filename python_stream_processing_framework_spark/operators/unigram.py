@@ -305,6 +305,7 @@ def unigram_train(
     max_word_len: int = 16,
     em_rounds: int = 2,
     keep_size: int | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn a unigram-LM vocabulary from the corpus: seed, then
     ``em_rounds`` of Viterbi-EM, each round optionally pruned to the
@@ -314,7 +315,13 @@ def unigram_train(
     logp_nano) — the surviving pieces after the last round with
     their Viterbi counts and nano-unit log-probs. See the module
     docstring for the algorithm, determinism contract, and scale
-    shape."""
+    shape.
+
+    ``words``: an already-persisted word table (the
+    :func:`unigram_word_table` shape) to train from instead of
+    deriving one here — lets a query that both trains AND encodes
+    share ONE corpus pass across the phases (r15). The caller owns
+    the cache lifecycle; results are identical either way."""
     if em_rounds < 1:
         raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     if max_piece_len < 1 or max_word_len < 1:
@@ -327,9 +334,11 @@ def unigram_train(
 
     # the word table feeds the seed pass + every EM round: one
     # computation, cached blocks after
-    words = materialize(
-        unigram_word_table(df, text_col, max_word_len=max_word_len)
-    )
+    own_words = words is None
+    if own_words:
+        words = materialize(
+            unigram_word_table(df, text_col, max_word_len=max_word_len)
+        )
     vocab = _with_logp(
         unigram_seed(words, seed_size=seed_size, max_piece_len=max_piece_len)
     )
@@ -366,7 +375,8 @@ def unigram_train(
         # round's full analyzed plan
         vocab = logp.localCheckpoint(eager=True)
         cached.unpersist()
-    words.unpersist()
+    if own_words:
+        words.unpersist()
     return vocab
 
 
@@ -377,14 +387,21 @@ def word_piece_counts(
     *,
     max_piece_len: int = 4,
     max_word_len: int = 16,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """The shared encode table: (word, _np) — each DISTINCT
     segmentable word's piece count under ``vocab``. Every consumer
     (per-doc token counts, per-source fertility) joins the exploded
     corpus against this one table; the UNK=1 convention for words
-    absent here lives at the join's ``coalesce``."""
+    absent here lives at the join's ``coalesce``.
+
+    ``words``: optional pre-built (typically persisted) word table —
+    the train-and-encode queries pass the SAME frame to both phases
+    so the corpus word pass runs once (r15)."""
     return viterbi_segment(
-        unigram_word_table(df, text_col, max_word_len=max_word_len),
+        words
+        if words is not None
+        else unigram_word_table(df, text_col, max_word_len=max_word_len),
         vocab,
         max_piece_len=max_piece_len,
     ).select(
@@ -402,6 +419,7 @@ def unigram_segment_counts(
     max_piece_len: int = 4,
     max_word_len: int = 16,
     byte_fallback: bool = False,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under a learned vocabulary and count each
     document's pieces — the token-budget number once the tokenizer
@@ -427,6 +445,7 @@ def unigram_segment_counts(
         vocab,
         max_piece_len=max_piece_len,
         max_word_len=max_word_len,
+        words=words,
     )
     words = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("word")
@@ -460,6 +479,7 @@ def unigram_encode(
     max_piece_len: int = 4,
     max_word_len: int = 16,
     byte_fallback: bool = False,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under a learned vocabulary — the encode
     step a pipeline runs at 100 TB once the tokenizer exists (the
@@ -489,7 +509,9 @@ def unigram_encode(
     The DP never rides a corpus-sized frame; the fallback is a
     substr enumeration of the already-present word column."""
     seg = viterbi_segment(
-        unigram_word_table(df, text_col, max_word_len=max_word_len),
+        words
+        if words is not None
+        else unigram_word_table(df, text_col, max_word_len=max_word_len),
         vocab,
         max_piece_len=max_piece_len,
     ).select("word", F.split(F.trim(F.col("path")), " ").alias("_ps"))

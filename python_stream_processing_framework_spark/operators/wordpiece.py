@@ -84,6 +84,7 @@ def wordpiece_train(
     max_word_len: int = 16,
     batch: int = 1,
     rounds_out: list | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` WordPiece merges; returns WP_MERGES_SCHEMA
     rows in application order. Stops early when no pair remains.
@@ -123,7 +124,12 @@ def wordpiece_train(
     ``rounds_out`` (telemetry, optional): a list the trainer appends
     one int per driver round — the number of merges that round
     accepted — so harnesses can report merges/round-trip without
-    instrumenting the loop."""
+    instrumenting the loop.
+
+    ``words``: an already-persisted word table (the
+    unigram_word_table shape) to train from instead of deriving one
+    here — lets a query that both trains AND segments share ONE
+    corpus pass (r15). Results are identical either way."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if batch < 1:
@@ -135,10 +141,13 @@ def wordpiece_train(
     )
 
     merges: list[tuple[int, str, str, int, int]] = []
+    wt = (
+        words
+        if words is not None
+        else unigram_word_table(df, text_col, max_word_len=max_word_len)
+    )
     prev = _truncate(
-        unigram_word_table(df, text_col, max_word_len=max_word_len).select(
-            _wp_seq_expr(F.col("word")).alias("seq"), F.col("cnt")
-        )
+        wt.select(_wp_seq_expr(F.col("word")).alias("seq"), F.col("cnt"))
     )
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
@@ -760,12 +769,14 @@ def wordpiece_vocab(
     merges,
     *,
     max_word_len: int = 16,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """The serving vocabulary a merge table induces: apply the merges
     to the word table's symbol sequences and count the surviving
     symbols — (piece, cnt), ## continuation forms included. One
-    corpus pass (the word table), then map-only rewrites; output is
-    vocabulary-bounded."""
+    corpus pass (the word table — or the caller's pre-built ``words``
+    frame, shared with the other phases, r15), then map-only
+    rewrites; output is vocabulary-bounded."""
     pairs = _merge_pairs(merges)
     seq = _wp_seq_expr(F.col("word"))
     for left, right in pairs:
@@ -774,7 +785,8 @@ def wordpiece_vocab(
             F.lit(f" {left}  {right} "),
             F.lit(f" {_merged_form(left, right)} "),
         )
-    words = unigram_word_table(df, text_col, max_word_len=max_word_len)
+    if words is None:
+        words = unigram_word_table(df, text_col, max_word_len=max_word_len)
     return (
         words.select(F.explode(F.split(F.trim(seq), "  ")).alias("piece"), "cnt")
         .groupBy("piece")
@@ -896,6 +908,7 @@ def wordpiece_segment_counts(
     vocab: DataFrame,
     *,
     max_word_len: int = 16,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget counts under a TRAINED WordPiece vocabulary
     (the (piece, cnt) table :func:`wordpiece_vocab` builds from the
@@ -904,18 +917,23 @@ def wordpiece_segment_counts(
     un-UNKing unseen characters): (id, n_words, n_pieces);
     unsegmentable or over-length words count 1 (UNK). One
     vocabulary-bounded segmentation of the DISTINCT words, one
-    corpus hash join on `word` — the unigram consumer contract."""
+    corpus hash join on `word` — the unigram consumer contract.
+    ``words``: optional pre-built word table shared with the train /
+    vocab phases (r15)."""
     seg = greedy_segment(
-        unigram_word_table(df, text_col, max_word_len=max_word_len), vocab
+        words
+        if words is not None
+        else unigram_word_table(df, text_col, max_word_len=max_word_len),
+        vocab,
     ).select(
         "word",
         F.size(F.split(F.col("path"), " ")).cast("bigint").alias("_np"),
     )
-    words = df.select(
+    corpus_words = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("word")
     )
     return (
-        words.join(seg, "word", "left")
+        corpus_words.join(seg, "word", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

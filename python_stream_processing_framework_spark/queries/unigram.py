@@ -197,7 +197,19 @@ def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-compares (doc_id, n_words, n_pieces).",
 )
 def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_word_table,
+    )
+
     (documents,) = load(spark, sf_dir, "documents")
+    # ONE corpus word pass shared by training and encoding (r15): the
+    # train phase and the segment phase both run on this cached table
+    wt = persist_lazy(
+        unigram_word_table(documents, "text", max_word_len=_MAXW)
+    )
     vocab = unigram_train(
         documents,
         "text",
@@ -205,6 +217,7 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_MAXP,
         max_word_len=_MAXW,
         em_rounds=_ROUNDS,
+        words=wt,
     )
     return unigram_segment_counts(
         documents,
@@ -213,6 +226,7 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab,
         max_piece_len=_MAXP,
         max_word_len=_MAXW,
+        words=wt,
     )
 
 
@@ -249,11 +263,19 @@ def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_stream_processing_framework_spark.operators.dedup import (
         tokens_expr,
     )
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
     from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_word_table,
         word_piece_counts,
     )
 
     (documents,) = load(spark, sf_dir, "documents")
+    # ONE corpus word pass shared by training and encoding (r15)
+    wt = persist_lazy(
+        unigram_word_table(documents, "text", max_word_len=_MAXW)
+    )
     vocab = unigram_train(
         documents,
         "text",
@@ -261,9 +283,15 @@ def source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_MAXP,
         max_word_len=_MAXW,
         em_rounds=_ROUNDS,
+        words=wt,
     )
     seg = word_piece_counts(
-        documents, "text", vocab, max_piece_len=_MAXP, max_word_len=_MAXW
+        documents,
+        "text",
+        vocab,
+        max_piece_len=_MAXP,
+        max_word_len=_MAXW,
+        words=wt,
     )
     words = documents.select(
         "doc_id", "source", F.explode(tokens_expr("text")).alias("word")

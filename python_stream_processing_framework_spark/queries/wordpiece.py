@@ -191,11 +191,25 @@ def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document's piece count.",
 )
 def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
+    from python_stream_processing_framework_spark.operators.unigram import (
+        unigram_word_table,
+    )
     from python_stream_processing_framework_spark.operators.wordpiece import (
         wordpiece_vocab,
     )
 
     (documents,) = load(spark, sf_dir, "documents")
-    merges = wordpiece_train(documents, "text", n_merges=_N_MERGES)
-    vocab = wordpiece_vocab(documents, "text", merges)
-    return wordpiece_segment_counts(documents, "doc_id", "text", vocab)
+    # ONE corpus word pass shared by train / vocab / segment (r15):
+    # previously each phase re-derived the word table from documents
+    wt = persist_lazy(unigram_word_table(documents, "text", max_word_len=16))
+    merges = wordpiece_train(documents, "text", n_merges=_N_MERGES, words=wt)
+    # vocab is piece-bounded and read twice downstream (the span-cap
+    # head and the broadcast probe) — lazy persist: the first action
+    # populates it, the second reads blocks
+    vocab = persist_lazy(wordpiece_vocab(documents, "text", merges, words=wt))
+    return wordpiece_segment_counts(
+        documents, "doc_id", "text", vocab, words=wt
+    )
