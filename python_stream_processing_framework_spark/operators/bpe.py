@@ -38,6 +38,14 @@ from python_stream_processing_framework_spark.operators.dedup import tokens_expr
 MERGES_SCHEMA = "merge_idx int, left string, right string, pair_count bigint"
 
 
+#: Lineage-truncation cadence for the training loops (r15): a
+#: localCheckpoint every N rounds bounds the replace chain at
+#: N*batch literal rewrites while cutting the per-round eager
+#: checkpoint jobs ~4x. 1 restores the old truncate-every-round
+#: behavior (tests pin identical merge tables either way).
+_CKPT_EVERY = 4
+
+
 def _bytes_to_unicode() -> list[str]:
     """The GPT-2 reversible byte<->unicode table (Radford et al.
     2019, the published `bytes_to_unicode`): printable latin-1 bytes
@@ -206,6 +214,17 @@ def bpe_train(
             seed(F.col("word")).alias("seq"), F.col("cnt")
         )
     )
+    # Truncate lineage every few rounds, not every round (r15): the
+    # eager per-round localCheckpoint was one full vocab-table job per
+    # merge — a stage barrier at cluster scale — while the thing it
+    # guards against (compounding analyzed-plan growth) only needs the
+    # chain BOUNDED. Rounds in between stay lazy on the last
+    # checkpoint: their collect does the (map-only, vocab-bounded)
+    # replace chain in the same job, and the chain never exceeds
+    # _CKPT_EVERY * batch literal rewrites. Results are identical —
+    # the rewrites applied are the same expressions in the same order.
+    anchor = prev  # the last checkpointed frame (owns blocks)
+    lazy_rounds = 0
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
         syms = F.split(F.trim(F.col("seq")), "  ")
@@ -249,12 +268,16 @@ def bpe_train(
                 F.lit(f" {left}  {right} "),
                 F.lit(f" {left}{right} "),
             )
-        nxt = _truncate(prev.withColumn("seq", rewritten))
-        # the new round's checkpoint is eager; the previous round's
-        # blocks are dead — release them now, not at the end
-        _release(prev)
-        prev = nxt
-    _release(prev)
+        prev = prev.withColumn("seq", rewritten)
+        lazy_rounds += 1
+        if lazy_rounds >= _CKPT_EVERY and len(merges) < n_merges:
+            nxt = _truncate(prev)
+            # the new checkpoint is eager; the previous anchor's
+            # blocks are dead — release them now, not at the end
+            _release(anchor)
+            anchor = prev = nxt
+            lazy_rounds = 0
+    _release(anchor)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 

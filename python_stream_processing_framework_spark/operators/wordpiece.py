@@ -59,6 +59,14 @@ WP_MERGES_SCHEMA = (
 _SCORE_SCALE = 10**12
 
 
+#: Lineage-truncation cadence for the training loops (r15): a
+#: localCheckpoint every N rounds bounds the replace chain at
+#: N*batch literal rewrites while cutting the per-round eager
+#: checkpoint jobs ~4x. 1 restores the old truncate-every-round
+#: behavior (tests pin identical merge tables either way).
+_CKPT_EVERY = 4
+
+
 def _wp_seq_expr(word: Column) -> Column:
     """Initial WordPiece symbol sequence: first character plain,
     every later character ``##``-prefixed, double-space delimited
@@ -149,6 +157,14 @@ def wordpiece_train(
     prev = _truncate(
         wt.select(_wp_seq_expr(F.col("word")).alias("seq"), F.col("cnt"))
     )
+    # Lineage truncation every few rounds instead of every round (r15,
+    # the bpe_train discipline): the eager per-round localCheckpoint
+    # was one vocab-table job per merge round; in-between rounds stay
+    # lazy on the last checkpoint — their collect folds the (map-only)
+    # replace chain into the same job, chain bounded by
+    # _CKPT_EVERY * batch rewrites. Identical results.
+    anchor = prev
+    lazy_rounds = 0
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
         syms = F.split(F.trim(F.col("seq")), "  ")
@@ -257,10 +273,14 @@ def wordpiece_train(
                 F.lit(f" {left}  {right} "),
                 F.lit(f" {_merged_form(left, right)} "),
             )
-        nxt = _truncate(prev.withColumn("seq", seq_col))
-        _release(prev)
-        prev = nxt
-    _release(prev)
+        prev = prev.withColumn("seq", seq_col)
+        lazy_rounds += 1
+        if lazy_rounds >= _CKPT_EVERY and len(merges) < n_merges:
+            nxt = _truncate(prev)
+            _release(anchor)
+            anchor = prev = nxt
+            lazy_rounds = 0
+    _release(anchor)
     return spark.createDataFrame(merges, WP_MERGES_SCHEMA)
 
 

@@ -259,28 +259,23 @@ def test_wordpiece_batch_reduces_driver_rounds(spark, monkeypatch):
     in ONE driver round-trip. Two independent sub-corpora ('ab' words
     and 'cd' words, equal shape) give two equal-score disjoint top
     candidates; batch=4 must accept both in the first round. Rounds
-    are observed via the per-round lineage-truncation call."""
-    from python_stream_processing_framework_spark.operators import common
-
+    are observed via the trainer's rounds_out telemetry (the
+    per-round checkpoint is no longer 1:1 with rounds — r15 truncates
+    lineage every few rounds, so it cannot serve as the proxy)."""
     docs = spark.createDataFrame(
         [(1, "ab ab ab cd cd cd")], "doc_id bigint, text string"
     )
-    calls = {"n": 0}
-    real = common.checkpoint_truncate
-
-    def counting(df):
-        calls["n"] += 1
-        return real(df)
-
-    monkeypatch.setattr(common, "checkpoint_truncate", counting)
-    seq = wordpiece_train(docs, "text", n_merges=2).collect()
-    seq_rounds = calls["n"] - 1  # minus the initial word-table truncate
-    calls["n"] = 0
-    got = wordpiece_train(docs, "text", n_merges=2, batch=4).collect()
-    batch_rounds = calls["n"] - 1
+    seq_rounds: list = []
+    seq = wordpiece_train(
+        docs, "text", n_merges=2, rounds_out=seq_rounds
+    ).collect()
+    batch_rounds: list = []
+    got = wordpiece_train(
+        docs, "text", n_merges=2, batch=4, rounds_out=batch_rounds
+    ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, seq))
-    assert seq_rounds == 2
-    assert batch_rounds == 1
+    assert seq_rounds == [1, 1]
+    assert batch_rounds == [2]
 
 
 def test_wordpiece_batch_rejects_when_minted_pair_would_outrank(spark):
@@ -397,3 +392,36 @@ def test_wordpiece_batch_accepts_minted_chain(spark):
     assert got == seq
     assert len(rounds) < 6, rounds  # multi-accept happened
     assert "minted-accept" in diag, (rounds, diag)
+
+
+def test_ckpt_cadence_parity(spark, monkeypatch):
+    """The r15 lineage-truncation cadence (_CKPT_EVERY=4) must not
+    change any learned merge table: rounds between checkpoints stay
+    lazy on the last anchor, so the rewrites applied are the same
+    expressions in the same order. Pin bpe and wordpiece tables
+    against the old truncate-every-round behavior (_CKPT_EVERY=1)."""
+    from python_stream_processing_framework_spark.operators import (
+        bpe as bpe_mod,
+        wordpiece as wp_mod,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the thin cat ate the fat rat"),
+            (3, "a rat and a cat and a hat"),
+        ],
+        "doc_id bigint, text string",
+    )
+    wp_new = [tuple(r) for r in wordpiece_train(docs, "text", n_merges=7).collect()]
+    bpe_new = [
+        tuple(r) for r in bpe_mod.bpe_train(docs, "text", n_merges=7).collect()
+    ]
+    monkeypatch.setattr(wp_mod, "_CKPT_EVERY", 1)
+    monkeypatch.setattr(bpe_mod, "_CKPT_EVERY", 1)
+    wp_old = [tuple(r) for r in wordpiece_train(docs, "text", n_merges=7).collect()]
+    bpe_old = [
+        tuple(r) for r in bpe_mod.bpe_train(docs, "text", n_merges=7).collect()
+    ]
+    assert wp_new == wp_old
+    assert bpe_new == bpe_old
