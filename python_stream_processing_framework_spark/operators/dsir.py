@@ -83,12 +83,34 @@ def hashed_ngram_features(
     *,
     n_buckets: int = N_BUCKETS,
     bigrams: bool = True,
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
     """(id, bucket, cnt): the hashed bag-of-ngrams feature rows.
     One corpus scan; zero-token documents contribute no rows (their
-    score is the empty sum = 0, and `dsir_scores` keeps their row)."""
+    score is the empty sum = 0, and `dsir_scores` keeps their row).
+
+    ``keep_empty_docs=True`` switches to the dsir_scores frame shape:
+    explode_outer, so a zero-gram document keeps one (id, NULL bucket,
+    cnt=1) row. A query that both estimates ratios AND scores the same
+    corpus builds this outer frame ONCE (persisted), filters
+    ``bucket IS NOT NULL`` for the ratio side, and passes the frame to
+    :func:`dsir_scores` via ``feats=`` — one corpus explode instead of
+    two (r15). The filtered rows are exactly the default output."""
+    grams = _grams_expr(text_col, bigrams=bigrams)
+    if keep_empty_docs:
+        return (
+            df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+            .select(
+                id_col,
+                F.when(
+                    F.col("_g").isNotNull(), hash28_mod(F.col("_g"), n_buckets)
+                ).alias("bucket"),
+            )
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
     return (
-        df.select(F.col(id_col), F.explode(_grams_expr(text_col, bigrams=bigrams)).alias("_g"))
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
         .select(id_col, hash28_mod(F.col("_g"), n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -163,6 +185,7 @@ def dsir_scores(
     *,
     n_buckets: int = N_BUCKETS,
     bigrams: bool = True,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Importance log-weight per document: (id, n_grams, log_weight).
 
@@ -171,23 +194,21 @@ def dsir_scores(
     and rounded to 6dp. Zero-gram documents keep a row with
     log_weight 0.0 (the empty product — they look exactly as much
     like the target as like the raw pool). One corpus scan + one
-    broadcast join against the <= n_buckets-row ratio table."""
-    feats = (
-        df.select(
-            F.col(id_col),
-            F.explode_outer(_grams_expr(text_col, bigrams=bigrams)).alias("_g"),
-        )
-        .select(
+    broadcast join against the <= n_buckets-row ratio table.
+
+    ``feats``: a pre-built (typically persisted) outer feature frame —
+    ``hashed_ngram_features(df, ..., keep_empty_docs=True)`` — shared
+    with the ratio-estimation side so the corpus explodes once (r15).
+    """
+    if feats is None:
+        feats = hashed_ngram_features(
+            df,
             id_col,
-            F.when(
-                F.col("_g").isNotNull(), hash28_mod(F.col("_g"), n_buckets)
-            ).alias("bucket"),
+            text_col,
+            n_buckets=n_buckets,
+            bigrams=bigrams,
+            keep_empty_docs=True,
         )
-        .groupBy(id_col, "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        )
-    )
     scored = feats.join(F.broadcast(ratios), ["bucket"], "left").select(
         id_col,
         F.when(F.col("bucket").isNotNull(), F.col("cnt")).otherwise(

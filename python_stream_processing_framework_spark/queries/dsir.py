@@ -105,13 +105,26 @@ _ORACLE = f"""
     "quantized ratios, scores, and the Gumbel key bit-exact.",
 )
 def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
+
     (documents,) = load(spark, sf_dir, "documents")
     target = documents.filter(F.col("doc_id") % 5 == 4)
     raw = documents.filter(F.col("doc_id") % 5 < 4)
     tf = hashed_ngram_features(target, "doc_id", "text", n_buckets=_B)
-    rf = hashed_ngram_features(raw, "doc_id", "text", n_buckets=_B)
+    # ONE raw-corpus explode shared by ratio estimation and scoring
+    # (r15): the outer frame feeds dsir_scores directly; its non-null
+    # rows are exactly the default hashed_ngram_features output the
+    # ratio side needs
+    rf_outer = persist_lazy(
+        hashed_ngram_features(
+            raw, "doc_id", "text", n_buckets=_B, keep_empty_docs=True
+        )
+    )
+    rf = rf_outer.filter(F.col("bucket").isNotNull())
     ratios, unseen = dsir_log_ratios(tf, rf, n_buckets=_B, add_k=_ADD_K)
     scored = dsir_scores(
-        raw, ratios, unseen, "doc_id", "text", n_buckets=_B
+        raw, ratios, unseen, "doc_id", "text", n_buckets=_B, feats=rf_outer
     )
     return dsir_select(scored, "doc_id", n=_N, seed=_SEED)
