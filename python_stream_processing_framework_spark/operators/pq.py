@@ -217,45 +217,33 @@ def pq_train(
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).filter(F.col("_v").isNotNull())
+    _check_dim(e, F.col("_v"), m)
     sub = _subvec_rows(e, m)
+
+    seed_ids = (
+        e.select("_id", hash60(F.col("_id").cast("string")).alias("_h"))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .withColumn(
+            "code",
+            (
+                # k rows post-limit: the single-partition window is
+                # intentional (partitionBy(lit) just mutes the
+                # move-all-data warning for this tiny frame)
+                F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_h", "_id"))
+                - 1
+            ).cast("int"),
+        )
+        .select("_id", "code")
+    )
+    codebook = (
+        sub.withColumnRenamed("_id", "_sid")
+        .join(F.broadcast(seed_ids), F.col("_sid") == seed_ids["_id"])
+        .select("_sub", "code", F.col("_sv").alias("centroid"))
+    )
 
     spark = embeddings.sparkSession
     cb_schema = "_sub int, code int, centroid array<double>"
-    # ONE driver job replaces two (r15 optimization): collect the k
-    # hash-smallest seed rows WITH their vectors (k * dim doubles —
-    # bounded model metadata) and build the seed codebook locally,
-    # validating the dimension from the same rows — previously the
-    # dim check was its own one-row job and the seed codebook was a
-    # lazy corpus-side join that round 1's codebook collect had to
-    # execute. Seeding is bit-identical: same (hash, id) order, same
-    # per-row ``size DIV m`` slicing as _subvec_rows.
-    seed_rows = (
-        e.select("_id", hash60(F.col("_id").cast("string")).alias("_h"), "_v")
-        .orderBy("_h", "_id")
-        .limit(k)
-        .collect()
-    )
-    if not seed_rows:
-        raise ValueError("no vectors to quantize (empty input)")
-    dim = len(seed_rows[0]["_v"])
-    if dim % m != 0:
-        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
-    codebook = spark.createDataFrame(
-        [
-            (
-                s,
-                code,
-                list(
-                    r["_v"][
-                        s * (len(r["_v"]) // m) : (s + 1) * (len(r["_v"]) // m)
-                    ]
-                ),
-            )
-            for code, r in enumerate(seed_rows)
-            for s in range(m)
-        ],
-        cb_schema,
-    )
     for _ in range(iters):
         assigned, bc = _assign(sub, codebook)
         # exact integer means per (subspace, code, position) — flat in
