@@ -291,7 +291,16 @@ def semdedup(
             out[i] = float(xq @ cv) / np.sqrt(float(n2) * float(n2_m[int(c)]))
         return pd.Series(out)
 
-    sigs = _quantized_sigs(embeddings, assign, id_col, vec_col)
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
+
+    # sigs (one Arrow quantization pass + the pq_encode assign join)
+    # feeds BOTH the pair mining and the centroid scoring — without a
+    # persist each consumer re-runs both corpus-wide Arrow passes
+    # (r15, guide §2.4). Lazy: connected_components' edge count is the
+    # first action and populates the blocks; the final plan reads them.
+    sigs = persist_lazy(_quantized_sigs(embeddings, assign, id_col, vec_col))
     pairs = _pair_frame(sigs, id_col, eps, max_cluster_size)
     labels = connected_components(pairs, "id_a", "id_b")
 
