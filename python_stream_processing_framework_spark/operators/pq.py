@@ -404,18 +404,21 @@ def ivfpq_topk(
     ADC, verified on the embeddings table).
     """
     from python_stream_processing_framework_spark.operators.common import (
-        materialize,
+        persist_lazy,
     )
 
-    # Materialized (r15 optimization): the code table fans out into
+    # Persisted (r15 optimization): the code table fans out into
     # the probe-selection subtree (which lands inside a BROADCAST
     # build) and the final member-scoring pass — unpersisted, each
     # consumer re-ran the whole Arrow-batched encode assignment.
     # Codes are the 32-512x-compressed representation (m small ints
     # per vector); caching them IS the IVFPQ serving shape (the
     # persisted-index operators in ann_index.py write exactly this
-    # frame to parquet), and release_caches() drains it.
-    enc = materialize(
+    # frame to parquet), and release_caches() drains it. LAZY, not
+    # eager: the broadcast-side stage populates the blocks and the
+    # member pass reads them — materialize's extra count job measured
+    # +0.2-1.0 s on this fixed-cost path (interleaved A/B).
+    enc = persist_lazy(
         encoded.join(cells.select(F.col(id_col), F.col(cell_col)), id_col)
     )
     # reconstruct each member approximately: per (cell, subspace, code)
