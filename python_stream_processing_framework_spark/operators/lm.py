@@ -140,12 +140,17 @@ def train_ngram_lm(
         raise ValueError(f"n must be >= 2, got {n}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    from python_stream_processing_framework_spark.operators.common import materialize
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
 
     grams = _ngram_explode(train_df, id_col, text_col, n)
-    # ONE corpus scan total: the materialized count table feeds the
+    # ONE corpus scan total: the persisted count table feeds the
     # context marginals, the vocabulary size, AND both scoring joins.
-    counted = materialize(
+    # LAZY (r15): the vocab-size count below is an eager action on
+    # this frame anyway — it populates the blocks, so materialize's
+    # own count job was a pure duplicate.
+    counted = persist_lazy(
         grams.groupBy("ctx", "w").agg(
             F.count(F.lit(1)).cast("double").alias("c")
         )
@@ -303,10 +308,14 @@ def train_backoff_lm(
         raise ValueError(f"n must be >= 2, got {n}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    from python_stream_processing_framework_spark.operators.common import materialize
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
 
     grams = _ngram_explode(train_df, id_col, text_col, n)
-    top = materialize(
+    # LAZY (r15): the scalars collect right below populates the
+    # blocks — materialize's eager count was a duplicate job
+    top = persist_lazy(
         grams.groupBy("ctx", "w").agg(
             F.count(F.lit(1)).cast("double").alias("c")
         )
