@@ -150,6 +150,7 @@ def charclf_train(
     )
     from python_stream_processing_framework_spark.operators.common import (
         materialize,
+        persist_lazy,
     )
 
     # multinomial counts: one explode -> (label, bucket) groupBy,
@@ -172,10 +173,12 @@ def charclf_train(
     # label set comes from DOC counts, not gram counts — a label all
     # of whose docs are zero-gram still owns unseen + prior rows
     # (t = 0, pure smoothing)
-    # doc counts materialized too (|labels| rows): consumed by totals,
+    # doc counts persisted too (|labels| rows): consumed by totals,
     # prior, AND the corpus-size scalar below — one label-column scan
-    # instead of three (r15 optimization pass)
-    doc_counts = materialize(
+    # instead of three (r15 optimization pass). LAZY: the n_docs
+    # aggregate below is the populating action; materialize's eager
+    # count was a duplicate job.
+    doc_counts = persist_lazy(
         labeled.groupBy("label").agg(
             F.count(F.lit(1)).cast("bigint").alias("nd")
         )

@@ -48,7 +48,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.functions.hashing import hash28_mod
-from python_stream_processing_framework_spark.operators.common import materialize
+from python_stream_processing_framework_spark.operators.common import (
+    persist_lazy,
+)
 from python_stream_processing_framework_spark.operators.retrieval import tokenize_expr
 from python_stream_processing_framework_spark.operators.sampling import (
     HASH_SPACE,
@@ -150,10 +152,12 @@ def dsir_log_ratios(
             F.col("cnt").alias("_rc"),
         )
     )
-    # materialize the <= n_buckets-row count table once: the corpus
+    # persist the <= n_buckets-row count table once: the corpus
     # totals marginalize FROM it (one bounded collect), instead of two
-    # extra featurize scans re-running the corpus explode per total
-    counts = materialize(
+    # extra featurize scans re-running the corpus explode per total.
+    # LAZY (r15): the totals collect right below populates the blocks
+    # — materialize's eager count was a duplicate job.
+    counts = persist_lazy(
         unioned.groupBy("bucket").agg(
             F.sum("_tc").alias("ct"), F.sum("_rc").alias("cr")
         )
