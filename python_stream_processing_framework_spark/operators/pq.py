@@ -102,6 +102,24 @@ def _subvec_rows(e: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _collect_codebook(codebook: DataFrame) -> dict[int, tuple]:
+    """Collect a (m*k)-row codebook to {sub: (codes, cq, |cq|^2)}:
+    codes sorted ascending (the tie-break contract), centroids
+    1e-6-quantized to int64 (the module rule). Shared by the
+    per-subvector assign (training) and the whole-vector encode."""
+    rows = codebook.select("_sub", "code", "centroid").collect()
+    by_sub: dict[int, tuple] = {}
+    for s in {r["_sub"] for r in rows}:
+        group = sorted(
+            ((r["code"], r["centroid"]) for r in rows if r["_sub"] == s)
+        )
+        codes = np.array([c for c, _ in group], dtype=np.int32)
+        mat = np.array([v for _, v in group], dtype=np.float64)
+        cq = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        by_sub[int(s)] = (codes, cq, (cq * cq).sum(axis=1))
+    return by_sub
+
+
 def _assign(sub: DataFrame, codebook: DataFrame):
     """Nearest-centroid code per (vector, subspace) row.
 
@@ -126,17 +144,7 @@ def _assign(sub: DataFrame, codebook: DataFrame):
     """
     from pyspark.sql.functions import pandas_udf
 
-    rows = codebook.select("_sub", "code", "centroid").collect()
-    by_sub: dict[int, tuple] = {}
-    for s in {r["_sub"] for r in rows}:
-        group = sorted(
-            ((r["code"], r["centroid"]) for r in rows if r["_sub"] == s)
-        )
-        codes = np.array([c for c, _ in group], dtype=np.int32)
-        mat = np.array([v for _, v in group], dtype=np.float64)
-        cq = np.floor(mat * 1e6 + 0.5).astype(np.int64)
-        by_sub[int(s)] = (codes, cq, (cq * cq).sum(axis=1))
-    bc = sub.sparkSession.sparkContext.broadcast(by_sub)
+    bc = sub.sparkSession.sparkContext.broadcast(_collect_codebook(codebook))
 
     @pandas_udf("int")
     def _nearest(subspace: pd.Series, sv: pd.Series) -> pd.Series:
@@ -287,7 +295,19 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Compress vectors to (id, codes): an array of m small ints."""
+    """Compress vectors to (id, codes): an array of m small ints.
+
+    ONE map-only Arrow pass (r15 optimization, guide §2.4/§4): the
+    whole-vector batch UDF computes all m subspace argmins per vector
+    and emits the codes array directly. The previous shape exploded
+    to m subvector rows, ran the same argmin per row, and SHUFFLED
+    the corpus to regroup codes per id (groupBy + collect_list) — a
+    corpus-linear exchange that pure encoding never needed. Codes are
+    bit-identical: the per-subspace integer argmin is the same
+    arithmetic on the same 1e-6-quantized slices, and the emitted
+    order is subspace-ascending exactly as the regroup's array_sort
+    produced.
+    """
     m, dsub = _codebook_shape(codebook)
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -297,22 +317,34 @@ def pq_encode(
     # is registered with the session cache tracker instead of being
     # destroyed here — common.release_caches() reclaims it once the
     # encode result has been consumed
+    from pyspark.sql.functions import pandas_udf
+
     from python_stream_processing_framework_spark.operators.common import (
         track_broadcast,
     )
 
-    assigned, _bc = _assign(_subvec_rows(e, m), codebook)
-    track_broadcast(_bc)
-    return (
-        assigned.groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_sub", "code"))),
-                lambda t: t["code"],
-            ).alias("codes")
-        )
-        .select(F.col("_id").alias(id_col), "codes")
-    )
+    by_sub = _collect_codebook(codebook)
+    bc = embeddings.sparkSession.sparkContext.broadcast(by_sub)
+    track_broadcast(bc)
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        cb = bc.value
+        x = np.stack([np.asarray(row, dtype=np.float64) for row in v])
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        out = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            codes, cq, c2 = cb[s]
+            xs = xq[:, s * dsub : (s + 1) * dsub]
+            # integer argmin over |cq|^2 - 2 xq.cq^T (|xq|^2 row-
+            # constant), ties to the smaller code — the _assign rule
+            d = c2[None, :] - 2 * (xs @ cq.T)
+            out[:, s] = codes[d.argmin(axis=1)]
+        return pd.Series(list(out))
+
+    return e.select(F.col("_id").alias(id_col), _codes("_v").alias("codes"))
 
 
 def pq_topk(

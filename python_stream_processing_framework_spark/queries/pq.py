@@ -195,11 +195,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract).",
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
+
     (embeddings,) = load(spark, sf_dir, "embeddings")
     cb = pq_train(embeddings, m=1, k=8, iters=2)
     enc = pq_encode(embeddings, cb)
-    assign = enc.select(
-        "vec_id", F.element_at("codes", 1).alias("cluster")
+    # assign feeds BOTH the sizes aggregate (broadcast build) and the
+    # probe side; pq_encode is map-only since r15 (no exchange for
+    # ReusedExchange to anchor on), so without a persist the Arrow
+    # encode pass would run once per consumer. Lazy: the broadcast
+    # build populates the blocks, the probe reads them.
+    assign = persist_lazy(
+        enc.select("vec_id", F.element_at("codes", 1).alias("cluster"))
     )
     sizes = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_size")
