@@ -221,9 +221,21 @@ def dedup_paragraphs_near(
         max_band_freq=max_band_freq,
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
-    labeled = pframe.join(
-        comp, pframe["_pid"] == comp["node"]
-    ).select(id_col, "idx", "component")
+    from python_stream_processing_framework_spark.operators.common import (
+        persist_lazy,
+    )
+
+    # labeled (paragraphs IN near-dup components only — a few percent
+    # of positions) feeds BOTH the per-component firsts aggregate and
+    # the removed probe; unpersisted, each consumer re-ran the corpus
+    # paragraph explode under the comp join (r15, guide §2.4). Lazy:
+    # the firsts broadcast build populates the blocks, the probe
+    # reads them.
+    labeled = persist_lazy(
+        pframe.join(comp, pframe["_pid"] == comp["node"]).select(
+            id_col, "idx", "component"
+        )
+    )
     firsts = labeled.groupBy("component").agg(
         F.min(
             F.struct(F.col(id_col).alias("i"), F.col("idx").alias("x"))
