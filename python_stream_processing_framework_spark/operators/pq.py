@@ -102,12 +102,15 @@ def _subvec_rows(e: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _collect_codebook(codebook: DataFrame) -> dict[int, tuple]:
-    """Collect a (m*k)-row codebook to {sub: (codes, cq, |cq|^2)}:
-    codes sorted ascending (the tie-break contract), centroids
-    1e-6-quantized to int64 (the module rule). Shared by the
-    per-subvector assign (training) and the whole-vector encode."""
-    rows = codebook.select("_sub", "code", "centroid").collect()
+def _by_sub_from_rows(rows) -> dict[int, tuple]:
+    """Build the {sub: (codes, cq, |cq|^2)} assignment dict from
+    collected (_sub, code, centroid) rows: codes sorted ascending
+    (the tie-break contract), centroids 1e-6-quantized to int64 (the
+    module rule). Shared by the per-subvector assign (training) and
+    the whole-vector encode — and since r16 also fed DIRECTLY from
+    each Lloyd round's collected mean rows, so the loop never
+    round-trips a codebook through createDataFrame + collect (one
+    local-DataFrame job per round, pure driver overhead)."""
     by_sub: dict[int, tuple] = {}
     for s in {r["_sub"] for r in rows}:
         group = sorted(
@@ -120,8 +123,30 @@ def _collect_codebook(codebook: DataFrame) -> dict[int, tuple]:
     return by_sub
 
 
-def _assign(sub: DataFrame, codebook: DataFrame):
-    """Nearest-centroid code per (vector, subspace) row.
+def _collect_codebook(codebook: DataFrame) -> dict[int, tuple]:
+    """Collect a (m*k)-row codebook DataFrame to the assign dict."""
+    return _by_sub_from_rows(
+        codebook.select("_sub", "code", "centroid").collect()
+    )
+
+
+def _shape_of(by_sub: dict[int, tuple]) -> tuple[int, int]:
+    """(m, dsub) of a collected codebook — driver-side arithmetic on
+    the dict every caller already holds. Replaces the r15
+    `_codebook_shape` AGGREGATE JOB over the (local, m*k-row)
+    codebook DataFrame, which cost a measured ~0.4 s of scheduling
+    per call and ran up to 3x per IVF-PQ query (encode, probe
+    selection, ADC scoring) — ~1.2 s of pure driver overhead on a
+    fixed-cost path (guide §5: the driver should do almost no data
+    work, and equally no data-shaped jobs for driver-known facts)."""
+    m = max(by_sub) + 1
+    dsub = max(cq.shape[1] for _, cq, _ in by_sub.values())
+    return m, dsub
+
+
+def _assign(sub: DataFrame, by_sub: dict):
+    """Nearest-centroid code per (vector, subspace) row, against a
+    collected codebook dict (``_by_sub_from_rows`` shape).
 
     One Arrow-batched numpy matmul per batch against the broadcast
     codebook — NOT a join + per-pair HOF distance: Catalyst lambda
@@ -144,7 +169,7 @@ def _assign(sub: DataFrame, codebook: DataFrame):
     """
     from pyspark.sql.functions import pandas_udf
 
-    bc = sub.sparkSession.sparkContext.broadcast(_collect_codebook(codebook))
+    bc = sub.sparkSession.sparkContext.broadcast(by_sub)
 
     @pandas_udf("int")
     def _nearest(subspace: pd.Series, sv: pd.Series) -> pd.Series:
@@ -184,13 +209,29 @@ def _check_dim(df: DataFrame, vec_expr, m: int, *, dsub: int | None = None) -> i
     return dim
 
 
-def _codebook_shape(codebook: DataFrame) -> tuple[int, int]:
-    """(m, dsub) of a codebook in one tiny job (codebooks are local
-    m*k-row frames, see pq_train)."""
-    row = codebook.select(
-        (F.max("_sub") + 1).alias("_m"), F.max(F.size("centroid")).alias("_dsub")
-    ).first()
-    return int(row["_m"]), int(row["_dsub"])
+def _adc_table_local(spark, by_sub: dict, qq: list[int], m: int, dsub: int) -> DataFrame:
+    """(_sub, code, _d) ADC lookup table as a LOCAL DataFrame:
+    integer quantized sq-L2 from the quantized query subvector to
+    each quantized centroid, computed driver-side in numpy from the
+    collected codebook (m*k rows — bounded by construction). The r15
+    shape built this as a crossJoin + interpreted HOF plan over the
+    codebook DataFrame, which cost a `_codebook_shape` probe job plus
+    plan/codegen overhead per query; the values are the identical
+    int64 arithmetic on the identical 1e-6-quantized operands
+    (`_by_sub_from_rows` quantizes exactly like `_quant`)."""
+    qarr = np.asarray(qq, dtype=np.int64)
+    data: list[tuple[int, int, int]] = []
+    for s in range(m):
+        if s not in by_sub:
+            continue
+        codes, cq, _ = by_sub[s]
+        qs = qarr[s * dsub : (s + 1) * dsub]
+        diff = qs[None, :] - cq
+        d = (diff * diff).sum(axis=1)
+        data.extend(
+            (s, int(c), int(dv)) for c, dv in zip(codes.tolist(), d.tolist())
+        )
+    return spark.createDataFrame(data, "_sub int, code int, _d bigint")
 
 
 def pq_train(
@@ -252,8 +293,16 @@ def pq_train(
 
     spark = embeddings.sparkSession
     cb_schema = "_sub int, code int, centroid array<double>"
+    # collect the seed codebook ONCE (the round-0 full-data job) and
+    # carry each round's codebook as the collected rows + assign dict
+    # from there on: the r15 loop rebuilt a local codebook DataFrame
+    # per round only for the next round's _collect_codebook to collect
+    # it straight back — one local-DataFrame job of pure scheduling
+    # overhead per Lloyd round (guide §5). Values are bit-identical:
+    # createDataFrame + collect round-trips IEEE doubles exactly.
+    rows = codebook.select("_sub", "code", "centroid").collect()
     for _ in range(iters):
-        assigned, bc = _assign(sub, codebook)
+        assigned, bc = _assign(sub, _by_sub_from_rows(rows))
         # exact integer means per (subspace, code, position) — flat in
         # dim: (m*k*dsub) rows through two tiny shuffles, never one
         # aggregate expression per dimension.
@@ -281,11 +330,10 @@ def pq_train(
             .collect()  # m*k rows: the round's ONE full-data job
         )
         bc.destroy()
-        codebook = spark.createDataFrame(
-            [(int(r["_sub"]), int(r["code"]), list(r["centroid"])) for r in rows],
-            cb_schema,
-        )
-    return codebook
+    return spark.createDataFrame(
+        [(int(r["_sub"]), int(r["code"]), list(r["centroid"])) for r in rows],
+        cb_schema,
+    )
 
 
 def pq_encode(
@@ -308,7 +356,8 @@ def pq_encode(
     order is subspace-ascending exactly as the regroup's array_sort
     produced.
     """
-    m, dsub = _codebook_shape(codebook)
+    by_sub = _collect_codebook(codebook)
+    m, dsub = _shape_of(by_sub)
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).filter(F.col("_v").isNotNull())
@@ -322,8 +371,6 @@ def pq_encode(
     from python_stream_processing_framework_spark.operators.common import (
         track_broadcast,
     )
-
-    by_sub = _collect_codebook(codebook)
     bc = embeddings.sparkSession.sparkContext.broadcast(by_sub)
     track_broadcast(bc)
 
@@ -366,7 +413,22 @@ def pq_topk(
     divided by 1e12 — a single exact-rounded division of an exact
     int64 sum, so the ranking AND the value are engine-reproducible.
     """
-    m, dsub = _codebook_shape(codebook)
+    by_sub = _collect_codebook(codebook)
+    return _pq_topk_local(encoded, by_sub, query_vec, id_col=id_col, k=k)
+
+
+def _pq_topk_local(
+    encoded: DataFrame,
+    by_sub: dict,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """pq_topk against an already-collected codebook dict — lets
+    ivfpq_topk share ONE codebook collect across probe selection and
+    ADC scoring instead of re-collecting per phase (r16, guide §5)."""
+    m, dsub = _shape_of(by_sub)
     if len(query_vec) != m * dsub:
         raise ValueError(
             f"query dim {len(query_vec)} != m*dsub = {m}*{dsub} of the codebook"
@@ -375,8 +437,7 @@ def pq_topk(
     # quantize the query driver-side with the module rule (Python float
     # math is the same IEEE ops as JVM/numpy/SQL)
     qq = [int(math.floor(float(x) * 1e6 + 0.5)) for x in query_vec]
-    q = spark.createDataFrame([(qq,)], "qq array<bigint>")
-    table = _adc_table(codebook, q, m, dsub)
+    table = _adc_table_local(spark, by_sub, qq, m, dsub)
     exploded = encoded.select(F.col(id_col), F.posexplode("codes").alias("_sub", "code"))
     return (
         exploded.join(F.broadcast(table), ["_sub", "code"])
@@ -386,19 +447,6 @@ def pq_topk(
         )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
-    )
-
-
-def _adc_table(codebook: DataFrame, q: DataFrame, m: int, dsub: int) -> DataFrame:
-    """(_sub, code, _d): integer quantized sq-L2 from the quantized
-    query subvector to each quantized centroid. Tiny broadcast plan."""
-    return codebook.crossJoin(F.broadcast(q)).select(
-        "_sub",
-        "code",
-        _l2sq_q(
-            F.expr(f"slice(qq, _sub * {dsub} + 1, {dsub})"),
-            _quant(F.col("centroid")),
-        ).alias("_d"),
     )
 
 
@@ -461,14 +509,14 @@ def ivfpq_topk(
         .groupBy(cell_col, "_sub", "code")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    m, dsub = _codebook_shape(codebook)
+    by_sub = _collect_codebook(codebook)
+    m, dsub = _shape_of(by_sub)
     if len(query_vec) != m * dsub:
         raise ValueError(
             f"query dim {len(query_vec)} != m*dsub = {m}*{dsub} of the codebook"
         )
     spark = encoded.sparkSession
     qq = [int(math.floor(float(x) * 1e6 + 0.5)) for x in query_vec]
-    q = spark.createDataFrame([(qq,)], "qq array<bigint>")
     # distance of the query subvector to each centroid, weighted by how
     # many members of the cell use that centroid -> mean MEMBER ADC
     # distance per cell == the IVF probe ranking, codes-only. sum(_n)
@@ -478,7 +526,7 @@ def ivfpq_topk(
     # still exact integer arithmetic, order-free; DuckDB mirrors it
     # with HUGEINT. One exact wide-int -> double conversion (IEEE
     # nearest in both engines), one division.
-    table = _adc_table(codebook, q, m, dsub)
+    table = _adc_table_local(spark, by_sub, qq, m, dsub)
     probed = (
         code_freq.join(F.broadcast(table), ["_sub", "code"])
         .groupBy(cell_col)
@@ -495,9 +543,9 @@ def ivfpq_topk(
         .limit(n_probe)
         .select(cell_col)
     )
-    return pq_topk(
+    return _pq_topk_local(
         enc.join(F.broadcast(probed), cell_col).select(id_col, "codes"),
-        codebook,
+        by_sub,
         query_vec,
         id_col=id_col,
         k=k,
