@@ -431,6 +431,16 @@ def main() -> None:
         "streaming_chain": _streaming_chain_bench(spark),
         "ann_recall_curve": _ann_recall_curve_bench(spark, sf_dir),
         "charclf_zipf": _charclf_zipf_bench(spark),
+        # r16 scale-ratio extras (VERDICT r15 #3): 10x-corpus stage
+        # ratios for the heavy-tail queries the sf0.1 catalog bench
+        # cannot price (every 8v32-core ratio <= 1.2 there). The
+        # corpus_decontaminate ratio already rides corpus_pipeline_10x
+        # ("decontaminate" stage); wordpiece/charclf/semdedup ratios
+        # ride their existing extras above.
+        "spans_ratio": _spans_ratio_bench(spark),
+        "setsim_ratio": _setsim_ratio_bench(spark),
+        "lm_backoff_ratio": _lm_backoff_ratio_bench(spark),
+        "pq_ratio": _pq_ratio_bench(spark),
     }
 
     # ...and the flagged queries' re-run, taken AFTER the extras above
@@ -1399,6 +1409,223 @@ def _charclf_zipf_bench(spark) -> dict:
         "stage_ratio_10x_over_1x": {
             k: round(ten_x[k] / one_x[k], 2)
             for k in ("train_s", "predict_s")
+            if one_x[k] > 0
+        },
+    }
+
+
+def _spans_ratio_bench(spark) -> dict:
+    """Span-dedup family at corpus scale (r16, VERDICT r15 #3 — give
+    the heavy tail scale evidence): keep-first masking and maximal
+    matched runs on the Zipf corpus at 10k vs 100k docs. The claims
+    under test: the gram explode/count pass is linear in corpus
+    tokens, the flag join shuffles only (id, position, BIGINT hash)
+    rows, and the gaps-and-islands windows stay linear in FLAGGED
+    positions — healthy ratios are ~10 or below; super-linear means
+    a window partition or join degenerated."""
+    import time as _t
+
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.spans import (
+        mask_duplicate_spans_keep_first,
+        maximal_duplicate_spans,
+    )
+
+    def run(n_docs: int) -> dict:
+        docs = materialize(_zipf_docs(spark, n_docs))
+        out: dict = {"docs": docs.count()}
+        t0 = _t.perf_counter()
+        mask_duplicate_spans_keep_first(
+            docs, "doc_id", "text", n=13
+        ).write.mode("overwrite").format("noop").save()
+        out["keep_first_mask_s"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        spark.catalog.clearCache()
+        t0 = _t.perf_counter()
+        maximal_duplicate_spans(
+            docs, "doc_id", "text", n=13
+        ).write.mode("overwrite").format("noop").save()
+        out["maximal_spans_s"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        docs.unpersist()
+        spark.catalog.clearCache()
+        return out
+
+    run(2_000)  # uncounted JIT/codegen warm-up (the 10x-bench rule)
+    one_x = run(10_000)
+    ten_x = run(100_000)
+    return {
+        "1x": one_x,
+        "10x": ten_x,
+        "stage_ratio_10x_over_1x": {
+            k: round(ten_x[k] / one_x[k], 2)
+            for k in ("keep_first_mask_s", "maximal_spans_s")
+            if one_x[k] > 0
+        },
+    }
+
+
+def _setsim_ratio_bench(spark) -> dict:
+    """Exact PPJoin at corpus scale (r16, VERDICT r15 #3): setsim_join
+    on the Zipf corpus at 5k vs 50k docs (2-shingles keep the sets
+    discriminative, so the prefix filter actually prunes — unlike the
+    synthetic documents corpus's dense regime). The claim under test:
+    with a working prefix filter, candidate generation tracks the
+    true-pair mass (~2% planted near-dups) instead of n^2 — a healthy
+    ratio is ~10-20 (linear-ish with some candidate growth); n^2
+    would read ~100."""
+    import time as _t
+
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.setsim import (
+        setsim_join,
+    )
+
+    def run(n_docs: int) -> dict:
+        docs = materialize(_zipf_docs(spark, n_docs))
+        out: dict = {"docs": docs.count()}
+        t0 = _t.perf_counter()
+        n_pairs = setsim_join(
+            docs, "doc_id", "text", threshold=0.8, shingle_k=2
+        ).count()
+        out["setsim_s"] = round(_t.perf_counter() - t0, 3)
+        out["pairs"] = n_pairs
+        release_caches()
+        docs.unpersist()
+        spark.catalog.clearCache()
+        return out
+
+    run(1_000)  # uncounted JIT/codegen warm-up
+    one_x = run(5_000)
+    ten_x = run(50_000)
+    return {
+        "1x": one_x,
+        "10x": ten_x,
+        "stage_ratio_10x_over_1x": {
+            "setsim_s": round(ten_x["setsim_s"] / one_x["setsim_s"], 2)
+        }
+        if one_x["setsim_s"] > 0
+        else {},
+    }
+
+
+def _lm_backoff_ratio_bench(spark) -> dict:
+    """Stupid-backoff LM train + score at corpus scale (r16, VERDICT
+    r15 #3): train_backoff_lm (one corpus scan to the top-order count
+    table, lower orders derived by suffix aggregation) and
+    score_backoff_lm (three vocab-bounded broadcast joins against the
+    event stream) on the Zipf corpus at 10k vs 100k docs. Healthy:
+    both stages ~linear (ratio ~10); a super-linear score stage means
+    a count-table join stopped broadcasting and started shuffling the
+    corpus."""
+    import time as _t
+
+    from python_stream_processing_framework_spark.operators.common import (
+        materialize,
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.lm import (
+        score_backoff_lm,
+        train_backoff_lm,
+    )
+
+    def run(n_docs: int) -> dict:
+        docs = materialize(_zipf_docs(spark, n_docs))
+        out: dict = {"docs": docs.count()}
+        t0 = _t.perf_counter()
+        orders, v, tt = train_backoff_lm(docs, "doc_id", "text", n=3)
+        out["train_s"] = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        score_backoff_lm(
+            docs, orders, v, tt, "doc_id", "text", n=3
+        ).write.mode("overwrite").format("noop").save()
+        out["score_s"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        docs.unpersist()
+        spark.catalog.clearCache()
+        return out
+
+    run(2_000)  # uncounted JIT/codegen warm-up
+    one_x = run(10_000)
+    ten_x = run(100_000)
+    return {
+        "1x": one_x,
+        "10x": ten_x,
+        "stage_ratio_10x_over_1x": {
+            k: round(ten_x[k] / one_x[k], 2)
+            for k in ("train_s", "score_s")
+            if one_x[k] > 0
+        },
+    }
+
+
+def _pq_ratio_bench(spark) -> dict:
+    """PQ train/encode/ADC at corpus scale (r16, VERDICT r15 #3 —
+    price the r15 encode-shuffle removal the sf0.1 bench cannot see):
+    10k vs 100k dim-64 vectors, m=8/k=32/iters=3. Healthy: train and
+    encode ~linear in vectors (each Lloyd round is one full-data
+    pass; encode is ONE map-only Arrow pass since r15 — no regroup
+    exchange to go super-linear), ADC ~linear in code rows."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from python_stream_processing_framework_spark.operators.common import (
+        release_caches,
+    )
+    from python_stream_processing_framework_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    def vecs(n: int):
+        return spark.range(0, n).repartition(32).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), d -> cast((id % 25) * 4.0"
+                " + pmod(id * 13 + d * 7, 17) / 17.0 as double))"
+            ).alias("embedding"),
+        )
+
+    def run(n: int) -> dict:
+        v = vecs(n)
+        v.persist().count()
+        out: dict = {"vectors": n}
+        t0 = _t.perf_counter()
+        cb = pq_train(v, m=8, k=32, iters=3)
+        out["train_s"] = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        enc = pq_encode(v, cb)
+        enc.persist().count()
+        out["encode_s"] = round(_t.perf_counter() - t0, 3)
+        query = v.filter("vec_id = 123").select("embedding").first()[0]
+        t0 = _t.perf_counter()
+        pq_topk(enc, cb, query, k=10).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out["adc_s"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        v.unpersist()
+        enc.unpersist()
+        spark.catalog.clearCache()
+        return out
+
+    run(2_000)  # uncounted JIT/codegen warm-up
+    one_x = run(10_000)
+    ten_x = run(100_000)
+    return {
+        "1x": one_x,
+        "10x": ten_x,
+        "stage_ratio_10x_over_1x": {
+            k: round(ten_x[k] / one_x[k], 2)
+            for k in ("train_s", "encode_s", "adc_s")
             if one_x[k] > 0
         },
     }

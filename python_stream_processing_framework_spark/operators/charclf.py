@@ -136,13 +136,6 @@ def charclf_train(
     ``|labels| * (|observed buckets| + 2)`` rows, bounded by
     vocabulary, never corpus size. Rows with a NULL label are
     refused (a silently dropped training doc moves every prior)."""
-    nulls = df.filter(F.col(label_col).isNull()).limit(1).count()
-    if nulls:
-        raise ValueError(
-            "charclf_train: NULL labels in the training frame — "
-            "filter or impute upstream (a dropped doc moves every "
-            "class prior)"
-        )
     labeled = df.select(
         F.col(label_col).cast("string").alias("label"),
         F.col(id_col).alias("_id"),
@@ -188,7 +181,24 @@ def charclf_train(
         .join(counts.groupBy("label").agg(F.sum("c").alias("t")), "label", "left")
         .select("label", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
     )
-    n_docs = doc_counts.agg(F.sum("nd")).head()[0] or 0
+    # the NULL-label refusal rides the SAME one-row aggregate as the
+    # corpus-size scalar (r16, guide §5): the previous entry probe
+    # (filter(isNull).limit(1).count()) was a full extra corpus scan
+    # whenever no null exists — the common case. doc_counts groups
+    # NULL labels like any other value, so their doc mass is visible
+    # here; on the happy path doc_counts carries no NULL row and the
+    # downstream consumers are unchanged.
+    stats = doc_counts.agg(
+        F.sum("nd").alias("n"),
+        F.sum(F.when(F.col("label").isNull(), F.col("nd"))).alias("n_null"),
+    ).head()
+    if stats["n_null"]:
+        raise ValueError(
+            "charclf_train: NULL labels in the training frame — "
+            "filter or impute upstream (a dropped doc moves every "
+            "class prior)"
+        )
+    n_docs = stats["n"] or 0
     if n_docs == 0:
         raise ValueError("charclf_train: empty training frame")
     # dense (observed bucket) x (label) grid: a bucket one class saw
@@ -280,10 +290,17 @@ def charclf_predict(
         )
     # raw gram rows, NOT charclf_features: the (id, bucket) pre-agg
     # would spend a corpus shuffle the per-id groupBy below already
-    # pays for (its map-side partials absorb repeated grams)
+    # pays for (its map-side partials absorb repeated grams).
+    # explode_OUTER (r16, guide §2.4): a zero-gram doc keeps one
+    # NULL-bucket row, so the per-id aggregate below covers EVERY doc
+    # and the old restore join (df.select(id) left-joined back onto
+    # the sums — a second corpus-scale exchange) disappears. A NULL
+    # bucket matches nothing in the model join and contributes 0 to
+    # every label sum, so zero-gram docs score on priors alone,
+    # exactly as before.
     feats = df.select(
         F.col(id_col),
-        F.explode(_char_grams_expr(text_col, n)).alias("_g"),
+        F.explode_outer(_char_grams_expr(text_col, n)).alias("_g"),
     ).select(id_col, hash28_mod(F.col("_g"), n_buckets).alias("bucket"))
     # pivot the dense table WIDE (bucket, w_0..w_L-1): still bounded
     # by |observed buckets|, and now ONE broadcast join serves every
@@ -314,18 +331,23 @@ def charclf_predict(
         .agg(
             *[
                 F.sum(
-                    F.coalesce(F.col(f"_w{i}"), F.lit(unseen[l]))
+                    # NULL bucket = the zero-gram doc's explode_outer
+                    # row: contributes 0, never the unseen weight
+                    F.when(F.col("bucket").isNull(), F.lit(0)).otherwise(
+                        F.coalesce(F.col(f"_w{i}"), F.lit(unseen[l]))
+                    )
                 ).alias(f"_s{i}")
                 for i, l in enumerate(labels)
             ]
         )
     )
-    # restore zero-gram docs (priors alone), then a MAP-ONLY argmax:
-    # array_min over (-score, label) structs of literal-prior sums —
-    # ties to the smallest label, partition-order invariant
+    # MAP-ONLY argmax over the per-id sums (which explode_outer made
+    # total — every input doc has a row): array_min over
+    # (-score, label) structs of literal-prior sums — ties to the
+    # smallest label, partition-order invariant
     if margin and len(labels) < 2:
         raise ValueError("charclf_predict: margin requires >= 2 classes")
-    scored = df.select(id_col).join(sums, id_col, "left")
+    scored = sums
     ranked = F.array_sort(
         F.array(
             *[

@@ -93,6 +93,7 @@ def wordpiece_train(
     batch: int = 1,
     rounds_out: list | None = None,
     words: DataFrame | None = None,
+    merges_out: list | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` WordPiece merges; returns WP_MERGES_SCHEMA
     rows in application order. Stops early when no pair remains.
@@ -137,7 +138,14 @@ def wordpiece_train(
     ``words``: an already-persisted word table (the
     unigram_word_table shape) to train from instead of deriving one
     here — lets a query that both trains AND segments share ONE
-    corpus pass (r15). Results are identical either way."""
+    corpus pass (r15). Results are identical either way.
+
+    ``merges_out`` (r16): a list the trainer appends each accepted
+    (left, right) pair to, in application order — the same pairs the
+    returned DataFrame carries. Callers that feed the merges straight
+    into :func:`wordpiece_vocab` (whose ``merges`` argument accepts a
+    pair list) can use it to skip re-collecting the local merge
+    DataFrame the trainer just built driver-side (one job)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if batch < 1:
@@ -168,26 +176,45 @@ def wordpiece_train(
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
         syms = F.split(F.trim(F.col("seq")), "  ")
-        symcnt = (
-            prev.select(F.explode(syms).alias("sym"), "cnt")
-            .groupBy("sym")
+        # ONE explode + ONE vocabulary-bounded aggregation per round
+        # (r16, guide §2.4): symbol occurrences and adjacent pairs
+        # ride the same shuffle, symbols tagged with a leading \x1f
+        # (symbols are non-empty, so a pair string — "l\x1fr" — can
+        # never start with \x1f). The r15 shape ran two separate
+        # explode + groupBy passes over the word table per merge
+        # round; counts are identical, this just removes one full
+        # explode pipeline and its exchange from every round.
+        both = (
+            prev.select(
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            syms, lambda s: F.concat(F.lit("\x1f"), s)
+                        ),
+                        _pairs_expr(syms),
+                    )
+                ).alias("t"),
+                "cnt",
+            )
+            .groupBy("t")
             .agg(F.sum("cnt").alias("c"))
         )
         if want > 1:
-            # batch mode reads symcnt from several plans (both scored
-            # joins, the merged-form probe, the trigram-escalation
-            # join); lazily persisted, the top-collect action
-            # populates the blocks and the bounded follow-up collects
-            # read them instead of re-scanning prev
-            symcnt = symcnt.persist()
+            # batch mode reads the counts from several plans (both
+            # scored joins, the merged-form probe, the trigram-
+            # escalation join); lazily persisted, the top-collect
+            # action populates the blocks and the bounded follow-up
+            # collects read them instead of re-scanning prev
+            both = both.persist()
+        symcnt = both.filter(F.col("t").startswith("\x1f")).select(
+            F.expr("substring(t, 2)").alias("sym"), F.col("c")
+        )
         pairs = (
-            prev.select(F.explode(_pairs_expr(syms)).alias("pair"), "cnt")
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("total"))
+            both.filter(~F.col("t").startswith("\x1f"))
             .select(
-                F.split_part(F.col("pair"), F.lit("\x1f"), F.lit(1)).alias("l"),
-                F.split_part(F.col("pair"), F.lit("\x1f"), F.lit(2)).alias("r"),
-                "total",
+                F.split_part(F.col("t"), F.lit("\x1f"), F.lit(1)).alias("l"),
+                F.split_part(F.col("t"), F.lit("\x1f"), F.lit(2)).alias("r"),
+                F.col("c").alias("total"),
             )
         )
         num = F.col("total").cast("decimal(38,0)") * F.lit(_SCORE_SCALE)
@@ -255,7 +282,7 @@ def wordpiece_train(
             accepted = _accept_batch(
                 prev, symcnt, top, want, collected_cap=ncollect
             )
-            symcnt.unpersist()
+            both.unpersist()
         if not accepted:
             break
         if rounds_out is not None:
@@ -263,6 +290,8 @@ def wordpiece_train(
         seq_col = F.col("seq")
         for left, right, pc, sc in accepted:
             merges.append((len(merges), left, right, pc, sc))
+            if merges_out is not None:
+                merges_out.append((left, right))
             # ONE rewrite pass per batch: the replaces chain in
             # acceptance order inside one column expression, so each
             # pattern is applied to exactly the string state the
@@ -836,8 +865,16 @@ def greedy_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
     corpus frame."""
     # span cap: the raw max piece length (no ##-stripping — a PLAIN
     # piece can itself start with '##' when words contain '#', and
-    # overshooting the cap only adds join-filtered candidates)
-    max_len = vocab.agg(F.max(F.length("piece")).alias("m")).head()["m"]
+    # overshooting the cap only adds join-filtered candidates).
+    # The vocab row count rides the SAME one-row job (r16): it is the
+    # broadcast-gate bound maybe_broadcast needed, so the gate's
+    # limit-probe job (and its extra persist of the projection) is
+    # skipped — vocab rows are distinct pieces, so the count bounds
+    # the distinct projection exactly.
+    stats = vocab.agg(
+        F.max(F.length("piece")).alias("m"), F.count(F.lit(1)).alias("n")
+    ).head()
+    max_len, n_vocab = stats["m"], int(stats["n"])
     if max_len is None:
         return words.select(
             "word", "cnt", F.lit(None).cast("string").alias("path")
@@ -870,7 +907,8 @@ def greedy_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
         .select("word", "cnt", "wl", "c.s", "c.e", F.col("c.form").alias("form"))
         .join(
             maybe_broadcast(
-                vocab.select(F.col("piece").alias("form")).distinct()
+                vocab.select(F.col("piece").alias("form")).distinct(),
+                known_count=n_vocab,
             ),
             "form",
         )

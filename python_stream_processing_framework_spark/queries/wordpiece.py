@@ -205,11 +205,17 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus word pass shared by train / vocab / segment (r15):
     # previously each phase re-derived the word table from documents
     wt = persist_lazy(unigram_word_table(documents, "text", max_word_len=16))
-    merges = wordpiece_train(documents, "text", n_merges=_N_MERGES, words=wt)
+    # merges_out (r16): the trainer hands back the accepted pairs
+    # driver-side, so wordpiece_vocab skips re-collecting the local
+    # merge DataFrame the trainer just built (one job)
+    mpairs: list = []
+    wordpiece_train(
+        documents, "text", n_merges=_N_MERGES, words=wt, merges_out=mpairs
+    )
     # vocab is piece-bounded and read twice downstream (the span-cap
     # head and the broadcast probe) — lazy persist: the first action
     # populates it, the second reads blocks
-    vocab = persist_lazy(wordpiece_vocab(documents, "text", merges, words=wt))
+    vocab = persist_lazy(wordpiece_vocab(documents, "text", mpairs, words=wt))
     return wordpiece_segment_counts(
         documents, "doc_id", "text", vocab, words=wt
     )

@@ -1555,17 +1555,30 @@ class Stream:
         from python_stream_processing_framework_spark.operators.charclf import (
             charclf_predict,
         )
+        from python_stream_processing_framework_spark.operators.common import (
+            persist_lazy,
+        )
 
         o = sub.options
         src = self.stream_topic(sub.topic, sub.schema)
         sink_dir = str(self.topic_dir(o["target"]))
+        # the model table is WRITE-ONCE under model_path (stamped at
+        # registration; re-registration under different knobs fails
+        # loudly), so it is loaded and pinned ONCE at stream start —
+        # the r15 shape re-read the parquet inside every micro-batch,
+        # a per-batch static-table scan the write-once discipline
+        # makes pointless (r16, VERDICT r15 #9 / guide §3.2, §6). The
+        # table is bounded (<= |labels| * (n_buckets + 2) rows);
+        # persist_lazy: batch 1's model collect populates the blocks.
+        model = persist_lazy(
+            self.spark.read.parquet(f"{o['model_path']}/model").drop(
+                "_n", "_n_buckets"
+            )
+        )
 
         def classify_text_batch(batch: DataFrame, batch_id: int) -> None:
             if batch.isEmpty():
                 return
-            model = batch.sparkSession.read.parquet(
-                f"{o['model_path']}/model"
-            ).drop("_n", "_n_buckets")
             out = charclf_predict(
                 batch.select(o["id_field"], o["text_field"]),
                 model,

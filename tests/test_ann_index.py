@@ -87,6 +87,7 @@ def test_query_scan_partition_prunes_to_probed_cells(spark, corpus, tmp_path):
     assert "TakeOrderedAndProject" in t
 
 
+@pytest.mark.slow
 def test_rebuild_is_deterministic(spark, corpus, tmp_path):
     from python_stream_processing_framework_spark.operators.ann_index import (
         build_ivf_index,
@@ -147,6 +148,7 @@ def _mid(d: float, dim: int = 8) -> list[float]:
 DRIFT_IDS = [363, 100, 101, 102, 103, 104]
 
 
+@pytest.mark.slow
 def test_ivf_index_stats_and_drift_rebuild(spark, corpus, tmp_path):
     """r12 verdict #2: ivf_index_stats measures what the rebuild
     guidance needs — batch dirs, cell imbalance vs the build, and

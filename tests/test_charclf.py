@@ -148,6 +148,7 @@ def test_predict_matches_sequential_reference(spark):
     ),
     st.sampled_from([2, 3, 4]),
 )
+@pytest.mark.slow
 def test_hypothesis_parity_with_sequential_reference(spark, corpus, n):
     """Random tiny corpora with forced bucket collisions (16
     buckets): the distributed train + predict equals the sequential

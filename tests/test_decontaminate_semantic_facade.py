@@ -107,6 +107,7 @@ def test_decontaminate_semantic_empty_heldout_passthrough(spark, stream):
     assert _ids(stream, "vecs-clean") == ["1"]
 
 
+@pytest.mark.slow
 def test_decontaminate_semantic_exactly_once_after_restart(spark, tmp_path):
     """A rebuilt facade over the same broker dir re-reads the
     persisted signatures and must not re-deliver: sink writes key on

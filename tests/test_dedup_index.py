@@ -11,6 +11,8 @@ certain (miss probability ~3e-5, and md5 is deterministic anyway).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.operators.common import release_caches
@@ -139,6 +141,7 @@ def _batch_dirs(tmp_path_idx: str):
     return sorted(d for d in os.listdir(sigs) if d.startswith("batch="))
 
 
+@pytest.mark.slow
 def test_compact_then_admit_equivalence(spark, tmp_path):
     """Compaction is invisible to admission: the same batch sequence
     admits the same ids whether or not the index was compacted
@@ -175,6 +178,7 @@ def test_compact_then_admit_equivalence(spark, tmp_path):
         release_caches()
 
 
+@pytest.mark.slow
 def test_compact_folds_previous_generations(spark, tmp_path):
     idx = str(tmp_path / "idx")
     try:
@@ -191,6 +195,7 @@ def test_compact_folds_previous_generations(spark, tmp_path):
         release_caches()
 
 
+@pytest.mark.slow
 def test_compact_retains_tags_for_retry(spark, tmp_path):
     """The retention rule: a tag that may be retried must be passed in
     retain_tags — its partition survives, so the retry still excludes
@@ -239,6 +244,7 @@ def test_index_stores_signatures_not_text(spark, tmp_path):
         release_caches()
 
 
+@pytest.mark.slow
 def test_within_batch_loser_gate_exchange_regime(spark, tmp_path, monkeypatch):
     """r8 verdict #2: the within-batch loser anti-join is size-gated.
     With the cap forced to 0 (every loser set 'too big to broadcast')
@@ -271,6 +277,7 @@ def test_within_batch_loser_gate_exchange_regime(spark, tmp_path, monkeypatch):
         release_caches()
 
 
+@pytest.mark.slow
 def test_compact_keeps_both_signatures_on_id_reuse(spark, tmp_path):
     """ADVICE r8: dropDuplicates([id]) at compaction silently discarded
     one signature when the same id was legitimately re-admitted with
@@ -413,6 +420,7 @@ def test_migrate_orphan_recovery_old_backup(spark, tmp_path):
     assert read_index(spark, idx).count() == 2
 
 
+@pytest.mark.slow
 def test_compact_retains_zero_padded_numeric_tag(spark, tmp_path):
     """r12 review regression (compact_partitions raw-dir discipline):
     a zero-padded retained tag ('007') used to be compared against the

@@ -114,6 +114,7 @@ def test_paragraph_dedupe_exactly_once_after_restart(spark, tmp_path):
     assert out["9"] == (_R, 2, 1)
 
 
+@pytest.mark.slow
 def test_paragraph_admit_redelivery_self_excludes(spark, tmp_path):
     """Crash-window contract at the operator level: re-running the
     SAME batch tag (a foreachBatch redelivery after the index write

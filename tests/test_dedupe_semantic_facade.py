@@ -84,6 +84,7 @@ def test_dedupe_semantic_null_vectors_pass_through(stream):
     assert _ids(stream, "vecs-unique") == ["1", "2"]
 
 
+@pytest.mark.slow
 def test_dedupe_semantic_compacts_index_and_keeps_admitting(spark, tmp_path):
     import os
 

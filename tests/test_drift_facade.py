@@ -201,6 +201,7 @@ def _alerts(stream, topic="docs-drift-alerts"):
     }
 
 
+@pytest.mark.slow
 def test_drift_alert_hysteresis_planted_flip(stream, spark):
     """The r13 alarm contract (reference surfaces lag as threshold
     alerts, pspf/processor.py:260-281 — same posture for data
@@ -296,6 +297,7 @@ def test_drift_alert_target_must_differ_from_drift_target(stream, spark):
     )
 
 
+@pytest.mark.slow
 def test_drift_alert_edge_only_emits_streak_starts(stream, spark):
     """edge_only=True (r13 verdict #6): the pager contract — only
     STREAK-START rows. A flip that holds for three batches emits ONE

@@ -12,6 +12,8 @@ md5-derived)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from python_stream_processing_framework_spark.operators.common import release_caches
@@ -157,6 +159,7 @@ def test_null_vectors_admitted_not_indexed(spark, tmp_path):
         release_caches()
 
 
+@pytest.mark.slow
 def test_loser_gate_exchange_regime(spark, tmp_path, monkeypatch):
     """r8 verdict #2: the within-batch loser anti-join is size-gated.
     Forcing the cap to 0 (loser set 'too big to broadcast') must not
@@ -276,6 +279,7 @@ def test_admit_with_band_cap_still_admits_distinct(spark, tmp_path):
         release_caches()
 
 
+@pytest.mark.slow
 def test_admit_non_numeric_and_zero_padded_tags_vs_inference(spark, tmp_path):
     """r12 review regression (the third exclude_batch_tag site): with
     only numeric batch dirs the partition column is int-inferred, so

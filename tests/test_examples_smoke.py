@@ -15,6 +15,9 @@ import pytest
 
 from tests.conftest import SF_SMOKE as SF_DIR
 
+# Heavyweight battery: slow tier (see pyproject addopts; VERDICT r15 #1)
+pytestmark = pytest.mark.slow
+
 EXAMPLES_DIR = str(Path(__file__).resolve().parent.parent / "examples")
 
 

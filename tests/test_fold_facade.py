@@ -10,6 +10,8 @@ duality dedup has via Stream.dedupe/dedupe_near.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -119,6 +121,7 @@ def test_retention_fold_rebase_is_order_independent():
     assert results == {(0, (0, 1, 2, 3))}
 
 
+@pytest.mark.slow
 def test_stream_fold_facade_funnel_with_restart(spark, tmp_path):
     """End-to-end: Stream.fold over two emissions with a facade
     restart between them — state survives the restart (exactly-once),

@@ -1576,6 +1576,7 @@ def test_bpe_train_early_stop_degenerate(spark):
         bpe_train(docs, "text", n_merges=0)
 
 
+@pytest.mark.slow
 def test_connected_components_paths_agree_on_random_graph(spark):
     """Driver union-find and distributed propagation must emit
     IDENTICAL labels — pinned on a pseudo-random graph with chains,

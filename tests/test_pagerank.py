@@ -73,6 +73,7 @@ def _reference(edges, n_iter, damping_pct=85):
     ),
     n_iter=st.integers(1, 3),
 )
+@pytest.mark.slow
 def test_matches_sequential_reference(spark, edges, n_iter):
     # parallel edges excluded (unique=True) — the operator counts
     # multi-edges in out-degree AND contribution identically, but the

@@ -17,12 +17,17 @@ embedded MiniValkeyServer — real executor sockets either way."""
 
 from __future__ import annotations
 
+import pytest
+
 import uuid
 
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from python_stream_processing_framework_spark.sources.valkey import flatten_entry
 from python_stream_processing_framework_spark.streaming import Stream
+
+# Heavyweight battery: slow tier (see pyproject addopts; VERDICT r15 #1)
+pytestmark = pytest.mark.slow
 
 DOC_SCHEMA = StructType(
     [

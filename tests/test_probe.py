@@ -160,6 +160,7 @@ def test_sampled_rounds_full_rate_is_full_batch(crafted, spark):
     assert full == sampled
 
 
+@pytest.mark.slow
 def test_sampled_rounds_deterministic_and_partition_invariant(crafted, spark):
     _, df = crafted
     kw = dict(rounds=3, sample_ppb=500_000_000, sample_key="vec_id")

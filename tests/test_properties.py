@@ -4,10 +4,15 @@ pandas.merge_asof. Few examples, batched per Spark job."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
+
+# Heavyweight battery: slow tier (see pyproject addopts; VERDICT r15 #1)
+pytestmark = pytest.mark.slow
 
 TS = st.integers(min_value=0, max_value=10_000_000)  # millis
 

@@ -93,6 +93,7 @@ def test_keep_filter_yields_dedup_corpus(crafted):
     assert 5 in kept and 6 in kept
 
 
+@pytest.mark.slow
 def test_auto_k_formula_and_none(crafted):
     from python_stream_processing_framework_spark.operators.semdedup import auto_k
 
@@ -111,6 +112,7 @@ def test_auto_k_formula_and_none(crafted):
     assert got == want
 
 
+@pytest.mark.slow
 def test_max_cluster_size_caps_pairing_deterministically(spark):
     """A planted duplicate pair BEYOND the id-ordered cap emits no
     pair under the guard (documented recall trade) but every vector

@@ -106,6 +106,7 @@ def test_sessionize_in_batch_and_timer_close(spark, stream):
     ]
 
 
+@pytest.mark.slow
 def test_sessionize_matches_batch_session_fold(spark, stream):
     """Closed streaming sessions carry the same boundaries/fold values
     as the batch `session_fold` over the same events (session_end here

@@ -31,6 +31,9 @@ from python_stream_processing_framework_spark.streaming.sessions import (
     sessionize_stream_tws,
 )
 
+# Heavyweight battery: slow tier (see pyproject addopts; VERDICT r15 #1)
+pytestmark = pytest.mark.slow
+
 EVENT_SCHEMA = StructType(
     [
         StructField("key", StringType()),

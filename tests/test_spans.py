@@ -264,6 +264,7 @@ def test_maximal_spans_cover_keep_first_mass(spark):
     assert maximal >= fused
 
 
+@pytest.mark.slow
 def test_maximal_spans_hypothesis_parity():
     """Property parity with a sequential reference over random tiny
     corpora (small alphabet forces repeats): per-gram earliest

@@ -40,6 +40,9 @@ if EXAMPLES_DIR not in sys.path:
 
 import streaming_corpus_pipeline as topo  # noqa: E402
 
+# Heavyweight battery: slow tier (see pyproject addopts; VERDICT r15 #1)
+pytestmark = pytest.mark.slow
+
 
 def _rows(stream, topic, schema, key="doc_id"):
     return {r[key]: r.asDict() for r in stream.read_topic(topic, schema).collect()}

@@ -6,6 +6,8 @@ DP's greedy per-position tie-break composition would surface here."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter
 
@@ -110,6 +112,7 @@ def _ref_unigram(
     em_rounds=st.integers(1, 2),
     keep_size=st.one_of(st.none(), st.integers(1, 5)),
 )
+@pytest.mark.slow
 def test_unigram_matches_exhaustive_reference(
     spark, words, seed_size, max_piece_len, em_rounds, keep_size
 ):

@@ -8,6 +8,8 @@ executor sockets either way."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import uuid
 
@@ -36,6 +38,7 @@ def _events(lo: int, hi: int) -> list[dict]:
     ]
 
 
+@pytest.mark.slow
 def test_ingest_valkey_exactly_once_across_runs(spark, tmp_path, valkey_client, valkey_url):
     """XADD -> ingest bridge -> pipeline -> sink: every entry lands
     exactly once, and a SECOND run after more XADDs ingests only the

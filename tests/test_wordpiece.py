@@ -96,6 +96,7 @@ def _ref_encode(word: str, vocab: set[str]):
     ),
     n_merges=st.integers(1, 4),
 )
+@pytest.mark.slow
 def test_wordpiece_matches_sequential_reference(spark, words, n_merges):
     """Distributed trainer == sequential reference: identical merge
     order, pairs, counts, and quantized scores; identical induced
@@ -222,6 +223,7 @@ def test_wordpiece_rejects_bad_params(spark):
     n_merges=st.integers(1, 5),
     batch=st.integers(2, 6),
 )
+@pytest.mark.slow
 def test_wordpiece_batch_is_bit_identical_to_sequential(
     spark, words, n_merges, batch
 ):
@@ -278,6 +280,7 @@ def test_wordpiece_batch_reduces_driver_rounds(spark, monkeypatch):
     assert batch_rounds == [2]
 
 
+@pytest.mark.slow
 def test_wordpiece_batch_rejects_when_minted_pair_would_outrank(spark):
     """The soundness half: merging the top pair can mint a pair a
     rare neighbor makes dominant (score S/(cnt(x)*cnt(m))), which
@@ -321,6 +324,7 @@ def test_wordpiece_batch_rejects_bad_param(spark):
     n_merges=st.integers(1, 4),
     batch=st.integers(2, 6),
 )
+@pytest.mark.slow
 def test_wordpiece_batch_parity_with_hash_symbols(
     spark, words, n_merges, batch
 ):
@@ -351,6 +355,7 @@ def test_wordpiece_batch_parity_with_hash_symbols(
     assert got == seq, (words, n_merges, batch)
 
 
+@pytest.mark.slow
 def test_wordpiece_batch_accepts_minted_chain(spark):
     """r14 verdict #4: on the true Zipf chain the sequential argmax
     sequence RUNS THROUGH minted symbols (t+##h -> th, then
@@ -394,6 +399,7 @@ def test_wordpiece_batch_accepts_minted_chain(spark):
     assert "minted-accept" in diag, (rounds, diag)
 
 
+@pytest.mark.slow
 def test_ckpt_cadence_parity(spark, monkeypatch):
     """The r15 lineage-truncation cadence (_CKPT_EVERY=4) must not
     change any learned merge table: rounds between checkpoints stay
